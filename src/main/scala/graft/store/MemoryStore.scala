@@ -1,0 +1,46 @@
+package graft.store
+
+import graft.query.MongoFilter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-memory writable store (reference `MemoryStore`,
+  * `stores/mongolike.py:506-603`): the DataFrame-native equivalent of a
+  * mongomock collection. Used for tests and as builder scratch targets.
+  *
+  * Writes rebuild the plan (upsert = anti-join + union) and cache the
+  * result; an empty store starts with no schema and adopts the first
+  * batch's schema (maggma stores are schema-on-write).
+  */
+class MemoryStore(
+    val spark: SparkSession,
+    val name: String = "memory",
+    val key: String = "task_id",
+    override val lastUpdatedField: String = "last_updated")
+  extends Store {
+
+  private var current: Option[DataFrame] = None
+
+  def df: DataFrame = current.getOrElse(spark.emptyDataFrame)
+
+  def isEmpty: Boolean = current.isEmpty
+
+  /** Replace contents wholesale (connect-time load). */
+  def load(data: DataFrame): this.type = { current = Some(data); this }
+
+  override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {
+    val next = current match {
+      case None => Store.dedupLastWins(docs, keyFields)
+      case Some(t) => Store.upsertPlan(t, docs, keyFields)
+    }
+    // materialize eagerly: update() must be visible to subsequent reads
+    // and must not grow an unbounded lazy plan across many updates
+    val materialized = next.localCheckpoint(true)
+    current = Some(materialized)
+  }
+
+  override def removeDocs(criteria: String): Unit = current.foreach { t =>
+    current = Some(t.filter(!coalesce(MongoFilter.compile(criteria, Some(t.schema)),
+                                      lit(false))).localCheckpoint(true))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.store
+
+import graft.query.MongoFilter
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+/** Durable keyed table over parquet with versioned-directory writes — the
+  * engine's canonical store (role of the reference's `MongoStore`/
+  * `MontyStore`, `stores/mongolike.py:35-433,794-938`).
+  *
+  * Layout: `root/v_<n>/part-*.parquet`; `root/_current` names the live
+  * version. Upsert/delete write a new version then flip the pointer —
+  * readers never see partial data (a poor man's Delta transaction log;
+  * with Delta Lake on the cluster this class swaps to `MERGE INTO` /
+  * `DELETE WHERE` with no interface change).
+  *
+  * Scale notes: the upsert is a key anti-join (shuffles on the key — at
+  * cluster scale bucketing the table by key makes it shuffle-free); reads
+  * are plain parquet scans so filter/column pushdown apply.
+  */
+class ParquetStore(
+    val spark: SparkSession,
+    val root: String,
+    val key: String = "task_id",
+    override val lastUpdatedField: String = "last_updated",
+    val numPartitions: Int = 0)
+  extends Store {
+
+  val name: String = s"parquet:$root"
+  Files.createDirectories(Paths.get(root))
+
+  private def currentFile: Path = Paths.get(root, "_current")
+
+  private def currentVersion: Option[String] =
+    if (Files.exists(currentFile)) Some(Files.readString(currentFile).trim).filter(_.nonEmpty)
+    else None
+
+  private def dataPath: Option[String] =
+    currentVersion.map(v => s"$root/$v").filter(p => Files.exists(Paths.get(p)))
+
+  def isEmpty: Boolean = dataPath.isEmpty
+
+  def df: DataFrame = dataPath match {
+    case Some(p) => spark.read.parquet(p)
+    case None    => spark.emptyDataFrame
+  }
+
+  private def writeVersion(data: DataFrame): Unit = {
+    val next = "v_" + (currentVersion.map(_.drop(2).toLong + 1).getOrElse(0L))
+    val out = if (numPartitions > 0) data.repartition(numPartitions, col(key)) else data
+    out.write.mode(SaveMode.Overwrite).parquet(s"$root/$next")
+    val old = currentVersion
+    Files.writeString(currentFile, next)
+    old.foreach { v =>  // GC the previous version
+      val p = Paths.get(root, v)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    }
+  }
+
+  override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {
+    val next =
+      if (isEmpty) Store.dedupLastWins(docs, keyFields)
+      else Store.upsertPlan(df, docs, keyFields)
+    writeVersion(next)
+  }
+
+  override def removeDocs(criteria: String): Unit = if (!isEmpty) {
+    val t = df
+    writeVersion(t.filter(!coalesce(
+      MongoFilter.compile(criteria, Some(t.schema)), lit(false))))
+  }
+
+  /** Remove by key set (orphan deletion path, `map_builder.py:185-196`):
+    * distributed anti-join, never an `$in` list on the driver. */
+  def removeKeys(keys: DataFrame): Unit = if (!isEmpty) {
+    writeVersion(df.join(keys.select(col(keys.columns.head).alias(key)), Seq(key), "left_anti"))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.store
+
+import graft.query.{MongoFilter, QueryParams}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** The uniform keyed-document-collection interface (reference
+  * `core/store.py:33-328`), re-expressed over DataFrames.
+  *
+  * A Store is a (possibly writable) collection of documents with a
+  * distinguished unique `key` column and a `lastUpdatedField` timestamp
+  * column. All read operators are **plan constructors** — nothing is
+  * collected driver-side; `newerIn`, `groupby`, `distinct` all stay
+  * distributed (the reference materializes these in driver memory,
+  * `core/store.py:254-267` — that is the scale bottleneck this design
+  * removes, SURVEY §7.5(7)).
+  */
+trait Store {
+  def spark: SparkSession
+  def key: String
+  def lastUpdatedField: String = "last_updated"
+  def name: String
+
+  /** Current contents as a DataFrame (the "collection"). */
+  def df: DataFrame
+
+  // -------------------------------------------------------------------
+  // read surface (S1-S5, S9, S10)
+  // -------------------------------------------------------------------
+
+  /** S1 `query`: filter + project + sort + skip + limit. */
+  def query(params: QueryParams = QueryParams.empty): DataFrame = params(df)
+
+  def query(criteria: String): DataFrame = query(QueryParams(criteria = Some(criteria)))
+
+  /** S2 `query_one`. */
+  def queryOne(params: QueryParams = QueryParams.empty): Option[Row] =
+    params.copy(limit = Some(1))(df).collect().headOption
+
+  /** S3 `count`. */
+  def count(criteria: Option[String] = None): Long =
+    criteria.map(c => MongoFilter(df, c)).getOrElse(df).count()
+
+  /** S4 `distinct`: distinct values of a (dot-path) field under criteria;
+    * array-typed fields are unravelled first (reference
+    * `stores/mongolike.py:176-181`). Missing field → empty; null values
+    * are included (reference `tests/stores/test_mongolike.py:110-115`). */
+  def distinct(field: String, criteria: Option[String] = None): DataFrame = {
+    val base = criteria.map(c => MongoFilter(df, c)).getOrElse(df)
+    val resolved = scala.util.Try(base.schema(field)).toOption
+    val isArray = fieldIsArray(base, field)
+    if (resolved.isEmpty && !field.contains(".") && !base.columns.contains(field))
+      return spark.emptyDataFrame.withColumn(field, lit(null)).limit(0)
+    val proj =
+      if (isArray) base.select(explode(col(field)).alias(field.replace('.', '_')))
+      else base.select(col(field).alias(field.replace('.', '_')))
+    proj.distinct()
+  }
+
+  private def fieldIsArray(d: DataFrame, path: String): Boolean =
+    scala.util.Try {
+      path.split('.').foldLeft(d.schema: org.apache.spark.sql.types.DataType) {
+        case (s: org.apache.spark.sql.types.StructType, p) => s(p).dataType
+        case (other, _) => other
+      }
+    }.toOption.exists(_.isInstanceOf[ArrayType])
+
+  /** S5 `groupby`: group docs by key(s) → (key columns, `docs` array of
+    * structs). Spill-safe: Spark's external aggregation replaces Mongo's
+    * `allowDiskUse` (reference `stores/mongolike.py:184-232`). */
+  def groupby(keys: Seq[String], criteria: Option[String] = None,
+              properties: Seq[String] = Nil): DataFrame = {
+    val base = criteria.map(c => MongoFilter(df, c)).getOrElse(df)
+    val docCols = if (properties.nonEmpty) properties else base.columns.toSeq
+    base.groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(docCols.map(col): _*)).alias("docs"))
+  }
+
+  /** S9 `last_updated`: max of the timestamp column (agg, not
+    * sort-desc-limit-1 — same result, no global sort). */
+  def lastUpdated: Option[java.sql.Timestamp] = {
+    if (!df.columns.contains(lastUpdatedField)) return None
+    df.agg(max(col(lastUpdatedField))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[java.sql.Timestamp]))
+  }
+
+  /** S10 `newer_in`: keys of `target` that are new or newer than in this
+    * store — the incremental-delta primitive (reference
+    * `core/store.py:239-275`).
+    *
+    * Exhaustive mode = distributed full-outer timestamp anti-join (the
+    * reference builds per-key python dicts in driver memory; at 100 TB the
+    * join is the only shape that survives). Fast mode = scalar max(lu)
+    * then filter — one broadcastable scalar, one scan.
+    */
+  def newerIn(target: Store, criteria: Option[String] = None,
+              exhaustive: Boolean = true): DataFrame = {
+    val tgt0 = criteria.map(c => MongoFilter(target.df, c)).getOrElse(target.df)
+    val tgt = tgt0.select(col(target.key).alias("k"),
+                          col(target.lastUpdatedField).alias("t_lu"))
+    if (exhaustive) {
+      val self = df.select(col(key).alias("k"), col(lastUpdatedField).alias("s_lu"))
+      tgt.join(self, Seq("k"), "left_outer")
+        .filter(col("s_lu").isNull || col("t_lu") > col("s_lu"))
+        .select(col("k").alias(target.key))
+    } else {
+      lastUpdated match {
+        case Some(lu) => tgt.filter(col("t_lu") > lit(lu)).select(col("k").alias(target.key))
+        case None     => tgt.select(col("k").alias(target.key))
+      }
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // write surface (S6, S7)
+  // -------------------------------------------------------------------
+
+  /** S6 `update`: upsert by key (single or compound). Within-batch
+    * duplicates resolve last-write-wins (matches the reference's
+    * sequential ReplaceOne loop, `stores/mongolike.py:372-406`). */
+  def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit
+
+  /** S7 `remove_docs`. */
+  def removeDocs(criteria: String): Unit
+
+  /** S8 `ensure_index`: layout hint. No-op by default — Catalyst + parquet
+    * statistics replace secondary indexes; writable stores may override to
+    * repartition/sort on write. */
+  def ensureIndex(field: String, unique: Boolean = false): Boolean = true
+}
+
+object Store {
+  /** Pure-Spark MERGE emulation: anti-join out matched target rows, union
+    * the deduped batch (allowMissingColumns both ways). Shared by every
+    * writable store. Batch dedup = last-write-wins by ingestion order. */
+  private[graft] def upsertPlan(target: DataFrame, batch: DataFrame,
+                                keyFields: Seq[String]): DataFrame = {
+    val deduped = dedupLastWins(batch, keyFields)
+    val kept = target.join(
+      deduped.select(keyFields.map(col): _*).distinct(),
+      keyFields, "left_anti")
+    kept.unionByName(deduped, allowMissingColumns = true)
+  }
+
+  private[graft] def dedupLastWins(batch: DataFrame, keyFields: Seq[String]): DataFrame = {
+    val ord = batch.withColumn("__ord", monotonically_increasing_id())
+    val w = Window.partitionBy(keyFields.map(col): _*).orderBy(col("__ord").desc)
+    ord.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__ord", "__rn")
+  }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import graft.query.QueryParams
+import graft.store.{MemoryStore, ParquetStore, TableStore}
+import org.apache.spark.sql.functions._
+
+/** Store-surface assertions mirroring `tests/stores/test_mongolike.py`
+  * (query/count/distinct/groupby/update-upsert/remove/newer_in). */
+class StoreSpec extends SparkSpec {
+
+  private def mkStore(key: String = "k"): MemoryStore = {
+    val s = spark; import s.implicits._
+    val st = new MemoryStore(spark, key = key, lastUpdatedField = "lu")
+    st.load(Seq(
+      (0L, "a", 1.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, "b", 2.0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      (2L, "a", 3.0, java.sql.Timestamp.valueOf("2024-01-03 00:00:00")),
+      (3L, "c", 4.0, java.sql.Timestamp.valueOf("2024-01-04 00:00:00"))
+    ).toDF("k", "d", "v", "lu"))
+    st
+  }
+
+  test("query: criteria + projection + sort + limit") {
+    val st = mkStore()
+    val out = st.query(QueryParams(
+      criteria = Some("""{"v": {"$gt": 1.5}}"""),
+      properties = Seq("k", "d"), sort = Seq("k" -> -1), limit = Some(2)))
+    assert(out.collect().map(_.getLong(0)).toSeq === Seq(3L, 2L))
+  }
+
+  test("queryOne / count") {
+    val st = mkStore()
+    assert(st.count() === 4)
+    assert(st.count(Some("""{"d": "a"}""")) === 2)
+    assert(st.queryOne(QueryParams(sort = Seq("k" -> 1))).get.getLong(0) === 0L)
+  }
+
+  test("distinct incl. missing field → empty") {
+    val st = mkStore()
+    assert(st.distinct("d").collect().map(_.getString(0)).sorted.toSeq === Seq("a", "b", "c"))
+    assert(st.distinct("d", Some("""{"v": {"$lt": 2.5}}""")).count() === 2)
+  }
+
+  test("distinct unravels array fields (mongolike.py:176-181)") {
+    val s = spark; import s.implicits._
+    val st = new MemoryStore(spark, key = "k")
+    st.load(Seq((1L, Seq("mp-0", "mp-1")), (2L, Seq("mp-1", "mp-2"))).toDF("k", "ids"))
+    assert(st.distinct("ids").count() === 3)
+  }
+
+  test("groupby returns key + docs array (sizes 2/1/1)") {
+    val st = mkStore()
+    val g = st.groupby(Seq("d")).collect()
+    assert(g.length === 3)
+    val sizes = g.map(r => r.getString(0) -> r.getSeq[Any](1).size).toMap
+    assert(sizes === Map("a" -> 2, "b" -> 1, "c" -> 1))
+  }
+
+  test("update = upsert by key; last-write-wins within batch") {
+    val s = spark; import s.implicits._
+    val st = mkStore()
+    st.update(Seq(
+      (1L, "B", 20.0, java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      (9L, "z", 9.0, java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      (9L, "zz", 99.0, java.sql.Timestamp.valueOf("2024-02-02 00:00:00"))
+    ).toDF("k", "d", "v", "lu"))
+    assert(st.count() === 5)
+    assert(st.query("""{"k": 1}""").collect()(0).getAs[String]("d") === "B")
+    assert(st.query("""{"k": 9}""").collect()(0).getAs[String]("d") === "zz")
+  }
+
+  test("update with compound key (test_mongolike.py:130-159)") {
+    val s = spark; import s.implicits._
+    val st = mkStore()
+    st.update(Seq((0L, "a", 100.0, java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("k", "d", "v", "lu"), keyFields = Seq("k", "d"))
+    assert(st.count() === 4)
+    assert(st.query("""{"k": 0}""").collect()(0).getAs[Double]("v") === 100.0)
+  }
+
+  test("removeDocs keeps non-matching incl. null-predicate rows") {
+    val st = mkStore()
+    st.removeDocs("""{"d": "a"}""")
+    assert(st.count() === 2)
+  }
+
+  test("lastUpdated = max(lu)") {
+    val st = mkStore()
+    assert(st.lastUpdated.get === java.sql.Timestamp.valueOf("2024-01-04 00:00:00"))
+  }
+
+  test("newerIn exhaustive: new + updated keys (core/store.py:239-275)") {
+    val s = spark; import s.implicits._
+    val src = mkStore()
+    val tgt = new MemoryStore(spark, key = "k", lastUpdatedField = "lu")
+    tgt.load(Seq(
+      (0L, "a", 1.0, java.sql.Timestamp.valueOf("2024-05-01 00:00:00")),  // newer
+      (1L, "b", 2.0, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),  // same
+      (7L, "n", 7.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))   // new key
+    ).toDF("k", "d", "v", "lu"))
+    val delta = src.newerIn(tgt).collect().map(_.getLong(0)).sorted
+    assert(delta.toSeq === Seq(0L, 7L))
+    // fast path: max(src.lu)=01-04 → only key 0 (05-01) qualifies
+    val fast = src.newerIn(tgt, exhaustive = false).collect().map(_.getLong(0))
+    assert(fast.toSeq === Seq(0L))
+  }
+
+  test("ParquetStore: durable upsert + removeKeys round-trip") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val st = new ParquetStore(spark, dir, key = "k", lastUpdatedField = "lu")
+    assert(st.isEmpty)
+    st.update(Seq((1L, "x", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "d", "lu"))
+    st.update(Seq(
+      (1L, "x2", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      (2L, "y", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))).toDF("k", "d", "lu"))
+    assert(st.count() === 2)
+    assert(st.query("""{"k": 1}""").collect()(0).getAs[String]("d") === "x2")
+    st.removeKeys(Seq(1L).toDF("k"))
+    assert(st.count() === 1)
+    // fresh handle sees the committed version
+    val st2 = new ParquetStore(spark, dir, key = "k", lastUpdatedField = "lu")
+    assert(st2.count() === 1)
+  }
+
+  test("TableStore over TESTDATA parquet") {
+    val st = TableStore.parquet(spark, "/root/testdata/sf0.001/orders.parquet",
+      key = "o_orderkey", lastUpdated = "o_orderdate")
+    assert(st.count(Some("""{"o_totalprice": {"$gt": 100000}}""")) > 0)
+    assert(st.distinct("o_orderstatus").count() <= 3)
+  }
+}
