@@ -1,0 +1,28 @@
+package graft.builder
+
+import org.apache.spark.sql.DataFrame
+
+/** Build-run report (role of the reference's ReportingHandler events,
+  * `utils.py:221-263`). */
+case class BuildReport(
+    processed: Long = 0,
+    failed: Long = 0,
+    orphansDeleted: Long = 0) {
+  def successful: Long = processed - failed
+}
+
+/** The 3-phase ETL contract of the reference (`core/builder.py:16-151`):
+  * `get_items → process_item → update_targets`, re-expressed as a single
+  * declarative Spark job `read-delta → transform → upsert`.
+  *
+  * The reference's chunking (`chunk_size`), prechunk domain decomposition,
+  * backpressure and process pools (`cli/multiprocessing.py`,
+  * `cli/distributed.py`) all disappear into Spark partitioning and task
+  * scheduling — there is deliberately no analogue here (SURVEY §2.6).
+  */
+trait Builder {
+  /** The delta that would be processed (plan only — inspect/test hook). */
+  def pendingItems(): DataFrame
+  /** Execute: process the delta and upsert into the target(s). */
+  def run(): BuildReport
+}

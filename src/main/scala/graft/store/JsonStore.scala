@@ -63,6 +63,12 @@ class JsonStore(
       graft.query.MongoFilter.compile(criteria, Some(t.schema)), lit(false)))
       .localCheckpoint(true))
   }
+
+  override def removeKeys(keys: DataFrame): Unit = {
+    require(!readOnly, s"JsonStore $name is read-only")
+    overlay = Some(df.join(keys.select(col(keys.columns.head).alias(key)),
+      Seq(key), "left_anti").localCheckpoint(true))
+  }
 }
 
 /** Read-only store over an arbitrary DataFrame or parquet path — the
@@ -79,6 +85,8 @@ class TableStore(
   override def update(docs: DataFrame, keyFields: Seq[String]): Unit =
     throw new UnsupportedOperationException(s"TableStore $name is read-only")
   override def removeDocs(criteria: String): Unit =
+    throw new UnsupportedOperationException(s"TableStore $name is read-only")
+  override def removeKeys(keys: DataFrame): Unit =
     throw new UnsupportedOperationException(s"TableStore $name is read-only")
 }
 

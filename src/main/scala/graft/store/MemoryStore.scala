@@ -43,4 +43,9 @@ class MemoryStore(
     current = Some(t.filter(!coalesce(MongoFilter.compile(criteria, Some(t.schema)),
                                       lit(false))).localCheckpoint(true))
   }
+
+  override def removeKeys(keys: DataFrame): Unit = current.foreach { t =>
+    current = Some(t.join(keys.select(col(keys.columns.head).alias(key)),
+      Seq(key), "left_anti").localCheckpoint(true))
+  }
 }

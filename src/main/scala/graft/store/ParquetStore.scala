@@ -73,9 +73,7 @@ class ParquetStore(
       MongoFilter.compile(criteria, Some(t.schema)), lit(false))))
   }
 
-  /** Remove by key set (orphan deletion path, `map_builder.py:185-196`):
-    * distributed anti-join, never an `$in` list on the driver. */
-  def removeKeys(keys: DataFrame): Unit = if (!isEmpty) {
+  override def removeKeys(keys: DataFrame): Unit = if (!isEmpty) {
     writeVersion(df.join(keys.select(col(keys.columns.head).alias(key)), Seq(key), "left_anti"))
   }
 }

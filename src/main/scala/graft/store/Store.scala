@@ -100,6 +100,9 @@ trait Store {
     val tgt0 = criteria.map(c => MongoFilter(target.df, c)).getOrElse(target.df)
     val tgt = tgt0.select(col(target.key).alias("k"),
                           col(target.lastUpdatedField).alias("t_lu"))
+    // empty/uninitialized self (schema-on-write store): everything is new
+    if (!df.columns.contains(key) || !df.columns.contains(lastUpdatedField))
+      return tgt.select(col("k").alias(target.key))
     if (exhaustive) {
       val self = df.select(col(key).alias("k"), col(lastUpdatedField).alias("s_lu"))
       tgt.join(self, Seq("k"), "left_outer")
@@ -124,6 +127,11 @@ trait Store {
 
   /** S7 `remove_docs`. */
   def removeDocs(criteria: String): Unit
+
+  /** Remove by key set (orphan-deletion path, `map_builder.py:185-196`):
+    * distributed anti-join — the key set is a DataFrame, never a driver
+    * list. First column of `keys` is taken as the key. */
+  def removeKeys(keys: DataFrame): Unit
 
   /** S8 `ensure_index`: layout hint. No-op by default — Catalyst + parquet
     * statistics replace secondary indexes; writable stores may override to

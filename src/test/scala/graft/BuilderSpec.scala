@@ -1,0 +1,135 @@
+package graft
+
+import graft.builder._
+import graft.store.MemoryStore
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Ports the reference's incremental-builder executable spec
+  * (`tests/builders/test_copy_builder.py:54-144`,
+  * `test_group_builder.py:63-78`, `test_projection_builder.py`). */
+class BuilderSpec extends SparkSpec {
+
+  private val now  = Timestamp.valueOf("2024-06-01 00:00:00")
+  private val now1 = Timestamp.valueOf("2024-06-01 00:00:01")
+
+  /** old_docs: k=0..19 v=old @now; new_docs: k=0..9 v=new @now+1s. */
+  private def fixtures(): (MemoryStore, MemoryStore, MemoryStore) = {
+    val s = spark; import s.implicits._
+    val oldDocs = (0L to 19L).map(k => (k, "old", now)).toDF("k", "v", "lu")
+    val newDocs = (0L to 9L).map(k => (k, "new", now1)).toDF("k", "v", "lu")
+    val src = new MemoryStore(spark, "src", key = "k", lastUpdatedField = "lu")
+    src.load(oldDocs)
+    val srcNew = new MemoryStore(spark, "srcNew", key = "k", lastUpdatedField = "lu")
+    srcNew.load(oldDocs.filter(col("k") >= 10).unionByName(newDocs))
+    val tgt = new MemoryStore(spark, "tgt", key = "k", lastUpdatedField = "lu")
+    (src, srcNew, tgt)
+  }
+
+  test("CopyBuilder: full build then incremental no-op (test_copy_builder.py:54-76)") {
+    val (src, _, tgt) = fixtures()
+    val b = CopyBuilder(src, tgt)
+    assert(b.pendingKeys().count() === 20)
+    val r1 = b.run()
+    assert(r1.processed === 20)
+    assert(tgt.count() === 20)
+    // second run: delta must be empty (convergence)
+    assert(CopyBuilder(src, tgt).pendingKeys().count() === 0)
+  }
+
+  test("CopyBuilder: detects 10 updated docs (newer lu)") {
+    val (src, srcNew, tgt) = fixtures()
+    CopyBuilder(src, tgt).run()
+    val b2 = CopyBuilder(srcNew, tgt)
+    assert(b2.pendingKeys().count() === 10)
+    b2.run()
+    assert(tgt.count(Some("""{"v": "new"}""")) === 10)
+  }
+
+  test("criteria-scoped build (test_copy_builder.py:91-99)") {
+    val (src, _, tgt) = fixtures()
+    val b = CopyBuilder(src, tgt, criteria = Some("""{"k": {"$lt": 11}}"""))
+    assert(b.run().processed === 11)
+    assert(tgt.count() === 11)
+  }
+
+  test("deleteOrphans removes target keys absent from source (:120-133)") {
+    val (src, _, tgt) = fixtures()
+    CopyBuilder(src, tgt).run()
+    src.removeDocs("""{"k": {"$gte": 15}}""")
+    val r = CopyBuilder(src, tgt, deleteOrphans = true).run()
+    assert(r.orphansDeleted === 5)
+    assert(tgt.count() === 15)
+  }
+
+  test("docs plane: per-row error capture -> failed docs land in target (map_builder.py:144-155)") {
+    val (src, _, tgt) = fixtures()
+    val fn: String => String = { doc =>
+      val m = MapBuilder.mapper.readTree(doc)
+      if (m.get("k").asLong() % 5 == 0) throw new RuntimeException("boom " + m.get("k"))
+      val o = m.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      o.put("v2", m.get("v").asText().toUpperCase); MapBuilder.mapper.writeValueAsString(o)
+    }
+    val r = MapBuilder.docs(src, tgt, fn).run()
+    assert(r.processed === 20 && r.failed === 4)
+    assert(tgt.count(Some("""{"state": "failed"}""")) === 4)
+    assert(tgt.count(Some("""{"state": "successful", "v2": "OLD"}""")) === 16)
+    assert(tgt.df.columns.contains("_process_time") && tgt.df.columns.contains("_bt"))
+    // retry_failed: failed keys re-enter the pending set (map_builder.py:110-116)
+    val b2 = MapBuilder.docs(src, tgt, fn, retryFailed = true)
+    assert(b2.pendingKeys().count() === 4)
+  }
+
+  test("docs plane: timeout produces failed doc") {
+    val (src, _, tgt) = fixtures()
+    val fn: String => String = { doc =>
+      if (MapBuilder.mapper.readTree(doc).get("k").asLong() == 7) Thread.sleep(5000)
+      doc
+    }
+    val r = new MapBuilder(src, tgt, Right(fn), timeoutMs = 500).run()
+    assert(r.failed === 1)
+    assert(tgt.query("""{"state": "failed"}""").collect()(0)
+      .getAs[String]("error").contains("timed out"))
+  }
+
+  test("GroupBuilder: groups, plural keys, max(lu), convergence (test_group_builder.py:63-78)") {
+    val s = spark; import s.implicits._
+    val docs = (0L to 19L).map(k => (k, k % 3, s"d$k",
+      new Timestamp(now.getTime + k * 1000))).toDF("k", "a", "b", "lu")
+    val src = new MemoryStore(spark, "src", key = "k", lastUpdatedField = "lu")
+    src.load(docs)
+    val tgt = new MemoryStore(spark, "tgt", key = "kgrp", lastUpdatedField = "lu")
+    val b = new GroupBuilder(src, tgt, Seq("a"),
+      aggExprs = Seq(count(lit(1)).alias("n_docs")),
+      criteria = Some("""{"k": {"$ne": 3}}"""))
+    assert(b.pendingIds().count() === 19)
+    val r = b.run()
+    assert(r.processed === 3)           // a ∈ {0,1,2}
+    assert(tgt.count() === 3)
+    val g0 = tgt.query("""{"a": 0}""").collect()(0)
+    assert(g0.getAs[Seq[Long]]("ks") === Seq(0L, 6L, 9L, 12L, 15L, 18L)) // k=3 excluded
+    assert(g0.getAs[Long]("n_docs") === 6)
+    assert(g0.getAs[Timestamp]("lu") === new Timestamp(now.getTime + 18000))
+    // re-run → zero pending
+    assert(new GroupBuilder(src, tgt, Seq("a"), Seq(count(lit(1)).alias("n_docs")),
+      criteria = Some("""{"k": {"$ne": 3}}""")).pendingIds().count() === 0)
+  }
+
+  test("ProjectionBuilder: field selection, rename, later-wins merge") {
+    val s = spark; import s.implicits._
+    val s1 = new MemoryStore(spark, "s1", key = "k", lastUpdatedField = "lu")
+    s1.load(Seq((1L, "a1", 10, now), (2L, "a2", 20, now)).toDF("k", "a", "b", "lu"))
+    val s2 = new MemoryStore(spark, "s2", key = "k", lastUpdatedField = "lu")
+    s2.load(Seq((2L, "B2", now), (3L, "B3", now)).toDF("k", "b2", "lu"))
+    val tgt = new MemoryStore(spark, "tgt", key = "k", lastUpdatedField = "lu")
+    new ProjectionBuilder(Seq(
+      SourceProjection(s1, fields = Seq("a", "b")),
+      SourceProjection(s2, renames = Map("newb" -> "b2"))
+    ), tgt).run()
+    assert(tgt.count() === 3)   // key universe = union {1,2,3}
+    val r2 = tgt.query("""{"k": 2}""").collect()(0)
+    assert(r2.getAs[String]("a") === "a2" && r2.getAs[String]("newb") === "B2")
+    val r3 = tgt.query("""{"k": 3}""").collect()(0)
+    assert(r3.getAs[Any]("a") === null && r3.getAs[String]("newb") === "B3")
+  }
+}
