@@ -1,13 +1,583 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.api._
+import graft.builder._
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.query.{MongoFilter, QueryParams}
+import graft.store.{MemoryStore, TableStore}
+import graft.store.views._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: every operator from SURVEY.md §2 exposed as a named
+  * query over the TESTDATA tables, with a DuckDB-equivalent oracle SQL
+  * where the semantics are ANSI-expressible.
+  *
+  * Determinism rules (oracle hash-match): explicit total ORDER BY with
+  * unique tie-breaks on every query; float aggregation only through
+  * DECIMAL casts (order-independent exact sums); `round(x, 4)` only on
+  * values whose computation is sequentially-folded identically in both
+  * engines; raw `events.ts` (ns in parquet, µs in Spark) never output.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
+    * read natively: read it as long and truncate to µs (integer division
+    * — never float, ns epochs exceed 2^53). DuckDB keeps ns; every query
+    * over events is designed so µs truncation cannot change results. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** documents ∪ exact copies of every 10th doc (id+1000000) — the dedup
+    * test corpus (the synthetic table has no natural duplicates). */
+  private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).alias("doc_id"), col("text")))
+  }
+  private val dupCorpusSql =
+    "(SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)"
+
+  /** near-duplicate corpus: every 10th doc gets a perturbed twin. */
+  private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).alias("doc_id"),
+        concat(col("text"), lit(" zzz near dup suffix")).alias("text")))
+  }
+
+  // shared language-ID spec so Spark and oracle SQL stay in lockstep
+  private val stopLists = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "que", "pour", "qui", "pas"),
+    "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "se", "por", "con"))
+  private def swRegex(ws: Seq[String]) = ws.mkString("\\b(", "|", ")\\b")
+  private def sqlHits(ws: Seq[String]) =
+    s"len(regexp_extract_all(lower(text), '${swRegex(ws)}'))"
+
+  /** Flagship: JointStore lookup join on sf0.001 (driver smoke-checks rows>0). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("c13_joint_lookup")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ----------------------------------------------------------------- S1-S10
+    "s1_query_fold" -> ((s, dir) => {
+      val store = new TableStore(s, t(s, dir, "orders"), "orders", "o_orderkey", "o_orderdate")
+      store.query(QueryParams(
+        criteria = Some("""{"o_orderstatus": "O", "o_totalprice": {"$gt": 150000},
+          "o_orderpriority": {"$in": ["1-URGENT", "2-HIGH"]}}"""),
+        properties = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+        sort = Seq("o_totalprice" -> -1, "o_orderkey" -> 1),
+        skip = 10, limit = Some(100)))
+    }),
+
+    "s2_query_one" -> ((s, dir) => {
+      val store = new TableStore(s, t(s, dir, "orders"), "orders", "o_orderkey", "o_orderdate")
+      store.query(QueryParams(
+        criteria = Some("""{"o_orderstatus": "F"}"""),
+        properties = Seq("o_orderkey", "o_totalprice"),
+        sort = Seq("o_totalprice" -> -1, "o_orderkey" -> 1), limit = Some(1)))
+    }),
+
+    "s3_count" -> ((s, dir) => {
+      val store = new TableStore(s, t(s, dir, "lineitem"), "lineitem", "l_orderkey", "l_shipdate")
+      MongoFilter(store.df,
+        """{"l_shipdate": {"$gte": {"$date": "1995-01-01T00:00:00Z"}},
+           "l_discount": {"$lte": 0.05}}""")
+        .agg(count(lit(1)).alias("n"))
+    }),
+
+    "s4_distinct" -> ((s, dir) => {
+      val store = new TableStore(s, t(s, dir, "customer"), "customer", "c_custkey")
+      store.distinct("c_mktsegment", Some("""{"c_acctbal": {"$gt": 0}}"""))
+        .orderBy("c_mktsegment")
+    }),
+
+    "s5_groupby" -> ((s, dir) => {
+      val store = new TableStore(s, t(s, dir, "orders"), "orders", "o_orderkey", "o_orderdate")
+      store.groupby(Seq("o_orderstatus", "o_orderpriority"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          size(col("docs")).alias("n_docs"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    "s9_last_updated" -> ((s, dir) =>
+      t(s, dir, "orders").agg(max(col("o_orderdate")).alias("last_updated"))),
+
+    "s10_newer_in" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val srcStore = new TableStore(s,
+        ev.filter(col("event_id") < 800).select(col("event_id"), col("ts").alias("lu")),
+        "src", "event_id", "lu")
+      val tgtStore = new TableStore(s,
+        ev.select(col("event_id"),
+          when(col("event_id") % 10 === 0, col("ts") + expr("INTERVAL 1 HOUR"))
+            .otherwise(col("ts")).alias("lu")),
+        "tgt", "event_id", "lu")
+      srcStore.newerIn(tgtStore).orderBy("event_id")
+    }),
+
+    // ----------------------------------------------------------- predicates
+    "pred_expr_elem_at" -> ((s, dir) => {
+      val df = t(s, dir, "orders").withColumn("prio_parts", split(col("o_orderpriority"), "-"))
+      MongoFilter(df, """{"$expr": {"$eq": [{"$arrayElemAt": ["$prio_parts", -1]}, "URGENT"]}}""")
+        .select(col("o_orderkey")).orderBy("o_orderkey")
+    }),
+
+    "pred_regex_in_nin" -> ((s, dir) => {
+      MongoFilter(t(s, dir, "part"),
+        """{"p_size": {"$in": [1, 5, 9, 13]}, "p_type": {"$regex": "^(ECONOMY|PROMO)"},
+           "p_brand": {"$nin": ["Brand#11", "Brand#22"]}}""")
+        .select(col("p_partkey")).orderBy("p_partkey")
+    }),
+
+    "pred_exists" -> ((s, dir) => {
+      val df = t(s, dir, "orders").withColumn("maybe",
+        when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_orderpriority")))
+      MongoFilter(df, """{"maybe": {"$exists": false}}""").agg(count(lit(1)).alias("n"))
+    }),
+
+    "pred_and_or_range" -> ((s, dir) => {
+      MongoFilter(t(s, dir, "lineitem"),
+        """{"$or": [{"l_quantity": {"$gte": 45}},
+                    {"$and": [{"l_discount": {"$gt": 0.08}}, {"l_returnflag": {"$ne": "N"}}]}]}""")
+        .agg(count(lit(1)).alias("n"))
+    }),
+
+    // ---------------------------------------------------------------- joins
+    "c13_joint_lookup" -> ((s, dir) => {
+      val main = new TableStore(s, t(s, dir, "orders"), "orders", "o_custkey", "o_orderdate")
+      val cust = new TableStore(s, t(s, dir, "customer"), "customer", "c_custkey")
+      new JointStore(main, Seq("cust" -> cust)).df
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("cust.c_name").alias("c_name"),
+          col("cust.c_mktsegment").alias("c_mktsegment"))
+        .orderBy("o_orderkey")
+    }),
+
+    "c13_joint_merge_root" -> ((s, dir) => {
+      val main = new TableStore(s, t(s, dir, "lineitem"), "lineitem", "l_orderkey", "l_shipdate")
+      val ord = new TableStore(s, t(s, dir, "orders"), "orders", "o_orderkey", "o_orderdate")
+      new JointStore(main, Seq("ord" -> ord), mergeAtRoot = true).df
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"),
+          col("o_orderstatus"), col("_joint_last_updated").alias("joint_lu"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "join_anti_orphans" -> ((s, dir) => {
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy("c_custkey")
+    }),
+
+    "join_semi" -> ((s, dir) => {
+      t(s, dir, "supplier").join(
+          t(s, dir, "lineitem").filter(col("l_shipdate") >= lit("1997-01-01")),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey")).orderBy("s_suppkey")
+    }),
+
+    // -------------------------------------------------------------- builders
+    "b2_copy_builder" -> ((s, dir) => {
+      val src = new TableStore(s, t(s, dir, "orders"), "orders", "o_orderkey", "o_orderdate")
+      val tgt = new MemoryStore(s, "tgt", "o_orderkey", "o_orderdate")
+      CopyBuilder(src, tgt).run()
+      tgt.df.select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy("o_orderkey")
+    }),
+
+    "b4_group_builder" -> ((s, dir) => {
+      val src = new TableStore(s, t(s, dir, "orders"), "orders", "o_orderkey", "o_orderdate")
+      val tgt = new MemoryStore(s, "tgt", "grp_id", "o_orderdate")
+      new GroupBuilder(src, tgt, Seq("o_orderstatus", "o_orderpriority"),
+        aggExprs = Seq(count(lit(1)).alias("n_docs"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"))).run()
+      tgt.df.select(col("o_orderstatus"), col("o_orderpriority"), col("grp_id"),
+          col("o_orderdate"), col("n_docs"), col("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    "b5_projection_builder" -> ((s, dir) => {
+      val sup = new TableStore(s, t(s, dir, "supplier"), "supplier", "s_suppkey")
+      val qty = new TableStore(s,
+        t(s, dir, "lineitem").groupBy(col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).alias("qty")),
+        "qty", "l_suppkey")
+      val tgt = new MemoryStore(s, "tgt", "s_suppkey")
+      new ProjectionBuilder(Seq(
+        SourceProjection(sup, fields = Seq("s_name", "s_acctbal")),
+        SourceProjection(qty, fields = Seq("qty"))), tgt).run()
+      tgt.df.select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("qty"))
+        .orderBy("s_suppkey")
+    }),
+
+    // ---------------------------------------------------------- aggregations
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+          count(lit(1)).alias("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).alias("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).alias("prio"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "prio")
+    }),
+
+    "agg_time_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).alias("d"), col("event_type"))
+        .agg(count(lit(1)).alias("n"),
+          sum(col("value").cast("decimal(18,6)")).alias("sum_val"))
+        .orderBy("d", "event_type")
+    }),
+
+    "window_latest_per_user" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    "window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("event_id"),
+          count(lit(1)).over(w).alias("rn"),
+          sum(col("value").cast("decimal(18,6)")).over(w).alias("run_sum"))
+        .orderBy("event_id")
+    }),
+
+    "topk" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(15)
+    }),
+
+    // ----------------------------------------------------------------- set ops
+    "c14_concat_union" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val a = new TableStore(s, ev.filter(col("value") < 0.3), "a", "event_id")
+      val b = new TableStore(s, ev.filter(col("value") >= 0.7), "b", "event_id")
+      new ConcatStore(Seq(a, b)).df
+        .groupBy(col("event_type")).agg(count(lit(1)).alias("n"))
+        .orderBy("event_type")
+    }),
+
+    "setop_except" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.select(col("p_brand")).distinct()
+        .except(p.filter(col("p_size") < 10).select(col("p_brand")))
+        .orderBy("p_brand")
+    }),
+
+    // ------------------------------------------------------------ view stores
+    "c15_aliasing" -> ((s, dir) => {
+      val inner = new TableStore(s, t(s, dir, "orders"), "orders", "o_orderkey", "o_orderdate")
+      val aliased = new AliasingStore(inner,
+        Map("id" -> "o_orderkey", "price" -> "o_totalprice", "status" -> "o_orderstatus"))
+      aliased.query(QueryParams(
+        criteria = Some("""{"price": {"$gt": 200000}, "status": "F"}"""),
+        properties = Seq("id", "price"), sort = Seq("id" -> 1)))
+    }),
+
+    "c16_sandbox" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("sbxn",
+        when(col("event_id") % 3 === 0, array(lit("core")))
+          .when(col("event_id") % 3 === 1, array(lit("other")))
+          .otherwise(lit(null).cast("array<string>")))
+      val inner = new TableStore(s, ev, "events", "event_id")
+      new SandboxStore(inner, "core").df
+        .groupBy(col("event_type")).agg(count(lit(1)).alias("n"))
+        .orderBy("event_type")
+    }),
+
+    // ------------------------------------------------------------- API layer
+    "api_compile" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+      val params = Map(
+        "o_totalprice_min" -> "50000", "o_totalprice_max" -> "150000",
+        "o_orderstatus" -> "O",
+        "_sort_fields" -> "-o_orderdate,o_orderkey",
+        "_fields" -> "o_orderkey,o_orderdate,o_totalprice",
+        "_page" -> "2", "_per_page" -> "50")
+      val qp = QueryOperator.compile(params, Seq(
+        new DynamicQuery(df.schema), new SortQuery, new SparseFieldsQuery,
+        new PaginationQuery))
+      qp(df)
+    }),
+
+    // ------------------------------------------------------------ extensions
+    "text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).alias("n_tokens"),
+        length(col("text")).alias("len_chars"),
+        TextAnalysis.punctCount(col("text")).alias("n_punct"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).alias("lang_pred"),
+        round(TextAnalysis.stopwordRatio(col("text")), 4).alias("sw_ratio"),
+        TextAnalysis.qualityScore(col("text")).alias("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).alias("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(dupCorpus(s, dir), "doc_id", "text")
+        .select(col("h"), col("n"), col("keep")).orderBy("h")),
+
+    "dedup_fingerprint" -> ((s, dir) =>
+      Dedup.byFingerprint(dupCorpus(s, dir), "doc_id", "text")
+        .select(col("fp"), col("n"), col("keep")).orderBy("fp")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(nearDupCorpus(s, dir), "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("a", "b")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("a", "b")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(nearDupCorpus(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .orderBy("a", "b")),
+
+    "sim_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    "sim_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+        .orderBy("q_id", "rank")
+    }),
+
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.pack(t(s, dir, "documents"), "doc_id", col("text"), "text")
+        .select(col("media_id"), col("meta.byte_len").alias("byte_len"),
+          col("meta.content_md5").alias("content_md5"))
+        .orderBy("media_id")),
+
+    "mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.pack(t(s, dir, "documents"), "doc_id", col("text"), "video"))
+        .orderBy("media_id", "frame_idx")),
+
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.pack(t(s, dir, "documents"), "doc_id", col("text"), "image"))
+        .orderBy("media_id"))
+  )
+
+  def oracleSql: Map[String, String] = {
+    val Seq(en, de, fr, es) = stopLists.map { case (_, ws) => sqlHits(ws) }
+    Map(
+      "s1_query_fold" ->
+        ("SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders " +
+         "WHERE o_orderstatus = 'O' AND o_totalprice > 150000 " +
+         "AND o_orderpriority IN ('1-URGENT','2-HIGH') " +
+         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 10"),
+      "s2_query_one" ->
+        ("SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F' " +
+         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1"),
+      "s3_count" ->
+        ("SELECT count(*) AS n FROM lineitem " +
+         "WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_discount <= 0.05"),
+      "s4_distinct" ->
+        "SELECT DISTINCT c_mktsegment FROM customer WHERE c_acctbal > 0 ORDER BY 1",
+      "s5_groupby" ->
+        ("SELECT o_orderstatus, o_orderpriority, count(*) AS n_docs FROM orders " +
+         "GROUP BY 1, 2 ORDER BY 1, 2"),
+      "s9_last_updated" ->
+        "SELECT max(o_orderdate) AS last_updated FROM orders",
+      "s10_newer_in" ->
+        ("SELECT t.event_id FROM " +
+         "(SELECT event_id, CASE WHEN event_id % 10 = 0 THEN ts + INTERVAL 1 HOUR ELSE ts END AS lu FROM events) t " +
+         "LEFT JOIN (SELECT event_id, ts AS lu FROM events WHERE event_id < 800) s " +
+         "ON t.event_id = s.event_id WHERE s.lu IS NULL OR t.lu > s.lu ORDER BY 1"),
+      "pred_expr_elem_at" ->
+        ("SELECT o_orderkey FROM orders " +
+         "WHERE (string_split(o_orderpriority, '-'))[-1] = 'URGENT' ORDER BY 1"),
+      "pred_regex_in_nin" ->
+        ("SELECT p_partkey FROM part WHERE p_size IN (1,5,9,13) " +
+         "AND regexp_matches(p_type, '^(ECONOMY|PROMO)') " +
+         "AND p_brand NOT IN ('Brand#11','Brand#22') ORDER BY 1"),
+      "pred_exists" ->
+        "SELECT count(*) AS n FROM orders WHERE o_orderkey % 7 = 0",
+      "pred_and_or_range" ->
+        ("SELECT count(*) AS n FROM lineitem WHERE l_quantity >= 45 " +
+         "OR (l_discount > 0.08 AND l_returnflag <> 'N')"),
+      "c13_joint_lookup" ->
+        ("SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment " +
+         "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey " +
+         "ORDER BY o_orderkey"),
+      "c13_joint_merge_root" ->
+        ("SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice, o.o_orderstatus, " +
+         "greatest(l.l_shipdate, o.o_orderdate) AS joint_lu " +
+         "FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+         "ORDER BY 1, 2"),
+      "join_anti_orphans" ->
+        ("SELECT c_custkey FROM customer c WHERE NOT EXISTS " +
+         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY 1"),
+      "join_semi" ->
+        ("SELECT s_suppkey FROM supplier s WHERE EXISTS (SELECT 1 FROM lineitem l " +
+         "WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00') " +
+         "ORDER BY 1"),
+      "b2_copy_builder" ->
+        "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders ORDER BY 1",
+      "b4_group_builder" ->
+        ("SELECT o_orderstatus, o_orderpriority, min(o_orderkey) AS grp_id, " +
+         "max(o_orderdate) AS o_orderdate, count(*) AS n_docs, " +
+         "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price " +
+         "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
+      "b5_projection_builder" ->
+        ("SELECT COALESCE(s.s_suppkey, q.k) AS s_suppkey, s.s_name, s.s_acctbal, q.qty " +
+         "FROM supplier s FULL OUTER JOIN (SELECT l_suppkey AS k, " +
+         "sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty FROM lineitem GROUP BY 1) q " +
+         "ON s.s_suppkey = q.k ORDER BY 1"),
+      "q1_agg" ->
+        ("SELECT l_returnflag, l_linestatus, " +
+         "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
+         "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price, " +
+         "count(*) AS count_order FROM lineitem " +
+         "WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY 1, 2 ORDER BY 1, 2"),
+      "agg_rollup" ->
+        ("SELECT COALESCE(o_orderstatus, 'ALL') AS status, " +
+         "COALESCE(o_orderpriority, 'ALL') AS prio, count(*) AS n, " +
+         "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price " +
+         "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY 1, 2"),
+      "agg_time_window" ->
+        ("SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n, " +
+         "sum(CAST(value AS DECIMAL(18,6))) AS sum_val FROM events " +
+         "GROUP BY 1, 2 ORDER BY 1, 2"),
+      "window_latest_per_user" ->
+        ("SELECT user_id, event_id, event_type FROM events QUALIFY " +
+         "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1 " +
+         "ORDER BY user_id"),
+      "window_running" ->
+        ("SELECT event_id, count(*) OVER w AS rn, " +
+         "sum(CAST(value AS DECIMAL(18,6))) OVER w AS run_sum FROM events " +
+         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+      "topk" ->
+        ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+         "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15"),
+      "c14_concat_union" ->
+        ("SELECT event_type, count(*) AS n FROM (SELECT * FROM events WHERE value < 0.3 " +
+         "UNION ALL SELECT * FROM events WHERE value >= 0.7) GROUP BY 1 ORDER BY 1"),
+      "setop_except" ->
+        ("SELECT * FROM ((SELECT DISTINCT p_brand FROM part) EXCEPT " +
+         "(SELECT p_brand FROM part WHERE p_size < 10)) ORDER BY 1"),
+      "c15_aliasing" ->
+        ("SELECT o_orderkey AS id, o_totalprice AS price FROM orders " +
+         "WHERE o_totalprice > 200000 AND o_orderstatus = 'F' ORDER BY 1"),
+      "c16_sandbox" ->
+        ("SELECT event_type, count(*) AS n FROM events " +
+         "WHERE event_id % 3 = 0 OR event_id % 3 = 2 GROUP BY 1 ORDER BY 1"),
+      "api_compile" ->
+        ("SELECT o_orderkey, o_orderdate, o_totalprice FROM orders " +
+         "WHERE o_totalprice >= 50000 AND o_totalprice <= 150000 AND o_orderstatus = 'O' " +
+         "ORDER BY o_orderdate DESC, o_orderkey LIMIT 50 OFFSET 50"),
+      "text_stats" ->
+        ("SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens, " +
+         "length(text) AS len_chars, " +
+         "len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct " +
+         "FROM documents ORDER BY doc_id"),
+      "text_quality" -> {
+        val n = "len(regexp_extract_all(text, '\\S+'))"
+        val sw = s"(CASE WHEN $n > 0 THEN CAST($en AS DOUBLE) / $n ELSE 0.0 END)"
+        val punctDen = s"(CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0))"
+        val lenOk = s"(CASE WHEN $n >= 5 AND $n <= 100000 THEN 1.0 ELSE 0.0 END)"
+        val punctOk = s"(CASE WHEN $punctDen <= 0.2 THEN 1.0 ELSE 0.0 END)"
+        val swOk = s"(CASE WHEN $sw >= 0.01 THEN 1.0 ELSE 0.0 END)"
+        s"SELECT doc_id, CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en' " +
+          s"WHEN $de >= $fr AND $de >= $es THEN 'de' WHEN $fr >= $es THEN 'fr' ELSE 'es' END AS lang_pred, " +
+          s"round($sw, 4) AS sw_ratio, round(($lenOk + $punctOk + $swOk) / 3.0, 4) AS quality " +
+          "FROM documents ORDER BY doc_id"
+      },
+      "text_fingerprint" ->
+        ("SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp " +
+         "FROM documents ORDER BY doc_id"),
+      "dedup_exact" ->
+        (s"SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep FROM $dupCorpusSql " +
+         "GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"),
+      "dedup_fingerprint" ->
+        ("SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp, " +
+         s"count(*) AS n, min(doc_id) AS keep FROM $dupCorpusSql " +
+         "GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"),
+      "mm_meta" ->
+        ("SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len, " +
+         "md5(text) AS content_md5 FROM documents ORDER BY 1"),
+      "sim_cosine_topk" ->
+        ("SELECT q_id, rank, n_id, sim FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+         "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim, " +
+         "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+         "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
+         "FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id) " +
+         "WHERE rank <= 5 ORDER BY q_id, rank"),
+      // data invariant: documents.text is pure ASCII at every SF (verified:
+      // octet_length(encode(text)) == length(text) for all rows), so the
+      // VARCHAR substring below equals the byte-slice Spark computes
+      "mm_frames" ->
+        ("SELECT doc_id AS media_id, (u.n - 1) AS frame_idx, " +
+         "md5(substring(text, ((u.n-1)*32+1)::BIGINT, 32)) AS frame_md5 " +
+         "FROM documents, UNNEST(range(1, greatest(CAST(ceil(octet_length(encode(text))/32.0) AS BIGINT), 1) + 1)) AS u(n) " +
+         "ORDER BY 1, 2"),
+      "dedup_ngram_jaccard" ->
+        ("WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+         "SELECT doc_id + 1000000, text || ' zzz near dup suffix' FROM documents WHERE doc_id % 10 = 0), " +
+         "toks AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM corpus), " +
+         "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[n], tk[n+1], tk[n+2]) AS shingle " +
+         "FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(n) WHERE len(tk) >= 3 " +
+         "UNION SELECT DISTINCT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 3), " +
+         "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1), " +
+         "capped AS (SELECT * FROM sh QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000), " +
+         "common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c " +
+         "FROM capped x JOIN capped y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+         "SELECT a, b, round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard " +
+         "FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
+         "WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5 ORDER BY 1, 2")
+      // dedup_minhash_lsh / dedup_simhash / sim_lsh_topk / mm_features:
+      // engine-specific hash-family / LSH / binary-kernel semantics are not
+      // ANSI-expressible → rows-only checks.
+    )
+  }
 }

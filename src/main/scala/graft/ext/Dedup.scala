@@ -1,0 +1,165 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extensions). Five tiers, cheapest → most recall:
+  *
+  *  1. exact        — hash-groupBy on content hash
+  *  2. fingerprint  — hash-groupBy on normalized content ([[TextAnalysis.fingerprint]])
+  *  3. MinHash+LSH  — shingle → k minhashes → bands → bucket join → verified Jaccard
+  *  4. SimHash      — 64-bit signature, banded hamming candidates
+  *  5. n-gram Jaccard — exact pairwise over an inverted shingle index
+  *
+  * Scale design: everything is hash-partitioned groupBy/join — no driver
+  * materialization, no UDFs (signatures are built from codegen'd
+  * `xxhash64`/bit expressions). LSH bucket joins are the 100 TB path;
+  * the exact n-gram join is the small-collection verifier. Hot buckets
+  * (boilerplate shingles) are capped with `maxBucketSize` to bound join
+  * fan-out — the standard skew guard for LSH at scale.
+  */
+object Dedup {
+
+  /** Word n-gram shingles, normalized: distinct per doc. */
+  def shingleDF(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = split(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), "\\s+")
+    val cleaned = filter(toks, t => length(t) > 0)
+    val grams = when(size(cleaned) >= n,
+      transform(sequence(lit(0), size(cleaned) - n),
+        i => concat_ws(" ", slice(cleaned, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", cleaned)))
+    df.select(col(idCol).alias("id"), explode(grams).alias("shingle")).distinct()
+  }
+
+  /** 1. Exact duplicates: groups of identical content. Returns one row
+    * per duplicated hash: `(h, n, keep, ids)` — `keep` = min id (the
+    * canonical survivor), `ids` sorted. */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol).cast("binary")).alias("h"))
+      .agg(count(lit(1)).alias("n"),
+           min(col(idCol)).alias("keep"),
+           sort_array(collect_list(col(idCol))).alias("ids"))
+      .filter(col("n") > 1)
+
+  /** 2. Normalized-fingerprint duplicates. */
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("__fp").alias("fp"))
+      .agg(count(lit(1)).alias("n"),
+           min(col(idCol)).alias("keep"),
+           sort_array(collect_list(col(idCol))).alias("ids"))
+      .filter(col("n") > 1)
+
+  /** MinHash signatures: one row per doc, `sig` = array of k minhashes.
+    * Hash family = `xxhash64(j, shingle)` for j ∈ [0, k) — k independent
+    * 64-bit functions, all codegen'd. One groupBy, k min-aggregates. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+    val sh = shingleDF(df, idCol, textCol, shingleSize)
+    val mins = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("shingle"))).alias(s"h$j"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"h$j")): _*).alias("sig"))
+  }
+
+  /** 3. MinHash + LSH near-duplicate pairs.
+    * Bands of `rows = numHashes/bands` minhashes; docs sharing any band
+    * bucket are candidates; candidates are verified with the MinHash
+    * Jaccard estimate (fraction of agreeing components) ≥ `threshold`.
+    * Returns `(a, b, est_jaccard)` with a < b. */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 64, bands: Int = 16,
+                 shingleSize: Int = 3, threshold: Double = 0.7,
+                 maxBucketSize: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * lit(rows) + 1, lit(rows))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // skew guard: drop boilerplate buckets larger than maxBucketSize
+    val sized = banded.withColumn("__bn",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bn") <= maxBucketSize)
+    val a = sized.select(col("band"), col("bucket"),
+      col("id").alias("a"), col("sig").alias("siga"))
+    val b = sized.select(col("band"), col("bucket"),
+      col("id").alias("b"), col("sig").alias("sigb"))
+    val cand = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("siga"), col("sigb")).distinct()
+    cand.withColumn("est_jaccard",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 4).alias("est_jaccard"))
+  }
+
+  /** 64-bit SimHash signature per doc: sign-sum over token-hash bits,
+    * token multiplicity as weight. Pure expressions: 64 conditional-sum
+    * aggregates reassembled with shifts. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).alias("id"),
+        explode(TextAnalysis.tokens(col(textCol))).alias("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).alias("w"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w"))
+        .otherwise(-col("w"))).alias(s"b$i")
+    }
+    val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("id"), sig.alias("simhash"))
+  }
+
+  /** 4. SimHash near-duplicate pairs: band the 64 bits into 4×16-bit
+    * keys (any exact band match → candidate, guarantees recall for
+    * hamming distance ≤ 3), verify with `bit_count(xor) <= maxHamming`. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").alias("a"),
+      col("simhash").alias("sa"))
+    val b = banded.select(col("band"), col("bucket"), col("id").alias("b"),
+      col("simhash").alias("sb"))
+    a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).alias("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 5. Exact n-gram Jaccard pairs via inverted shingle index:
+    * docs sharing ≥1 shingle are joined, common-shingle counts vs
+    * per-doc totals give exact Jaccard. The verifier tier — O(pairs
+    * sharing shingles); use LSH (tier 3) to pre-filter at scale. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxPostings: Int = 1000): DataFrame = {
+    val sh = shingleDF(df, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).alias("sz"))
+    // posting-list skew cap (stopword-only shingles)
+    val capped = sh.withColumn("__pn",
+      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__pn") <= maxPostings)
+    val common = capped.select(col("shingle"), col("id").alias("a"))
+      .join(capped.select(col("shingle"), col("id").alias("b")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).alias("common"))
+    common
+      .join(sizes.select(col("id").alias("a"), col("sz").alias("sza")), Seq("a"))
+      .join(sizes.select(col("id").alias("b"), col("sz").alias("szb")), Seq("b"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sza") + col("szb") - col("common")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+}

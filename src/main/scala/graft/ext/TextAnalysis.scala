@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (north-star extensions, SURVEY §0/§7). All pure `Column` expressions —
+  * whole-stage-codegen'd, no UDFs, so they run at scan speed over 100 TB
+  * and push no work to the driver.
+  */
+object TextAnalysis {
+
+  /** Non-whitespace token runs — the whitespace tokenizer. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword count estimate: words + intra-word transitions
+    * (case changes, letter/digit boundaries) — a cheap proxy for LLM
+    * token budgeting without a vocab file. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Z]?[a-z]+|[A-Z]+(?![a-z])|[0-9]+|[^\\sA-Za-z0-9]"), lit(0)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
+
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "que", "pour", "qui", "pas"),
+    "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "se", "por", "con"))
+
+  private def hits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text),
+      lit(words.mkString("\\b(", "|", ")\\b")), lit(0)))
+
+  /** Language-ID n-gram/stopword heuristic: per-language stopword hit
+    * counts, argmax with a fixed tie-break order (en > de > fr > es).
+    * Returns a language code column. */
+  def langId(text: Column): Column = {
+    val Seq(en, de, fr, es) = stopwords.map { case (_, ws) => hits(text, ws) }
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** English stopword ratio (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0, hits(text, stopwords.head._2).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: penalize extreme length, high
+    * punctuation density, missing stopwords — the shape of a C4/Gopher
+    * style filter, deterministic and codegen'd. */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenOk = when(n >= lit(5.0) && n <= lit(100000.0), lit(1.0)).otherwise(lit(0.0))
+    val punctDensity = punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    val punctOk = when(punctDensity <= 0.2, lit(1.0)).otherwise(lit(0.0))
+    val sw = stopwordRatio(text)
+    val swOk = when(sw >= 0.01, lit(1.0)).otherwise(lit(0.0))
+    round((lenOk + punctOk + swOk) / lit(3.0), 4)
+  }
+
+  /** Document fingerprint: md5 of case/punctuation-normalized content —
+    * the exact-dedup key that survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]+", " ").cast("binary"))
+}
