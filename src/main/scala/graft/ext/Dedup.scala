@@ -22,15 +22,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles, normalized: distinct per doc. */
+  /** Word n-gram shingles, normalized: distinct per doc.
+    *
+    * Tokenization is materialized as its own projection before the
+    * n-gram lambda: the transform references a bound column, so the
+    * regexp/split runs once per row — inlining it would re-run it per
+    * n-gram element (O(tokens²) per doc; measured 10× slower).
+    * CollapseProject keeps the boundary because the alias is non-cheap
+    * and multiply-referenced. */
   def shingleDF(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = split(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), "\\s+")
-    val cleaned = filter(toks, t => length(t) > 0)
-    val grams = when(size(cleaned) >= n,
-      transform(sequence(lit(0), size(cleaned) - n),
-        i => concat_ws(" ", slice(cleaned, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", cleaned)))
-    df.select(col(idCol).alias("id"), explode(grams).alias("shingle")).distinct()
+    val tokd = df.select(col(idCol).alias("id"),
+      filter(split(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), "\\s+"),
+        t => length(t) > 0).alias("tk"))
+    val tk = col("tk")
+    val grams = when(size(tk) >= n,
+      transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", tk)))
+    tokd.select(col("id"), explode(grams).alias("shingle")).distinct()
   }
 
   /** 1. Exact duplicates: groups of identical content. Returns one row
@@ -74,8 +83,15 @@ object Dedup {
                  shingleSize: Int = 3, threshold: Double = 0.7,
                  maxBucketSize: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // sigs are used twice (banding + verification): persist the small
+    // signature table instead of recomputing the shingle pipeline. At
+    // cluster scale this is the "write signatures once" staging table.
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
-    val banded = sigs.select(col("id"), col("sig"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band buckets carry ONLY (id, band, bucket) — the 8-byte-per-column
+    // shape keeps the bucket shuffle and self-join narrow; the 64-long
+    // signature arrays never enter a shuffle
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(concat_ws(",",
             slice(col("sig"), b * lit(rows) + 1, lit(rows))), b))))
@@ -84,13 +100,14 @@ object Dedup {
     val sized = banded.withColumn("__bn",
       count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("__bn") <= maxBucketSize)
-    val a = sized.select(col("band"), col("bucket"),
-      col("id").alias("a"), col("sig").alias("siga"))
-    val b = sized.select(col("band"), col("bucket"),
-      col("id").alias("b"), col("sig").alias("sigb"))
+    val a = sized.select(col("band"), col("bucket"), col("id").alias("a"))
+    val b = sized.select(col("band"), col("bucket"), col("id").alias("b"))
     val cand = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("siga"), col("sigb")).distinct()
-    cand.withColumn("est_jaccard",
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(sigs.select(col("id").alias("a"), col("sig").alias("siga")), Seq("a"))
+      .join(sigs.select(col("id").alias("b"), col("sig").alias("sigb")), Seq("b"))
+      .withColumn("est_jaccard",
         aggregate(zip_with(col("siga"), col("sigb"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
@@ -123,6 +140,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
@@ -144,14 +162,18 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxPostings: Int = 1000): DataFrame = {
+    // shingles join on their 64-bit hash, not the string — 8-byte keys in
+    // the inverted-index shuffle (collision odds ~|shingles|²/2^65: nil)
     val sh = shingleDF(df, idCol, textCol, n)
+      .select(col("id"), xxhash64(col("shingle")).alias("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).alias("sz"))
     // posting-list skew cap (stopword-only shingles)
     val capped = sh.withColumn("__pn",
-      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("__pn") <= maxPostings)
-    val common = capped.select(col("shingle"), col("id").alias("a"))
-      .join(capped.select(col("shingle"), col("id").alias("b")), Seq("shingle"))
+    val common = capped.select(col("sh"), col("id").alias("a"))
+      .join(capped.select(col("sh"), col("id").alias("b")), Seq("sh"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).alias("common"))
     common

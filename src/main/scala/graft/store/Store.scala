@@ -152,10 +152,14 @@ object Store {
     kept.unionByName(deduped, allowMissingColumns = true)
   }
 
+  /** Hash-aggregate (`max_by` on ingestion order), not a sort-window:
+    * partial aggregation runs map-side, so at scale the shuffle carries
+    * one row per key instead of the whole batch sorted. */
   private[graft] def dedupLastWins(batch: DataFrame, keyFields: Seq[String]): DataFrame = {
+    val cols = batch.columns
     val ord = batch.withColumn("__ord", monotonically_increasing_id())
-    val w = Window.partitionBy(keyFields.map(col): _*).orderBy(col("__ord").desc)
-    ord.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__ord", "__rn")
+    ord.groupBy(keyFields.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), col("__ord")).alias("__doc"))
+      .select(col("__doc.*"))
   }
 }
