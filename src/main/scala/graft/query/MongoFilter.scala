@@ -43,6 +43,24 @@ object MongoFilter {
     if (criteriaJson == null || criteriaJson.trim.isEmpty || criteriaJson.trim == "{}") df
     else df.filter(compile(criteriaJson, Some(df.schema)))
 
+  /** Field names referenced by a criteria document (recursing through
+    * `$and`/`$or`/`$nor`) — used for covering-index / partition-pruning
+    * routing decisions. */
+  def topLevelFields(criteriaJson: String): Seq[String] = {
+    def walk(n: JsonNode): Seq[String] =
+      if (!n.isObject) Nil
+      else n.fields().asScala.flatMap { e =>
+        e.getKey match {
+          case "$and" | "$or" | "$nor" =>
+            e.getValue.elements().asScala.flatMap(walk).toSeq
+          case k if k.startsWith("$") => Nil
+          case field => Seq(field)
+        }
+      }.toSeq
+    if (criteriaJson == null || criteriaJson.trim.isEmpty) Nil
+    else walk(mapper.readTree(criteriaJson)).distinct
+  }
+
   // ---------------------------------------------------------------------
   // compiler
   // ---------------------------------------------------------------------

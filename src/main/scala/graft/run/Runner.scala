@@ -1,0 +1,131 @@
+package graft.run
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.builder._
+import graft.store._
+import org.apache.spark.sql.SparkSession
+
+import scala.jdk.CollectionConverters._
+
+/** E5 `mrun` analogue (reference `cli/__init__.py:26-229`): a pipeline
+  * spec as JSON → stores + builders → sequential execution. The
+  * reference's `-n` procs / `-N` chunks / ZMQ-RabbitMQ distribution
+  * (E2-E4) have no analogue by design — Spark's scheduler owns
+  * parallelism (SURVEY §2.6).
+  *
+  * Spec shape (MSONable-config analogue, kept deliberately flat):
+  * {{{
+  * { "stores": {
+  *     "src": {"type": "parquet_table", "path": "...", "key": "id", "last_updated": "lu"},
+  *     "tgt": {"type": "parquet", "root": "/tmp/t", "key": "id", "last_updated": "lu"}},
+  *   "builders": [
+  *     {"type": "copy", "source": "src", "target": "tgt", "criteria": {...},
+  *      "delete_orphans": false} ] }
+  * }}}
+  */
+object Runner {
+
+  private val mapper = new ObjectMapper()
+
+  case class RunReport(builders: Seq[(String, BuildReport)])
+
+  def run(spark: SparkSession, specJson: String,
+          reporting: Option[Store] = None): RunReport = {
+    val spec = mapper.readTree(specJson)
+    val stores: Map[String, Store] = spec.get("stores").fields().asScala.map { e =>
+      e.getKey -> buildStore(spark, e.getValue)
+    }.toMap
+
+    val reporter = new Reporting(spark, reporting)
+    val results = spec.get("builders").elements().asScala.zipWithIndex.map {
+      case (b, i) =>
+        val typ = b.get("type").asText()
+        val label = s"$typ#$i"
+        reporter.event(label, "BUILD_STARTED")
+        val report = buildBuilder(b, stores).run()
+        reporter.event(label, "BUILD_ENDED", report)
+        label -> report
+    }.toSeq
+    reporter.flush()
+    RunReport(results)
+  }
+
+  private def opt(n: JsonNode, f: String): Option[JsonNode] =
+    Option(n.get(f)).filterNot(_.isNull)
+  private def str(n: JsonNode, f: String, dflt: String): String =
+    opt(n, f).map(_.asText()).getOrElse(dflt)
+  private def criteria(n: JsonNode): Option[String] =
+    opt(n, "criteria").map(_.toString)
+
+  private[run] def buildStore(spark: SparkSession, n: JsonNode): Store = {
+    val key = str(n, "key", "task_id")
+    val lu = str(n, "last_updated", "last_updated")
+    n.get("type").asText() match {
+      case "memory" => new MemoryStore(spark, str(n, "name", "memory"), key, lu)
+      case "parquet" => new ParquetStore(spark, n.get("root").asText(), key, lu)
+      case "parquet_table" =>
+        TableStore.parquet(spark, n.get("path").asText(), key, lu)
+      case "json" =>
+        new JsonStore(spark, opt(n, "paths").map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Seq(n.get("path").asText())), key, lu)
+      case "file" => new FileStore(spark, n.get("root").asText(),
+        str(n, "glob", "*"))
+      case "object" => new ObjectStore(spark, n.get("data_root").asText(),
+        n.get("index_root").asText(), key,
+        opt(n, "searchable_fields").map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(Nil), lu)
+      case "open_data" => new OpenDataStore(spark, n.get("root").asText(),
+        n.get("object_grouping").elements().asScala.map(_.asText()).toSeq, key, lu)
+      case other => throw new IllegalArgumentException(s"unknown store type: $other")
+    }
+  }
+
+  private[run] def buildBuilder(n: JsonNode, stores: Map[String, Store]): Builder = {
+    def store(f: String): Store = stores(n.get(f).asText())
+    n.get("type").asText() match {
+      case "copy" =>
+        CopyBuilder(store("source"), store("target"), criteria(n),
+          opt(n, "delete_orphans").exists(_.asBoolean()))
+      case "group" =>
+        new GroupBuilder(store("source"), store("target"),
+          n.get("group_by").elements().asScala.map(_.asText()).toSeq,
+          aggExprs = opt(n, "agg").map(_.fields().asScala.map { e =>
+            org.apache.spark.sql.functions.expr(e.getValue.asText()).alias(e.getKey)
+          }.toSeq).getOrElse(Nil),
+          criteria = criteria(n))
+      case "projection" =>
+        new ProjectionBuilder(
+          n.get("sources").elements().asScala.map { s =>
+            SourceProjection(stores(s.get("store").asText()),
+              fields = opt(s, "fields").map(_.elements().asScala.map(_.asText()).toSeq)
+                .getOrElse(Nil),
+              renames = opt(s, "renames").map(_.fields().asScala.map(e =>
+                e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
+          }.toSeq, store("target"))
+      case other => throw new IllegalArgumentException(s"unknown builder type: $other")
+    }
+  }
+}
+
+/** E6 `ReportingHandler` analogue (reference `utils.py:221-263`):
+  * BUILD_STARTED / BUILD_ENDED telemetry docs accumulated and flushed to
+  * a reporting store. */
+class Reporting(spark: SparkSession, sink: Option[Store]) {
+  private val events = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long)]()
+  private val buildId = java.util.UUID.randomUUID().toString
+
+  def event(builder: String, kind: String, report: BuildReport = BuildReport()): Unit =
+    events += ((builder, kind, report.processed, report.failed, System.currentTimeMillis()))
+
+  def flush(): Unit = sink.foreach { st =>
+    val s = spark
+    import s.implicits._
+    val df = events.toSeq.toDF("builder", "event", "processed", "failed", "ts_millis")
+      .withColumn("build_id", org.apache.spark.sql.functions.lit(buildId))
+      .withColumn("event_id", org.apache.spark.sql.functions.concat_ws("/",
+        org.apache.spark.sql.functions.lit(buildId),
+        org.apache.spark.sql.functions.col("builder"),
+        org.apache.spark.sql.functions.col("event")))
+    st.update(df, Seq("event_id"))
+  }
+}

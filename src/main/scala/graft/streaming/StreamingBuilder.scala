@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.store.Store
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous-rebuild extension (SURVEY §2.7 "Streaming" / §7.2(9)):
+  * the reference is incremental-batch only (timestamp deltas, S10); this
+  * runs the same builder contract on an unbounded source.
+  *
+  * Shape: `readStream → [watermark on last_updated] → [transform] →
+  * foreachBatch(target.update)` — each micro-batch MERGEs into the
+  * target store, so the target converges exactly like repeated
+  * incremental MapBuilder runs (upsert-by-key is idempotent on
+  * replays → effectively exactly-once on keyed state).
+  *
+  * Late data beyond `watermarkDelay` may be dropped by stateful
+  * operators downstream; the plain copy path tolerates any lateness
+  * (upsert is order-safe for distinct keys; within-batch ordering is
+  * resolved by [[Store.dedupLastWins]] last-write-wins).
+  */
+class StreamingBuilder(
+    val source: DataFrame,                       // a readStream DataFrame
+    val target: Store,
+    val transform: DataFrame => DataFrame = identity,
+    val watermarkDelay: Option[String] = None,   // e.g. "10 minutes"
+    val checkpoint: Option[String] = None,
+    val maxFilesPerTrigger: Option[Int] = None) {
+
+  require(source.isStreaming, "StreamingBuilder needs a streaming DataFrame")
+
+  /** Start the continuous build; returns the query handle. */
+  def start(): StreamingQuery = {
+    val lu = target.lastUpdatedField
+    val watermarked = watermarkDelay match {
+      case Some(d) if source.columns.contains(lu) => source.withWatermark(lu, d)
+      case _ => source
+    }
+    val shaped = transform(watermarked)
+    var writer = shaped.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) target.update(batch, Seq(target.key))
+      }
+    checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
+    writer.start()
+  }
+
+  /** Drain all currently-available input then stop (test/backfill mode). */
+  def runOnce(): Unit = {
+    val q = {
+      val lu = target.lastUpdatedField
+      val watermarked = watermarkDelay match {
+        case Some(d) if source.columns.contains(lu) => source.withWatermark(lu, d)
+        case _ => source
+      }
+      var writer = transform(watermarked).writeStream
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) target.update(batch, Seq(target.key))
+        }
+      checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
+      writer.start()
+    }
+    q.awaitTermination()
+  }
+}
+
+object StreamingBuilder {
+  /** Windowed aggregation over an event-time stream — the watermarked
+    * `groupBy(window(...))` shape (Structured Streaming's native
+    * replacement for the reference's absent stream processing). Returns
+    * a streaming DataFrame ready for `writeStream`. */
+  def windowedCounts(stream: DataFrame, tsCol: String, window: String,
+                     delay: String, keys: Seq[String] = Nil): DataFrame = {
+    val w = stream.withWatermark(tsCol, delay)
+    w.groupBy((org.apache.spark.sql.functions.window(col(tsCol), window) +:
+        keys.map(col)): _*)
+      .agg(count(lit(1)).alias("n"))
+  }
+}

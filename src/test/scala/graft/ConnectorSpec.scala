@@ -1,0 +1,115 @@
+package graft
+
+import graft.query.QueryParams
+import graft.store._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** FileStore / ObjectStore / OpenDataStore / validator behavior
+  * (reference `tests/stores/test_file_store.py`, `test_aws.py`,
+  * `test_open_data.py`, `test_validator.py`). */
+class ConnectorSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("FileStore: one doc per file with record schema (file_store.py:262-272)") {
+    val root = tmp("fstore")
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/sub"))
+    Files.writeString(java.nio.file.Paths.get(s"$root/a.txt"), "hello world")
+    Files.writeString(java.nio.file.Paths.get(s"$root/sub/b.txt"), "nested doc")
+    Files.writeString(java.nio.file.Paths.get(s"$root/c.dat"), "binary-ish")
+    val fs = new FileStore(spark, root, glob = "*.txt", readContents = true)
+    val docs = fs.df.collect()
+    assert(docs.length === 2)
+    val a = docs.find(_.getAs[String]("name") == "a.txt").get
+    assert(a.getAs[String]("path_relative") === "a.txt")
+    assert(a.getAs[Long]("size") === 11L)
+    assert(new String(a.getAs[Array[Byte]]("contents")) === "hello world")
+    val b = docs.find(_.getAs[String]("name") == "b.txt").get
+    assert(b.getAs[String]("path_relative") === "sub/b.txt")
+    assert(b.getAs[String]("parent") === "sub")
+    // maxDepth: only top-level files
+    assert(new FileStore(spark, root, glob = "*.txt", maxDepth = 0).df.count() === 1)
+  }
+
+  test("FileStore: sidecar metadata merge + orphan flag (file_store.py:307-405)") {
+    val root = tmp("fstore2")
+    Files.writeString(java.nio.file.Paths.get(s"$root/a.txt"), "alpha")
+    val fs = new FileStore(spark, root, glob = "*.txt")
+    val fid = fs.df.select("file_id").collect()(0).getString(0)
+    val s = spark; import s.implicits._
+    fs.update(Seq((fid, "tagged", 7)).toDF("file_id", "label", "rank"))
+    val doc = fs.df.collect()(0)
+    assert(doc.getAs[String]("label") === "tagged" && doc.getAs[Long]("rank") === 7)
+    assert(!doc.getAs[Boolean]("orphan"))
+    // metadata whose file vanished -> orphan doc survives, flagged
+    fs.update(Seq(("deadbeef", "ghost", 0)).toDF("file_id", "label", "rank"))
+    val orphan = fs.df.filter(col("file_id") === "deadbeef").collect()(0)
+    assert(orphan.getAs[Boolean]("orphan"))
+  }
+
+  test("ObjectStore: covering-index routing + rebuild (aws.py:184-216,530-571)") {
+    val base = tmp("ostore")
+    val os = new ObjectStore(spark, s"$base/data", s"$base/index", key = "k",
+      searchableFields = Seq("cat"), lastUpdatedField = "lu")
+    val s = spark; import s.implicits._
+    val now = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    os.update((0 to 9).map(i => (i.toLong, s"cat${i % 2}", s"payload$i", now))
+      .toDF("k", "cat", "body", "lu"))
+    // index table holds only slim columns
+    assert(os.index.df.columns.toSet === Set("k", "cat", "lu", "obj_hash"))
+    // covered query (props ⊆ index) answers identically from index alone
+    val covered = os.query(QueryParams(criteria = Some("""{"cat": "cat1"}"""),
+      properties = Seq("k", "cat"), sort = Seq("k" -> 1)))
+    assert(!covered.columns.contains("body"))
+    assert(covered.collect().map(_.getLong(0)).toSeq === Seq(1L, 3L, 5L, 7L, 9L))
+    // uncovered: fetches from the data plane via key join
+    val full = os.query(QueryParams(criteria = Some("""{"cat": "cat0"}""")))
+    assert(full.columns.contains("body") && full.count() === 5)
+    // removal keeps both planes consistent; rebuild regenerates index
+    os.removeDocs("""{"cat": "cat0"}""")
+    assert(os.count() === 5 && os.index.df.count() === 5)
+    os.rebuildIndex()
+    assert(os.index.df.count() === 5)
+  }
+
+  test("OpenDataStore: partitioned layout, pruning, upsert, manifest (open_data.py:511-620)") {
+    val root = tmp("odstore")
+    val od = new OpenDataStore(spark, root, objectGrouping = Seq("grp"),
+      key = "k", lastUpdatedField = "lu")
+    val s = spark; import s.implicits._
+    od.update((0 to 9).map(i => (i.toLong, s"g${i % 3}", s"v$i", "2024-06-01"))
+      .toDF("k", "grp", "v", "lu"))
+    // hive layout on disk: grp=g0/ g1/ g2/ with gzipped jsonl parts
+    val dirs = new java.io.File(s"$root/data").listFiles().map(_.getName).filter(_.startsWith("grp="))
+    assert(dirs.toSet === Set("grp=g0", "grp=g1", "grp=g2"))
+    // partition pruning reaches the plan for criteria on grouping fields
+    val plan = od.query("""{"grp": "g1"}""").queryExecution.executedPlan.toString
+    assert(od.query("""{"grp": "g1"}""").count() === 3)
+    // upsert into one group rewrites only that partition
+    od.update(Seq((1L, "g1", "v1-new", "2024-06-02")).toDF("k", "grp", "v", "lu"))
+    assert(od.count() === 10)
+    assert(od.query("""{"k": 1}""").collect()(0).getAs[String]("v") === "v1-new")
+    val mf = od.manifest.collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("n_docs")).toMap
+    assert(mf === Map("g0" -> 4, "g1" -> 3, "g2" -> 3))
+  }
+
+  test("DocValidator: strict raises, non-strict routes invalids (validator.py, mongolike.py:378-391)") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, 10.0, "ok"), (2L, -5.0, "ok"), (3L, 2.0, null))
+      .toDF("k", "score", "tag")
+    val v = new DocValidator(Seq(
+      FieldRule("k", required = true),
+      FieldRule("score", min = Some(0.0)),
+      FieldRule("tag", required = true)))
+    val (valid, invalid) = v.split(docs)
+    assert(valid.count() === 1 && invalid.count() === 2)
+    val errs = invalid.filter(col("k") === 2)
+      .select("_validation_errors").collect()(0).getSeq[String](0)
+    assert(errs.exists(_.contains("below minimum")))
+    intercept[IllegalArgumentException] {
+      new DocValidator(v.rules, strict = true).split(docs)
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.run.Runner
+import graft.store.MemoryStore
+import graft.streaming.StreamingBuilder
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Runner (E5/E6) + Structured-Streaming extension specs. */
+class RunnerStreamingSpec extends SparkSpec {
+
+  test("Runner: pipeline spec JSON -> copy build + reporting (cli/__init__.py)") {
+    val base = java.nio.file.Files.createTempDirectory("runner").toString
+    val spec =
+      s"""{
+         |  "stores": {
+         |    "src": {"type": "parquet_table", "path": "/root/testdata/sf0.001/orders.parquet",
+         |            "key": "o_orderkey", "last_updated": "o_orderdate"},
+         |    "tgt": {"type": "parquet", "root": "$base/tgt",
+         |            "key": "o_orderkey", "last_updated": "o_orderdate"}
+         |  },
+         |  "builders": [
+         |    {"type": "copy", "source": "src", "target": "tgt",
+         |     "criteria": {"o_orderstatus": "F"}}
+         |  ]
+         |}""".stripMargin
+    val reporting = new MemoryStore(spark, "reports", key = "event_id")
+    val report = Runner.run(spark, spec, Some(reporting))
+    val (label, r) = report.builders.head
+    assert(label === "copy#0" && r.processed > 0)
+    val tgt = new graft.store.ParquetStore(spark, s"$base/tgt", "o_orderkey", "o_orderdate")
+    assert(tgt.count() === r.processed)
+    // reporting store got BUILD_STARTED + BUILD_ENDED telemetry docs
+    val events = reporting.df.select("event").collect().map(_.getString(0)).toSet
+    assert(events === Set("BUILD_STARTED", "BUILD_ENDED"))
+  }
+
+  test("Runner: group builder from spec") {
+    val spec =
+      """{
+        |  "stores": {
+        |    "src": {"type": "parquet_table", "path": "/root/testdata/sf0.001/orders.parquet",
+        |            "key": "o_orderkey", "last_updated": "o_orderdate"},
+        |    "tgt": {"type": "memory", "key": "grp", "last_updated": "o_orderdate"}
+        |  },
+        |  "builders": [
+        |    {"type": "group", "source": "src", "target": "tgt",
+        |     "group_by": ["o_orderstatus"],
+        |     "agg": {"n": "count(1)", "total": "sum(cast(o_totalprice as decimal(18,2)))"}}
+        |  ]
+        |}""".stripMargin
+    val report = Runner.run(spark, spec)
+    assert(report.builders.head._2.processed === 3) // statuses O/F/P
+  }
+
+  test("StreamingBuilder: micro-batch upsert converges like incremental builds") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val tgt = new MemoryStore(spark, "stgt", key = "k", lastUpdatedField = "lu")
+    val source = stream.toDF().toDF("k", "v", "lu")
+    val sb = new StreamingBuilder(source, tgt,
+      transform = _.withColumn("v", upper(col("v"))))
+    val q = sb.start()
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    stream.addData((1L, "a", t0), (2L, "b", t0))
+    q.processAllAvailable()
+    assert(tgt.count() === 2)
+    // second batch: update key 2, add key 3 — upsert, not append
+    stream.addData((2L, "b2", t0), (3L, "c", t0))
+    q.processAllAvailable()
+    q.stop()
+    assert(tgt.count() === 3)
+    assert(tgt.query("""{"k": 2}""").collect()(0).getAs[String]("v") === "B2")
+  }
+
+  test("StreamingBuilder.windowedCounts: watermarked tumbling-window agg") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val agg = StreamingBuilder.windowedCounts(
+      stream.toDF().toDF("ts", "kind"), "ts", "10 minutes", "5 minutes", Seq("kind"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("win_counts").start()
+    stream.addData(
+      (Timestamp.valueOf("2024-06-01 00:01:00"), "x"),
+      (Timestamp.valueOf("2024-06-01 00:04:00"), "x"),
+      (Timestamp.valueOf("2024-06-01 00:12:00"), "y"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT kind, n FROM win_counts ORDER BY kind").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("x", 2L), ("y", 1L)))
+  }
+}
