@@ -153,6 +153,36 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n"))
     }),
 
+    "pred_array_contains" -> ((s, dir) => {
+      val df = t(s, dir, "documents").withColumn("toks", split(col("text"), " "))
+      MongoFilter(df, """{"toks": "spark"}""")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    "pred_elem_match" -> ((s, dir) => {
+      val df = t(s, dir, "part").withColumn("arr",
+        array(col("p_size").cast("double"), col("p_retailprice")))
+      MongoFilter(df, """{"arr": {"$elemMatch": {"$lt": 5}}}""")
+        .select(col("p_partkey")).orderBy("p_partkey")
+    }),
+
+    "pred_all_size" -> ((s, dir) => {
+      val df = t(s, dir, "documents").withColumn("toks", split(col("text"), " "))
+      MongoFilter(df, """{"toks": {"$all": ["spark", "data"]}}""")
+        .select(col("doc_id"), size(col("toks")).alias("n_toks"))
+        .orderBy("doc_id")
+    }),
+
+    "pred_dot_path" -> ((s, dir) => {
+      val df = t(s, dir, "customer")
+        .select(col("c_custkey"), struct(col("c_name"), col("c_acctbal")).alias("cust"))
+      val store = new TableStore(s, df, "cust", "c_custkey")
+      store.query(QueryParams(
+        criteria = Some("""{"cust.c_acctbal": {"$gt": 5000}}"""),
+        properties = Seq("c_custkey", "cust.c_acctbal"),
+        sort = Seq("c_custkey" -> 1)))
+    }),
+
     // ---------------------------------------------------------------- joins
     "c13_joint_lookup" -> ((s, dir) => {
       val main = new TableStore(s, t(s, dir, "orders"), "orders", "o_custkey", "o_orderdate")
@@ -318,6 +348,33 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "c8_object_covered" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_os").toString
+      val os = new graft.store.ObjectStore(s, s"$base/d", s"$base/i",
+        key = "o_orderkey", searchableFields = Seq("o_orderstatus"),
+        lastUpdatedField = "o_orderdate")
+      os.update(t(s, dir, "orders"))
+      os.query(QueryParams(criteria = Some("""{"o_orderstatus": "F"}"""),
+        properties = Seq("o_orderkey", "o_orderstatus"), sort = Seq("o_orderkey" -> 1)))
+    }),
+
+    "c12_opendata_pruned" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_od").toString
+      val od = new graft.store.OpenDataStore(s, base, Seq("o_orderstatus"),
+        key = "o_orderkey", lastUpdatedField = "o_orderdate")
+      od.update(t(s, dir, "orders"))
+      od.query("""{"o_orderstatus": "O"}""")
+        .select(col("o_orderkey")).orderBy("o_orderkey")
+    }),
+
+    "validator_invalid" -> ((s, dir) => {
+      val v = new graft.store.DocValidator(Seq(
+        graft.store.FieldRule("o_orderkey", required = true),
+        graft.store.FieldRule("o_totalprice", max = Some(300000.0))))
+      val (_, invalid) = v.split(t(s, dir, "orders"))
+      invalid.select(col("o_orderkey")).orderBy("o_orderkey")
+    }),
+
     // ------------------------------------------------------------- API layer
     "api_compile" -> ((s, dir) => {
       val df = t(s, dir, "orders")
@@ -445,6 +502,25 @@ object SparkEntry {
       "pred_and_or_range" ->
         ("SELECT count(*) AS n FROM lineitem WHERE l_quantity >= 45 " +
          "OR (l_discount > 0.08 AND l_returnflag <> 'N')"),
+      "pred_array_contains" ->
+        ("SELECT doc_id FROM documents " +
+         "WHERE list_contains(string_split(text, ' '), 'spark') ORDER BY 1"),
+      "pred_elem_match" ->
+        ("SELECT p_partkey FROM part WHERE len(list_filter(" +
+         "[CAST(p_size AS DOUBLE), p_retailprice], x -> x < 5)) > 0 ORDER BY 1"),
+      "pred_all_size" ->
+        ("SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents " +
+         "WHERE list_has_all(string_split(text, ' '), ['spark', 'data']) ORDER BY 1"),
+      "pred_dot_path" ->
+        ("SELECT c_custkey, c_acctbal AS cust_c_acctbal FROM customer " +
+         "WHERE c_acctbal > 5000 ORDER BY 1"),
+      "c8_object_covered" ->
+        ("SELECT o_orderkey, o_orderstatus FROM orders " +
+         "WHERE o_orderstatus = 'F' ORDER BY 1"),
+      "c12_opendata_pruned" ->
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' ORDER BY 1",
+      "validator_invalid" ->
+        "SELECT o_orderkey FROM orders WHERE o_totalprice > 300000 ORDER BY 1",
       "c13_joint_lookup" ->
         ("SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment " +
          "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey " +
