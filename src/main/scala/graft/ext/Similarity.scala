@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product in double precision (deterministic:
-    * fixed evaluation order → reproducible across runs and engines). */
+    * fixed evaluation order → reproducible across runs and engines).
+    * HOF form — the portable fallback; the hot paths below use the
+    * codegen'd [[graft.functions.DotProduct]] kernel instead. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -31,6 +33,10 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Fused single-pass native cosine (same fold order → same doubles). */
+  private def nativeCosine(df: DataFrame, a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine(df.sparkSession, a, b)
 
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest
     * corpus rows. `queries` is broadcast (it is the small side by
@@ -43,7 +49,7 @@ object Similarity {
     val c = corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("n_vec"))
     val scored = c.crossJoin(q)
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim", nativeCosine(corpus, col("q_vec"), col("n_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -86,7 +92,7 @@ object Similarity {
       col("n_id") =!= col("q_id"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id").asc)
-    cand.withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    cand.withColumn("sim", nativeCosine(corpus, col("q_vec"), col("n_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 4).alias("sim"))
@@ -103,7 +109,7 @@ object Similarity {
     val a = sigs.select(col("sig"), col("id").alias("a"), col("vec").alias("va"))
     val b = sigs.select(col("sig"), col("id").alias("b"), col("vec").alias("vb"))
     a.join(b, Seq("sig")).filter(col("a") < col("b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", nativeCosine(corpus, col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).alias("sim"))
   }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Native codegen vector kernels vs the HOF reference implementation. */
+class VectorExpressionSpec extends SparkSpec {
+
+  test("graft_dot / graft_cosine match the HOF fold on float arrays") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (2L, Array(0.5f, -1.5f, 2.25f), Array(-2.0f, 0.25f, 8.0f))
+    ).toDF("id", "a", "b")
+    val rows = df.select(
+      GraftFunctions.dot(spark, col("a"), col("b")).alias("nd"),
+      graft.ext.Similarity.dot(col("a"), col("b")).alias("hd"),
+      GraftFunctions.cosine(spark, col("a"), col("b")).alias("nc"),
+      graft.ext.Similarity.cosine(col("a"), col("b")).alias("hc")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12)
+    }
+  }
+
+  test("graft_cosine: zero vector -> null; null input -> null; SQL-callable") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Some(Array(0.0, 0.0)), Some(Array(1.0, 2.0))),
+      (2L, None: Option[Array[Double]], Some(Array(1.0, 2.0))),
+      (3L, Some(Array(3.0, 4.0)), Some(Array(3.0, 4.0)))
+    ).toDF("id", "a", "b")
+    df.createOrReplaceTempView("vecs")
+    val out = spark.sql(
+      "SELECT id, graft_cosine(a, b) AS c FROM vecs ORDER BY id").collect()
+    assert(out(0).isNullAt(1) && out(1).isNullAt(1))
+    assert(math.abs(out(2).getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("interpreted eval path agrees with codegen (direct Expression eval)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val mk = (vs: Seq[Double]) =>
+      Literal(ArrayData.toArrayData(vs.toArray), ArrayType(DoubleType))
+    val e = graft.functions.CosineSimilarity(mk(Seq(1, 0, 1)), mk(Seq(1, 1, 0)))
+    val v = e.eval(null).asInstanceOf[Double]
+    assert(math.abs(v - 0.5) < 1e-12)
+  }
+}
