@@ -34,6 +34,7 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // evict per-query persisted staging tables
+      System.gc()                // let ContextCleaner reap shuffle/broadcast state
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
