@@ -390,6 +390,24 @@ object SparkEntry {
       qp(df)
     }),
 
+    "a10_text_facets" -> ((s, dir) => {
+      // $text search + facet counts (A10 generate_atlas_search_pipeline)
+      val m = MongoFilter(t(s, dir, "documents"),
+        """{"$text": {"$search": "spark data"}}""")
+      val bySource = m.groupBy(col("source")).agg(count(lit(1)).alias("n"))
+        .select(lit("source").alias("facet"), col("source").alias("value"), col("n"))
+      val byLang = m.groupBy(col("lang")).agg(count(lit(1)).alias("n"))
+        .select(lit("lang").alias("facet"), col("lang").alias("value"), col("n"))
+      bySource.unionByName(byLang).orderBy("facet", "value")
+    }),
+
+    "json_scalar_extract" -> ((s, dir) => {
+      events(s, dir)
+        .select((get_json_object(col("props"), "$.k").cast("long") % 10).alias("kb"))
+        .groupBy("kb").agg(count(lit(1)).alias("n"))
+        .orderBy("kb")
+    }),
+
     // ------------------------------------------------------------ extensions
     "text_stats" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -592,6 +610,15 @@ object SparkEntry {
         ("SELECT o_orderkey, o_orderdate, o_totalprice FROM orders " +
          "WHERE o_totalprice >= 50000 AND o_totalprice <= 150000 AND o_orderstatus = 'O' " +
          "ORDER BY o_orderdate DESC, o_orderkey LIMIT 50 OFFSET 50"),
+      "a10_text_facets" ->
+        ("SELECT 'source' AS facet, source AS value, count(*) AS n FROM documents " +
+         "WHERE contains(lower(text), 'spark') AND contains(lower(text), 'data') GROUP BY 2 " +
+         "UNION ALL SELECT 'lang', lang, count(*) FROM documents " +
+         "WHERE contains(lower(text), 'spark') AND contains(lower(text), 'data') GROUP BY 2 " +
+         "ORDER BY 1, 2"),
+      "json_scalar_extract" ->
+        ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb, " +
+         "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"),
       "text_stats" ->
         ("SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens, " +
          "length(text) AS len_chars, " +

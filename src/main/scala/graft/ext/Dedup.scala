@@ -30,7 +30,8 @@ object Dedup {
     * n-gram element (O(tokens²) per doc; measured 10× slower).
     * CollapseProject keeps the boundary because the alias is non-cheap
     * and multiply-referenced. */
-  def shingleDF(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleDF(df: DataFrame, idCol: String, textCol: String, n: Int,
+                distinct: Boolean = true): DataFrame = {
     val tokd = df.select(col(idCol).alias("id"),
       filter(split(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), "\\s+"),
         t => length(t) > 0).alias("tk"))
@@ -39,7 +40,8 @@ object Dedup {
       transform(sequence(lit(0), size(tk) - n),
         i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", tk)))
-    tokd.select(col("id"), explode(grams).alias("shingle")).distinct()
+    val exploded = tokd.select(col("id"), explode(grams).alias("shingle"))
+    if (distinct) exploded.distinct() else exploded
   }
 
   /** 1. Exact duplicates: groups of identical content. Returns one row
@@ -66,7 +68,9 @@ object Dedup {
     * 64-bit functions, all codegen'd. One groupBy, k min-aggregates. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
-    val sh = shingleDF(df, idCol, textCol, shingleSize)
+    // no distinct: min over a multiset equals min over its set — skips a
+    // full shuffle of the exploded shingle table
+    val sh = shingleDF(df, idCol, textCol, shingleSize, distinct = false)
     val mins = (0 until numHashes).map(j =>
       min(xxhash64(lit(j), col("shingle"))).alias(s"h$j"))
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
@@ -163,9 +167,10 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.8,
                         maxPostings: Int = 1000): DataFrame = {
     // shingles join on their 64-bit hash, not the string — 8-byte keys in
-    // the inverted-index shuffle (collision odds ~|shingles|²/2^65: nil)
-    val sh = shingleDF(df, idCol, textCol, n)
-      .select(col("id"), xxhash64(col("shingle")).alias("sh"))
+    // the inverted-index shuffle (collision odds ~|shingles|²/2^65: nil);
+    // the per-doc set-dedup runs on the narrow hashed pairs too
+    val sh = shingleDF(df, idCol, textCol, n, distinct = false)
+      .select(col("id"), xxhash64(col("shingle")).alias("sh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).alias("sz"))
     // posting-list skew cap (stopword-only shingles)
