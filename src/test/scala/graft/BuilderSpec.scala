@@ -132,4 +132,40 @@ class BuilderSpec extends SparkSpec {
     val r3 = tgt.query("""{"k": 3}""").collect()(0)
     assert(r3.getAs[Any]("a") === null && r3.getAs[String]("newb") === "B3")
   }
+
+  test("MapBuilder projection: only requested + key/lu columns scanned (map_builder.py:120-123)") {
+    val (src, _, tgt) = fixtures()
+    val b = MapBuilder.columns(src, tgt, identity, projection = Seq("v"))
+    assert(b.pendingItems().columns.toSet === Set("v", "k", "lu"))
+  }
+
+  test("GroupBuilder doc plane: collect_list(struct) group merge (group_builder.py:125-155)") {
+    val s = spark; import s.implicits._
+    val docs = (0L to 5L).map(k => (k, k % 2, s"d$k", now)).toDF("k", "a", "b", "lu")
+    val src = new MemoryStore(spark, "src", key = "k", lastUpdatedField = "lu")
+    src.load(docs)
+    val tgt = new MemoryStore(spark, "tgt", key = "kgrp", lastUpdatedField = "lu")
+    new GroupBuilder(src, tgt, Seq("a"), GroupBuilder.collectDocs(Seq("k", "b"))).run()
+    val g0 = tgt.query("""{"a": 0}""").collect()(0)
+    val members = g0.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("docs")
+      .map(_.getAs[String]("b")).sorted
+    assert(members === Seq("d0", "d2", "d4"))
+  }
+
+  test("GroupBuilder retryFailed re-enqueues failed groups (group_builder.py:205-212)") {
+    val s = spark; import s.implicits._
+    val docs = (0L to 5L).map(k => (k, k % 2, now)).toDF("k", "a", "lu")
+    val src = new MemoryStore(spark, "src", key = "k", lastUpdatedField = "lu")
+    src.load(docs)
+    val tgt = new MemoryStore(spark, "tgt", key = "kgrp", lastUpdatedField = "lu")
+    new GroupBuilder(src, tgt, Seq("a"), Seq(count(lit(1)).alias("n"))).run()
+    // flip one group to failed; retryFailed must re-enqueue its members
+    tgt.update(tgt.df.filter(col("a") === 0).withColumn("state", lit("failed")),
+      Seq("kgrp"))
+    val b = new GroupBuilder(src, tgt, Seq("a"), Seq(count(lit(1)).alias("n")),
+      retryFailed = true)
+    assert(b.pendingIds().count() === 3)   // k = 0, 2, 4
+    assert(new GroupBuilder(src, tgt, Seq("a"), Seq(count(lit(1)).alias("n")))
+      .pendingIds().count() === 0)
+  }
 }

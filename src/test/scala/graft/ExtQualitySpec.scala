@@ -1,0 +1,75 @@
+package graft
+
+import graft.ext.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Recall/quality properties of the approximate operators (the judge of
+  * "does the LSH path actually find what the exact path finds"). */
+class ExtQualitySpec extends SparkSpec {
+
+  private lazy val docs = sf("documents")
+
+  test("minhashLsh finds injected near-duplicates (recall >= 0.9)") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val twins = base.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000).alias("doc_id"),
+        concat(col("text"), lit(" tiny suffix")).alias("text"))
+    val corpus = base.unionByName(twins)
+    val expected = twins.count()
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text", threshold = 0.5)
+    val found = pairs.filter(col("b") === col("a") + 500000).count()
+    assert(found >= (expected * 0.9).toLong,
+      s"found $found of $expected injected near-dup pairs")
+  }
+
+  test("simhash: exact duplicates have hamming 0") {
+    val base = docs.select(col("doc_id"), col("text")).limit(50)
+    val copies = base.select((col("doc_id") + 500000).alias("doc_id"), col("text"))
+    val pairs = Dedup.simhashPairs(base.unionByName(copies), "doc_id", "text")
+    val exact = pairs.filter(col("b") === col("a") + 500000)
+    assert(exact.count() === 50)
+    assert(exact.agg(max(col("hamming"))).collect()(0).getInt(0) === 0)
+  }
+
+  test("ngramJaccard: identical docs score 1.0; unrelated pairs absent") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "completely different words entirely here")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getAs[Long]("a") === 1L && pairs(0).getAs[Long]("b") === 2L)
+    assert(pairs(0).getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("lshTopK finds genuinely-near neighbors (perturbed twins, recall >= 0.7)") {
+    // random vectors have no angularly-close neighbors, so recall there is
+    // meaningless for hyperplane LSH; inject twins at cosine ~0.995 instead
+    val emb = sf("embeddings")
+    val twins = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 500000).alias("vec_id"),
+      expr("transform(embedding, (x, i) -> x + float(0.02 * cos(double(i))))")
+        .alias("embedding"), col("label"))
+    val corpus = emb.unionByName(twins)
+    val queries = emb.filter(col("vec_id") < 20)
+    val approx = Similarity.lshTopK(corpus, queries, k = 5, dim = 64, h = 12,
+      probeHamming = 1)
+    val hits = approx.filter(col("n_id") === col("q_id") + 500000).count()
+    assert(hits >= 14, s"LSH found twin for only $hits/20 queries")
+    // ranks are dense and correctly ordered per query
+    val ranks = approx.groupBy("q_id")
+      .agg(max("rank").alias("mr"), count(lit(1)).alias("n")).collect()
+    ranks.foreach(r => assert(r.getAs[Int]("mr") === r.getAs[Long]("n")))
+  }
+
+  test("cosineDupPairs finds exact-copy embeddings at sim ~1.0") {
+    val emb = sf("embeddings").limit(100)
+    val copies = emb.select((col("vec_id") + 500000).alias("vec_id"),
+      col("embedding"), col("label"))
+    val pairs = Similarity.cosineDupPairs(emb.unionByName(copies), dim = 64,
+      threshold = 0.999)
+    assert(pairs.filter(col("b") === col("a") + 500000).count() === 100)
+  }
+}
