@@ -272,6 +272,14 @@ object SparkEntry {
         .orderBy("status", "prio")
     }),
 
+    "agg_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+          expr("percentile(l_extendedprice, 0.25)").alias("q25_price"),
+          expr("percentile(l_extendedprice, 0.75)").alias("q75_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "agg_time_window" -> ((s, dir) => {
       events(s, dir)
         .groupBy(date_trunc("day", col("ts")).alias("d"), col("event_type"))
@@ -578,6 +586,11 @@ object SparkEntry {
          "COALESCE(o_orderpriority, 'ALL') AS prio, count(*) AS n, " +
          "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price " +
          "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY 1, 2"),
+      "agg_percentile" ->
+        ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty, " +
+         "quantile_cont(l_extendedprice, 0.25) AS q25_price, " +
+         "quantile_cont(l_extendedprice, 0.75) AS q75_price " +
+         "FROM lineitem GROUP BY 1 ORDER BY 1"),
       "agg_time_window" ->
         ("SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n, " +
          "sum(CAST(value AS DECIMAL(18,6))) AS sum_val FROM events " +

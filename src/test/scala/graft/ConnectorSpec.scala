@@ -86,6 +86,8 @@ class ConnectorSpec extends SparkSpec {
     assert(dirs.toSet === Set("grp=g0", "grp=g1", "grp=g2"))
     // partition pruning reaches the plan for criteria on grouping fields
     val plan = od.query("""{"grp": "g1"}""").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("grp"),
+      s"expected partition filters in plan:\n$plan")
     assert(od.query("""{"grp": "g1"}""").count() === 3)
     // upsert into one group rewrites only that partition
     od.update(Seq((1L, "g1", "v1-new", "2024-06-02")).toDF("k", "grp", "v", "lu"))
