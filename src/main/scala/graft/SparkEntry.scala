@@ -467,6 +467,13 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nCentroids = 16, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     "sim_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)

@@ -98,6 +98,44 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 4).alias("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the second scale path the
+    * spec names alongside LSH. Coarse quantizer = `nCentroids` corpus
+    * vectors picked by deterministic stride (no k-means dependency; at
+    * cluster scale swap in trained centroids without changing the plan
+    * shape). Every corpus vector is assigned to its nearest centroid
+    * (broadcast centroid table, one scan); a query probes the `nprobe`
+    * nearest centroid cells and reranks exactly inside them — touching
+    * ~nprobe/nCentroids of the corpus instead of all of it. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val w = Window.partitionBy(col("__rid")).orderBy(col("__csim").desc, col("c_id").asc)
+    // deterministic pseudo-random centroid pick: one TakeOrdered pass by
+    // id-hash — no global sort, no driver materialization
+    val cents = broadcast(
+      corpus.orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(nCentroids)
+        .select(col(idCol).alias("c_id"), col(vecCol).alias("c_vec")))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
+      df.select(col(id).alias("__rid"), col(vec).alias("__rvec"))
+        .crossJoin(cents)
+        .withColumn("__csim", nativeCosine(df, col("__rvec"), col("c_vec")))
+        .withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= keep)
+        .select(col("__rid"), col("__rvec"), col("c_id").alias("cell"))
+    val cells = assign(corpus, idCol, vecCol, 1)
+      .select(col("__rid").alias("n_id"), col("__rvec").alias("n_vec"), col("cell"))
+    val probes = assign(queries, idCol, vecCol, nprobe)
+      .select(col("__rid").alias("q_id"), col("__rvec").alias("q_vec"), col("cell"))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", nativeCosine(corpus, col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 4).alias("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH same-bucket candidates,
     * verified `cosine >= threshold`. Returns `(a, b, sim)`, a < b. */
   def cosineDupPairs(corpus: DataFrame, dim: Int, threshold: Double = 0.95,

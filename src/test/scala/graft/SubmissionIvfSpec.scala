@@ -1,0 +1,48 @@
+package graft
+
+import graft.api.SubmissionStore
+import graft.ext.Similarity
+import graft.store.MemoryStore
+import org.apache.spark.sql.functions._
+
+class SubmissionIvfSpec extends SparkSpec {
+
+  test("SubmissionStore: duplicate rejection, state history append, current state (submission.py)") {
+    val s = spark; import s.implicits._
+    val inner = new MemoryStore(spark, "subs", key = "submission_id")
+    val st = new SubmissionStore(inner, duplicateFields = Seq("formula", "author"))
+    val (a1, r1) = st.submit(Seq(("Fe2O3", "ada"), ("NaCl", "grace")).toDF("formula", "author"))
+    assert(a1 === 2 && r1 === 0)
+    // resubmission of an existing (formula, author) is rejected
+    val (a2, r2) = st.submit(Seq(("Fe2O3", "ada"), ("SiC", "ada")).toDF("formula", "author"))
+    assert(a2 === 1 && r2 === 1)
+    assert(inner.count() === 3)
+    // advance state; history appends, current_state = last element
+    assert(st.advance("""{"formula": "Fe2O3"}""", "approved") === 1)
+    val row = st.withCurrentState.filter(col("formula") === "Fe2O3").collect()(0)
+    assert(row.getAs[String]("current_state") === "approved")
+    assert(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("state_history")
+      .map(_.getAs[String]("state")).toSeq === Seq("submitted", "approved"))
+    // A7: filter on last element of the state array via $expr
+    val latest = st.withCurrentState
+    assert(graft.query.MongoFilter(latest,
+      """{"$expr": {"$eq": [{"$arrayElemAt": ["$state_history.state", -1]}, "approved"]}}""")
+      .count() === 1)
+  }
+
+  test("ivfTopK finds perturbed twins (recall >= 0.7) with dense correct ranks") {
+    val emb = sf("embeddings")
+    val twins = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 500000).alias("vec_id"),
+      expr("transform(embedding, (x, i) -> x + float(0.02 * cos(double(i))))")
+        .alias("embedding"), col("label"))
+    val corpus = emb.unionByName(twins)
+    val queries = emb.filter(col("vec_id") < 20)
+    val res = Similarity.ivfTopK(corpus, queries, k = 5, nCentroids = 16, nprobe = 4)
+    val hits = res.filter(col("n_id") === col("q_id") + 500000).count()
+    assert(hits >= 14, s"IVF found twin for only $hits/20 queries")
+    val ranks = res.groupBy("q_id")
+      .agg(max("rank").alias("mr"), count(lit(1)).alias("n")).collect()
+    ranks.foreach(r => assert(r.getAs[Int]("mr") === r.getAs[Long]("n")))
+  }
+}
