@@ -86,6 +86,19 @@ object Runner {
       case "copy" =>
         CopyBuilder(store("source"), store("target"), criteria(n),
           opt(n, "delete_orphans").exists(_.asBoolean()))
+      case "map" =>
+        // declarative column transform: {"exprs": {"out_col": "sql expr"}}
+        val exprs = n.get("exprs").fields().asScala.map { e =>
+          e.getKey -> e.getValue.asText()
+        }.toSeq
+        MapBuilder.columns(store("source"), store("target"),
+          df => exprs.foldLeft(df) { case (d, (out, sql)) =>
+            d.withColumn(out, org.apache.spark.sql.functions.expr(sql))
+          },
+          criteria(n),
+          projection = opt(n, "projection")
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+          deleteOrphans = opt(n, "delete_orphans").exists(_.asBoolean()))
       case "group" =>
         new GroupBuilder(store("source"), store("target"),
           n.get("group_by").elements().asScala.map(_.asText()).toSeq,

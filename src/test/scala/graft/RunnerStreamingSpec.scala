@@ -54,6 +54,40 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(report.builders.head._2.processed === 3) // statuses O/F/P
   }
 
+  test("Runner: map builder with expression transform") {
+    val spec =
+      """{
+        |  "stores": {
+        |    "src": {"type": "parquet_table", "path": "/root/testdata/sf0.001/customer.parquet",
+        |            "key": "c_custkey", "last_updated": "c_acctbal"},
+        |    "tgt": {"type": "memory", "key": "c_custkey", "last_updated": "c_acctbal"}
+        |  },
+        |  "builders": [
+        |    {"type": "map", "source": "src", "target": "tgt",
+        |     "exprs": {"name_upper": "upper(c_name)", "bal2": "c_acctbal * 2"},
+        |     "criteria": {"c_acctbal": {"$gt": 0}}}
+        |  ]
+        |}""".stripMargin
+    val report = Runner.run(spark, spec)
+    assert(report.builders.head._2.processed > 0)
+  }
+
+  test("LuFormat: 1ms ISO ceiling round-trip (utils.py:81-103)") {
+    val s = spark; import s.implicits._
+    import graft.store.LuFormat
+    val df = Seq(
+      java.sql.Timestamp.valueOf("2024-06-01 10:00:00.1234"),   // sub-ms -> ceil
+      java.sql.Timestamp.valueOf("2024-06-01 10:00:00.123")     // on-boundary -> identity
+    ).toDF("ts")
+    val out = df.select(LuFormat.toIso(col("ts")).alias("iso"),
+      LuFormat.fromIso(LuFormat.toIso(col("ts"))).alias("rt")).collect()
+    assert(out(0).getString(0) === "2024-06-01T10:00:00.124")
+    assert(out(1).getString(0) === "2024-06-01T10:00:00.123")
+    assert(out(1).getTimestamp(1) === java.sql.Timestamp.valueOf("2024-06-01 10:00:00.123"))
+    // the ceiling preserves strict newer-than through string comparison
+    assert(out(0).getString(0) > out(1).getString(0))
+  }
+
   test("StreamingBuilder: micro-batch upsert converges like incremental builds") {
     val s = spark
     import s.implicits._
