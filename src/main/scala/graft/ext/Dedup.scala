@@ -100,10 +100,13 @@ object Dedup {
           b => xxhash64(concat_ws(",",
             slice(col("sig"), b * lit(rows) + 1, lit(rows))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // skew guard: drop boilerplate buckets larger than maxBucketSize
-    val sized = banded.withColumn("__bn",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__bn") <= maxBucketSize)
+    // skew guard: drop boilerplate buckets larger than maxBucketSize.
+    // Hash-agg (map-side partials) + broadcast anti-join of the tiny
+    // hot-bucket list — no sort-window shuffle over the full table.
+    val hot = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).alias("__bn")).filter(col("__bn") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val sized = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val a = sized.select(col("band"), col("bucket"), col("id").alias("a"))
     val b = sized.select(col("band"), col("bucket"), col("id").alias("b"))
     val cand = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
@@ -173,10 +176,11 @@ object Dedup {
       .select(col("id"), xxhash64(col("shingle")).alias("sh")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("id").agg(count(lit(1)).alias("sz"))
-    // posting-list skew cap (stopword-only shingles)
-    val capped = sh.withColumn("__pn",
-      count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("__pn") <= maxPostings)
+    // posting-list skew cap (stopword-only shingles): hash-agg + broadcast
+    // anti-join of the tiny hot-postings list, not a sort-window
+    val hot = sh.groupBy("sh").agg(count(lit(1)).alias("__pn"))
+      .filter(col("__pn") > maxPostings).select(col("sh"))
+    val capped = sh.join(broadcast(hot), Seq("sh"), "left_anti")
     val common = capped.select(col("sh"), col("id").alias("a"))
       .join(capped.select(col("sh"), col("id").alias("b")), Seq("sh"))
       .filter(col("a") < col("b"))

@@ -86,7 +86,10 @@ object MongoFilter {
   private def combine(arr: JsonNode, schema: Option[StructType],
                       op: (Column, Column) => Column): Column = {
     require(arr.isArray, s"$$and/$$or/$$nor take an array, got: $arr")
-    arr.elements().asScala.map(compileNode(_, schema)).reduce(op)
+    // Mongo rejects empty $and/$or; be permissive: empty-AND = true,
+    // empty-OR = false (the respective fold identities)
+    arr.elements().asScala.map(compileNode(_, schema)).reduceOption(op)
+      .getOrElse(lit(true))
   }
 
   /** One field → value-or-operator-doc. */
@@ -147,7 +150,9 @@ object MongoFilter {
         val pred = compileElemPred(v)
         exists(c, pred)
       case "$all" =>
-        values(v).map(x => array_contains(c, lit(x))).reduce(_ && _)
+        // $all: [] matches nothing (Mongo semantics)
+        values(v).map(x => array_contains(c, lit(x)))
+          .reduceOption(_ && _).getOrElse(lit(false))
       case other => throw new IllegalArgumentException(
         s"unsupported criteria operator: $other (field $field)")
     }

@@ -49,15 +49,28 @@ trait Store {
     * are included (reference `tests/stores/test_mongolike.py:110-115`). */
   def distinct(field: String, criteria: Option[String] = None): DataFrame = {
     val base = criteria.map(c => MongoFilter(df, c)).getOrElse(df)
-    val resolved = scala.util.Try(base.schema(field)).toOption
     val isArray = fieldIsArray(base, field)
-    if (resolved.isEmpty && !field.contains(".") && !base.columns.contains(field))
-      return spark.emptyDataFrame.withColumn(field, lit(null)).limit(0)
+    // missing field (flat or dot-path) → empty result, not an analysis
+    // error (reference: distinct of a missing key yields [],
+    // tests/stores/test_mongolike.py:110-115)
+    val present =
+      if (field.contains(".")) resolvePath(base, field)
+      else base.columns.contains(field)
+    if (!present)
+      return spark.emptyDataFrame.withColumn(field.replace('.', '_'), lit(null)).limit(0)
     val proj =
       if (isArray) base.select(explode(col(field)).alias(field.replace('.', '_')))
       else base.select(col(field).alias(field.replace('.', '_')))
     proj.distinct()
   }
+
+  private def resolvePath(d: DataFrame, path: String): Boolean =
+    scala.util.Try {
+      path.split('.').foldLeft(d.schema: org.apache.spark.sql.types.DataType) {
+        case (s: org.apache.spark.sql.types.StructType, p) => s(p).dataType
+        case (other, _) => throw new IllegalArgumentException(s"$other has no $path")
+      }
+    }.isSuccess
 
   private def fieldIsArray(d: DataFrame, path: String): Boolean =
     scala.util.Try {
