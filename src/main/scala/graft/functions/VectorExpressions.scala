@@ -138,7 +138,11 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
 object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
-    "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))))
+    "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
+    "zlib_deflate" -> (es => ZlibDeflate(es(0))),
+    "zlib_inflate" -> (es => ZlibInflate(es(0))),
+    "gzip_compress" -> (es => GzipCompress(es(0))),
+    "gzip_decompress" -> (es => GzipDecompress(es(0))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")

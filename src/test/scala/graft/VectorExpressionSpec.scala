@@ -48,4 +48,19 @@ class VectorExpressionSpec extends SparkSpec {
     val v = e.eval(null).asInstanceOf[Double]
     assert(math.abs(v - 0.5) < 1e-12)
   }
+
+  test("zlib/gzip codec expressions round-trip binary payloads") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq("hello graft " * 50, "").toDF("t")
+      .selectExpr("cast(t as binary) AS b")
+    val out = df.selectExpr(
+      "zlib_inflate(zlib_deflate(b)) AS z",
+      "gzip_decompress(gzip_compress(b)) AS g",
+      "length(zlib_deflate(b)) AS zlen", "length(b) AS blen").collect()
+    assert(new String(out(0).getAs[Array[Byte]]("z")) === "hello graft " * 50)
+    assert(new String(out(0).getAs[Array[Byte]]("g")) === "hello graft " * 50)
+    assert(out(0).getAs[Int]("zlen") < out(0).getAs[Int]("blen")) // it compresses
+    assert(out(1).getAs[Array[Byte]]("z").length === 0)
+  }
 }
