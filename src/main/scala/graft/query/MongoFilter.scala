@@ -201,12 +201,14 @@ object MongoFilter {
     }
   }
 
-  /** `$text: {$search: "..."}` baseline: case-insensitive token containment
-    * (A10 `generate_atlas_search_pipeline` analogue). */
+  /** `$text: {$search: "...", $field: "col"}` baseline: case-insensitive
+    * token containment over the named text column (default `text`) —
+    * A10 `generate_atlas_search_pipeline` analogue. */
   private def compileText(n: JsonNode): Column = {
     val search = n.get("$search").asText()
+    val field = if (n.has("$field")) n.get("$field").asText() else "text"
     val tokens = search.split("\\s+").filter(_.nonEmpty)
-    tokens.map(t => lower(col("text")).contains(t.toLowerCase))
+    tokens.map(t => lower(col(field)).contains(t.toLowerCase))
       .reduceOption(_ && _).getOrElse(lit(true))
   }
 

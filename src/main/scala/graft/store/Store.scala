@@ -80,6 +80,20 @@ trait Store {
       }
     }.toOption.exists(_.isInstanceOf[ArrayType])
 
+  /** Approximate-distinct extension (SURVEY S4 note): HyperLogLog++
+    * cardinality — one pass, constant memory, no shuffle of values. */
+  def distinctApprox(field: String, criteria: Option[String] = None,
+                     rsd: Double = 0.05): Long = {
+    val base = criteria.map(c => MongoFilter(df, c)).getOrElse(df)
+    base.agg(approx_count_distinct(col(field), rsd)).collect()(0).getLong(0)
+  }
+
+  /** Typed read surface: the query fold decoded to a case class
+    * (`Dataset[T]` where type safety helps — engine metadata records,
+    * fixed-schema pipelines). */
+  def queryAs[T: org.apache.spark.sql.Encoder](params: QueryParams): org.apache.spark.sql.Dataset[T] =
+    params(df).as[T]
+
   /** S5 `groupby`: group docs by key(s) → (key columns, `docs` array of
     * structs). Spill-safe: Spark's external aggregation replaces Mongo's
     * `allowDiskUse` (reference `stores/mongolike.py:184-232`). */

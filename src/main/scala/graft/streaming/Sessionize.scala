@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state via `flatMapGroupsWithState` (the
+  * KeyValueGroupedDataset state API named in the build spec): event
+  * sessionization — group events per user, close a session once the
+  * **watermark** passes `last_event + gap` (event-time timeout), emit
+  * one summary row per closed session.
+  *
+  * Event-time (not processing-time) timeouts on purpose: session
+  * boundaries depend on the data, not on wall-clock scheduling — runs
+  * are deterministic and replayable, and late events within the
+  * watermark still join their session.
+  *
+  * The state per key is a fixed-size accumulator (count, sum, bounds) —
+  * O(1) memory per active user regardless of event volume, the shape
+  * that scales to 10⁸ concurrent keys with the RocksDB state store.
+  */
+object Sessionize {
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(count: Long, sum: Double, start: Long, last: Long)
+  case class Session(user_id: Long, n_events: Long, total: Double,
+                     start_millis: Long, end_millis: Long)
+
+  def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val outEnc = Encoders.product[Session]
+    events
+      .withWatermark("ts", s"$gapMs milliseconds")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.count, s.sum, s.start, s.last))
+          } else {
+            val prev = state.getOption.getOrElse(
+              SessionState(0L, 0.0, Long.MaxValue, 0L))
+            val next = evs.foldLeft(prev) { (s, e) =>
+              val t = e.ts.getTime
+              SessionState(s.count + 1, s.sum + e.value,
+                math.min(s.start, t), math.max(s.last, t))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.last + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Batch-mode sessionization (same semantics, pure window algebra):
+    * a new session starts when the gap to the previous event exceeds
+    * `gapMs`; summary row per session. Used as the oracle-checkable
+    * twin of the streaming path. */
+  def sessionsBatch(events: DataFrame, gapMs: Long,
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          (unix_millis(col(tsCol)) - unix_millis(col("__prev"))) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("__session_id",
+        sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__session_id"))
+      .agg(count(lit(1)).alias("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).alias("total"),
+        min(col(tsCol)).alias("start_ts"),
+        max(col(tsCol)).alias("end_ts"))
+      .drop("__session_id")
+  }
+}

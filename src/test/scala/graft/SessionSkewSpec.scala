@@ -1,0 +1,82 @@
+package graft
+
+import graft.ext.SkewTools
+import graft.query.QueryParams
+import graft.store.TableStore
+import graft.streaming.Sessionize
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class KeyPrice(o_orderkey: Long, o_totalprice: Double)
+
+class SessionSkewSpec extends SparkSpec {
+
+  test("flatMapGroupsWithState sessionization: event-time timeout closes sessions deterministically") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val stream = MemoryStream[Sessionize.Event]
+    val out = Sessionize.sessions(stream.toDS(), gapMs = 500)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    // batch 1: two users open sessions; watermark still behind timeouts
+    stream.addData(
+      Sessionize.Event(1L, ts(1000L), 2.0), Sessionize.Event(1L, ts(1200L), 3.0),
+      Sessionize.Event(2L, ts(1100L), 1.0))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sessions").count() === 0)
+    // batch 2: far-future event advances the watermark past both timeouts
+    stream.addData(Sessionize.Event(3L, ts(10000L), 5.0))
+    q.processAllAvailable()
+    // batch 3: timeouts fire against the batch-2 watermark
+    stream.addData(Sessionize.Event(3L, ts(10100L), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT user_id, n_events, total FROM sessions ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.contains((1L, 2L, 5.0)) && rows.contains((2L, 1L, 1.0)))
+  }
+
+  test("batch sessionization: gap splits sessions (window algebra)") {
+    val s = spark; import s.implicits._
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val ev = Seq(
+      (1L, ts(0L), 1.0), (1L, ts(400L), 1.0),      // session 1
+      (1L, ts(5000L), 2.0),                        // session 2 (gap > 1s)
+      (2L, ts(100L), 9.0)).toDF("user_id", "ts", "value")
+    val sess = Sessionize.sessionsBatch(ev, gapMs = 1000)
+    assert(sess.count() === 3)
+    val u1 = sess.filter(col("user_id") === 1).orderBy("start_ts").collect()
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L))
+  }
+
+  test("saltedJoin: identical results to plain join, salt never leaks") {
+    val s = spark; import s.implicits._
+    // skew: key 7 holds 90% of rows
+    val big = (1 to 1000).map(i => (if (i <= 900) 7L else i.toLong, i)).toDF("k", "v")
+    val dim = Seq((7L, "hot"), (950L, "cold")).toDF("k", "label")
+    val plain = big.join(dim, Seq("k")).agg(count(lit(1)), sum(col("v"))).collect()(0)
+    val salted = SkewTools.saltedJoin(big, dim, "k", salt = 8)
+    assert(salted.columns.toSet === Set("k", "v", "label"))
+    val sres = salted.agg(count(lit(1)), sum(col("v"))).collect()(0)
+    assert(plain.getLong(0) === sres.getLong(0) && plain.getLong(1) === sres.getLong(1))
+    val hh = SkewTools.heavyHitters(big, "k", 1).collect()(0)
+    assert(hh.getLong(0) === 7L && hh.getLong(1) === 900L)
+  }
+
+  test("distinctApprox (HLL) within rsd; queryAs typed surface; $text $field") {
+    val store = new TableStore(spark, sf("orders"), "orders", "o_orderkey", "o_orderdate")
+    val exact = store.distinct("o_custkey").count()
+    val approx = store.distinctApprox("o_custkey", rsd = 0.02)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+    val s = spark; import s.implicits._
+    val ds = store.queryAs[KeyPrice](QueryParams(
+      properties = Seq("o_orderkey", "o_totalprice"), limit = Some(5)))
+    assert(ds.collect().length === 5)
+    // $text over a configurable column
+    val docs = new TableStore(spark, sf("documents"), "docs", "doc_id")
+    val n = docs.count(Some("""{"$text": {"$search": "spark", "$field": "text"}}"""))
+    assert(n > 0)
+  }
+}
