@@ -310,6 +310,14 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "window_sessionize" -> ((s, dir) => {
+      graft.streaming.Sessionize.sessionsBatch(events(s, dir), gapMs = 3600000)
+        .select(col("user_id"), col("n_events"), col("total"),
+          unix_millis(col("start_ts")).alias("start_ms"),
+          unix_millis(col("end_ts")).alias("end_ms"))
+        .orderBy("user_id", "start_ms")
+    }),
+
     "topk" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
@@ -611,6 +619,16 @@ object SparkEntry {
          "sum(CAST(value AS DECIMAL(18,6))) OVER w AS run_sum FROM events " +
          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+      "window_sessionize" ->
+        ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL " +
+         "OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS nss FROM events " +
+         "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+         "s AS (SELECT *, sum(nss) OVER (PARTITION BY user_id ORDER BY ts " +
+         "ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
+         "SELECT user_id, count(*) AS n_events, " +
+         "sum(CAST(value AS DECIMAL(18,6))) AS total, " +
+         "epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms " +
+         "FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms"),
       "topk" ->
         ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
          "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15"),
