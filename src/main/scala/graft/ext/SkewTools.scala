@@ -19,6 +19,11 @@ object SkewTools {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salt: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
+    // right/full would emit `salt` null-padded copies of unmatched
+    // small-side rows — only shapes preserving small-side uniqueness
+    require(Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti").contains(joinType),
+      s"saltedJoin supports inner/left joins, got $joinType")
     val bigSalted = big.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
     val smallSalted = small.withColumn("__salt",

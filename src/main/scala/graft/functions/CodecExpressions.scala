@@ -47,7 +47,10 @@ case class ZlibInflate(child: Expression) extends BinaryCodec {
     val buf = new Array[Byte](4096)
     while (!i.finished()) {
       val n = i.inflate(buf)
-      if (n == 0 && i.needsInput() && !i.finished()) throw new java.util.zip.DataFormatException("truncated zlib input")
+      if (n == 0 && !i.finished() && (i.needsInput() || i.needsDictionary()))
+        throw new java.util.zip.DataFormatException(
+          if (i.needsDictionary()) "zlib stream requires a preset dictionary"
+          else "truncated zlib input")
       out.write(buf, 0, n)
     }
     i.end()

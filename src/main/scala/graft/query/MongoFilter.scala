@@ -69,11 +69,11 @@ object MongoFilter {
     require(n.isObject, s"criteria must be a JSON object, got: $n")
     val clauses = n.fields().asScala.map { e =>
       e.getKey match {
-        case "$and" => combine(e.getValue, schema, _ && _)
-        case "$or"  => combine(e.getValue, schema, _ || _)
+        case "$and" => combine(e.getValue, schema, _ && _, lit(true))
+        case "$or"  => combine(e.getValue, schema, _ || _, lit(false))
         // Mongo $not/$nor keep docs where the inner predicate is false OR
         // null-valued (missing fields match) — null-safe negation required
-        case "$nor" => !coalesce(combine(e.getValue, schema, _ || _), lit(false))
+        case "$nor" => !coalesce(combine(e.getValue, schema, _ || _, lit(false)), lit(false))
         case "$not" => !coalesce(compileNode(e.getValue, schema), lit(false))
         case "$expr" => compileExpr(e.getValue)
         case "$text" => compileText(e.getValue)
@@ -84,12 +84,12 @@ object MongoFilter {
   }
 
   private def combine(arr: JsonNode, schema: Option[StructType],
-                      op: (Column, Column) => Column): Column = {
+                      op: (Column, Column) => Column, identity: Column): Column = {
     require(arr.isArray, s"$$and/$$or/$$nor take an array, got: $arr")
-    // Mongo rejects empty $and/$or; be permissive: empty-AND = true,
-    // empty-OR = false (the respective fold identities)
+    // Mongo rejects empty $and/$or; be permissive with the proper fold
+    // identities: empty-AND = true, empty-OR = false
     arr.elements().asScala.map(compileNode(_, schema)).reduceOption(op)
-      .getOrElse(lit(true))
+      .getOrElse(identity)
   }
 
   /** One field → value-or-operator-doc. */

@@ -64,21 +64,21 @@ trait Store {
     proj.distinct()
   }
 
-  private def resolvePath(d: DataFrame, path: String): Boolean =
+  /** Resolve a dot-path against the schema (None = absent). */
+  private def pathType(d: DataFrame, path: String)
+      : Option[org.apache.spark.sql.types.DataType] =
     scala.util.Try {
       path.split('.').foldLeft(d.schema: org.apache.spark.sql.types.DataType) {
         case (s: org.apache.spark.sql.types.StructType, p) => s(p).dataType
         case (other, _) => throw new IllegalArgumentException(s"$other has no $path")
       }
-    }.isSuccess
+    }.toOption
+
+  private def resolvePath(d: DataFrame, path: String): Boolean =
+    pathType(d, path).isDefined
 
   private def fieldIsArray(d: DataFrame, path: String): Boolean =
-    scala.util.Try {
-      path.split('.').foldLeft(d.schema: org.apache.spark.sql.types.DataType) {
-        case (s: org.apache.spark.sql.types.StructType, p) => s(p).dataType
-        case (other, _) => other
-      }
-    }.toOption.exists(_.isInstanceOf[ArrayType])
+    pathType(d, path).exists(_.isInstanceOf[ArrayType])
 
   /** Approximate-distinct extension (SURVEY S4 note): HyperLogLog++
     * cardinality — one pass, constant memory, no shuffle of values. */

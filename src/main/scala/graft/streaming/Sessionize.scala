@@ -40,16 +40,33 @@ object Sessionize {
             state.remove()
             Iterator(Session(user, s.count, s.sum, s.start, s.last))
           } else {
-            val prev = state.getOption.getOrElse(
-              SessionState(0L, 0.0, Long.MaxValue, 0L))
-            val next = evs.foldLeft(prev) { (s, e) =>
+            // fold in event-time order, CLOSING a session whenever the
+            // gap to the previous event exceeds gapMs — new data for a
+            // key suppresses its timeout callback, so the gap check must
+            // also happen here or sessions would merge across gaps
+            // (matching sessionsBatch, the oracle twin)
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            val start = state.getOption
+            val open = sorted.foldLeft(start) { (acc, e) =>
               val t = e.ts.getTime
-              SessionState(s.count + 1, s.sum + e.value,
-                math.min(s.start, t), math.max(s.last, t))
+              acc match {
+                case Some(s) if t - s.last > gapMs =>
+                  closed += Session(user, s.count, s.sum, s.start, s.last)
+                  Some(SessionState(1L, e.value, t, t))
+                case Some(s) =>
+                  Some(SessionState(s.count + 1, s.sum + e.value,
+                    math.min(s.start, t), math.max(s.last, t)))
+                case None => Some(SessionState(1L, e.value, t, t))
+              }
             }
-            state.update(next)
-            state.setTimeoutTimestamp(next.last + gapMs)
-            Iterator.empty
+            open match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + gapMs)
+              case None => state.remove()
+            }
+            closed.iterator
           }
       }
   }

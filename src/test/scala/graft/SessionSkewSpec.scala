@@ -38,6 +38,27 @@ class SessionSkewSpec extends SparkSpec {
     assert(rows.contains((1L, 2L, 5.0)) && rows.contains((2L, 1L, 1.0)))
   }
 
+  test("streaming sessionization: gap WITHIN a batch splits sessions (matches batch twin)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val stream = MemoryStream[Sessionize.Event]
+    val out = Sessionize.sessions(stream.toDS(), gapMs = 500)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_gap").start()
+    // one batch, one user, a 48.8s gap between events -> two sessions
+    stream.addData(
+      Sessionize.Event(1L, ts(1000L), 2.0), Sessionize.Event(1L, ts(1200L), 3.0),
+      Sessionize.Event(1L, ts(50000L), 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT n_events, total FROM sessions_gap ORDER BY start_millis")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // first session closed immediately by the in-batch gap
+    assert(rows.toSeq === Seq((2L, 5.0)))
+  }
+
   test("batch sessionization: gap splits sessions (window algebra)") {
     val s = spark; import s.implicits._
     val ts = (ms: Long) => new java.sql.Timestamp(ms)

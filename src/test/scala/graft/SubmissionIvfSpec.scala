@@ -45,4 +45,26 @@ class SubmissionIvfSpec extends SparkSpec {
       .agg(max("rank").alias("mr"), count(lit(1)).alias("n")).collect()
     ranks.foreach(r => assert(r.getAs[Int]("mr") === r.getAs[Long]("n")))
   }
+
+  test("SubmissionStore: in-batch duplicates and null duplicate-fields rejected") {
+    val s = spark; import s.implicits._
+    val inner = new MemoryStore(spark, "subs2", key = "submission_id")
+    val st = new SubmissionStore(inner, duplicateFields = Seq("formula", "author"))
+    // same (formula, author) twice in ONE batch -> one accepted
+    val (a1, r1) = st.submit(Seq(("Fe2O3", "ada"), ("Fe2O3", "ada")).toDF("formula", "author"))
+    assert(a1 === 1 && r1 === 1)
+    // null field values are duplicate-significant (null-safe matching)
+    val (a2, r2) = st.submit(Seq(("X", null), ("X", null)).toDF("formula", "author"))
+    assert(a2 === 1 && r2 === 1)
+    val (a3, r3) = st.submit(Seq(("X", null)).toDF("formula", "author"))
+    assert(a3 === 0 && r3 === 1)
+  }
+
+  test("empty $or matches nothing; empty $and matches all; $nor [] matches all") {
+    val s = spark; import s.implicits._
+    val df = Seq(1, 2, 3).toDF("a")
+    assert(graft.query.MongoFilter(df, """{"$or": []}""").count() === 0)
+    assert(graft.query.MongoFilter(df, """{"$and": []}""").count() === 3)
+    assert(graft.query.MongoFilter(df, """{"$nor": []}""").count() === 3)
+  }
 }
