@@ -75,6 +75,29 @@ class MapBuilder(
     cols.join(pendingKeys(), Seq(source.key), "left_semi")
   }
 
+  /** `prechunk(n)` analogue (reference `core/builder.py:55-72`,
+    * `map_builder.py:88-98`): split the pending delta into n disjoint
+    * criteria for external work distribution. The reference materializes
+    * the key list and emits `$in` chunks; here the split is range-based
+    * from approximate quantiles of the pending key column — O(n)
+    * driver memory instead of O(keys). Numeric keys only (range
+    * semantics); each returned JSON is a valid `criteria` for a scoped
+    * builder run, and their union covers the delta exactly. */
+  def prechunk(n: Int): Seq[String] = {
+    require(n > 0, "prechunk needs n > 0")
+    val keys = pendingKeys()
+    val cuts = keys.stat.approxQuantile(source.key,
+      (1 until n).map(_.toDouble / n).toArray, 0.001).distinct.sorted
+    val bounds: Seq[Option[Double]] = (None +: cuts.toSeq.map(Option(_))) :+ None
+    bounds.sliding(2).map {
+      case Seq(None, None)        => "{}"
+      case Seq(None, Some(hi))    => s"""{"${source.key}": {"$$lt": $hi}}"""
+      case Seq(Some(lo), None)    => s"""{"${source.key}": {"$$gte": $lo}}"""
+      case Seq(Some(lo), Some(hi)) =>
+        s"""{"${source.key}": {"$$gte": $lo, "$$lt": $hi}}"""
+    }.toSeq
+  }
+
   def run(): BuildReport = {
     val items = pendingItems()
     val out = transform match {

@@ -168,4 +168,14 @@ class BuilderSpec extends SparkSpec {
     assert(new GroupBuilder(src, tgt, Seq("a"), Seq(count(lit(1)).alias("n")))
       .pendingIds().count() === 0)
   }
+
+  test("prechunk(2) splits the delta into disjoint covering criteria (test_copy_builder.py:137-144)") {
+    val (src, _, tgt) = fixtures()
+    val chunks = CopyBuilder(src, tgt).prechunk(2)
+    assert(chunks.size === 2)
+    // per-chunk scoped builds cover the whole delta exactly once
+    chunks.foreach(c => CopyBuilder(src, tgt, criteria = Some(c)).run())
+    assert(tgt.count() === 20)
+    assert(CopyBuilder(src, tgt).pendingKeys().count() === 0)
+  }
 }
