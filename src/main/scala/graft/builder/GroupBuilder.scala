@@ -51,7 +51,11 @@ class GroupBuilder(
 
     var pending = srcKeys.join(processed, Seq(source.key), "left_anti")
 
-    // newer_in fast path: docs updated since the target's high watermark
+    // newer_in fast path: docs updated since the target's GLOBAL high
+    // watermark — reference-faithful (group_builder.py:183-212 uses the
+    // same store-level watermark): an update whose lu is out-of-order
+    // below the global max is missed, exactly as in the reference; use
+    // MapBuilder's exhaustive per-key delta when that matters
     target.lastUpdated.foreach { lu =>
       val updated = scopedSource
         .filter(col(source.lastUpdatedField) > lit(lu))

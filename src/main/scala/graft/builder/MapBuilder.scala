@@ -113,7 +113,12 @@ class MapBuilder(
         keyed
           .withColumn("state", lit("successful"))
           .withColumn("_bt", current_timestamp())
-      case Right(docFn) => docTransform(items, docFn)
+      case Right(docFn) =>
+        // materialize once: the user fn must run exactly one time per row
+        // (schema inference + two counts + the write would otherwise
+        // re-execute it, and a nondeterministic/timing-out fn could make
+        // the report disagree with what is written)
+        docTransform(items, docFn).localCheckpoint(true)
     }
     val processed = out.count()
     val failed =
@@ -150,13 +155,21 @@ class MapBuilder(
 
     val outJson: Dataset[String] = inJson.map { doc =>
       val t0 = System.nanoTime()
-      val res = Try(TimeLimited(fn, doc, tMs))
-      val dt = (System.nanoTime() - t0) / 1e9
       val mapper = MapBuilder.mapper
+      // parse of the fn's output belongs INSIDE the Try: malformed JSON
+      // from one row must become a failed doc, not a task failure
+      val res = Try {
+        val outDoc = TimeLimited(fn, doc, tMs)
+        mapper.readTree(outDoc) match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+          case other => throw new IllegalArgumentException(
+            s"doc function must return a JSON object, got: ${String.valueOf(other).take(80)}")
+        }
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
       val inNode = mapper.readTree(doc)
       res match {
-        case scala.util.Success(outDoc) =>
-          val node = mapper.readTree(outDoc).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        case scala.util.Success(node) =>
           node.set[com.fasterxml.jackson.databind.JsonNode](tgtKey, inNode.get(keyName))
           if (inNode.has(luName)) node.set[com.fasterxml.jackson.databind.JsonNode](luName, inNode.get(luName))
           node.put("state", "successful")
@@ -225,6 +238,11 @@ private[builder] object TimeLimited {
     catch {
       case e: java.util.concurrent.TimeoutException =>
         fut.cancel(true)
+        // evict this worker: if the fn ignores interruption it would
+        // occupy the single thread and cascade timeouts onto every
+        // subsequent row; a fresh executor is created for the next call
+        pool.remove(Thread.currentThread().getId)
+        exec.shutdownNow()
         throw new RuntimeException(s"process timed out after ${timeoutMs}ms")
       case e: java.util.concurrent.ExecutionException => throw e.getCause
     }

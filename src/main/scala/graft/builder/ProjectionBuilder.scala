@@ -42,9 +42,14 @@ class ProjectionBuilder(
   private def side(sp: SourceProjection, idx: Int): Sided = {
     val base = sp.criteria.map(c => MongoFilter(sp.store.df, c)).getOrElse(sp.store.df)
     val all = base.columns.toSeq.filterNot(c => c == sp.store.key || c == sp.store.lastUpdatedField)
+    // renames REPLACE identity picks of the same output name (dict-form
+    // semantics, projection_builder.py:141-184) — a collision would emit
+    // two identically-aliased internal columns
+    val identity =
+      (if (sp.fields.nonEmpty) sp.fields.map(f => f -> f) else all.map(c => c -> c))
+        .filterNot { case (out, _) => sp.renames.contains(out) }
     val picks: Seq[(String, String)] =  // (outName, srcCol)
-      (if (sp.fields.nonEmpty) sp.fields.map(f => f -> f) else all.map(c => c -> c)) ++
-        sp.renames.toSeq.map { case (nw, old) => nw -> old }
+      identity ++ sp.renames.toSeq.map { case (nw, old) => nw -> old }
     val outNames = picks.map(_._1).distinct
     val proj = base.select(
       (col(sp.store.key).alias("__key") +:

@@ -102,11 +102,19 @@ object MongoFilter {
     } else eqMatch(field, v, schema)
   }
 
+  /** Is the (dot-path) field absent from a KNOWN schema? Mongo treats a
+    * missing field as null-valued: `{missing: null}` matches every doc,
+    * `{missing: v}` none, negative operators match all. Without a schema
+    * we cannot tell and let resolution fail loudly. */
+  private def absent(schema: Option[StructType], field: String): Boolean =
+    schema.isDefined && !hasPath(schema.get, field)
+
   /** Implicit equality; on array-typed fields Mongo matches containment. */
   private def eqMatch(field: String, v: JsonNode,
                       schema: Option[StructType]): Column = {
     val c = col(field)
-    if (v.isNull) c.isNull
+    if (absent(schema, field)) { if (v.isNull) lit(true) else lit(false) }
+    else if (v.isNull) c.isNull
     else fieldType(schema, field) match {
       case Some(_: ArrayType) if !v.isArray => array_contains(c, lit(literal(v)))
       case _ => c === lit(literal(v))
@@ -116,9 +124,25 @@ object MongoFilter {
   private def compileOp(field: String, op: String, v: JsonNode,
                         schema: Option[StructType]): Column = {
     val c = col(field)
+    // missing field ≡ null value: positive comparisons match nothing,
+    // negative ones everything ($exists has its own handling below)
+    if (absent(schema, field) && op != "$exists")
+      return op match {
+        case "$ne" | "$nin" | "$not" => lit(true)
+        case "$eq" => eqMatch(field, v, schema)
+        case _ => lit(false)
+      }
     op match {
       case "$eq"  => eqMatch(field, v, schema)
-      case "$ne"  => if (v.isNull) c.isNotNull else !(c <=> lit(literal(v)))
+      case "$ne"  =>
+        if (v.isNull) c.isNotNull
+        else fieldType(schema, field) match {
+          // array field: containment-negation (dual of $eq); null/missing
+          // arrays match (they contain nothing)
+          case Some(_: ArrayType) if !v.isArray =>
+            !coalesce(array_contains(c, lit(literal(v))), lit(false))
+          case _ => !(c <=> lit(literal(v)))
+        }
       case "$gt"  => c > lit(literal(v))
       case "$gte" => c >= lit(literal(v))
       case "$lt"  => c < lit(literal(v))
@@ -134,7 +158,9 @@ object MongoFilter {
       case "$nin" =>
         val vs = values(v)
         fieldType(schema, field) match {
-          case Some(_: ArrayType) => !arrays_overlap(c, array(vs.map(lit): _*))
+          case Some(_: ArrayType) =>
+            // null arrays overlap nothing → they match $nin
+            !coalesce(arrays_overlap(c, array(vs.map(lit): _*)), lit(false))
           case _ => !c.isin(vs: _*) || c.isNull
         }
       case "$exists" =>

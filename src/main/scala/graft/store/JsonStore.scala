@@ -26,8 +26,18 @@ class JsonStore(
 
   private var overlay: Option[DataFrame] = None  // post-update contents
 
+  /** Durable write-back location (reference rewrites the source file on
+    * every update when writable, `stores/mongolike.py:743-766`; we write
+    * a JSONL sibling instead of mutating the input mid-lineage — a
+    * reopened store reads it in preference to the originals). */
+  private def overlayDir = paths.head + ".graft"
+
+  private def overlayExists: Boolean =
+    new java.io.File(overlayDir, "_SUCCESS").exists()
+
   private def raw: DataFrame =
-    spark.read.option("multiLine", multiLine).json(paths: _*)
+    if (overlayExists) spark.read.json(overlayDir)
+    else spark.read.option("multiLine", multiLine).json(paths: _*)
 
   /** Unwrap BSON extended-JSON: `{f: {"$date": iso}}` → timestamp column,
     * `{f: {"$oid": hex}}` → string (reference `stores/mongolike.py:719`,
@@ -47,27 +57,28 @@ class JsonStore(
     }
   }
 
+  private def persist(next: DataFrame): Unit = {
+    val snap = next.localCheckpoint(true) // sever lineage from overlayDir
+    overlay = Some(snap)
+    snap.coalesce(1).write.mode(SaveMode.Overwrite).json(overlayDir)
+  }
+
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {
     require(!readOnly, s"JsonStore $name is read-only")
-    val next = Store.upsertPlan(df, docs, keyFields).localCheckpoint(true)
-    overlay = Some(next)
-    // write-back (reference updates the file on every update when writable,
-    // `stores/mongolike.py:743-766`); JSONL, single file per store dir
-    next.coalesce(1).write.mode(SaveMode.Overwrite).json(paths.head + ".out")
+    persist(Store.upsertPlan(df, docs, keyFields))
   }
 
   override def removeDocs(criteria: String): Unit = {
     require(!readOnly, s"JsonStore $name is read-only")
     val t = df
-    overlay = Some(t.filter(!coalesce(
-      graft.query.MongoFilter.compile(criteria, Some(t.schema)), lit(false)))
-      .localCheckpoint(true))
+    persist(t.filter(!coalesce(
+      graft.query.MongoFilter.compile(criteria, Some(t.schema)), lit(false))))
   }
 
   override def removeKeys(keys: DataFrame): Unit = {
     require(!readOnly, s"JsonStore $name is read-only")
-    overlay = Some(df.join(keys.select(col(keys.columns.head).alias(key)),
-      Seq(key), "left_anti").localCheckpoint(true))
+    persist(df.join(keys.select(col(keys.columns.head).alias(key)),
+      Seq(key), "left_anti"))
   }
 }
 

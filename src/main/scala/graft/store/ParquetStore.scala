@@ -53,10 +53,17 @@ class ParquetStore(
     out.write.mode(SaveMode.Overwrite).parquet(s"$root/$next")
     val old = currentVersion
     Files.writeString(currentFile, next)
-    old.foreach { v =>  // GC the previous version
-      val p = Paths.get(root, v)
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    // GC: keep the immediately-previous version so plans captured before
+    // this write (and concurrent readers of it) stay scannable; only the
+    // grandparent generation is deleted. A long-lived plan two writes
+    // behind can still fail — snapshot with localCheckpoint for that.
+    old.foreach { v =>
+      val keep = Set(next, v)
+      Files.list(Paths.get(root)).forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("v_") && !keep.contains(name))
+          Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+      }
     }
   }
 

@@ -124,6 +124,11 @@ trait Store {
     */
   def newerIn(target: Store, criteria: Option[String] = None,
               exhaustive: Boolean = true): DataFrame = {
+    // an uninitialized schema-on-write target has nothing newer: empty
+    // delta with the right column name (guard BEFORE resolving columns)
+    if (!target.df.columns.contains(target.key) ||
+        !target.df.columns.contains(target.lastUpdatedField))
+      return spark.range(0).select(col("id").alias(target.key))
     val tgt0 = criteria.map(c => MongoFilter(target.df, c)).getOrElse(target.df)
     val tgt = tgt0.select(col(target.key).alias("k"),
                           col(target.lastUpdatedField).alias("t_lu"))

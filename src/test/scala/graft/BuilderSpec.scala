@@ -178,4 +178,16 @@ class BuilderSpec extends SparkSpec {
     assert(tgt.count() === 20)
     assert(CopyBuilder(src, tgt).pendingKeys().count() === 0)
   }
+
+  test("ProjectionBuilder: rename replaces identity pick of the same name (no ambiguity)") {
+    val s = spark; import s.implicits._
+    val s1 = new MemoryStore(spark, "s1", key = "k", lastUpdatedField = "lu")
+    s1.load(Seq((1L, "va", "vb", now)).toDF("k", "a", "b", "lu"))
+    val tgt = new MemoryStore(spark, "tgt", key = "k", lastUpdatedField = "lu")
+    // take all fields, but output "a" should come from column b
+    new ProjectionBuilder(Seq(
+      SourceProjection(s1, renames = Map("a" -> "b"))), tgt).run()
+    val r = tgt.query("""{"k": 1}""").collect()(0)
+    assert(r.getAs[String]("a") === "vb" && r.getAs[String]("b") === "vb")
+  }
 }

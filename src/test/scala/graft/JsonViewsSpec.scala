@@ -91,4 +91,39 @@ class JsonViewsSpec extends SparkSpec {
     assert(row.getAs[org.apache.spark.sql.Row]("oth").getAs[String]("ov") === "o1")
     assert(row.getAs[java.sql.Timestamp]("_joint_last_updated") === t2)
   }
+
+  test("JsonStore writable: update/remove persist durably across reopen") {
+    val dir = Files.createTempDirectory("jsonw").toString
+    Files.writeString(Paths.get(s"$dir/a.json"),
+      """[{"task_id": 1, "v": "x"}, {"task_id": 2, "v": "y"}]""")
+    val s = spark; import s.implicits._
+    val st = new JsonStore(spark, Seq(s"$dir/a.json"), key = "task_id", readOnly = false)
+    st.update(Seq((2L, "y2"), (3L, "z")).toDF("task_id", "v"))
+    st.removeDocs("""{"task_id": 1}""")
+    // reopen from disk: writes must survive the instance
+    val st2 = new JsonStore(spark, Seq(s"$dir/a.json"), key = "task_id", readOnly = false)
+    assert(st2.count() === 2)
+    assert(st2.query("""{"task_id": 2}""").collect()(0).getAs[String]("v") === "y2")
+  }
+
+  test("missing-field semantics: {missing: null} matches all, positive ops none, negative all") {
+    val s = spark; import s.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    import graft.query.MongoFilter
+    assert(MongoFilter(df, """{"nope": null}""").count() === 2)
+    assert(MongoFilter(df, """{"nope": "x"}""").count() === 0)
+    assert(MongoFilter(df, """{"nope": {"$gt": 5}}""").count() === 0)
+    assert(MongoFilter(df, """{"nope": {"$ne": "x"}}""").count() === 2)
+    assert(MongoFilter(df, """{"nope": {"$nin": ["x"]}}""").count() === 2)
+  }
+
+  test("$ne / $nin on array fields: containment-negation incl. null arrays") {
+    val s = spark; import s.implicits._
+    val df = Seq((1, Seq("a", "b")), (2, Seq("c")), (3, null)).toDF("k", "tags")
+    import graft.query.MongoFilter
+    assert(MongoFilter(df, """{"tags": {"$ne": "a"}}""")
+      .select("k").collect().map(_.getInt(0)).toSet === Set(2, 3))
+    assert(MongoFilter(df, """{"tags": {"$nin": ["a", "c"]}}""")
+      .select("k").collect().map(_.getInt(0)).toSet === Set(3))
+  }
 }
