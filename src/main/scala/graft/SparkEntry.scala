@@ -102,6 +102,13 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "s4b_distinct_array" -> ((s, dir) => {
+      // distinct over an array field unravels it (mongolike.py:176-181)
+      val df = t(s, dir, "documents").withColumn("toks", split(col("text"), " "))
+      val store = new TableStore(s, df, "docs", "doc_id")
+      store.distinct("toks").orderBy("toks")
+    }),
+
     "s5_groupby" -> ((s, dir) => {
       val store = new TableStore(s, t(s, dir, "orders"), "orders", "o_orderkey", "o_orderdate")
       store.groupby(Seq("o_orderstatus", "o_orderpriority"))
@@ -521,6 +528,9 @@ object SparkEntry {
          "WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_discount <= 0.05"),
       "s4_distinct" ->
         "SELECT DISTINCT c_mktsegment FROM customer WHERE c_acctbal > 0 ORDER BY 1",
+      "s4b_distinct_array" ->
+        ("SELECT DISTINCT t.tok AS toks FROM documents, " +
+         "UNNEST(string_split(text, ' ')) AS t(tok) ORDER BY 1"),
       "s5_groupby" ->
         ("SELECT o_orderstatus, o_orderpriority, count(*) AS n_docs FROM orders " +
          "GROUP BY 1, 2 ORDER BY 1, 2"),

@@ -86,4 +86,20 @@ class MongoFilterSpec extends SparkSpec {
       .select("l_orderkey").queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_quantity"))
   }
+
+  test("API operators: validation errors (400 analogues)") {
+    import graft.api._
+    intercept[ApiError] { new PaginationQuery().query(Map("_limit" -> "5000")) }
+    intercept[ApiError] { new PaginationQuery().query(Map("_page" -> "-1")) }
+    intercept[ApiError] { new PaginationQuery().query(Map("_page" -> "x")) }
+    intercept[ApiError] {
+      new SortQuery(allowed = Set("a")).query(Map("_sort_fields" -> "b"))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("n", LongType)))
+    intercept[ApiError] { new DynamicQuery(schema).query(Map("n_min" -> "abc")) }
+    // defaults: no params -> default page size
+    val qp = new PaginationQuery().query(Map.empty)
+    assert(qp.limit === Some(100) && qp.skip === 0)
+  }
 }
