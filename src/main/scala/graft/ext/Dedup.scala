@@ -64,17 +64,18 @@ object Dedup {
       .filter(col("n") > 1)
 
   /** MinHash signatures: one row per doc, `sig` = array of k minhashes.
-    * Hash family = `xxhash64(j, shingle)` for j ∈ [0, k) — k independent
-    * 64-bit functions, all codegen'd. One groupBy, k min-aggregates. */
+    * Hash family = seeded XxHash64 (seed = component index). One native
+    * sketch aggregate ([[graft.functions.MinHashAgg]]) — a single k-long
+    * buffer per group updated in place, with map-side partial merge, in
+    * place of k parallel min-agg slots. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
     // no distinct: min over a multiset equals min over its set — skips a
     // full shuffle of the exploded shingle table
     val sh = shingleDF(df, idCol, textCol, shingleSize, distinct = false)
-    val mins = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("shingle"))).alias(s"h$j"))
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(j => col(s"h$j")): _*).alias("sig"))
+    sh.groupBy(col("id")).agg(
+      graft.functions.MinHashAgg.sketch(df.sparkSession, col("shingle"), numHashes)
+        .alias("sig"))
   }
 
   /** 3. MinHash + LSH near-duplicate pairs.

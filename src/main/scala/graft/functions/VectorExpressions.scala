@@ -142,7 +142,8 @@ object GraftFunctions {
     "zlib_deflate" -> (es => ZlibDeflate(es(0))),
     "zlib_inflate" -> (es => ZlibInflate(es(0))),
     "gzip_compress" -> (es => GzipCompress(es(0))),
-    "gzip_decompress" -> (es => GzipDecompress(es(0))))
+    "gzip_decompress" -> (es => GzipDecompress(es(0))),
+    "graft_minhash" -> (es => MinHashAgg.build(es)))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")

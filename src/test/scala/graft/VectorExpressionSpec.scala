@@ -63,4 +63,24 @@ class VectorExpressionSpec extends SparkSpec {
     assert(out(0).getAs[Int]("zlen") < out(0).getAs[Int]("blen")) // it compresses
     assert(out(1).getAs[Array[Byte]]("z").length === 0)
   }
+
+  test("MinHashAgg sketch: partition-invariant, componentwise-min semantics") {
+    val s = spark; import s.implicits._
+    GraftFunctions.register(spark)
+    val rows = (1 to 200).map(i => (i % 5L, s"shingle-$i"))
+    val df1 = rows.toDF("id", "sh").repartition(1)
+    val df8 = rows.toDF("id", "sh").repartition(8)
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("id").agg(expr("graft_minhash(sh, 16)").alias("sig"))
+        .orderBy("id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val a = sigs(df1); val b = sigs(df8)
+    assert(a === b)                      // merge is order/partition invariant
+    assert(a(0L).length === 16)
+    // componentwise: sketch of a superset is <= elementwise
+    val sup = ((1 to 200) ++ (201 to 300)).map(i => (0L, s"shingle-$i")).toDF("id", "sh")
+    val supSig = sigs(sup)(0L)
+    val baseAll = sigs(rows.map(r => (0L, r._2)).toDF("id", "sh"))(0L)
+    supSig.zip(baseAll).foreach { case (x, y) => assert(x <= y) }
+  }
 }
