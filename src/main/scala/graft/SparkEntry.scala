@@ -508,7 +508,10 @@ object SparkEntry {
 
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.pack(t(s, dir, "documents"), "doc_id", col("text"), "image"))
+        Multimodal.pack(t(s, dir, "documents").filter(length(col("text")) > 0),
+          "doc_id", col("text"), "image"))
+        .select((col("media_id") +:
+          (0 until 8).map(j => element_at(col("feature"), j + 1).alias(s"f$j"))): _*)
         .orderBy("media_id"))
   )
 
@@ -725,9 +728,13 @@ object SparkEntry {
          "FROM capped x JOIN capped y ON x.shingle = y.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
          "SELECT a, b, round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard " +
          "FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b " +
-         "WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5 ORDER BY 1, 2")
-      // dedup_minhash_lsh / dedup_simhash / sim_lsh_topk / mm_features:
-      // engine-specific hash-family / LSH / binary-kernel semantics are not
+         "WHERE CAST(c AS DOUBLE) / (sa.sz + sb.sz - c) >= 0.5 ORDER BY 1, 2"),
+      // the stub decode kernel is position-residue byte sums — ANSI-
+      // expressible over the (all-ASCII) documents corpus
+      "mm_features" ->
+        "SELECT doc_id AS media_id, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=0 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f0, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=1 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f1, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=2 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f2, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=3 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f3, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=4 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f4, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=5 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f5, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=6 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f6, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=7 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f7 FROM documents, UNNEST(range(1, length(text)+1)) AS u(n) WHERE length(text) > 0 GROUP BY 1 ORDER BY 1",
+      // dedup_minhash_lsh / dedup_simhash / sim_lsh_topk / sim_ivf_topk:
+      // engine-specific hash-family / LSH semantics are not
       // ANSI-expressible → rows-only checks.
     )
   }
