@@ -733,9 +733,27 @@ object SparkEntry {
       // expressible over the (all-ASCII) documents corpus
       "mm_features" ->
         "SELECT doc_id AS media_id, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=0 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f0, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=1 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f1, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=2 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f2, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=3 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f3, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=4 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f4, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=5 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f5, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=6 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f6, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=7 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f7 FROM documents, UNNEST(range(1, length(text)+1)) AS u(n) WHERE length(text) > 0 GROUP BY 1 ORDER BY 1",
-      // dedup_minhash_lsh / dedup_simhash / sim_lsh_topk / sim_ivf_topk:
-      // engine-specific hash-family / LSH semantics are not
-      // ANSI-expressible → rows-only checks.
+      // the hyperplane constants are deterministic (fixed-seed JVM
+      // Gaussian) — inline them so the oracle replays the exact LSH:
+      // signature bits from sign of list_dot_product, candidates by
+      // hamming(bit_count∘xor) ≤ 1, exact cosine rerank
+      "sim_lsh_topk" -> {
+        val planes = graft.ext.Similarity.hyperplanes(64, 12)
+        def sig(a: String) = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product(CAST($a.embedding AS DOUBLE[]), " +
+            p.mkString("[", ",", "]") + s") >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+        "SELECT q_id, rank, n_id, sim FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
+          "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim, " +
+          "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+          "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, c.vec_id) AS rank " +
+          "FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id " +
+          s"AND bit_count(xor(${sig("q")}, ${sig("c")})) <= 1) " +
+          "WHERE rank <= 5 ORDER BY q_id, rank"
+      }
+      // dedup_minhash_lsh / dedup_simhash / sim_ivf_topk: engine-specific
+      // hash-family (xxhash64) / quantizer semantics not reproducible in
+      // the oracle engine → rows-only checks.
     )
   }
 }
