@@ -463,8 +463,9 @@ object SparkEntry {
         .select(col("fp"), col("n"), col("keep")).orderBy("fp")),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
+      // md5 hash family: byte-replayable in the DuckDB oracle
       Dedup.minhashLsh(nearDupCorpus(s, dir), "doc_id", "text",
-        numHashes = 64, bands = 16, threshold = 0.5)
+        numHashes = 64, bands = 16, threshold = 0.5, family = "md5")
         .orderBy("a", "b")),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -750,10 +751,38 @@ object SparkEntry {
           "FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id " +
           s"AND bit_count(xor(${sig("q")}, ${sig("c")})) <= 1) " +
           "WHERE rank <= 5 ORDER BY q_id, rank"
+      },
+      // the md5-family MinHash is byte-replayable: 60-bit md5-prefix
+      // hashes, 64 min-aggs, 16 band buckets, hot-bucket cap, sig-match
+      // verification — all regenerated as SQL from the same parameters
+      "dedup_minhash_lsh" -> {
+        def H(seed: String, v: String) =
+          s"CAST(('0x' || substr(md5($seed || ':' || $v), 1, 15)) AS BIGINT)"
+        val sigCols = (0 until 64).map(j => s"min(${H(j.toString, "shingle")}) AS h$j").mkString(", ")
+        val bandSelects = (0 until 16).map { b =>
+          val comps = (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)")
+            .mkString(" || ',' || ")
+          s"SELECT doc_id, $b AS band, ${H(b.toString, s"($comps)")} AS bucket FROM sigs"
+        }.mkString(" UNION ALL ")
+        val estSum = (0 until 64).map(j =>
+          s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+        "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 1000000, text || ' zzz near dup suffix' FROM documents WHERE doc_id % 10 = 0), " +
+          "toks AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM corpus), " +
+          "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[n], tk[n+1], tk[n+2]) AS shingle " +
+          "FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(n) WHERE len(tk) >= 3 " +
+          "UNION SELECT DISTINCT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 3), " +
+          s"sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id), " +
+          s"banded AS ($bandSelects), " +
+          "capped AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000), " +
+          "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x " +
+          "JOIN capped y USING (band, bucket) WHERE x.doc_id < y.doc_id) " +
+          s"SELECT a, b, round(($estSum) / 64.0, 4) AS est_jaccard FROM cand " +
+          "JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b " +
+          s"WHERE ($estSum) / 64.0 >= 0.5 ORDER BY 1, 2"
       }
-      // dedup_minhash_lsh / dedup_simhash / sim_ivf_topk: engine-specific
-      // hash-family (xxhash64) / quantizer semantics not reproducible in
-      // the oracle engine → rows-only checks.
+      // dedup_simhash / sim_ivf_topk: engine-specific hash family
+      // (xxhash64) not reproducible in the oracle engine → rows-only.
     )
   }
 }

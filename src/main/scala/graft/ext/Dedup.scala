@@ -22,6 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Seeded 64-bit hash families.
+    *  - `xxh64` (default): Spark's codegen'd XxHash64 — the fast engine
+    *    family.
+    *  - `md5`: 60-bit prefix of `md5("<seed>:<value>")` — slower, but
+    *    byte-replayable in any engine with md5 (used by the oracle
+    *    cross-checks; verified bit-identical against DuckDB).
+    */
+  private[graft] def seededHash(family: String, seed: Int, value: Column): Column =
+    family match {
+      case "xxh64" => xxhash64(lit(seed), value)
+      case "md5" => conv(substring(md5(
+          concat(lit(seed.toString), lit(":"), value).cast("binary")), 1, 15),
+          16, 10).cast("long")
+      case other => throw new IllegalArgumentException(s"unknown hash family: $other")
+    }
+
   /** Word n-gram shingles, normalized: distinct per doc.
     *
     * Tokenization is materialized as its own projection before the
@@ -76,13 +92,14 @@ object Dedup {
     *    default halves throughput; measured 2.4×).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, shingleSize: Int = 3): DataFrame = {
+                        numHashes: Int = 64, shingleSize: Int = 3,
+                        family: String = "xxh64"): DataFrame = {
     // no distinct: min over a multiset equals min over its set — skips a
     // full shuffle of the exploded shingle table
     val sh = shingleDF(df, idCol, textCol, shingleSize, distinct = false)
-    if (numHashes <= 64) {
+    if (numHashes <= 64 || family != "xxh64") {
       val mins = (0 until numHashes).map(j =>
-        min(xxhash64(lit(j), col("shingle"))).alias(s"h$j"))
+        min(seededHash(family, j, col("shingle"))).alias(s"h$j"))
       sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
         .select(col("id"),
           array((0 until numHashes).map(j => col(s"h$j")): _*).alias("sig"))
@@ -104,20 +121,21 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 64, bands: Int = 16,
                  shingleSize: Int = 3, threshold: Double = 0.7,
-                 maxBucketSize: Int = 1000): DataFrame = {
+                 maxBucketSize: Int = 1000, family: String = "xxh64"): DataFrame = {
     val rows = numHashes / bands
     // sigs are used twice (banding + verification): persist the small
     // signature table instead of recomputing the shingle pipeline. At
     // cluster scale this is the "write signatures once" staging table.
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize, family)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band buckets carry ONLY (id, band, bucket) — the 8-byte-per-column
     // shape keeps the bucket shuffle and self-join narrow; the 64-long
     // signature arrays never enter a shuffle
-    val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * lit(rows) + 1, lit(rows))), b))))
+    val bandExprs = (0 until bands).map { b =>
+      seededHash(family, b, concat_ws(",",
+        transform(slice(col("sig"), b * rows + 1, rows), x => x.cast("string"))))
+    }
+    val banded = sigs.select(col("id"), posexplode(array(bandExprs: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // skew guard: drop boilerplate buckets larger than maxBucketSize.
     // Hash-agg (map-side partials) + broadcast anti-join of the tiny
