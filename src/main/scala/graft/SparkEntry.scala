@@ -469,7 +469,9 @@ object SparkEntry {
         .orderBy("a", "b")),
 
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxHamming = 3)
+      // md5 hash family: byte-replayable in the DuckDB oracle
+      Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxHamming = 3,
+        family = "md5")
         .orderBy("a", "b")),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -485,8 +487,9 @@ object SparkEntry {
 
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // md5 hash family for the centroid draw: oracle-replayable
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        nCentroids = 16, nprobe = 4)
+        nCentroids = 16, nprobe = 4, family = "md5")
         .orderBy("q_id", "rank")
     }),
 
@@ -780,9 +783,53 @@ object SparkEntry {
           s"SELECT a, b, round(($estSum) / 64.0, 4) AS est_jaccard FROM cand " +
           "JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b " +
           s"WHERE ($estSum) / 64.0 >= 0.5 ORDER BY 1, 2"
+      },
+      // md5-family SimHash replayed in SQL: weighted token-hash bit sums,
+      // 64-bit signature pack, 4x16-bit band candidates, hamming verify
+      "dedup_simhash" -> {
+        def H(seed: String, v: String) =
+          s"CAST(('0x' || substr(md5($seed || ':' || $v), 1, 15)) AS BIGINT)"
+        val bitSums = (0 until 64).map(i =>
+          s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN w ELSE -w END) AS b$i").mkString(", ")
+        val pack = (0 until 64).map(i =>
+          s"(CASE WHEN b$i > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)").mkString(" + ")
+        val bandSelects = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, (sig >> ${16 * b}) & 65535 AS bucket FROM sigs")
+          .mkString(" UNION ALL ")
+        "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+          "SELECT doc_id + 1000000, text || ' zzz near dup suffix' FROM documents WHERE doc_id % 10 = 0), " +
+          "toks AS (SELECT doc_id, t.tok FROM corpus, UNNEST(regexp_extract_all(lower(text), '\\S+')) AS t(tok)), " +
+          "wt AS (SELECT doc_id, tok, count(*) AS w FROM toks GROUP BY 1, 2), " +
+          s"hs AS (SELECT doc_id, w, ${H("0", "tok")} AS h FROM wt), " +
+          s"bits AS (SELECT doc_id, $bitSums FROM hs GROUP BY 1), " +
+          s"sigs AS (SELECT doc_id, ($pack) AS sig FROM bits), " +
+          s"banded AS ($bandSelects), " +
+          "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM banded x " +
+          "JOIN banded y USING (band, bucket) WHERE x.doc_id < y.doc_id) " +
+          "SELECT a, b, bit_count(xor(sa.sig, sb.sig)) AS hamming FROM cand " +
+          "JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b " +
+          "WHERE bit_count(xor(sa.sig, sb.sig)) <= 3 ORDER BY 1, 2"
+      },
+      // md5-family IVF replayed in SQL: hash-ordered centroid draw,
+      // nearest-centroid cells, nprobe probing, exact cosine rerank
+      "sim_ivf_topk" -> {
+        val H = "CAST(('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        val cs = "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[]))"
+        s"WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings " +
+          s"ORDER BY $H ASC, vec_id ASC LIMIT 16), " +
+          "cells AS (SELECT e.vec_id AS n_id, e.embedding AS n_vec, c.c_id AS cell " +
+          s"FROM embeddings e, cents c QUALIFY row_number() OVER (PARTITION BY e.vec_id " +
+          s"ORDER BY $cs DESC, c.c_id ASC) <= 1), " +
+          "probes AS (SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.c_id AS cell " +
+          s"FROM embeddings e, cents c WHERE e.vec_id < 10 QUALIFY row_number() OVER " +
+          s"(PARTITION BY e.vec_id ORDER BY $cs DESC, c.c_id ASC) <= 4) " +
+          "SELECT q_id, rank, n_id, sim FROM (SELECT p.q_id, cl.n_id, " +
+          "round(list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), CAST(cl.n_vec AS DOUBLE[])), 4) AS sim, " +
+          "row_number() OVER (PARTITION BY p.q_id ORDER BY " +
+          "list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), CAST(cl.n_vec AS DOUBLE[])) DESC, cl.n_id) AS rank " +
+          "FROM cells cl JOIN probes p USING (cell) WHERE cl.n_id <> p.q_id) " +
+          "WHERE rank <= 5 ORDER BY q_id, rank"
       }
-      // dedup_simhash / sim_ivf_topk: engine-specific hash family
-      // (xxhash64) not reproducible in the oracle engine → rows-only.
     )
   }
 }

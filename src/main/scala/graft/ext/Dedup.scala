@@ -162,11 +162,12 @@ object Dedup {
   /** 64-bit SimHash signature per doc: sign-sum over token-hash bits,
     * token multiplicity as weight. Pure expressions: 64 conditional-sum
     * aggregates reassembled with shifts. */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        family: String = "xxh64"): DataFrame = {
     val toks = df.select(col(idCol).alias("id"),
         explode(TextAnalysis.tokens(col(textCol))).alias("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).alias("w"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", seededHash(family, 0, col("tok")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w"))
         .otherwise(-col("w"))).alias(s"b$i")
@@ -182,8 +183,8 @@ object Dedup {
     * keys (any exact band match → candidate, guarantees recall for
     * hamming distance ≤ 3), verify with `bit_count(xor) <= maxHamming`. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, idCol, textCol)
+                   maxHamming: Int = 3, family: String = "xxh64"): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol, family)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>

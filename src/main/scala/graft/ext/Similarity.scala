@@ -108,13 +108,15 @@ object Similarity {
     * ~nprobe/nCentroids of the corpus instead of all of it. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding")
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              family: String = "xxh64")
       : DataFrame = {
     val w = Window.partitionBy(col("__rid")).orderBy(col("__csim").desc, col("c_id").asc)
     // deterministic pseudo-random centroid pick: one TakeOrdered pass by
     // id-hash — no global sort, no driver materialization
+    val centOrder = graft.ext.Dedup.seededHash(family, 0, col(idCol).cast("string"))
     val cents = broadcast(
-      corpus.orderBy(xxhash64(col(idCol)).asc, col(idCol).asc).limit(nCentroids)
+      corpus.orderBy(centOrder.asc, col(idCol).asc).limit(nCentroids)
         .select(col(idCol).alias("c_id"), col(vecCol).alias("c_vec")))
     def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
       df.select(col(id).alias("__rid"), col(vec).alias("__rvec"))
