@@ -463,9 +463,10 @@ object SparkEntry {
         .select(col("fp"), col("n"), col("keep")).orderBy("fp")),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
-      // md5 hash family: byte-replayable in the DuckDB oracle
+      // md5 hash family: byte-replayable in the DuckDB oracle; k=32 with
+      // two components per digest keeps the md5 count at 16/shingle
       Dedup.minhashLsh(nearDupCorpus(s, dir), "doc_id", "text",
-        numHashes = 64, bands = 16, threshold = 0.5, family = "md5")
+        numHashes = 32, bands = 16, threshold = 0.5, family = "md5")
         .orderBy("a", "b")),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -759,15 +760,18 @@ object SparkEntry {
       // hashes, 64 min-aggs, 16 band buckets, hot-bucket cap, sig-match
       // verification — all regenerated as SQL from the same parameters
       "dedup_minhash_lsh" -> {
+        val K = 32; val BANDS = 16; val ROWS = K / BANDS
         def H(seed: String, v: String) =
           s"CAST(('0x' || substr(md5($seed || ':' || $v), 1, 15)) AS BIGINT)"
-        val sigCols = (0 until 64).map(j => s"min(${H(j.toString, "shingle")}) AS h$j").mkString(", ")
-        val bandSelects = (0 until 16).map { b =>
-          val comps = (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)")
+        def H2(j: Int) =
+          s"CAST(('0x' || substr(md5('${j / 2}:' || shingle), ${1 + 16 * (j % 2)}, 15)) AS BIGINT)"
+        val sigCols = (0 until K).map(j => s"min(${H2(j)}) AS h$j").mkString(", ")
+        val bandSelects = (0 until BANDS).map { b =>
+          val comps = (0 until ROWS).map(r => s"CAST(h${b * ROWS + r} AS VARCHAR)")
             .mkString(" || ',' || ")
           s"SELECT doc_id, $b AS band, ${H(b.toString, s"($comps)")} AS bucket FROM sigs"
         }.mkString(" UNION ALL ")
-        val estSum = (0 until 64).map(j =>
+        val estSum = (0 until K).map(j =>
           s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
         "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
           "SELECT doc_id + 1000000, text || ' zzz near dup suffix' FROM documents WHERE doc_id % 10 = 0), " +
@@ -780,9 +784,9 @@ object SparkEntry {
           "capped AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000), " +
           "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x " +
           "JOIN capped y USING (band, bucket) WHERE x.doc_id < y.doc_id) " +
-          s"SELECT a, b, round(($estSum) / 64.0, 4) AS est_jaccard FROM cand " +
+          s"SELECT a, b, round(($estSum) / 32.0, 4) AS est_jaccard FROM cand " +
           "JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b " +
-          s"WHERE ($estSum) / 64.0 >= 0.5 ORDER BY 1, 2"
+          s"WHERE ($estSum) / 32.0 >= 0.5 ORDER BY 1, 2"
       },
       // md5-family SimHash replayed in SQL: weighted token-hash bit sums,
       // 64-bit signature pack, 4x16-bit band candidates, hamming verify

@@ -38,6 +38,16 @@ object Dedup {
       case other => throw new IllegalArgumentException(s"unknown hash family: $other")
     }
 
+  /** md5 family for minhash components: each digest yields TWO 60-bit
+    * values (hex chars 1-15 and 17-31) — md5 is the dominant cost of the
+    * replayable family, so component j uses digest j/2, half j%2. */
+  private def md5PairHash(j: Int, value: Column): Column = {
+    val digest = j / 2; val off = 1 + 16 * (j % 2)
+    conv(substring(md5(
+      concat(lit(digest.toString), lit(":"), value).cast("binary")), off, 15),
+      16, 10).cast("long")
+  }
+
   /** Word n-gram shingles, normalized: distinct per doc.
     *
     * Tokenization is materialized as its own projection before the
@@ -99,7 +109,8 @@ object Dedup {
     val sh = shingleDF(df, idCol, textCol, shingleSize, distinct = false)
     if (numHashes <= 64 || family != "xxh64") {
       val mins = (0 until numHashes).map(j =>
-        min(seededHash(family, j, col("shingle"))).alias(s"h$j"))
+        min(if (family == "md5") md5PairHash(j, col("shingle"))
+            else seededHash(family, j, col("shingle"))).alias(s"h$j"))
       sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
         .select(col("id"),
           array((0 until numHashes).map(j => col(s"h$j")): _*).alias("sig"))
