@@ -223,6 +223,25 @@ object SparkEntry {
         .select(col("s_suppkey")).orderBy("s_suppkey")
     }),
 
+    "join_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.ext.TemporalJoins.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, keys = Seq("user_id"), tsCol = "ts",
+        payload = Map("last_purchase_id" -> "event_id"))
+        .select(col("event_id"), col("user_id"), col("last_purchase_id"))
+        .orderBy("event_id")
+    }),
+
+    "join_range" -> ((s, dir) => {
+      val sampled = t(s, dir, "orders").filter(col("o_orderkey") % 100 === 0)
+      graft.ext.TemporalJoins.rangeJoinCount(
+        sampled, "o_orderdate", t(s, dir, "lineitem"), "l_shipdate",
+        windowMs = 604800000L, lKeyCols = Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // -------------------------------------------------------------- builders
     "b2_copy_builder" -> ((s, dir) => {
       val src = new TableStore(s, t(s, dir, "orders"), "orders", "o_orderkey", "o_orderdate")
@@ -596,6 +615,16 @@ object SparkEntry {
         ("SELECT s_suppkey FROM supplier s WHERE EXISTS (SELECT 1 FROM lineitem l " +
          "WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00') " +
          "ORDER BY 1"),
+      "join_asof" ->
+        ("SELECT l.event_id, l.user_id, r.event_id AS last_purchase_id " +
+         "FROM events l ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events " +
+         "WHERE event_type = 'purchase') r ON l.user_id = r.user_id AND l.ts >= r.ts " +
+         "ORDER BY l.event_id"),
+      "join_range" ->
+        ("SELECT o_orderkey, count(*) AS n_in_range FROM orders o JOIN lineitem l " +
+         "ON l.l_shipdate >= o.o_orderdate " +
+         "AND epoch_ms(l.l_shipdate) < epoch_ms(o.o_orderdate) + 604800000 " +
+         "WHERE o_orderkey % 100 = 0 GROUP BY 1 ORDER BY 1"),
       "b2_copy_builder" ->
         "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders ORDER BY 1",
       "b4_group_builder" ->

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively (the build spec's
+  * canonical custom-operator examples). Both are compositions of
+  * built-in operators chosen for their shuffle shape — no custom
+  * physical operator needed (preference (a) of the spec's ladder).
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, the single right row with the
+    * greatest `tsCol` ≤ left's `tsCol`, within the same `keys` group
+    * (DuckDB/kdb `ASOF JOIN` semantics, `l.ts >= r.ts`).
+    *
+    * Implementation = ONE sort-shuffle, not a per-row lookup: union both
+    * sides tagged, sort by (keys, ts, side) inside each key partition,
+    * propagate the last-seen right payload with
+    * `last(_, ignoreNulls) over (unbounded preceding → current)`, keep
+    * left rows. Right rows sort before left rows on equal ts so an
+    * exact-ts match is visible to the left row (>= semantics).
+    *
+    * Scale: cost = the sort of |L|+|R| within key groups — the same
+    * shuffle a plain grouped window costs; no broadcast or range
+    * explosion. Skewed keys inherit the usual remedies (salt the key,
+    * AQE skew split).
+    *
+    * @param payload right-side columns to carry (renamed as given)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, payload: Map[String, String]): DataFrame = {
+    val lCols = left.columns
+    // tag: right = 0, left = 1 → right sorts first on ties (>= semantics)
+    val l = left.withColumn("__side", lit(1))
+      .withColumns(payload.map { case (out, _) => out -> lit(null) }.toMap)
+    val r0 = payload.foldLeft(right) { case (d, (out, in)) =>
+      d.withColumn(out, col(in)) }
+    val r = r0.select((keys :+ tsCol).map(col) ++ payload.keys.map(col): _*)
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.keys.foldLeft(unioned) { (d, out) =>
+      d.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select(lCols.map(col) ++ payload.keys.map(col): _*)
+  }
+
+  /** Range join on a time interval: pairs (l, r) with
+    * `r.ts ∈ [l.ts, l.ts + windowMs)`. Implemented with coarse
+    * time-bucket banding: both sides bucket by `windowMs`-sized epochs,
+    * candidates join on bucket∈{b, b+1} (each interval spans ≤ 2
+    * buckets), then the exact predicate filters. Turns an O(|L|·|R|)
+    * theta-join into an equi-join with 2× fan-out — the standard
+    * banding decomposition for interval joins at scale. */
+  def rangeJoinCount(left: DataFrame, lTs: String,
+                     right: DataFrame, rTs: String,
+                     windowMs: Long, lKeyCols: Seq[String]): DataFrame = {
+    // cast through TIMESTAMP: parquet NTZ timestamps reject unix_millis
+    // directly (session TZ is pinned UTC, so the cast is value-preserving)
+    def ms(c: Column) = unix_millis(c.cast("timestamp"))
+    val lb = left.withColumn("__b", floor(ms(col(lTs)) / windowMs))
+      .withColumn("__bucket", explode(array(col("__b"), col("__b") + 1)))
+    val rb = right.select(col(rTs).alias("__rts"))
+      .withColumn("__bucket", floor(ms(col("__rts")) / windowMs))
+    lb.join(rb, Seq("__bucket"))
+      .filter(col("__rts") >= col(lTs) &&
+        ms(col("__rts")) < ms(col(lTs)) + windowMs)
+      .groupBy(lKeyCols.map(col): _*)
+      .agg(count(lit(1)).alias("n_in_range"))
+  }
+}

@@ -100,4 +100,29 @@ class SessionSkewSpec extends SparkSpec {
     val n = docs.count(Some("""{"$text": {"$search": "spark", "$field": "text"}}"""))
     assert(n > 0)
   }
+
+  test("asofJoin: greatest right ts <= left ts per key, >= on exact ties, null when none") {
+    val s = spark; import s.implicits._
+    val ts = (m: Long) => new java.sql.Timestamp(m)
+    val left = Seq((1L, 10L, ts(100)), (2L, 10L, ts(250)), (3L, 10L, ts(50)),
+      (4L, 20L, ts(500))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 10L, ts(100)), (101L, 10L, ts(200)),
+      (102L, 30L, ts(10))).toDF("rid", "user_id", "ts")
+    val out = graft.ext.TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts",
+      Map("matched" -> "rid")).orderBy("event_id").collect()
+    assert(out.map(r => Option(r.getAs[Any]("matched"))).toSeq ===
+      Seq(Some(100L), Some(101L), None, None))
+  }
+
+  test("rangeJoinCount equals the naive theta-join") {
+    val s = spark; import s.implicits._
+    val ts = (m: Long) => new java.sql.Timestamp(m)
+    val left = Seq((1L, ts(0)), (2L, ts(1000)), (3L, ts(5000))).toDF("k", "lts")
+    val right = Seq(ts(0), ts(400), ts(999), ts(1000), ts(1500), ts(6000)).toDF("rts")
+    val banded = graft.ext.TemporalJoins.rangeJoinCount(left, "lts", right, "rts",
+      windowMs = 1000L, lKeyCols = Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // [0,1000): 3 events; [1000,2000): 2; [5000,6000): 0 (absent)
+    assert(banded === Map(1L -> 3L, 2L -> 2L))
+  }
 }
