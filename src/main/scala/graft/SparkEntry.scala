@@ -306,6 +306,17 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).alias("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).alias("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).alias("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+
     "agg_time_window" -> ((s, dir) => {
       events(s, dir)
         .groupBy(date_trunc("day", col("ts")).alias("d"), col("event_type"))
@@ -366,6 +377,13 @@ object SparkEntry {
       val p = t(s, dir, "part")
       p.select(col("p_brand")).distinct()
         .except(p.filter(col("p_size") < 10).select(col("p_brand")))
+        .orderBy("p_brand")
+    }),
+
+    "setop_intersect" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      p.filter(col("p_size") < 10).select(col("p_brand"))
+        .intersect(p.filter(col("p_size") > 40).select(col("p_brand")))
         .orderBy("p_brand")
     }),
 
@@ -653,6 +671,10 @@ object SparkEntry {
          "quantile_cont(l_extendedprice, 0.25) AS q25_price, " +
          "quantile_cont(l_extendedprice, 0.75) AS q75_price " +
          "FROM lineitem GROUP BY 1 ORDER BY 1"),
+      "agg_cube" ->
+        ("SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, " +
+         "count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty " +
+         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2"),
       "agg_time_window" ->
         ("SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n, " +
          "sum(CAST(value AS DECIMAL(18,6))) AS sum_val FROM events " +
@@ -685,6 +707,9 @@ object SparkEntry {
       "setop_except" ->
         ("SELECT * FROM ((SELECT DISTINCT p_brand FROM part) EXCEPT " +
          "(SELECT p_brand FROM part WHERE p_size < 10)) ORDER BY 1"),
+      "setop_intersect" ->
+        ("SELECT * FROM ((SELECT p_brand FROM part WHERE p_size < 10) INTERSECT " +
+         "(SELECT p_brand FROM part WHERE p_size > 40)) ORDER BY 1"),
       "c15_aliasing" ->
         ("SELECT o_orderkey AS id, o_totalprice AS price FROM orders " +
          "WHERE o_totalprice > 200000 AND o_orderstatus = 'F' ORDER BY 1"),
