@@ -6,7 +6,7 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.query.{MongoFilter, QueryParams}
 import graft.store.{MemoryStore, TableStore}
 import graft.store.views._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract: every operator from SURVEY.md §2 exposed as a named
@@ -15,11 +15,35 @@ import org.apache.spark.sql.functions._
   *
   * Determinism rules (oracle hash-match): explicit total ORDER BY with
   * unique tie-breaks on every query; float aggregation only through
-  * DECIMAL casts (order-independent exact sums); `round(x, 4)` only on
-  * values whose computation is sequentially-folded identically in both
+  * fixed-point scaled-LONG sums (see [[fxSum]] — order-independent exact
+  * sums, DOUBLE output, never DECIMAL); `round(x, 4)` only on values
+  * whose computation is sequentially-folded identically in both
   * engines; raw `events.ts` (ns in parquet, µs in Spark) never output.
   */
 object SparkEntry {
+
+  /** Exact, engine-independent float aggregation: scale each value to a
+    * fixed-point LONG (`round` is half-away-from-zero in both Spark
+    * [HALF_UP] and DuckDB [std::round], so even exact-tie doubles agree),
+    * sum the LONGs (exact, order-independent — safe under partial aggs
+    * and AQE re-ordering), then one double division at the end.
+    *
+    * The output stays DOUBLE — never DECIMAL: a DECIMAL output column is
+    * rendered `Decimal("123.40")` by pyarrow reading Spark's parquet but
+    * `123.4` (float64) coming out of DuckDB, so the driver's
+    * string-hash compare flags it even when the values are identical
+    * (root cause of round-1's 8 hash_match failures). */
+  private def fxSum(c: Column, scale: Long): Column =
+    sum(round(c * scale).cast("long")) / scale.toDouble
+
+  /** DuckDB twin of [[fxSum]]; outer CAST because DuckDB sum(BIGINT) is
+    * HUGEINT, which pandas renders as object — BIGINT/DOUBLE is uniform. */
+  private def fxSumSql(x: String, scale: Long): String =
+    s"CAST(sum(CAST(round(($x) * $scale) AS BIGINT)) AS BIGINT) / $scale.0"
+
+  /** Windowed variant: `over` is e.g. "OVER w". */
+  private def fxSumOverSql(x: String, scale: Long, over: String): String =
+    s"CAST(sum(CAST(round(($x) * $scale) AS BIGINT)) $over AS BIGINT) / $scale.0"
 
   private def t(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
@@ -256,7 +280,7 @@ object SparkEntry {
       val tgt = new MemoryStore(s, "tgt", "grp_id", "o_orderdate")
       new GroupBuilder(src, tgt, Seq("o_orderstatus", "o_orderpriority"),
         aggExprs = Seq(count(lit(1)).alias("n_docs"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"))).run()
+          fxSum(col("o_totalprice"), 100L).alias("sum_price"))).run()
       tgt.df.select(col("o_orderstatus"), col("o_orderpriority"), col("grp_id"),
           col("o_orderdate"), col("n_docs"), col("sum_price"))
         .orderBy("o_orderstatus", "o_orderpriority")
@@ -266,7 +290,7 @@ object SparkEntry {
       val sup = new TableStore(s, t(s, dir, "supplier"), "supplier", "s_suppkey")
       val qty = new TableStore(s,
         t(s, dir, "lineitem").groupBy(col("l_suppkey"))
-          .agg(sum(col("l_quantity").cast("decimal(18,2)")).alias("qty")),
+          .agg(fxSum(col("l_quantity"), 100L).alias("qty")),
         "qty", "l_suppkey")
       val tgt = new MemoryStore(s, "tgt", "s_suppkey")
       new ProjectionBuilder(Seq(
@@ -281,8 +305,8 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        .agg(fxSum(col("l_quantity"), 100L).alias("sum_qty"),
+          fxSum(col("l_extendedprice"), 100L).alias("sum_price"),
           count(lit(1)).alias("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -291,7 +315,7 @@ object SparkEntry {
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).alias("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"))
+          fxSum(col("o_totalprice"), 100L).alias("sum_price"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).alias("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).alias("prio"),
           col("n"), col("sum_price"))
@@ -310,7 +334,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).alias("n"),
-          sum(col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+          fxSum(col("l_quantity"), 100L).alias("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).alias("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).alias("ls"),
           col("n"), col("sum_qty"))
@@ -321,7 +345,7 @@ object SparkEntry {
       events(s, dir)
         .groupBy(date_trunc("day", col("ts")).alias("d"), col("event_type"))
         .agg(count(lit(1)).alias("n"),
-          sum(col("value").cast("decimal(18,6)")).alias("sum_val"))
+          fxSum(col("value"), 1000000L).alias("sum_val"))
         .orderBy("d", "event_type")
     }),
 
@@ -343,7 +367,8 @@ object SparkEntry {
       events(s, dir)
         .select(col("event_id"),
           count(lit(1)).over(w).alias("rn"),
-          sum(col("value").cast("decimal(18,6)")).over(w).alias("run_sum"))
+          (sum(round(col("value") * 1000000L).cast("long")).over(w) / 1e6)
+            .alias("run_sum"))
         .orderBy("event_id")
     }),
 
@@ -648,23 +673,23 @@ object SparkEntry {
       "b4_group_builder" ->
         ("SELECT o_orderstatus, o_orderpriority, min(o_orderkey) AS grp_id, " +
          "max(o_orderdate) AS o_orderdate, count(*) AS n_docs, " +
-         "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price " +
+         s"${fxSumSql("o_totalprice", 100L)} AS sum_price " +
          "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
       "b5_projection_builder" ->
         ("SELECT COALESCE(s.s_suppkey, q.k) AS s_suppkey, s.s_name, s.s_acctbal, q.qty " +
          "FROM supplier s FULL OUTER JOIN (SELECT l_suppkey AS k, " +
-         "sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty FROM lineitem GROUP BY 1) q " +
+         s"${fxSumSql("l_quantity", 100L)} AS qty FROM lineitem GROUP BY 1) q " +
          "ON s.s_suppkey = q.k ORDER BY 1"),
       "q1_agg" ->
         ("SELECT l_returnflag, l_linestatus, " +
-         "sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, " +
-         "sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price, " +
+         s"${fxSumSql("l_quantity", 100L)} AS sum_qty, " +
+         s"${fxSumSql("l_extendedprice", 100L)} AS sum_price, " +
          "count(*) AS count_order FROM lineitem " +
          "WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY 1, 2 ORDER BY 1, 2"),
       "agg_rollup" ->
         ("SELECT COALESCE(o_orderstatus, 'ALL') AS status, " +
          "COALESCE(o_orderpriority, 'ALL') AS prio, count(*) AS n, " +
-         "sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price " +
+         s"${fxSumSql("o_totalprice", 100L)} AS sum_price " +
          "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY 1, 2"),
       "agg_percentile" ->
         ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty, " +
@@ -673,11 +698,11 @@ object SparkEntry {
          "FROM lineitem GROUP BY 1 ORDER BY 1"),
       "agg_cube" ->
         ("SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, " +
-         "count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty " +
+         s"count(*) AS n, ${fxSumSql("l_quantity", 100L)} AS sum_qty " +
          "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2"),
       "agg_time_window" ->
         ("SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n, " +
-         "sum(CAST(value AS DECIMAL(18,6))) AS sum_val FROM events " +
+         s"${fxSumSql("value", 1000000L)} AS sum_val FROM events " +
          "GROUP BY 1, 2 ORDER BY 1, 2"),
       "window_latest_per_user" ->
         ("SELECT user_id, event_id, event_type FROM events QUALIFY " +
@@ -685,7 +710,7 @@ object SparkEntry {
          "ORDER BY user_id"),
       "window_running" ->
         ("SELECT event_id, count(*) OVER w AS rn, " +
-         "sum(CAST(value AS DECIMAL(18,6))) OVER w AS run_sum FROM events " +
+         s"${fxSumOverSql("value", 1000000L, "OVER w")} AS run_sum FROM events " +
          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id"),
       "window_sessionize" ->
@@ -695,7 +720,7 @@ object SparkEntry {
          "s AS (SELECT *, sum(nss) OVER (PARTITION BY user_id ORDER BY ts " +
          "ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
          "SELECT user_id, count(*) AS n_events, " +
-         "sum(CAST(value AS DECIMAL(18,6))) AS total, " +
+         s"${fxSumSql("value", 1000000L)} AS total, " +
          "epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms " +
          "FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms"),
       "topk" ->

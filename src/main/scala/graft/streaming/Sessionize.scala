@@ -74,10 +74,15 @@ object Sessionize {
   /** Batch-mode sessionization (same semantics, pure window algebra):
     * a new session starts when the gap to the previous event exceeds
     * `gapMs`; summary row per session. Used as the oracle-checkable
-    * twin of the streaming path. */
+    * twin of the streaming path.
+    *
+    * `total` is computed as a fixed-point scaled-LONG sum (exact,
+    * order-independent under partial aggregation) divided back to DOUBLE
+    * — `valueScale` sets the retained precision (1e6 ≈ six decimals). */
   def sessionsBatch(events: DataFrame, gapMs: Long,
                     userCol: String = "user_id", tsCol: String = "ts",
-                    valueCol: String = "value"): DataFrame = {
+                    valueCol: String = "value",
+                    valueScale: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
     events
@@ -90,7 +95,8 @@ object Sessionize {
         sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(userCol), col("__session_id"))
       .agg(count(lit(1)).alias("n_events"),
-        sum(col(valueCol).cast("decimal(18,6)")).alias("total"),
+        (sum(round(col(valueCol) * valueScale).cast("long")) / valueScale.toDouble)
+          .alias("total"),
         min(col(tsCol)).alias("start_ts"),
         max(col(tsCol)).alias("end_ts"))
       .drop("__session_id")
