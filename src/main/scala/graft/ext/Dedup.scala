@@ -172,16 +172,21 @@ object Dedup {
 
   /** 64-bit SimHash signature per doc: sign-sum over token-hash bits,
     * token multiplicity as weight. Pure expressions: 64 conditional-sum
-    * aggregates reassembled with shifts. */
+    * aggregates reassembled with shifts.
+    *
+    * Single-shuffle: summing ±1 per token OCCURRENCE equals weighting
+    * each distinct token by its count, so no `(id, tok)` pre-aggregation
+    * shuffle is needed — tokens explode map-side, the 64 partial sums
+    * combine map-side, and the only shuffle carries one narrow
+    * (id, 64×long) row per doc. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         family: String = "xxh64"): DataFrame = {
     val toks = df.select(col(idCol).alias("id"),
         explode(TextAnalysis.tokens(col(textCol))).alias("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).alias("w"))
       .withColumn("h", seededHash(family, 0, col("tok")))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w"))
-        .otherwise(-col("w"))).alias(s"b$i")
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, lit(1L))
+        .otherwise(lit(-1L))).alias(s"b$i")
     }
     val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     val sig = (0 until 64).map(i =>
@@ -192,18 +197,29 @@ object Dedup {
 
   /** 4. SimHash near-duplicate pairs: band the 64 bits into 4×16-bit
     * keys (any exact band match → candidate, guarantees recall for
-    * hamming distance ≤ 3), verify with `bit_count(xor) <= maxHamming`. */
+    * hamming distance ≤ 3), verify with `bit_count(xor) <= maxHamming`.
+    *
+    * `maxBucketSize` is the hot-bucket skew guard — essential here
+    * because each band has AT MOST 65,536 buckets, so bucket occupancy
+    * grows linearly with corpus size and an uncapped self-join fans out
+    * quadratically (boilerplate-heavy corpora collapse into few
+    * buckets). Same hash-agg + broadcast anti-join as [[minhashLsh]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, family: String = "xxh64"): DataFrame = {
+                   maxHamming: Int = 3, family: String = "xxh64",
+                   maxBucketSize: Int = 1000): DataFrame = {
     val sigs = simhashSignatures(df, idCol, textCol, family)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("id").alias("a"),
+    val hot = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).alias("__bn")).filter(col("__bn") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val sized = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val a = sized.select(col("band"), col("bucket"), col("id").alias("a"),
       col("simhash").alias("sa"))
-    val b = banded.select(col("band"), col("bucket"), col("id").alias("b"),
+    val b = sized.select(col("band"), col("bucket"), col("id").alias("b"),
       col("simhash").alias("sb"))
     a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),

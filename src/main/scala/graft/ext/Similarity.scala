@@ -38,9 +38,23 @@ object Similarity {
   private def nativeCosine(df: DataFrame, a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine(df.sparkSession, a, b)
 
+  /** Per-query top-k over scored `(q_id, n_id, sim)` rows via the
+    * bounded-heap aggregate ([[graft.functions.TopKAgg]]): map-side
+    * partials cut the shuffle to k·|queries| rows — a `row_number`
+    * window here would shuffle AND sort every scored row. Emits
+    * `(q_id, rank, n_id, sim)`, rank 1 = best, ties toward smaller id. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topk(scored.sparkSession,
+        col("sim"), col("n_id"), k).alias("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), (col("pos") + 1).alias("rank"),
+        col("col.id").alias("n_id"), round(col("col.score"), 4).alias("sim"))
+
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest
     * corpus rows. `queries` is broadcast (it is the small side by
-    * construction). Ties broken by corpus id for determinism. */
+    * construction); the corpus is scanned once and reduced map-side by
+    * the bounded-heap top-k aggregate. Ties broken by corpus id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
@@ -50,11 +64,7 @@ object Similarity {
     val scored = c.crossJoin(q)
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", nativeCosine(corpus, col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 4).alias("sim"))
+    topKPerQuery(scored, k)
   }
 
   /** Random-hyperplane signature: `h` sign bits packed into a long.
@@ -90,12 +100,8 @@ object Similarity {
     val cand = c.join(q,
       bit_count(col("n_sig").bitwiseXOR(col("q_sig"))) <= probeHamming &&
       col("n_id") =!= col("q_id"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id").asc)
-    cand.withColumn("sim", nativeCosine(corpus, col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 4).alias("sim"))
+    topKPerQuery(
+      cand.withColumn("sim", nativeCosine(corpus, col("q_vec"), col("n_vec"))), k)
   }
 
   /** IVF (inverted-file) approximate top-k — the second scale path the
@@ -111,43 +117,104 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding",
               family: String = "xxh64")
       : DataFrame = {
-    val w = Window.partitionBy(col("__rid")).orderBy(col("__csim").desc, col("c_id").asc)
     // deterministic pseudo-random centroid pick: one TakeOrdered pass by
     // id-hash — no global sort, no driver materialization
     val centOrder = graft.ext.Dedup.seededHash(family, 0, col(idCol).cast("string"))
     val cents = broadcast(
       corpus.orderBy(centOrder.asc, col(idCol).asc).limit(nCentroids)
         .select(col(idCol).alias("c_id"), col(vecCol).alias("c_vec")))
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame =
-      df.select(col(id).alias("__rid"), col(vec).alias("__rvec"))
-        .crossJoin(cents)
-        .withColumn("__csim", nativeCosine(df, col("__rvec"), col("c_vec")))
-        .withColumn("__crank", row_number().over(w))
-        .filter(col("__crank") <= keep)
-        .select(col("__rid"), col("__rvec"), col("c_id").alias("cell"))
-    val cells = assign(corpus, idCol, vecCol, 1)
+    val cells = assignToCells(corpus, cents, idCol, vecCol, keep = 1)
       .select(col("__rid").alias("n_id"), col("__rvec").alias("n_vec"), col("cell"))
-    val probes = assign(queries, idCol, vecCol, nprobe)
+    val probes = assignToCells(queries, cents, idCol, vecCol, keep = nprobe)
       .select(col("__rid").alias("q_id"), col("__rvec").alias("q_vec"), col("cell"))
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id").asc)
-    cells.join(broadcast(probes), Seq("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", nativeCosine(corpus, col("q_vec"), col("n_vec")))
-      .withColumn("rank", row_number().over(wq))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), round(col("sim"), 4).alias("sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Nearest-centroid assignment. Three strategies by shape:
+    *
+    * `keep = 1`, nCentroids ≤ 256 (the corpus side — every vector, the
+    * scale-critical path): the centroid table is tiny BY CONTRACT, so
+    * collect it and inline the vectors as literals — per-row argmax
+    * becomes `greatest` over `(sim, -c_id)` structs (ties toward the
+    * smallest c_id), a pure codegen'd PROJECTION. Zero joins, zero
+    * shuffles, zero sorts on the corpus-wide path; the old `row_number`
+    * window here sort-shuffled nCentroids× the corpus width.
+    *
+    * `keep = 1`, larger centroid tables: `max_by` hash aggregate over
+    * the broadcast fan-out — map-side partials collapse the
+    * nCentroids-way fan-out before the (narrow) shuffle; no sort in the
+    * plan (struct-valued buffers aggregate via ObjectHashAggregate —
+    * raise `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * for very high corpus cardinality).
+    *
+    * `keep > 1` (the query side only — broadcast-sized by construction):
+    * the tiny top-n window. */
+  private[graft] def assignToCells(df: DataFrame, cents: DataFrame,
+                                   id: String, vec: String, keep: Int): DataFrame = {
+    if (keep == 1) {
+      val cl = cents.select(col("c_id"), col("c_vec")).collect() // ≤ nCentroids rows by contract
+      val base = df.select(col(id).alias("__rid"), col(vec).alias("__rvec"))
+      if (cl.length <= 256) {
+        val scoredStructs = cl.map { r =>
+          val cid = r.getAs[Number]("c_id").longValue()
+          val vecLit = r.getSeq[Any](1) match {
+            case s if s.nonEmpty && s.head.isInstanceOf[Float] =>
+              typedlit(s.asInstanceOf[Seq[Float]])
+            case s => typedlit(s.asInstanceOf[Seq[Double]])
+          }
+          struct(
+            nativeCosine(df, col("__rvec"), vecLit).alias("s"),
+            lit(-cid).alias("negid"))
+        }
+        val best =
+          if (scoredStructs.length == 1) scoredStructs.head
+          else greatest(scoredStructs.toIndexedSeq: _*)
+        base.withColumn("__best", best)
+          .select(col("__rid"), col("__rvec"), (-col("__best.negid")).alias("cell"))
+      } else {
+        base.crossJoin(broadcast(cents))
+          .withColumn("__csim", nativeCosine(df, col("__rvec"), col("c_vec")))
+          .groupBy(col("__rid"))
+          .agg(max_by(col("c_id"),
+            struct(col("__csim"), (-col("c_id")).alias("__negid"))).alias("cell"),
+            first(col("__rvec")).alias("__rvec"))
+          .select(col("__rid"), col("__rvec"), col("cell"))
+      }
+    } else {
+      val scored = df.select(col(id).alias("__rid"), col(vec).alias("__rvec"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__csim", nativeCosine(df, col("__rvec"), col("c_vec")))
+      val w = Window.partitionBy(col("__rid"))
+        .orderBy(col("__csim").desc, col("c_id").asc)
+      scored.withColumn("__crank", row_number().over(w))
+        .filter(col("__crank") <= keep)
+        .select(col("__rid"), col("__rvec"), col("c_id").alias("cell"))
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH same-bucket candidates,
-    * verified `cosine >= threshold`. Returns `(a, b, sim)`, a < b. */
+    * verified `cosine >= threshold`. Returns `(a, b, sim)`, a < b.
+    *
+    * `maxBucketSize` is the hot-bucket skew guard: signature buckets are
+    * bounded in number (2^h), so at corpus scale a degenerate bucket
+    * (e.g. near-zero embeddings all hashing alike) grows linearly and
+    * its self-join quadratically. Same hash-agg + broadcast anti-join
+    * pattern as [[Dedup.minhashLsh]] — no sort-window. */
   def cosineDupPairs(corpus: DataFrame, dim: Int, threshold: Double = 0.95,
                      h: Int = 12, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     maxBucketSize: Int = 10000): DataFrame = {
     val planes = hyperplanes(dim, h)
     val sigs = corpus.select(col(idCol).alias("id"), col(vecCol).alias("vec"),
       signature(col(vecCol), planes).alias("sig"))
-    val a = sigs.select(col("sig"), col("id").alias("a"), col("vec").alias("va"))
-    val b = sigs.select(col("sig"), col("id").alias("b"), col("vec").alias("vb"))
+    val hot = sigs.groupBy(col("sig")).agg(count(lit(1)).alias("__bn"))
+      .filter(col("__bn") > maxBucketSize).select(col("sig"))
+    val capped = sigs.join(broadcast(hot), Seq("sig"), "left_anti")
+    val a = capped.select(col("sig"), col("id").alias("a"), col("vec").alias("va"))
+    val b = capped.select(col("sig"), col("id").alias("b"), col("vec").alias("vb"))
     a.join(b, Seq("sig")).filter(col("a") < col("b"))
       .withColumn("sim", nativeCosine(corpus, col("va"), col("vb")))
       .filter(col("sim") >= threshold)

@@ -143,7 +143,8 @@ object GraftFunctions {
     "zlib_inflate" -> (es => ZlibInflate(es(0))),
     "gzip_compress" -> (es => GzipCompress(es(0))),
     "gzip_decompress" -> (es => GzipDecompress(es(0))),
-    "graft_minhash" -> (es => MinHashAgg.build(es)))
+    "graft_minhash" -> (es => MinHashAgg.build(es)),
+    "graft_topk" -> (es => TopKAgg.build(es)))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")

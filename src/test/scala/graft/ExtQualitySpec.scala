@@ -72,4 +72,40 @@ class ExtQualitySpec extends SparkSpec {
       threshold = 0.999)
     assert(pairs.filter(col("b") === col("a") + 500000).count() === 100)
   }
+
+  test("simhashPairs hot-bucket cap bounds boilerplate fan-out") {
+    val s = spark; import s.implicits._
+    // 60 identical docs: one signature, so every band bucket holds all 60
+    // — the quadratic blow-up case the cap exists for
+    val boiler = (1L to 60L).map(i => (i, "the same boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(boiler, "doc_id", "text", maxBucketSize = 10)
+      .count() === 0, "hot buckets above the cap must be dropped")
+    assert(Dedup.simhashPairs(boiler, "doc_id", "text").count() === 60L * 59 / 2)
+  }
+
+  test("cosineDupPairs hot-bucket cap drops degenerate buckets") {
+    val emb = sf("embeddings").limit(50)
+    val copies = emb.select((col("vec_id") + 500000).alias("vec_id"),
+      col("embedding"), col("label"))
+    val corpus = emb.unionByName(copies)
+    // every copy shares its original's signature bucket (size >= 2 > 1)
+    assert(Similarity.cosineDupPairs(corpus, dim = 64, threshold = 0.999,
+      maxBucketSize = 1).filter(col("b") === col("a") + 500000).count() === 0)
+  }
+
+  test("graft_topk bounded heap matches sort-based top-k with ties toward smaller id") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 500L).map(i => (1L, i, ((i * 37) % 97).toDouble / 97.0)) ++
+      Seq((1L, 900L, 0.9), (1L, 901L, 0.9)) // exact score tie
+    val df = rows.toDF("q_id", "n_id", "sim").repartition(7)
+    val got = df.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topk(spark, col("sim"), col("n_id"), 10).alias("t"))
+      .select(posexplode(col("t")))
+      .select(col("col.id"), col("col.score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = rows.sortBy { case (_, id, sc) => (-sc, id) }.take(10)
+      .map { case (_, id, sc) => (id, sc) }
+    assert(got === want)
+  }
 }

@@ -32,4 +32,22 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("topk")
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
   }
+
+  test("IVF corpus-side centroid assignment is a pure projection (no window/sort/shuffle)") {
+    import org.apache.spark.sql.functions._
+    val emb = sf("embeddings")
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").alias("c_id"), col("embedding").alias("c_vec"))
+    val p = graft.ext.Similarity.assignToCells(emb, cents, "vec_id", "embedding", keep = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"unexpected window in assignment:\n$p")
+    assert(!p.contains("Sort "), s"unexpected sort in assignment:\n$p")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in assignment:\n$p")
+  }
+
+  test("sim_cosine_topk reduces via bounded-heap aggregate, not a full-width window") {
+    val p = plan("sim_cosine_topk")
+    assert(!p.contains("Window"), s"unexpected window in brute-force top-k:\n$p")
+    assert(p.contains("graft_topk"), s"expected graft_topk aggregate:\n$p")
+  }
 }
