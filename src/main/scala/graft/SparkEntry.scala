@@ -443,6 +443,67 @@ object SparkEntry {
         properties = Seq("o_orderkey", "o_orderstatus"), sort = Seq("o_orderkey" -> 1)))
     }),
 
+    "c7_blob_latest" -> ((s, dir) => {
+      // GridFS-analogue blob plane: zlib-on-write, newest-per-key dedup,
+      // metadata.-prefixed criteria, inflate-on-read round trip
+      val base = java.nio.file.Files.createTempDirectory("graft_blob").toString
+      val bs = new graft.store.BlobStore(s, base, key = "doc_id",
+        lastUpdatedField = "lu", searchableFields = Seq("source"),
+        compression = true)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"),
+          timestamp_millis(col("doc_id") * 1000).alias("lu"))
+      bs.put(docs, "text")
+      bs.put(docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("lu", timestamp_millis(col("doc_id") * 1000 + 3600000L)),
+        "text")
+      bs.inflated(bs.query(QueryParams(criteria =
+          Some("""{"length": {"$gt": 0}, "source": {"$exists": true}}"""))))
+        .select(col("doc_id"),
+          col("metadata.length").alias("length"),
+          col("metadata.content_md5").alias("content_md5"),
+          col("metadata.compression").alias("compression"),
+          col("metadata.source").alias("source"),
+          md5(col("payload")).alias("payload_md5"),
+          unix_millis(col("metadata.lu")).alias("lu_ms"))
+        .orderBy("doc_id")
+    }),
+
+    "c10_query_expr" -> ((s, dir) => {
+      // C10 pandas-query-string surface: SQL expression filter on a store
+      val store = new TableStore(s, t(s, dir, "orders"), "orders", "o_orderkey", "o_orderdate")
+      store.queryExpr("o_totalprice > 200000 AND o_orderstatus = 'F'")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    "a12_agg_sql" -> ((s, dir) => {
+      // A12 aggregation escape hatch: raw SQL over the store's documents
+      val store = new TableStore(s, t(s, dir, "lineitem"), "lineitem", "l_orderkey", "l_shipdate")
+      // 100.0D: in Spark SQL text a bare `100.0` parses as DECIMAL(4,1)
+      // (unlike the DataFrame API's lit(100.0)=double), which would make
+      // the division DECIMAL-typed — the exact rendering trap fxSum avoids
+      store.aggregateSql(
+        "SELECT l_returnflag, count(*) AS n, " +
+        "CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 100.0D AS sum_disc " +
+        "FROM docs GROUP BY l_returnflag ORDER BY l_returnflag")
+    }),
+
+    "s5b_groupby_paged" -> ((s, dir) => {
+      // S5 parity params: criteria + properties + sort + skip + limit
+      // fold before the grouping
+      val store = new TableStore(s, t(s, dir, "orders"), "orders", "o_orderkey", "o_orderdate")
+      store.groupby(Seq("o_orderpriority"),
+        criteria = Some("""{"o_orderstatus": "O"}"""),
+        properties = Seq("o_orderkey", "o_totalprice"),
+        sort = Seq("o_orderkey" -> 1), skip = 100, limit = Some(1000))
+        .select(col("o_orderpriority"), size(col("docs")).alias("n_docs"),
+          aggregate(col("docs"),
+            lit(0L), (acc, d) => acc + d.getField("o_orderkey")).alias("sum_keys"))
+        .orderBy("o_orderpriority")
+    }),
+
     "c12_opendata_pruned" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_od").toString
       val od = new graft.store.OpenDataStore(s, base, Seq("o_orderstatus"),
@@ -582,6 +643,27 @@ object SparkEntry {
         .orderBy("media_id"))
   )
 
+  /** Engine-family twins of the md5-replayable sketch queries: identical
+    * parameters and plans, hash family = xxh64 (the engine default,
+    * codegen'd). [[Bench]] times these — the md5 family exists ONLY so
+    * the DuckDB oracle can replay the sketches byte-for-byte (Verify
+    * keeps it), and its 16-md5-digests-per-shingle cost is an artifact
+    * of that replayability, not the engine's cost. */
+  def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(nearDupCorpus(s, dir), "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+        .orderBy("a", "b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("a", "b")),
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nCentroids = 16, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }))
+
   def oracleSql: Map[String, String] = {
     val Seq(en, de, fr, es) = stopLists.map { case (_, ws) => sqlHits(ws) }
     Map(
@@ -640,6 +722,27 @@ object SparkEntry {
          "WHERE o_orderstatus = 'F' ORDER BY 1"),
       "c12_opendata_pruned" ->
         "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' ORDER BY 1",
+      "c7_blob_latest" ->
+        ("WITH base AS (SELECT doc_id, text, source, doc_id * 1000 AS lu_ms, 1 AS ver FROM documents), " +
+         "upd AS (SELECT doc_id, text || ' v2' AS text, source, doc_id * 1000 + 3600000 AS lu_ms, 2 AS ver " +
+         "FROM documents WHERE doc_id % 10 = 0), " +
+         "latest AS (SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM upd) " +
+         "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY ver DESC) = 1) " +
+         "SELECT doc_id, octet_length(encode(text)) AS length, md5(text) AS content_md5, " +
+         "'zlib' AS compression, source, md5(text) AS payload_md5, lu_ms " +
+         "FROM latest ORDER BY doc_id"),
+      "c10_query_expr" ->
+        ("SELECT o_orderkey, o_totalprice FROM orders " +
+         "WHERE o_totalprice > 200000 AND o_orderstatus = 'F' ORDER BY 1"),
+      "a12_agg_sql" ->
+        ("SELECT l_returnflag, count(*) AS n, " +
+         s"${fxSumSql("l_discount", 100L)} AS sum_disc " +
+         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+      "s5b_groupby_paged" ->
+        ("WITH page AS (SELECT o_orderpriority, o_orderkey FROM orders " +
+         "WHERE o_orderstatus = 'O' ORDER BY o_orderkey LIMIT 1000 OFFSET 100) " +
+         "SELECT o_orderpriority, count(*) AS n_docs, CAST(sum(o_orderkey) AS BIGINT) AS sum_keys " +
+         "FROM page GROUP BY 1 ORDER BY 1"),
       "validator_invalid" ->
         "SELECT o_orderkey FROM orders WHERE o_totalprice > 300000 ORDER BY 1",
       "c13_joint_lookup" ->
@@ -887,8 +990,9 @@ object SparkEntry {
           s"bits AS (SELECT doc_id, $bitSums FROM hs GROUP BY 1), " +
           s"sigs AS (SELECT doc_id, ($pack) AS sig FROM bits), " +
           s"banded AS ($bandSelects), " +
-          "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM banded x " +
-          "JOIN banded y USING (band, bucket) WHERE x.doc_id < y.doc_id) " +
+          "capped AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000), " +
+          "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x " +
+          "JOIN capped y USING (band, bucket) WHERE x.doc_id < y.doc_id) " +
           "SELECT a, b, bit_count(xor(sa.sig, sb.sig)) AS hamming FROM cand " +
           "JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b " +
           "WHERE bit_count(xor(sa.sig, sb.sig)) <= 3 ORDER BY 1, 2"

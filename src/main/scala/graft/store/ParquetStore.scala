@@ -67,6 +67,32 @@ class ParquetStore(
     }
   }
 
+  /** S3 estimated-count fast path (reference `stores/mongolike.py:281-285`
+    * answers no-criteria counts with `estimated_document_count`, O(1)):
+    * a no-criteria count is answered from the parquet FOOTER row counts —
+    * driver-side metadata reads, zero Spark jobs, zero data scanned. With
+    * criteria it falls back to the filtered scan. At 100 TB this is the
+    * difference between a catalog lookup and a cluster-wide count job
+    * (and the footer loop parallelizes trivially if the file count ever
+    * warrants it). */
+  override def count(criteria: Option[String] = None): Long = criteria match {
+    case Some(_) => super.count(criteria)
+    case None => dataPath match {
+      case None => 0L
+      case Some(p) =>
+        val conf = spark.sessionState.newHadoopConf()
+        val dir = new org.apache.hadoop.fs.Path(p)
+        val fs = dir.getFileSystem(conf)
+        fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+    }
+  }
+
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {
     val next =
       if (isEmpty) Store.dedupLastWins(docs, keyFields)

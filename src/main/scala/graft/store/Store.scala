@@ -95,14 +95,40 @@ trait Store {
     params(df).as[T]
 
   /** S5 `groupby`: group docs by key(s) → (key columns, `docs` array of
-    * structs). Spill-safe: Spark's external aggregation replaces Mongo's
-    * `allowDiskUse` (reference `stores/mongolike.py:184-232`). */
+    * structs), full parity surface (reference `core/store.py:147-172`):
+    * `criteria`/`properties`/`sort`/`skip`/`limit` fold over the document
+    * stream BEFORE grouping (the `$match→$sort→$skip→$limit→$group`
+    * pipeline shape); projected docs carry `properties ∪ keys` (the
+    * reference's `$project`, `stores/mongolike.py:219-221`). Null group
+    * keys group together (Mongo `$group` semantics). Spill-safe: Spark's
+    * external aggregation replaces Mongo's `allowDiskUse`. */
   def groupby(keys: Seq[String], criteria: Option[String] = None,
-              properties: Seq[String] = Nil): DataFrame = {
-    val base = criteria.map(c => MongoFilter(df, c)).getOrElse(df)
-    val docCols = if (properties.nonEmpty) properties else base.columns.toSeq
+              properties: Seq[String] = Nil,
+              sort: Seq[(String, Int)] = Nil,
+              skip: Int = 0, limit: Option[Int] = None): DataFrame = {
+    val docProps =
+      if (properties.nonEmpty) (properties ++ keys).distinct else Nil
+    val base = QueryParams(criteria, docProps, sort, skip, limit)(df)
+    val docCols = if (docProps.nonEmpty) docProps else base.columns.toSeq
     base.groupBy(keys.map(col): _*)
       .agg(collect_list(struct(docCols.map(col): _*)).alias("docs"))
+  }
+
+  /** C10 pandas-`query()`-string analogue (reference
+    * `stores/open_data.py:69-81`): filter this store with a SQL boolean
+    * expression — the string surface for users who think in expressions
+    * rather than Mongo criteria. Compiles through `expr()`, so predicate
+    * pushdown and column pruning apply exactly as for column filters. */
+  def queryExpr(sqlExpr: String): DataFrame = df.filter(expr(sqlExpr))
+
+  /** A12 aggregation escape hatch (reference
+    * `api/resource/aggregation.py:18-111`, which forwards raw Mongo
+    * pipelines): run arbitrary Spark SQL over this store's documents,
+    * registered under `viewName`. The full declarative surface — joins,
+    * windows, CTEs — with Catalyst optimizing the composite plan. */
+  def aggregateSql(sql: String, viewName: String = "docs"): DataFrame = {
+    df.createOrReplaceTempView(viewName)
+    spark.sql(sql)
   }
 
   /** S9 `last_updated`: max of the timestamp column (agg, not

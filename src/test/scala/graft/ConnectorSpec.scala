@@ -114,4 +114,29 @@ class ConnectorSpec extends SparkSpec {
       new DocValidator(v.rules, strict = true).split(docs)
     }
   }
+
+  test("BlobStore: zlib round-trip, newest-per-key, metadata criteria (gridfs.py:41-536)") {
+    val s = spark; import s.implicits._
+    val bs = new BlobStore(spark, tmp("graft_blob"), key = "k",
+      lastUpdatedField = "lu", searchableFields = Seq("tag"), compression = true)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    bs.put(Seq((1L, "hello world", "a", t0), (2L, "spark blobs", "b", t0))
+      .toDF("k", "content", "tag", "lu"))
+    bs.put(Seq((2L, "spark blobs v2", "b", t1)).toDF("k", "content", "tag", "lu"))
+    assert(bs.count() === 2) // newest-per-key (gridfs.py:407-408)
+    val r2 = bs.inflated(bs.query("""{"tag": "b"}""")).collect()(0)
+    assert(new String(r2.getAs[Array[Byte]]("payload"), "UTF-8") === "spark blobs v2")
+    val meta = bs.df.filter(col("k") === 2L)
+      .select("metadata.compression", "metadata.length", "metadata.lu").collect()(0)
+    assert(meta.getString(0) === "zlib")
+    assert(meta.getLong(1) === "spark blobs v2".length.toLong) // raw length, not compressed
+    assert(bs.lastUpdated.get === t1)
+    // bare fields gain metadata.; key and $ops survive (gridfs.py:191-199)
+    assert(BlobStore.transformCriteria(
+      """{"tag":"b","k":1,"$or":[{"lu":{"$gt":3}}]}""", "k") ===
+      """{"metadata.tag":"b","k":1,"$or":[{"metadata.lu":{"$gt":3}}]}""")
+    bs.removeDocs("""{"tag": "a"}""")
+    assert(bs.count() === 1)
+  }
 }

@@ -130,4 +130,51 @@ class StoreSpec extends SparkSpec {
     assert(st.count(Some("""{"o_totalprice": {"$gt": 100000}}""")) > 0)
     assert(st.distinct("o_orderstatus").count() <= 3)
   }
+
+  test("groupby parity params: properties/sort/skip/limit fold before grouping (core/store.py:147-172)") {
+    val st = mkStore()
+    // sort by k asc, skip 1, limit 2 → docs k=1 (d=b), k=2 (d=a)
+    val g = st.groupby(Seq("d"), sort = Seq("k" -> 1), skip = 1,
+      limit = Some(2), properties = Seq("v"))
+    val rows = g.collect()
+    val sizes = rows.map(r => r.getString(0) -> r.getSeq[Any](1).size).toMap
+    assert(sizes === Map("a" -> 1, "b" -> 1))
+    // projected docs carry properties ∪ keys (mongolike.py:219-221)
+    val docFields = g.schema("docs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSet
+    assert(docFields === Set("v", "d"))
+    // reference cardinalities (test_mongolike.py:162-180)
+    val s = spark; import s.implicits._
+    val st2 = new MemoryStore(spark, key = "f")
+    st2.load(Seq((7L, 9L, 9L), (7L, 9L, 10L), (8L, 9L, 11L), (9L, 10L, 12L))
+      .toDF("e", "d", "f"))
+    assert(st2.groupby(Seq("d")).count() === 2)
+    assert(st2.groupby(Seq("e", "d")).count() === 3)
+  }
+
+  test("queryExpr string filter (open_data.py:69-81) + aggregateSql escape hatch (api/resource/aggregation.py)") {
+    val st = mkStore()
+    assert(st.queryExpr("v > 1.5 AND d = 'a'").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val agg = st.aggregateSql("SELECT d, count(*) AS n FROM docs GROUP BY d ORDER BY d")
+    assert(agg.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+  }
+
+  test("ParquetStore no-criteria count is footer-metadata only (zero Spark jobs)") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cnt").toString
+    val st = new ParquetStore(spark, dir, key = "k")
+    st.update(Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "d"))
+    Thread.sleep(300) // let the update's job events drain
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
+    assert(st.count() === 3)
+    Thread.sleep(500) // listener-bus drain window before re-reading
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).toSet
+    assert(after === before,
+      s"footer count must launch no Spark job, saw ${(after -- before).toSeq.sorted}")
+    // criteria path still scans and agrees
+    assert(st.count(Some("""{"d": {"$ne": "x"}}""")) === 2)
+  }
 }
