@@ -97,9 +97,13 @@ object Dedup {
     *  - k > 64: the native sketch aggregate
     *    ([[graft.functions.MinHashAgg]]) — one k-long buffer updated in
     *    place (k agg slots would bloat generated code past JIT limits).
-    *    ObjectHashAggregate's sort fallback threshold is raised so
-    *    thousands of groups stay in the hash regime (the 128-group
-    *    default halves throughput; measured 2.4×).
+    *    ObjectHashAggregate's sort fallback kicks in at 128 groups by
+    *    default and halves throughput (measured 2.4×): set
+    *    `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` ≥ 64k
+    *    in the session config for sketch workloads. The operator does NOT
+    *    mutate the session conf itself — the knob is read at execution
+    *    time, so a scoped set/restore around this (lazy) plan would be a
+    *    no-op, and a persistent set would leak into unrelated queries.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleSize: Int = 3,
@@ -115,11 +119,8 @@ object Dedup {
         .select(col("id"),
           array((0 until numHashes).map(j => col(s"h$j")): _*).alias("sig"))
     } else {
-      val spark = df.sparkSession
-      if (spark.conf.get("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "128").toInt < 65536)
-        spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       sh.groupBy(col("id")).agg(
-        graft.functions.MinHashAgg.sketch(spark, col("shingle"), numHashes)
+        graft.functions.MinHashAgg.sketch(df.sparkSession, col("shingle"), numHashes)
           .alias("sig"))
     }
   }

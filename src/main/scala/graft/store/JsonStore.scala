@@ -35,9 +35,23 @@ class JsonStore(
   private def overlayExists: Boolean =
     new java.io.File(overlayDir, "_SUCCESS").exists()
 
+  // The JSON writer renders timestamps as ISO strings; schema inference on
+  // re-read would demote them to plain strings (breaking lastUpdated /
+  // newerIn). Persist the writer-side schema as an underscore-prefixed
+  // sidecar (ignored by Spark's file listing, like _SUCCESS) and read the
+  // overlay with it.
+  private def overlaySchemaFile = new java.io.File(overlayDir, "_schema.json")
+
   private def raw: DataFrame =
-    if (overlayExists) spark.read.json(overlayDir)
-    else spark.read.option("multiLine", multiLine).json(paths: _*)
+    if (overlayExists) {
+      if (overlaySchemaFile.exists()) {
+        val schemaJson = new String(
+          java.nio.file.Files.readAllBytes(overlaySchemaFile.toPath), "UTF-8")
+        val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(schema).json(overlayDir)
+      } else spark.read.json(overlayDir)
+    } else spark.read.option("multiLine", multiLine).json(paths: _*)
 
   /** Unwrap BSON extended-JSON: `{f: {"$date": iso}}` → timestamp column,
     * `{f: {"$oid": hex}}` → string (reference `stores/mongolike.py:719`,
@@ -61,6 +75,8 @@ class JsonStore(
     val snap = next.localCheckpoint(true) // sever lineage from overlayDir
     overlay = Some(snap)
     snap.coalesce(1).write.mode(SaveMode.Overwrite).json(overlayDir)
+    java.nio.file.Files.write(
+      overlaySchemaFile.toPath, snap.schema.json.getBytes("UTF-8"))
   }
 
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {

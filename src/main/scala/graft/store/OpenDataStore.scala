@@ -58,10 +58,11 @@ class OpenDataStore(
         // overwrite below replaces
         Store.upsertPlan(current, docs, keyFields).localCheckpoint(true)
       }
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     next.write
       .mode(SaveMode.Overwrite)
       .partitionBy(objectGrouping: _*)
+      // per-write scope: don't mutate the session-global overwrite mode
+      .option("partitionOverwriteMode", "dynamic")
       .option("compression", "gzip")
       .json(dataPath)
     storeManifest()
@@ -71,8 +72,8 @@ class OpenDataStore(
     val d = df
     val keep = d.filter(!coalesce(MongoFilter.compile(criteria, Some(d.schema)), lit(false)))
       .localCheckpoint(true) // sever lineage from the files being overwritten
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     keep.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
       .partitionBy(objectGrouping: _*).option("compression", "gzip").json(dataPath)
     storeManifest()
   }
@@ -80,8 +81,8 @@ class OpenDataStore(
   override def removeKeys(keys: DataFrame): Unit = if (!isEmpty) {
     val keep = df.join(keys.select(col(keys.columns.head).alias(key)), Seq(key), "left_anti")
       .localCheckpoint(true)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     keep.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "static")
       .partitionBy(objectGrouping: _*).option("compression", "gzip").json(dataPath)
     storeManifest()
   }

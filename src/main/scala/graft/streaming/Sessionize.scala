@@ -26,11 +26,17 @@ object Sessionize {
   case class Session(user_id: Long, n_events: Long, total: Double,
                      start_millis: Long, end_millis: Long)
 
-  def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  /** @param watermarkMs late-data tolerance; defaults to `gapMs`. Raising
+    *   it past the gap admits events that precede an open session by more
+    *   than a gap — those fold into their own earlier session (see the
+    *   stray handling below) instead of corrupting the open one. */
+  def sessions(events: Dataset[Event], gapMs: Long,
+               watermarkMs: Long = -1L): Dataset[Session] = {
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val outEnc = Encoders.product[Session]
+    val delay = if (watermarkMs >= 0) watermarkMs else gapMs
     events
-      .withWatermark("ts", s"$gapMs milliseconds")
+      .withWatermark("ts", s"$delay milliseconds")
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -48,18 +54,36 @@ object Sessionize {
             val closed = scala.collection.mutable.ArrayBuffer[Session]()
             val sorted = evs.toSeq.sortBy(_.ts.getTime)
             val start = state.getOption
-            val open = sorted.foldLeft(start) { (acc, e) =>
-              val t = e.ts.getTime
-              acc match {
-                case Some(s) if t - s.last > gapMs =>
-                  closed += Session(user, s.count, s.sum, s.start, s.last)
-                  Some(SessionState(1L, e.value, t, t))
-                case Some(s) =>
-                  Some(SessionState(s.count + 1, s.sum + e.value,
-                    math.min(s.start, t), math.max(s.last, t)))
-                case None => Some(SessionState(1L, e.value, t, t))
+            def fold(evts: Seq[Event], init: Option[SessionState]): Option[SessionState] =
+              evts.foldLeft(init) { (acc, e) =>
+                val t = e.ts.getTime
+                acc match {
+                  case Some(s) if t - s.last > gapMs =>
+                    closed += Session(user, s.count, s.sum, s.start, s.last)
+                    Some(SessionState(1L, e.value, t, t))
+                  case Some(s) =>
+                    Some(SessionState(s.count + 1, s.sum + e.value,
+                      math.min(s.start, t), math.max(s.last, t)))
+                  case None => Some(SessionState(1L, e.value, t, t))
+                }
               }
+            // Events more than a gap BEFORE the open session (admissible
+            // when the watermark lags this key) belong to earlier, already
+            // complete sessions — fold and close them separately instead
+            // of min()-merging them into the open session. Sorted order
+            // makes them a prefix; by construction each is > gap before
+            // the open session's start, so none can rejoin it. (If a stray
+            // would have bridged into the open session via an intermediate
+            // event inside the original session's span, the O(1) aggregate
+            // state cannot see that event — that residual divergence from
+            // a full-log sort is the price of bounded state.)
+            val (strays, rest) = start match {
+              case Some(s0) => sorted.span(e => s0.start - e.ts.getTime > gapMs)
+              case None => (Seq.empty[Event], sorted)
             }
+            fold(strays, None).foreach(s =>
+              closed += Session(user, s.count, s.sum, s.start, s.last))
+            val open = fold(rest, start)
             open match {
               case Some(s) =>
                 state.update(s)

@@ -95,6 +95,10 @@ class ConnectorSpec extends SparkSpec {
     assert(od.query("""{"k": 1}""").collect()(0).getAs[String]("v") === "v1-new")
     val mf = od.manifest.collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("n_docs")).toMap
     assert(mf === Map("g0" -> 4, "g1" -> 3, "g2" -> 3))
+    // overwrite mode is scoped per-write: the session-global conf must be
+    // untouched (it was previously leaked as "dynamic"/"static")
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("static"))
   }
 
   test("DocValidator: strict raises, non-strict routes invalids (validator.py, mongolike.py:378-391)") {

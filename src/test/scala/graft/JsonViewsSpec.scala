@@ -106,6 +106,23 @@ class JsonViewsSpec extends SparkSpec {
     assert(st2.query("""{"task_id": 2}""").collect()(0).getAs[String]("v") === "y2")
   }
 
+  test("JsonStore writable: timestamp types survive overlay reopen (lastUpdated path)") {
+    val dir = Files.createTempDirectory("jsonts").toString
+    Files.writeString(Paths.get(s"$dir/t.json"),
+      """[{"task_id": 1, "last_updated": {"$date": "2026-01-02T03:04:05Z"}},
+        | {"task_id": 2, "last_updated": {"$date": "2026-02-03T04:05:06Z"}}]""".stripMargin)
+    val s = spark; import s.implicits._
+    val st = new JsonStore(spark, Seq(s"$dir/t.json"), key = "task_id", readOnly = false)
+    assert(st.df.schema("last_updated").dataType.typeName === "timestamp")
+    st.update(Seq((3L, new java.sql.Timestamp(1767343446000L)))
+      .toDF("task_id", "last_updated"))
+    // reopen: the overlay's schema sidecar must restore timestamp typing,
+    // or lastUpdated's Timestamp cast would throw on the re-inferred string
+    val st2 = new JsonStore(spark, Seq(s"$dir/t.json"), key = "task_id", readOnly = false)
+    assert(st2.df.schema("last_updated").dataType.typeName === "timestamp")
+    assert(st2.lastUpdated.nonEmpty && st2.count() === 3)
+  }
+
   test("missing-field semantics: {missing: null} matches all, positive ops none, negative all") {
     val s = spark; import s.implicits._
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")

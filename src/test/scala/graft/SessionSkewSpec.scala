@@ -59,6 +59,42 @@ class SessionSkewSpec extends SparkSpec {
     assert(rows.toSeq === Seq((2L, 5.0)))
   }
 
+  test("streaming sessionization: late stray event forms its own earlier session, not a merge") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val stream = MemoryStream[Sessionize.Event]
+    // watermark tolerance (10s) far wider than the session gap (500ms):
+    // a late event > gap before the open session is admissible
+    val out = Sessionize.sessions(stream.toDS(), gapMs = 500, watermarkMs = 10000)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_stray").start()
+    stream.addData(
+      Sessionize.Event(1L, ts(20000L), 2.0), Sessionize.Event(1L, ts(20200L), 3.0))
+    q.processAllAvailable()
+    // batch 2: stray at 12000 — 8s before the open session's start, above
+    // the lagging watermark (20200 - 10000 = 10200). Must close as its own
+    // session, NOT min()-merge into [20000, 20200].
+    stream.addData(Sessionize.Event(1L, ts(12000L), 7.0))
+    q.processAllAvailable()
+    val strayRows = spark.sql(
+      "SELECT n_events, total, start_millis, end_millis FROM sessions_stray")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(strayRows.toSeq === Seq((1L, 7.0, 12000L, 12000L)))
+    // advance the watermark past the open session's timeout and fire it
+    stream.addData(Sessionize.Event(2L, ts(40000L), 1.0))
+    q.processAllAvailable()
+    stream.addData(Sessionize.Event(2L, ts(40100L), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val main = spark.sql(
+      "SELECT n_events, total, start_millis FROM sessions_stray WHERE user_id = 1 ORDER BY start_millis")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // open session closed untouched by the stray
+    assert(main.toSeq === Seq((1L, 7.0, 12000L), (2L, 5.0, 20000L)))
+  }
+
   test("batch sessionization: gap splits sessions (window algebra)") {
     val s = spark; import s.implicits._
     val ts = (ms: Long) => new java.sql.Timestamp(ms)
