@@ -623,6 +623,22 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    "dedup_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // all math in doubles from the start (float->double cast is exact,
+      // so the DuckDB twin computes on identical values)
+      val base = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").alias("embedding"))
+      // synthetic near-dups: every 10th vector re-enters with its first
+      // component nudged — the embedding analogue of nearDupCorpus
+      val dups = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).alias("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.1)).otherwise(x)).alias("embedding"))
+      Similarity.cosineDupPairs(base.unionByName(dups), dim = 64, threshold = 0.9)
+        .orderBy("a", "b")
+    }),
+
     "mm_meta" -> ((s, dir) =>
       Multimodal.pack(t(s, dir, "documents"), "doc_id", col("text"), "text")
         .select(col("media_id"), col("meta.byte_len").alias("byte_len"),
@@ -937,6 +953,24 @@ object SparkEntry {
           "FROM embeddings q, embeddings c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id " +
           s"AND bit_count(xor(${sig("q")}, ${sig("c")})) <= 1) " +
           "WHERE rank <= 5 ORDER BY q_id, rank"
+      },
+      // same inlined planes; near-dup pairs = same LSH bucket, a < b,
+      // exact cosine >= 0.9; bucket cap mirrored in the QUALIFY
+      "dedup_embedding" -> {
+        val planes = graft.ext.Similarity.hyperplanes(64, 12)
+        def sig(a: String) = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product($a, " + p.mkString("[", ",", "]") +
+            s") >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString("(", " + ", ")")
+        "WITH corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings " +
+          "UNION ALL SELECT vec_id + 1000000, " +
+          "list_concat([CAST(embedding[1] AS DOUBLE) + 0.1], CAST(embedding[2:] AS DOUBLE[])) " +
+          "FROM embeddings WHERE vec_id % 10 = 0), " +
+          s"sigs AS (SELECT id, vec, ${sig("vec")} AS sig FROM corpus), " +
+          "capped AS (SELECT * FROM sigs QUALIFY count(*) OVER (PARTITION BY sig) <= 10000) " +
+          "SELECT x.id AS a, y.id AS b, round(list_cosine_similarity(x.vec, y.vec), 4) AS sim " +
+          "FROM capped x JOIN capped y ON x.sig = y.sig AND x.id < y.id " +
+          "WHERE list_cosine_similarity(x.vec, y.vec) >= 0.9 ORDER BY 1, 2"
       },
       // the md5-family MinHash is byte-replayable: 60-bit md5-prefix
       // hashes, 64 min-aggs, 16 band buckets, hot-bucket cap, sig-match

@@ -1,0 +1,123 @@
+package graft
+
+import graft.api._
+import graft.store.TableStore
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** A11/A13 transport layer: real HTTP round-trips against the JDK-server
+  * host (reference `read_resource.py` / `post_resource.py` behavior). */
+class HttpResourceSpec extends SparkSpec {
+
+  private lazy val store =
+    new TableStore(spark, sf("orders"), "orders", "o_orderkey", "o_orderdate")
+  private lazy val resource = new ReadResource(store, Seq(
+    new PaginationQuery(defaultLimit = 5, maxLimit = 100),
+    new SortQuery(),
+    new SparseFieldsQuery(defaultFields = Seq("o_orderkey", "o_totalprice")),
+    new DynamicQuery(sf("orders").schema)))
+  private lazy val server = GraftHttp.serve(Map("orders" -> resource))
+  private lazy val base = s"http://localhost:${server.getAddress.getPort}/orders"
+  private val client = HttpClient.newHttpClient()
+
+  private def get(url: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def post(url: String, body: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  override def afterAll(): Unit = { server.stop(0); super.afterAll() }
+
+  test("GET search: pagination + sort + sparse fields + meta.total_doc") {
+    val (st, body) = get(s"$base/?_limit=3&_sort_fields=-o_totalprice")
+    assert(st === 200)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(node.get("data").size() === 3)
+    assert(node.get("meta").get("total_doc").asLong() === store.count())
+    val prices = (0 until 3).map(i => node.get("data").get(i).get("o_totalprice").asDouble())
+    assert(prices === prices.sorted.reverse)
+    // sparse default projection: exactly the two default fields
+    val names = node.get("data").get(0).fieldNames()
+    val fields = Iterator.continually(names).takeWhile(_ => names.hasNext).map(_.next()).toSet
+    assert(fields === Set("o_orderkey", "o_totalprice"))
+  }
+
+  test("GET search: dynamic numeric filter narrows results and total_doc") {
+    val (st, body) = get(s"$base/?o_totalprice_min=300000&_limit=100")
+    assert(st === 200)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val expected = store.count(Some("""{"o_totalprice": {"$gte": 300000}}"""))
+    assert(node.get("meta").get("total_doc").asLong() === expected)
+    assert(node.get("data").size().toLong === math.min(expected, 100L))
+  }
+
+  test("GET /{key}: typed key lookup; 404 on absent; 400 on non-numeric") {
+    val someKey = store.query(graft.query.QueryParams(limit = Some(1)))
+      .collect()(0).getAs[Long]("o_orderkey")
+    val (st, body) = get(s"$base/$someKey")
+    assert(st === 200 && body.contains(s""""o_orderkey":$someKey"""))
+    assert(get(s"$base/999999999")._1 === 404)
+    assert(get(s"$base/not-a-number")._1 === 400)
+  }
+
+  test("GET search: 400 over max limit, 405 on unsupported method") {
+    val (st, body) = get(s"$base/?_limit=101")
+    assert(st === 400 && body.contains("exceeds max"))
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/"))
+        .method("DELETE", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() === 405)
+  }
+
+  test("POST search (A13): JSON body params compile like query params") {
+    val (st, body) = post(s"$base/",
+      """{"_limit": 2, "_sort_fields": "-o_totalprice", "o_orderstatus": "F"}""")
+    assert(st === 200)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(node.get("data").size() === 2)
+    assert(node.get("meta").get("total_doc").asLong() ===
+      store.count(Some("""{"o_orderstatus": "F"}""")))
+  }
+
+  test("BlobResource (A15 analogue): payload bytes + ETag, /meta JSON, 404") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("blobhttp").toString
+    val bs = new graft.store.BlobStore(spark, dir, key = "blob_id",
+      compression = true)
+    bs.put(Seq(
+      ("b1", "payload-one".getBytes("UTF-8"), new java.sql.Timestamp(1000L)),
+      ("b2", "payload-two".getBytes("UTF-8"), new java.sql.Timestamp(2000L)))
+      .toDF("blob_id", "content", "last_updated"))
+    val srv = GraftHttp.serve(Map.empty, blobs = Map("blob" -> new BlobResource(bs)))
+    try {
+      val url = s"http://localhost:${srv.getAddress.getPort}/blob"
+      val r = client.send(HttpRequest.newBuilder(URI.create(s"$url/b1")).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(r.statusCode() === 200)
+      assert(new String(r.body(), "UTF-8") === "payload-one")
+      assert(r.headers().firstValue("ETag").isPresent)
+      val (ms, mb) = get(s"$url/b2/meta")
+      assert(ms === 200 && mb.contains("\"content_md5\""))
+      assert(get(s"$url/nope")._1 === 404)
+    } finally srv.stop(0)
+  }
+
+  test("defaultCriteria is $and-merged into every search and key lookup") {
+    val guarded = new ReadResource(store, Seq(new PaginationQuery(5, 100)),
+      defaultCriteria = Some("""{"o_orderstatus": "O"}"""))
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(guarded.search(Map.empty)).get("meta").get("total_doc").asLong()
+    assert(n === store.count(Some("""{"o_orderstatus": "O"}""")))
+    val fKey = store.query("""{"o_orderstatus": "F"}""")
+      .collect()(0).getAs[Long]("o_orderkey")
+    assert(guarded.byKey(fKey.toString).isEmpty)
+  }
+}
