@@ -91,8 +91,13 @@ class GroupBuilder(
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("state", lit("successful"))
       .withColumn("_bt", current_timestamp())
-    val processed = out.count()
-    if (processed > 0) target.update(out, Seq(target.key))
+    // materialize once: the report count and the upsert write are separate
+    // actions; without this the whole group-agg (the expensive part of the
+    // build) would execute twice (see MapBuilder.run for the full note)
+    val mat = out.localCheckpoint(true)
+    val processed = mat.count()
+    if (processed > 0) target.update(mat, Seq(target.key))
+    mat.unpersist()
     BuildReport(processed, 0)
   }
 }

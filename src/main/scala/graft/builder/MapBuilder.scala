@@ -114,25 +114,38 @@ class MapBuilder(
           .withColumn("state", lit("successful"))
           .withColumn("_bt", current_timestamp())
       case Right(docFn) =>
-        // materialize once: the user fn must run exactly one time per row
-        // (schema inference + two counts + the write would otherwise
-        // re-execute it, and a nondeterministic/timing-out fn could make
-        // the report disagree with what is written)
-        docTransform(items, docFn).localCheckpoint(true)
+        docTransform(items, docFn)
     }
-    val processed = out.count()
-    val failed =
-      if (out.columns.contains("state")) out.filter(col("state") === "failed").count()
-      else 0L
-    if (processed > 0) target.update(out, Seq(target.key))
+    // Materialize the output plan exactly once: report counts and the
+    // upsert write are separate actions, and without the checkpoint each
+    // would re-run the delta join + transform (2-3 executions per build —
+    // at 100 TB the report doubles the build). The checkpointed blocks
+    // also pin the user doc-fn to one invocation per row, so a
+    // nondeterministic/timing-out fn cannot make the report disagree with
+    // what is written. (upsertPlan references the batch subtree twice, so
+    // Dataset.observe would double-count — checkpoint is the safe shape.)
+    val mat = out.localCheckpoint(true)
+    val hasState = mat.columns.contains("state")
+    // one combined agg over cached blocks instead of two counting actions
+    val counts = mat.agg(
+      count(lit(1)).alias("n"),
+      (if (hasState) count_if(col("state") === "failed") else lit(0L)).alias("f")
+    ).head()
+    val processed = counts.getLong(0)
+    val failed = counts.getLong(1)
+    if (processed > 0) target.update(mat, Seq(target.key))
+    mat.unpersist()
 
     var orphans = 0L
     if (deleteOrphans) {
+      // checkpoint for the same reason: count + removeKeys are two actions
       val orphanKeys = target.df.select(col(target.key))
         .join(source.df.select(col(source.key).alias(target.key)),
               Seq(target.key), "left_anti")
+        .localCheckpoint(true)
       orphans = orphanKeys.count()
       if (orphans > 0) target.removeKeys(orphanKeys)
+      orphanKeys.unpersist()
     }
     BuildReport(processed, failed, orphans)
   }

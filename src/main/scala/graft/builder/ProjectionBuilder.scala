@@ -81,8 +81,12 @@ class ProjectionBuilder(
     val out = merged()
       .withColumn("state", lit("successful"))
       .withColumn("_bt", current_timestamp())
-    val processed = out.count()
-    if (processed > 0) target.update(out, Seq(target.key))
+    // materialize once: count + write are separate actions; without this
+    // the N-way full-outer join runs twice (see MapBuilder.run)
+    val mat = out.localCheckpoint(true)
+    val processed = mat.count()
+    if (processed > 0) target.update(mat, Seq(target.key))
+    mat.unpersist()
     BuildReport(processed, 0)
   }
 }

@@ -56,8 +56,11 @@ object Dedup {
     * n-gram element (O(tokens²) per doc; measured 10× slower).
     * CollapseProject keeps the boundary because the alias is non-cheap
     * and multiply-referenced. */
-  def shingleDF(df: DataFrame, idCol: String, textCol: String, n: Int,
-                distinct: Boolean = true): DataFrame = {
+  /** (id, grams) — one row per doc, `grams` = array of word n-gram
+    * strings (with multiplicity). The token projection stays a separate
+    * select so the regexp/split runs once per row (see note above). */
+  private def tokenGrams(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
     val tokd = df.select(col(idCol).alias("id"),
       filter(split(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), "\\s+"),
         t => length(t) > 0).alias("tk"))
@@ -66,7 +69,13 @@ object Dedup {
       transform(sequence(lit(0), size(tk) - n),
         i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", tk)))
-    val exploded = tokd.select(col("id"), explode(grams).alias("shingle"))
+    tokd.select(col("id"), grams.alias("grams"))
+  }
+
+  def shingleDF(df: DataFrame, idCol: String, textCol: String, n: Int,
+                distinct: Boolean = true): DataFrame = {
+    val exploded = tokenGrams(df, idCol, textCol, n)
+      .select(col("id"), explode(col("grams")).alias("shingle"))
     if (distinct) exploded.distinct() else exploded
   }
 
@@ -236,24 +245,33 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.8,
                         maxPostings: Int = 1000): DataFrame = {
     // shingles join on their 64-bit hash, not the string — 8-byte keys in
-    // the inverted-index shuffle (collision odds ~|shingles|²/2^65: nil);
-    // the per-doc set-dedup runs on the narrow hashed pairs too
-    val sh = shingleDF(df, idCol, textCol, n, distinct = false)
-      .select(col("id"), xxhash64(col("shingle")).alias("sh")).distinct()
+    // the inverted-index shuffle (collision odds ~|shingles|²/2^65: nil).
+    // The shingle set is computed by the native [[graft.functions.NgramHashes]]
+    // kernel: one codegen'd loop per row replaces the interpreted
+    // transform/slice/concat_ws lambda tower (the r2 bench regression),
+    // and per-doc set-dedup happens inside that loop — no (id, shingle)
+    // distinct shuffle exists at all. The per-doc set size rides along
+    // with each posting (8 bytes) instead of two joins against a separate
+    // sizes aggregate. The narrow (id, sz, sh) posting table is persisted
+    // once (the "write the inverted index once" staging table) and feeds
+    // the hot-postings cap and both self-join sides.
+    val toks = split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " ")
+    val docSh = df.select(col(idCol).alias("id"),
+      graft.functions.GraftFunctions.ngramHashes(df.sparkSession, toks, n).alias("shs"))
+    val posted = docSh
+      .select(col("id"), size(col("shs")).alias("sz"), explode(col("shs")).alias("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).alias("sz"))
     // posting-list skew cap (stopword-only shingles): hash-agg + broadcast
     // anti-join of the tiny hot-postings list, not a sort-window
-    val hot = sh.groupBy("sh").agg(count(lit(1)).alias("__pn"))
+    val hot = posted.groupBy("sh").agg(count(lit(1)).alias("__pn"))
       .filter(col("__pn") > maxPostings).select(col("sh"))
-    val capped = sh.join(broadcast(hot), Seq("sh"), "left_anti")
-    val common = capped.select(col("sh"), col("id").alias("a"))
-      .join(capped.select(col("sh"), col("id").alias("b")), Seq("sh"))
+    val capped = posted.join(broadcast(hot), Seq("sh"), "left_anti")
+    capped.select(col("sh"), col("id").alias("a"), col("sz").alias("sza"))
+      .join(capped.select(col("sh"), col("id").alias("b"), col("sz").alias("szb")),
+            Seq("sh"))
       .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).alias("common"))
-    common
-      .join(sizes.select(col("id").alias("a"), col("sz").alias("sza")), Seq("a"))
-      .join(sizes.select(col("id").alias("b"), col("sz").alias("szb")), Seq("b"))
+      // sza/szb are functionally determined by a/b — extra group keys only
+      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).alias("common"))
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("sza") + col("szb") - col("common")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)

@@ -144,7 +144,10 @@ object GraftFunctions {
     "gzip_compress" -> (es => GzipCompress(es(0))),
     "gzip_decompress" -> (es => GzipDecompress(es(0))),
     "graft_minhash" -> (es => MinHashAgg.build(es)),
-    "graft_topk" -> (es => TopKAgg.build(es)))
+    "graft_topk" -> (es => TopKAgg.build(es)),
+    "graft_ngram_hashes" -> (es => NgramHashes(es(0),
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Boolean])))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -158,6 +161,14 @@ object GraftFunctions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  }
+  /** Hashed (optionally distinct) word n-gram shingles — [[NgramHashes]]. */
+  def ngramHashes(spark: SparkSession, tokens: Column, n: Int,
+                  distinct: Boolean = true): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_ngram_hashes",
+      tokens, org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(distinct))
   }
 }
 

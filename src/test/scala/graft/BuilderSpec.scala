@@ -179,6 +179,17 @@ class BuilderSpec extends SparkSpec {
     assert(CopyBuilder(src, tgt).pendingKeys().count() === 0)
   }
 
+  test("builder transform plan executes exactly once per row (VERDICT r2 #1)") {
+    val (src, _, tgt) = fixtures()
+    val acc = spark.sparkContext.longAccumulator("xform-rows")
+    val bump = udf { (k: Long) => acc.add(1); k }.asNondeterministic()
+    val r = MapBuilder.columns(src, tgt, df => df.withColumn("k2", bump(col("k")))).run()
+    assert(r.processed === 20)
+    // before the localCheckpoint fix this was 40-60: report count, failed
+    // count and the upsert write each re-ran the transform plan
+    assert(acc.value === 20)
+  }
+
   test("ProjectionBuilder: rename replaces identity pick of the same name (no ambiguity)") {
     val s = spark; import s.implicits._
     val s1 = new MemoryStore(spark, "s1", key = "k", lastUpdatedField = "lu")
