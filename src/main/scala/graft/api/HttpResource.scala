@@ -3,28 +3,13 @@ package graft.api
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import graft.query.QueryParams
 import graft.store.Store
+import org.apache.spark.sql.DataFrame
 
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** A11/A13: the HTTP resource layer (reference
-  * `api/resource/read_resource.py:123-280`, `post_resource.py:18-130`)
-  * served by the JDK's built-in `com.sun.net.httpserver` — no framework
-  * dependency. The compile path is [[QueryOperator.compile]]; this class
-  * only adds transport: URL/body params in, `{"data": [...], "meta":
-  * {"total_doc": N}}` out (the reference's `Response[model]` envelope,
-  * `api/models.py`).
-  *
-  * Driver-side materialization here is bounded BY CONTRACT: every search
-  * passes through [[PaginationQuery]] whose `maxLimit` caps the rows a
-  * response may carry; `total_doc` is a count aggregate, not a collect.
-  */
-class ReadResource(
-    val store: Store,
-    val ops: Seq[QueryOperator],
-    val defaultCriteria: Option[String] = None) {
-
-  private def jsonStr(s: String): String = "\"" + s.flatMap {
+private[api] object Json {
+  def str(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -33,6 +18,34 @@ class ReadResource(
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
+}
+
+/** A11/A13: the HTTP resource layer (reference
+  * `api/resource/read_resource.py:123-280`, `post_resource.py:18-130`)
+  * served by the JDK's built-in `com.sun.net.httpserver` — no framework
+  * dependency. The compile path is [[QueryOperator.compile]]; this class
+  * only adds transport: URL/body params in, `{"data": [...], "meta":
+  * {"total_doc": N, ...}}` out (the reference's `Response[model]`
+  * envelope, `api/models.py`). Operators contribute result transforms
+  * and meta entries through the A1 `postProcess`/`meta` hooks.
+  *
+  * Driver-side materialization here is bounded BY CONTRACT: every search
+  * passes through [[PaginationQuery]] whose `maxLimit` caps the rows a
+  * response may carry; `total_doc` is a count aggregate, not a collect.
+  *
+  * `timeoutMs > 0` bounds every Spark action a request runs (reference
+  * `read_resource.py:256-267` aborts long queries with 504): the request
+  * thread gets its own job group, a watchdog cancels the group at the
+  * deadline, and the caller sees `504`. Without it one pathological
+  * criteria (e.g. `$regex` over a huge store) wedges the serving thread
+  * indefinitely.
+  */
+class ReadResource(
+    val store: Store,
+    val ops: Seq[QueryOperator],
+    val defaultCriteria: Option[String] = None,
+    val timeoutMs: Long = 0,
+    val responseHeaders: Map[String, String] = Map.empty) {
 
   private def withDefault(qp: QueryParams): QueryParams = defaultCriteria match {
     case None => qp
@@ -42,28 +55,114 @@ class ReadResource(
     })
   }
 
+  /** Run `body` under a per-request job group with a cancellation
+    * deadline. Job groups are thread-local, so concurrent requests on
+    * different server threads cancel independently. */
+  protected def timed[T](body: => T): T = {
+    if (timeoutMs <= 0) return body
+    val sc = store.spark.sparkContext
+    val group = s"graft-http-${Thread.currentThread().getId}-${System.nanoTime()}"
+    sc.setJobGroup(group, "graft http request", interruptOnCancel = true)
+    val watchdog = new java.util.Timer("graft-http-watchdog", true)
+    val cancel = new java.util.TimerTask { def run(): Unit = sc.cancelJobGroup(group) }
+    watchdog.schedule(cancel, timeoutMs)
+    val t0 = System.nanoTime()
+    try body
+    catch {
+      case e: Throwable if (System.nanoTime() - t0) / 1000000 >= timeoutMs =>
+        throw ApiError(504, s"query exceeded ${timeoutMs}ms")
+    } finally {
+      cancel.cancel(); watchdog.cancel(); sc.clearJobGroup()
+    }
+  }
+
   /** GET/POST search: params → operator compile → `{data, meta}`. */
-  def search(params: Map[String, String]): String = {
+  def search(params: Map[String, String]): String = timed {
     val qp = withDefault(QueryOperator.compile(params, ops))
-    val total = store.count(qp.criteria)
+    val total = store.count(qp.criteria) // keeps the footer-count fast path
     // limit ≤ maxLimit by PaginationQuery contract → bounded collect
-    val rows = store.query(qp).toJSON.collect()
-    s"""{"data": ${rows.mkString("[", ",", "]")}, "meta": {"total_doc": $total}}"""
+    val results = ops.foldLeft(store.query(qp))((d, op) => op.postProcess(d, params))
+    val rows = results.toJSON.collect()
+    // meta hooks see the criteria-filtered (pre-pagination) frame
+    lazy val filtered = store.query(withDefault(
+      QueryParams(criteria = qp.criteria)))
+    val metaEntries = s""""total_doc": $total""" +:
+      ops.flatMap(_.meta(filtered, params).toSeq.map {
+        case (k, v) => s"${Json.str(k)}: $v"
+      })
+    s"""{"data": ${rows.mkString("[", ",", "]")}, "meta": ${metaEntries.mkString("{", ", ", "}")}}"""
   }
 
   /** GET `/{key}`: single doc by primary key (reference `get_by_key`).
     * The key literal is typed from the store schema. */
-  def byKey(key: String): Option[String] = {
+  def byKey(key: String): Option[String] = timed {
     val numeric = store.df.schema.fields.find(_.name == store.key)
       .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
     val lit = if (numeric) {
       if (!key.matches("-?\\d+(\\.\\d+)?"))
         throw ApiError(400, s"key '${key.take(64)}' is not numeric")
       key
-    } else jsonStr(key)
+    } else Json.str(key)
     val qp = withDefault(QueryParams(
-      criteria = Some(s"""{${jsonStr(store.key)}: $lit}"""), limit = Some(1)))
+      criteria = Some(s"""{${Json.str(store.key)}: $lit}"""), limit = Some(1)))
     store.query(qp).toJSON.collect().headOption
+  }
+}
+
+/** Read-only [[Store]] over a re-evaluated frame — lets a resource serve
+  * a live derived view (e.g. submissions with their current state) whose
+  * underlying store mutates between requests. */
+private[api] class ViewStore(
+    val spark: org.apache.spark.sql.SparkSession,
+    val name: String,
+    val key: String,
+    override val lastUpdatedField: String,
+    frame: () => DataFrame) extends Store {
+  def df: DataFrame = frame()
+  override def update(docs: DataFrame, keyFields: Seq[String]): Unit =
+    throw new UnsupportedOperationException(s"ViewStore $name is read-only")
+  override def removeDocs(criteria: String): Unit =
+    throw new UnsupportedOperationException(s"ViewStore $name is read-only")
+  override def removeKeys(keys: DataFrame): Unit =
+    throw new UnsupportedOperationException(s"ViewStore $name is read-only")
+}
+
+/** A14 serving plane (reference `api/resource/submission.py:21-390`):
+  * `POST /{name}` submits documents with duplicate rejection (all-dup
+  * batch → 409), `PATCH /{name}/{submission_id}` appends to the state
+  * history, and the inherited GET routes serve the live view with
+  * `current_state` resolved from the history's last entry. */
+class SubmissionResource(
+    val sub: SubmissionStore,
+    ops: Seq[QueryOperator],
+    timeoutMs: Long = 0,
+    responseHeaders: Map[String, String] = Map.empty)
+  extends ReadResource(
+    new ViewStore(sub.inner.spark, s"${sub.inner.name}-submissions",
+      "submission_id", "last_updated", () => sub.withCurrentState),
+    ops, None, timeoutMs, responseHeaders) {
+
+  /** POST intake: body = one JSON object or an array of objects. */
+  def submit(body: String): (Int, String) = timed {
+    val spark = sub.inner.spark
+    import spark.implicits._
+    val trimmed = body.trim
+    if (trimmed.isEmpty) throw ApiError(400, "empty submission body")
+    val df = spark.read.json(Seq(trimmed).toDS())
+    if (df.columns.contains("_corrupt_record"))
+      throw ApiError(400, "submission body is not valid JSON")
+    val (accepted, rejected) = sub.submit(df)
+    if (accepted == 0 && rejected > 0)
+      (409, s"""{"error": "duplicate submission", "accepted": 0, "rejected": $rejected}""")
+    else (201, s"""{"accepted": $accepted, "rejected": $rejected}""")
+  }
+
+  /** PATCH `/{id}`: append `state` to the submission's history. */
+  def patchState(id: String, state: String): (Int, String) = timed {
+    if (state.isEmpty) throw ApiError(400, "missing 'state'")
+    val n = sub.advance(s"""{"submission_id": ${Json.str(id)}}""", state)
+    if (n == 0) (404, """{"error": "submission not found"}""")
+    else (200, s"""{"matched": $n, "state": ${Json.str(state)}}""")
   }
 }
 
@@ -92,7 +191,10 @@ class BlobResource(val store: graft.store.BlobStore) {
 
 /** Minimal multi-resource HTTP host. `serve(Map("orders" -> res), 0)`
   * binds an ephemeral port (see `getAddress.getPort`); stop with
-  * `.stop(0)`. */
+  * `.stop(0)`. Resource and blob names must be disjoint (each owns the
+  * `/{name}` root). JDK context matching is prefix-based, so every
+  * handler re-checks that the path is exactly `/{name}` or starts with
+  * `/{name}/` — `/ordersfoo` is a 404, not a key lookup on `orders`. */
 object GraftHttp {
 
   private[api] def parseQuery(raw: String): Map[String, String] =
@@ -120,8 +222,22 @@ object GraftHttp {
     b.result()
   }
 
+  /** Path below `/{name}`, or None if the request doesn't actually belong
+    * to this context (JDK prefix matching hands `/ordersfoo` to the
+    * `/orders` handler). */
+  private def subPath(ex: HttpExchange, name: String): Option[String] = {
+    val p = ex.getRequestURI.getPath
+    if (p == s"/$name") Some("")
+    else if (p.startsWith(s"/$name/"))
+      Some(p.drop(name.length + 2).stripSuffix("/"))
+    else None
+  }
+
   def serve(resources: Map[String, ReadResource], port: Int = 0,
             blobs: Map[String, BlobResource] = Map.empty): HttpServer = {
+    val shared = resources.keySet.intersect(blobs.keySet)
+    require(shared.isEmpty,
+      s"resource and blob names must be disjoint; shared: ${shared.toSeq.sorted.mkString(", ")}")
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     blobs.foreach { case (name, res) =>
       server.createContext(s"/$name", new HttpHandler {
@@ -133,15 +249,15 @@ object GraftHttp {
           ex.close()
         }
         def handle(ex: HttpExchange): Unit = try {
-          val sub = ex.getRequestURI.getPath.stripPrefix(s"/$name")
-            .stripPrefix("/").stripSuffix("/")
-          (ex.getRequestMethod, sub) match {
-            case ("GET", k) if k.endsWith("/meta") =>
+          (ex.getRequestMethod, subPath(ex, name)) match {
+            case (_, None) =>
+              send(ex, 404, """{"error": "not found"}""".getBytes(UTF_8), "application/json")
+            case ("GET", Some(k)) if k.endsWith("/meta") =>
               res.meta(k.stripSuffix("/meta")) match {
                 case Some(json) => send(ex, 200, json.getBytes(UTF_8), "application/json")
                 case None => send(ex, 404, """{"error": "blob not found"}""".getBytes(UTF_8), "application/json")
               }
-            case ("GET", k) if k.nonEmpty =>
+            case ("GET", Some(k)) if k.nonEmpty =>
               res.fetch(k) match {
                 case Some((bytes, md5)) =>
                   ex.getResponseHeaders.set("ETag", md5)
@@ -161,25 +277,37 @@ object GraftHttp {
         private def send(ex: HttpExchange, status: Int, body: String): Unit = {
           val bytes = body.getBytes(UTF_8)
           ex.getResponseHeaders.set("Content-Type", "application/json")
+          // A16 HeaderProcessor analogue: resource-configured headers
+          res.responseHeaders.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
           ex.sendResponseHeaders(status, bytes.length.toLong)
           ex.getResponseBody.write(bytes)
           ex.close()
         }
         def handle(ex: HttpExchange): Unit = try {
-          val sub = ex.getRequestURI.getPath.stripPrefix(s"/$name")
-            .stripPrefix("/").stripSuffix("/")
-          (ex.getRequestMethod, sub) match {
-            case ("GET", "") =>
+          (ex.getRequestMethod, subPath(ex, name), res) match {
+            case (_, None, _) =>
+              send(ex, 404, """{"error": "not found"}""")
+            case ("GET", Some(""), _) =>
               send(ex, 200, res.search(parseQuery(ex.getRequestURI.getRawQuery)))
-            case ("POST", "") | ("POST", "search") => // A13 post resource
+            case ("POST", Some(""), sr: SubmissionResource) => // A14 intake
+              val (code, body) =
+                sr.submit(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+              send(ex, code, body)
+            case ("POST", Some("") | Some("search"), _) => // A13 post resource
               send(ex, 200, res.search(
                 parseJsonBody(ex.getRequestBody.readAllBytes())))
-            case ("GET", key) =>
+            case ("PATCH", Some(id), sr: SubmissionResource) if id.nonEmpty =>
+              // state from ?state=... or the JSON body
+              val params = parseQuery(ex.getRequestURI.getRawQuery) ++
+                parseJsonBody(ex.getRequestBody.readAllBytes())
+              val (code, body) = sr.patchState(id, params.getOrElse("state", ""))
+              send(ex, code, body)
+            case ("GET", Some(key), _) =>
               res.byKey(key) match {
                 case Some(doc) => send(ex, 200, s"""{"data": [$doc]}""")
                 case None => send(ex, 404, """{"error": "document not found"}""")
               }
-            case (m, _) => send(ex, 405, s"""{"error": "method $m not allowed"}""")
+            case (m, _, _) => send(ex, 405, s"""{"error": "method $m not allowed"}""")
           }
         } catch {
           case ApiError(status, msg) =>

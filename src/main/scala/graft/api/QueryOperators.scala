@@ -16,6 +16,21 @@ trait QueryOperator {
   /** Parse params → fragment. Throws [[ApiError]] on invalid input
     * (the 400-response analogue). */
   def query(params: Map[String, String]): QueryParams
+
+  /** A1 `post_process` hook (reference `api/query_operator/core.py:25-31`):
+    * transform the result frame after the canonical fold, before
+    * serialization. Default: identity. */
+  def postProcess(results: org.apache.spark.sql.DataFrame,
+                  params: Map[String, String]): org.apache.spark.sql.DataFrame = results
+
+  /** A1 `meta` hook (reference `api/query_operator/core.py:33-38`):
+    * contribute entries to the response `meta` envelope. Keys are JSON
+    * field names; values are raw JSON fragments. `filtered` is the
+    * criteria-filtered (pre-sort/skip/limit) frame so aggregate meta
+    * (facet counts etc.) can be computed over the full match set —
+    * implementations must keep any collect bounded (limit/topK). */
+  def meta(filtered: org.apache.spark.sql.DataFrame,
+           params: Map[String, String]): Map[String, String] = Map.empty
 }
 
 case class ApiError(status: Int, message: String)
@@ -128,6 +143,26 @@ class DynamicQuery(val schema: StructType, val excluded: Set[String] = Set.empty
     else QueryParams(criteria = Some(perField.map { case (f, frags) =>
       s""""$f": ${frags.mkString("{", ",", "}")}"""
     }.mkString("{", ",", "}")))
+  }
+}
+
+/** Facet contributor (the reference surfaces facet counts through the
+  * `meta` hook): value→count for `field` over the full filtered match
+  * set, top-`topK` by count. Pure meta — contributes no criteria. */
+class FacetQuery(val field: String, val topK: Int = 10) extends QueryOperator {
+  import org.apache.spark.sql.functions._
+  def query(params: Map[String, String]): QueryParams = QueryParams.empty
+  override def meta(filtered: org.apache.spark.sql.DataFrame,
+                    params: Map[String, String]): Map[String, String] = {
+    if (!filtered.columns.contains(field)) return Map.empty
+    // bounded collect: topK rows of a count aggregate
+    val counts = filtered.groupBy(col(field)).count()
+      .orderBy(desc("count"), col(field)).limit(topK).collect()
+    val obj = counts.map { r =>
+      val k = String.valueOf(r.get(0)).replace("\\", "\\\\").replace("\"", "\\\"")
+      s""""$k": ${r.getLong(1)}"""
+    }.mkString("{", ", ", "}")
+    Map(s"facet_$field" -> obj)
   }
 }
 

@@ -57,13 +57,20 @@ class ParquetStore(
     // this write (and concurrent readers of it) stay scannable; only the
     // grandparent generation is deleted. A long-lived plan two writes
     // behind can still fail — snapshot with localCheckpoint for that.
+    // Files.list/walk return open directory streams — close them or every
+    // versioned write leaks a descriptor (fatal for long-running drivers
+    // doing many incremental builds)
     old.foreach { v =>
       val keep = Set(next, v)
-      Files.list(Paths.get(root)).forEach { p =>
+      val ls = Files.list(Paths.get(root))
+      try ls.forEach { p =>
         val name = p.getFileName.toString
-        if (name.startsWith("v_") && !keep.contains(name))
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
-      }
+        if (name.startsWith("v_") && !keep.contains(name)) {
+          val walk = Files.walk(p)
+          try walk.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+          finally walk.close()
+        }
+      } finally ls.close()
     }
   }
 

@@ -67,23 +67,40 @@ object Sessionize {
                   case None => Some(SessionState(1L, e.value, t, t))
                 }
               }
-            // Events more than a gap BEFORE the open session (admissible
-            // when the watermark lags this key) belong to earlier, already
-            // complete sessions — fold and close them separately instead
-            // of min()-merging them into the open session. Sorted order
-            // makes them a prefix; by construction each is > gap before
-            // the open session's start, so none can rejoin it. (If a stray
-            // would have bridged into the open session via an intermediate
-            // event inside the original session's span, the O(1) aggregate
-            // state cannot see that event — that residual divergence from
-            // a full-log sort is the price of bounded state.)
-            val (strays, rest) = start match {
-              case Some(s0) => sorted.span(e => s0.start - e.ts.getTime > gapMs)
+            // Events BEFORE the open session's start (admissible when the
+            // watermark lags this key) may belong to earlier, already
+            // complete sessions — or may chain, event to event, back into
+            // the open one. Split the prefix into gap-separated segments:
+            // every segment but the last is > gap from its successor and
+            // transitively from the open session, so it closes on its own;
+            // the last segment merges into the open session iff its final
+            // event is within gap of the open start (chaining through
+            // in-batch events, not just distance-to-start — a 19100,19600
+            // prefix with gap 500 and open start 20000 is ONE chain).
+            // (If a stray would have bridged via an intermediate event
+            // inside the open session's span, the O(1) aggregate state
+            // cannot see that event — that residual divergence from a
+            // full-log sort is the price of bounded state.)
+            val (pre, rest) = start match {
+              case Some(s0) => sorted.span(_.ts.getTime < s0.start)
               case None => (Seq.empty[Event], sorted)
             }
-            fold(strays, None).foreach(s =>
-              closed += Session(user, s.count, s.sum, s.start, s.last))
-            val open = fold(rest, start)
+            val segments = pre.foldLeft(Vector.empty[Vector[Event]]) { (acc, e) =>
+              acc.lastOption match {
+                case Some(seg) if e.ts.getTime - seg.last.ts.getTime <= gapMs =>
+                  acc.init :+ (seg :+ e)
+                case _ => acc :+ Vector(e)
+              }
+            }
+            val (toClose, toMerge) = start match {
+              case Some(s0) if segments.nonEmpty &&
+                  s0.start - segments.last.last.ts.getTime <= gapMs =>
+                (segments.init, segments.last)
+              case _ => (segments, Vector.empty[Event])
+            }
+            toClose.foreach(seg => fold(seg, None).foreach(s =>
+              closed += Session(user, s.count, s.sum, s.start, s.last)))
+            val open = fold(toMerge ++ rest, start)
             open match {
               case Some(s) =>
                 state.update(s)

@@ -110,6 +110,100 @@ class HttpResourceSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("slow query is cancelled at the deadline -> 504 (read_resource.py:256-267)") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val sleepy = udf((x: Long) => { Thread.sleep(20); x }).asNondeterministic()
+    val slowDf = spark.range(2000).select(col("id"), sleepy(col("id")).alias("slow"))
+    val st = new TableStore(spark, slowDf, "slow", "id", "id")
+    val res = new ReadResource(st, Seq(new PaginationQuery(5, 100)),
+      defaultCriteria = Some("""{"slow": {"$gte": 0}}"""), timeoutMs = 400)
+    val t0 = System.nanoTime()
+    val e = intercept[ApiError](res.search(Map.empty))
+    assert(e.status === 504)
+    // the watchdog cancelled the job group — we did NOT sit out the scan
+    assert((System.nanoTime() - t0) / 1e9 < 20.0)
+    // and the same surfaces over HTTP as status 504
+    val srv = GraftHttp.serve(Map("slow" -> res))
+    try assert(get(s"http://localhost:${srv.getAddress.getPort}/slow/")._1 === 504)
+    finally srv.stop(0)
+  }
+
+  test("context matching is exact: /ordersfoo is 404, not a key lookup on /orders") {
+    assert(get(s"${base}foo")._1 === 404)
+    assert(get(s"${base}foo/42")._1 === 404)
+  }
+
+  test("serve() rejects a name present in both resources and blobs") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("blobdup").toString
+    val bs = new graft.store.BlobStore(spark, dir, key = "blob_id")
+    val e = intercept[IllegalArgumentException] {
+      GraftHttp.serve(Map("orders" -> resource),
+        blobs = Map("orders" -> new BlobResource(bs)))
+    }
+    assert(e.getMessage.contains("disjoint") && e.getMessage.contains("orders"))
+  }
+
+  test("A1 hooks: postProcess transforms docs, meta carries facet counts") {
+    import org.apache.spark.sql.functions._
+    val tagging = new QueryOperator {
+      def query(params: Map[String, String]) = graft.query.QueryParams.empty
+      override def postProcess(results: org.apache.spark.sql.DataFrame,
+                               params: Map[String, String]) =
+        results.withColumn("served_by", lit("graft"))
+    }
+    val res = new ReadResource(store, Seq(
+      new PaginationQuery(5, 100), tagging, new FacetQuery("o_orderstatus")),
+      responseHeaders = Map("X-Graft-Resource" -> "orders"))
+    val srv = GraftHttp.serve(Map("orders" -> res))
+    try {
+      val url = s"http://localhost:${srv.getAddress.getPort}/orders/?_limit=2"
+      val r = client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      assert(r.headers().firstValue("X-Graft-Resource").orElse("") === "orders")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+      assert(node.get("data").get(0).get("served_by").asText() === "graft")
+      val facets = node.get("meta").get("facet_o_orderstatus")
+      assert(facets !== null)
+      assert(facets.get("F").asLong() ===
+        store.count(Some("""{"o_orderstatus": "F"}""")))
+    } finally srv.stop(0)
+  }
+
+  test("A14 submission routes: POST intake, dup -> 409, PATCH appends state, GET reflects it") {
+    val inner = new graft.store.MemoryStore(spark, "subs",
+      key = "submission_id", lastUpdatedField = "last_updated")
+    val sub = new SubmissionStore(inner, duplicateFields = Seq("name"))
+    val res = new SubmissionResource(sub, Seq(new PaginationQuery(10, 100)))
+    val srv = GraftHttp.serve(Map("submissions" -> res))
+    try {
+      val url = s"http://localhost:${srv.getAddress.getPort}/submissions"
+      val (c1, b1) = post(s"$url/", """{"name": "alpha", "payload": 1}""")
+      assert(c1 === 201 && b1.contains(""""accepted": 1"""))
+      // duplicate on the configured field -> 409 (submission.py:121-139)
+      val (c2, b2) = post(s"$url/", """{"name": "alpha", "payload": 2}""")
+      assert(c2 === 409 && b2.contains("duplicate"))
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val doc = om.readTree(get(s"$url/")._2).get("data").get(0)
+      val sid = doc.get("submission_id").asText()
+      assert(doc.get("current_state").asText() === "submitted")
+      // PATCH appends to the state history (submission.py:289-321)
+      val pr = client.send(HttpRequest.newBuilder(URI.create(s"$url/$sid?state=approved"))
+        .method("PATCH", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(pr.statusCode() === 200 && pr.body().contains("approved"))
+      val after = om.readTree(get(s"$url/$sid")._2).get("data").get(0)
+      assert(after.get("current_state").asText() === "approved")
+      assert(after.get("state_history").size() === 2)
+      // PATCH on an unknown id -> 404
+      val p404 = client.send(HttpRequest.newBuilder(URI.create(s"$url/nope?state=x"))
+        .method("PATCH", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(p404.statusCode() === 404)
+    } finally srv.stop(0)
+  }
+
   test("defaultCriteria is $and-merged into every search and key lookup") {
     val guarded = new ReadResource(store, Seq(new PaginationQuery(5, 100)),
       defaultCriteria = Some("""{"o_orderstatus": "O"}"""))

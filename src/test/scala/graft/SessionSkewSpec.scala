@@ -95,6 +95,37 @@ class SessionSkewSpec extends SparkSpec {
     assert(main.toSeq === Seq((1L, 7.0, 12000L), (2L, 5.0, 20000L)))
   }
 
+  test("streaming sessionization: late prefix CHAINS into the open session through in-batch events") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val ts = (ms: Long) => new java.sql.Timestamp(ms)
+    val stream = MemoryStream[Sessionize.Event]
+    val out = Sessionize.sessions(stream.toDS(), gapMs = 500, watermarkMs = 10000)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_chain").start()
+    // batch 1: open session at start=20000
+    stream.addData(Sessionize.Event(1L, ts(20000L), 2.0))
+    q.processAllAvailable()
+    // batch 2: late events 19100, 19600. 19100 is 900ms (> gap) before the
+    // open start, but chains through 19600 (gaps 500 and 400): ONE session.
+    // The old distance-to-start rule wrongly closed 19100 alone.
+    stream.addData(
+      Sessionize.Event(1L, ts(19100L), 3.0), Sessionize.Event(1L, ts(19600L), 5.0))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sessions_chain").count() === 0)
+    // advance watermark past the open session's timeout and fire it
+    stream.addData(Sessionize.Event(2L, ts(40000L), 1.0))
+    q.processAllAvailable()
+    stream.addData(Sessionize.Event(2L, ts(40100L), 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT n_events, total, start_millis, end_millis FROM sessions_chain WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq((3L, 10.0, 19100L, 20000L)))
+  }
+
   test("batch sessionization: gap splits sessions (window algebra)") {
     val s = spark; import s.implicits._
     val ts = (ms: Long) => new java.sql.Timestamp(ms)
