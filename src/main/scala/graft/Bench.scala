@@ -45,7 +45,11 @@ object Bench {
       name -> time(fn, name)
     }
     // second pass: the md5-family originals, reported separately so the
-    // replayability overhead stays visible but outside the total
+    // replayability overhead stays visible but outside the total.
+    // Verification scope: the timed xxh64 plans are not themselves
+    // byte-replayed by the DuckDB oracle (the md5 family is); the
+    // cross-family agreement spec in ExtQualitySpec ("hash families
+    // agree") pins that both plans find the same duplicate sets.
     val md5Results = SparkEntry.benchOverrides.keys.toSeq.sorted.map { name =>
       name -> time(SparkEntry.queries(name), s"$name(md5)")
     }

@@ -213,10 +213,22 @@ object Dedup {
     * because each band has AT MOST 65,536 buckets, so bucket occupancy
     * grows linearly with corpus size and an uncapped self-join fans out
     * quadratically (boilerplate-heavy corpora collapse into few
-    * buckets). Same hash-agg + broadcast anti-join as [[minhashLsh]]. */
+    * buckets). Same hash-agg + broadcast anti-join as [[minhashLsh]].
+    *
+    * @param maxBucketSize RECALL CAVEAT: with `overCap = "drop"` (the
+    *   default) a (band, bucket) larger than this yields NO pairs from
+    *   that band — a duplicate cluster bigger than the cap loses exactly
+    *   its most-duplicated members unless another band still pairs them.
+    *   `overCap = "star"` instead pairs each over-cap bucket's min-id
+    *   representative with every other member — O(bucket) instead of
+    *   O(bucket²) — so giant clusters stay connected (star topology)
+    *   rather than vanishing. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, family: String = "xxh64",
-                   maxBucketSize: Int = 1000): DataFrame = {
+                   maxBucketSize: Int = 1000,
+                   overCap: String = "drop"): DataFrame = {
+    require(overCap == "drop" || overCap == "star",
+      s"overCap must be 'drop' or 'star', got '$overCap'")
     val sigs = simhashSignatures(df, idCol, textCol, family)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("simhash"),
@@ -231,10 +243,27 @@ object Dedup {
       col("simhash").alias("sa"))
     val b = sized.select(col("band"), col("bucket"), col("id").alias("b"),
       col("simhash").alias("sb"))
-    a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
+    val pairs = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).alias("hamming")).distinct()
-      .filter(col("hamming") <= maxHamming)
+        bit_count(col("sa").bitwiseXOR(col("sb"))).alias("hamming"))
+    val all =
+      if (overCap == "drop") pairs
+      else {
+        // star topology for over-cap buckets: min-id representative pairs
+        // with every member — linear in bucket size, keeps the cluster
+        // connected for downstream transitive grouping
+        val overs = banded.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
+        val reps = overs.groupBy(col("band"), col("bucket"))
+          .agg(min_by(struct(col("id"), col("simhash")), col("id")).alias("__r"))
+          .select(col("band"), col("bucket"),
+            col("__r.id").alias("a"), col("__r.simhash").alias("sa"))
+        val star = overs.join(broadcast(reps), Seq("band", "bucket"))
+          .filter(col("id") =!= col("a")) // rep = min id, so a < b always
+          .select(col("a"), col("id").alias("b"),
+            bit_count(col("sa").bitwiseXOR(col("simhash"))).alias("hamming"))
+        pairs.unionByName(star)
+      }
+    all.distinct().filter(col("hamming") <= maxHamming)
   }
 
   /** 5. Exact n-gram Jaccard pairs via inverted shingle index:

@@ -42,14 +42,34 @@ object Similarity {
     * bounded-heap aggregate ([[graft.functions.TopKAgg]]): map-side
     * partials cut the shuffle to k·|queries| rows — a `row_number`
     * window here would shuffle AND sort every scored row. Emits
-    * `(q_id, rank, n_id, sim)`, rank 1 = best, ties toward smaller id. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy(col("q_id"))
-      .agg(graft.functions.TopKAgg.topk(scored.sparkSession,
-        col("sim"), col("n_id"), k).alias("__top"))
-      .select(col("q_id"), posexplode(col("__top")))
-      .select(col("q_id"), (col("pos") + 1).alias("rank"),
-        col("col.id").alias("n_id"), round(col("col.score"), 4).alias("sim"))
+    * `(q_id, rank, n_id, sim)`, rank 1 = best, ties toward smaller id.
+    *
+    * Id-type contract: integral neighbor ids ride the bounded-heap
+    * aggregate (cast long, cast back on output); any other id type
+    * (string, decimal, …) falls back to the `row_number` window — correct
+    * but sort-shuffling every scored row, so prefer integral ids at
+    * scale. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = scored.schema("n_id").dataType
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        scored.groupBy(col("q_id"))
+          .agg(graft.functions.TopKAgg.topk(scored.sparkSession,
+            col("sim"), col("n_id").cast("long"), k).alias("__top"))
+          .select(col("q_id"), posexplode(col("__top")))
+          .select(col("q_id"), (col("pos") + 1).alias("rank"),
+            col("col.id").cast(idType).alias("n_id"),
+            round(col("col.score"), 4).alias("sim"))
+      case _ =>
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("q_id"), col("rank"), col("n_id"),
+            round(col("sim"), 4).alias("sim"))
+    }
+  }
 
   /** Exact cosine top-k: for each row of `queries`, the `k` nearest
     * corpus rows. `queries` is broadcast (it is the small side by
@@ -150,11 +170,14 @@ object Similarity {
     * raise `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
     * for very high corpus cardinality).
     *
-    * `keep > 1` (the query side only — broadcast-sized by construction):
-    * the tiny top-n window. */
+    * `keep > 1` (the query side only — broadcast-sized by construction)
+    * and non-numeric centroid ids (where the inline argmax's `-c_id`
+    * tie-break can't apply): the tiny top-n window. */
   private[graft] def assignToCells(df: DataFrame, cents: DataFrame,
                                    id: String, vec: String, keep: Int): DataFrame = {
-    if (keep == 1) {
+    val numericCid = cents.schema("c_id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    if (keep == 1 && numericCid) {
       val cl = cents.select(col("c_id"), col("c_vec")).collect() // ≤ nCentroids rows by contract
       val base = df.select(col(id).alias("__rid"), col(vec).alias("__rvec"))
       if (cl.length <= 256) {
@@ -202,11 +225,21 @@ object Similarity {
     * bounded in number (2^h), so at corpus scale a degenerate bucket
     * (e.g. near-zero embeddings all hashing alike) grows linearly and
     * its self-join quadratically. Same hash-agg + broadcast anti-join
-    * pattern as [[Dedup.minhashLsh]] — no sort-window. */
+    * pattern as [[Dedup.minhashLsh]] — no sort-window.
+    *
+    * @param maxBucketSize RECALL CAVEAT: with `overCap = "drop"` (the
+    *   default) buckets above the cap contribute NO pairs — a duplicate
+    *   cluster larger than the cap silently loses its most-duplicated
+    *   members. `overCap = "star"` pairs the bucket's min-id
+    *   representative with every member instead (O(bucket), cluster stays
+    *   connected). */
   def cosineDupPairs(corpus: DataFrame, dim: Int, threshold: Double = 0.95,
                      h: Int = 12, idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     maxBucketSize: Int = 10000): DataFrame = {
+                     maxBucketSize: Int = 10000,
+                     overCap: String = "drop"): DataFrame = {
+    require(overCap == "drop" || overCap == "star",
+      s"overCap must be 'drop' or 'star', got '$overCap'")
     val planes = hyperplanes(dim, h)
     val sigs = corpus.select(col(idCol).alias("id"), col(vecCol).alias("vec"),
       signature(col(vecCol), planes).alias("sig"))
@@ -215,7 +248,23 @@ object Similarity {
     val capped = sigs.join(broadcast(hot), Seq("sig"), "left_anti")
     val a = capped.select(col("sig"), col("id").alias("a"), col("vec").alias("va"))
     val b = capped.select(col("sig"), col("id").alias("b"), col("vec").alias("vb"))
-    a.join(b, Seq("sig")).filter(col("a") < col("b"))
+    val pairs = a.join(b, Seq("sig")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("va"), col("vb"))
+    val all =
+      if (overCap == "drop") pairs
+      else {
+        val overs = sigs.join(broadcast(hot), Seq("sig"), "left_semi")
+        val reps = overs.groupBy(col("sig"))
+          .agg(min_by(struct(col("id"), col("vec")), col("id")).alias("__r"))
+          .select(col("sig"), col("__r.id").alias("a"), col("__r.vec").alias("va"))
+        val star = overs.join(broadcast(reps), Seq("sig"))
+          .filter(col("id") =!= col("a"))
+          .select(col("a"), col("id").alias("b"), col("va"), col("vec").alias("vb"))
+        pairs.unionByName(star)
+      }
+    // no pair dedup needed: each doc lives in exactly one signature
+    // bucket, and over-cap buckets are disjoint from capped ones
+    all
       .withColumn("sim", nativeCosine(corpus, col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).alias("sim"))

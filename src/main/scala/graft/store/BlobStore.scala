@@ -106,6 +106,11 @@ class BlobStore(
     backing.removeDocs(BlobStore.transformCriteria(criteria, key))
 
   override def removeKeys(keys: DataFrame): Unit = backing.removeKeys(keys)
+
+  /** Index hint passes through to the parquet substrate (key-sorted
+    * layout → row-group pruning for [[graft.api.BlobResource]] fetches). */
+  override def ensureIndex(field: String, unique: Boolean = false): Boolean =
+    backing.ensureIndex(field, unique)
 }
 
 object BlobStore {

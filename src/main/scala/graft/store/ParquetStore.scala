@@ -47,9 +47,35 @@ class ParquetStore(
     case None    => spark.emptyDataFrame
   }
 
+  /** Fields from [[ensureIndex]]: writes lay data out range-partitioned +
+    * sorted on these, so parquet row-group min/max statistics prune point
+    * lookups to one group (the Mongo `_id`-index analogue). */
+  @volatile private var indexKeys: Seq[String] = Nil
+
+  /** S8 on parquet: an "index" = key-clustered layout. Recorded fields
+    * re-shape every subsequent write; existing data is re-laid-out once
+    * immediately (like index creation on a populated collection). */
+  override def ensureIndex(field: String, unique: Boolean = false): Boolean = {
+    if (!indexKeys.contains(field)) {
+      indexKeys = indexKeys :+ field
+      if (!isEmpty) writeVersion(df)
+    }
+    true
+  }
+
   private def writeVersion(data: DataFrame): Unit = {
     val next = "v_" + (currentVersion.map(_.drop(2).toLong + 1).getOrElse(0L))
-    val out = if (numPartitions > 0) data.repartition(numPartitions, col(key)) else data
+    val out =
+      if (indexKeys.nonEmpty) {
+        // disjoint sorted ranges: one file/row-group holds any given key
+        val parts =
+          if (numPartitions > 0) numPartitions
+          else spark.sessionState.conf.numShufflePartitions
+        data.repartitionByRange(parts, indexKeys.map(col): _*)
+          .sortWithinPartitions(indexKeys.map(col): _*)
+      }
+      else if (numPartitions > 0) data.repartition(numPartitions, col(key))
+      else data
     out.write.mode(SaveMode.Overwrite).parquet(s"$root/$next")
     val old = currentVersion
     Files.writeString(currentFile, next)

@@ -144,6 +144,43 @@ class ConnectorSpec extends SparkSpec {
     assert(bs.count() === 1)
   }
 
+  test("ensureIndex: key-sorted layout prunes point lookups to one row group (S8)") {
+    import scala.jdk.CollectionConverters._
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    val st = new graft.store.ParquetStore(spark, root, key = "k", lastUpdatedField = "lu")
+    st.ensureIndex("k")
+    st.update((1L to 10000L).map(k => (k, 1L)).toDF("k", "lu"))
+    val target = 7777L
+    // footer check: with the range-partitioned sorted layout, the [min,max]
+    // of exactly one row group across the store can contain the key — the
+    // property parquet predicate pushdown prunes on
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_current")).trim
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$cur")
+    val fs = dir.getFileSystem(conf)
+    var total = 0; var candidates = 0
+    fs.listStatus(dir).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try r.getFooter.getBlocks.asScala.foreach { b =>
+          total += 1
+          val stats = b.getColumns.asScala
+            .find(_.getPath.toDotString == "k").get.getStatistics
+          val mn = stats.genericGetMin.asInstanceOf[java.lang.Long]
+          val mx = stats.genericGetMax.asInstanceOf[java.lang.Long]
+          if (mn <= target && target <= mx) candidates += 1
+        } finally r.close()
+      }
+    assert(total > 1)       // genuinely multi-row-group store
+    assert(candidates === 1) // clustered layout: one candidate group
+    // incremental upsert keeps the layout (writeVersion re-sorts)
+    st.update(Seq((20000L, 2L)).toDF("k", "lu"))
+    assert(st.query(s"""{"k": $target}""").collect().map(_.getLong(0)).toSeq === Seq(target))
+  }
+
   test("ParquetStore.writeVersion closes directory streams (no fd growth across versions)") {
     val s = spark; import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("pq_fd_leak").toString

@@ -94,6 +94,80 @@ class ExtQualitySpec extends SparkSpec {
       maxBucketSize = 1).filter(col("b") === col("a") + 500000).count() === 0)
   }
 
+  test("over-cap buckets in star mode keep giant clusters connected (ADVICE r2)") {
+    val s = spark; import s.implicits._
+    val boiler = (1L to 60L).map(i => (i, "the same boilerplate text repeated"))
+      .toDF("doc_id", "text")
+    // drop mode: zero pairs (recall loss documented); star mode: 59 pairs
+    // — min id (1) paired with every other member, cluster connected
+    val star = Dedup.simhashPairs(boiler, "doc_id", "text", maxBucketSize = 10,
+      overCap = "star").collect()
+    assert(star.length === 59)
+    assert(star.forall(r => r.getAs[Long]("a") === 1L))
+    assert(star.map(_.getAs[Long]("b")).sorted.toSeq === (2L to 60L))
+    // same for embedding near-dup
+    val emb = sf("embeddings").limit(20)
+    val copies = emb.select((col("vec_id") + 500000).alias("vec_id"),
+      col("embedding"), col("label"))
+    val starPairs = Similarity.cosineDupPairs(emb.unionByName(copies), dim = 64,
+      threshold = 0.999, maxBucketSize = 1, overCap = "star")
+    assert(starPairs.filter(col("b") === col("a") + 500000).count() === 20)
+  }
+
+  test("topKPerQuery id-type contract: int ids ride the heap, string ids fall back (ADVICE r2)") {
+    val s = spark; import s.implicits._
+    val vecs = (1 to 30).map(i =>
+      (i, Array.tabulate(8)(d => math.cos(i * (d + 1)).toFloat)))
+    // IntegerType ids (the heap path casts long and back)
+    val intDf = vecs.toDF("vec_id", "embedding")
+    val intTop = Similarity.bruteForceTopK(intDf, intDf.limit(3), k = 4)
+    assert(intTop.count() === 12)
+    assert(intTop.schema("n_id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // StringType ids (window fallback — correct, documented slower)
+    val strDf = vecs.map { case (i, v) => (s"doc-$i", v) }.toDF("vec_id", "embedding")
+    val strTop = Similarity.bruteForceTopK(strDf, strDf.limit(3), k = 4)
+    assert(strTop.count() === 12)
+    val sameK = intTop.select(col("q_id").cast("string"), col("rank"),
+      col("n_id").cast("string"), col("sim")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    val strSet = strTop.collect()
+      .map(r => (r.getString(0).stripPrefix("doc-"), r.getInt(1),
+        r.getString(2).stripPrefix("doc-"), r.getDouble(3))).toSet
+    assert(sameK === strSet)
+    // string-id IVF exercises the non-numeric assignToCells fallback
+    val strIvf = Similarity.ivfTopK(strDf, strDf.limit(3), k = 2, nCentroids = 4)
+    assert(strIvf.count() > 0)
+  }
+
+  test("hash families agree: xxh64 and md5 minhash/simhash find the same pair sets") {
+    // the bench times the xxh64 family while the oracle byte-replays the
+    // md5 family — this pins that both plans find the same duplicates on
+    // the bench-style corpus (ADVICE r2: cross-family check)
+    val base = docs.select(col("doc_id"), col("text"))
+    val twins = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).alias("doc_id"),
+        concat(col("text"), lit(" zzz near dup suffix")).alias("text"))
+    val corpus = base.unionByName(twins)
+    def pairSet(family: String): Set[(Long, Long)] =
+      Dedup.minhashLsh(corpus, "doc_id", "text", threshold = 0.5, family = family)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (xx, md) = (pairSet("xxh64"), pairSet("md5"))
+    val overlap = (xx intersect md).size.toDouble / math.max(xx.size, md.size)
+    assert(overlap >= 0.9, s"family agreement $overlap (xx=${xx.size}, md5=${md.size})")
+    // simhash signatures are family-dependent, so borderline (hamming≈max)
+    // pairs legitimately differ; the cross-family invariant is recall of
+    // ground-truth duplicates, not equality of the noise tail
+    val truth = twins.count()
+    def shTwinRecall(family: String): Double =
+      Dedup.simhashPairs(corpus, "doc_id", "text", family = family)
+        .filter(col("b") === col("a") + 1000000).count().toDouble / truth
+    val (rx, rm) = (shTwinRecall("xxh64"), shTwinRecall("md5"))
+    assert(rx >= 0.6 && rm >= 0.6, s"simhash twin recall degenerate: xx=$rx md5=$rm")
+    assert(math.abs(rx - rm) <= 0.15,
+      s"families diverge: xxh64 recall $rx vs md5 recall $rm")
+  }
+
   test("graft_topk bounded heap matches sort-based top-k with ties toward smaller id") {
     val s = spark; import s.implicits._
     val rows = (1L to 500L).map(i => (1L, i, ((i * 37) % 97).toDouble / 97.0)) ++
