@@ -56,11 +56,8 @@ object Dedup {
     * n-gram element (O(tokens²) per doc; measured 10× slower).
     * CollapseProject keeps the boundary because the alias is non-cheap
     * and multiply-referenced. */
-  /** (id, grams) — one row per doc, `grams` = array of word n-gram
-    * strings (with multiplicity). The token projection stays a separate
-    * select so the regexp/split runs once per row (see note above). */
-  private def tokenGrams(df: DataFrame, idCol: String, textCol: String,
-                         n: Int): DataFrame = {
+  def shingleDF(df: DataFrame, idCol: String, textCol: String, n: Int,
+                distinct: Boolean = true): DataFrame = {
     val tokd = df.select(col(idCol).alias("id"),
       filter(split(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "), "\\s+"),
         t => length(t) > 0).alias("tk"))
@@ -69,14 +66,19 @@ object Dedup {
       transform(sequence(lit(0), size(tk) - n),
         i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", tk)))
-    tokd.select(col("id"), grams.alias("grams"))
+    val exploded = tokd.select(col("id"), explode(grams).alias("shingle"))
+    if (distinct) exploded.distinct() else exploded
   }
 
-  def shingleDF(df: DataFrame, idCol: String, textCol: String, n: Int,
-                distinct: Boolean = true): DataFrame = {
-    val exploded = tokenGrams(df, idCol, textCol, n)
-      .select(col("id"), explode(col("grams")).alias("shingle"))
-    if (distinct) exploded.distinct() else exploded
+  /** Hashed-shingle postings via the native [[graft.functions.NgramHashes]]
+    * kernel: `(id, sh)` with `sh` a 64-bit gram hash — one compiled loop
+    * per row, no HOF lambda tower (see TextShingles.scala). */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+                             n: Int, distinct: Boolean): DataFrame = {
+    val toks = split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " ")
+    df.select(col(idCol).alias("id"),
+      explode(graft.functions.GraftFunctions.ngramHashes(
+        df.sparkSession, toks, n, distinct)).alias("sh"))
   }
 
   /** 1. Exact duplicates: groups of identical content. Returns one row
@@ -117,6 +119,19 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleSize: Int = 3,
                         family: String = "xxh64"): DataFrame = {
+    if (family == "xxh64" && numHashes <= 64) {
+      // engine fast path: each shingle hashes ONCE to a 64-bit value in
+      // the compiled NgramHashes loop (dedup map-side in the same pass);
+      // component j is a re-hash of those 8 bytes with seed j — the same
+      // independent-family statistics at a fraction of the hashing cost
+      // of k string hashes per shingle (strings are ~50 bytes each).
+      val sh = hashedShingles(df, idCol, textCol, shingleSize, distinct = true)
+      val mins = (0 until numHashes).map(j =>
+        min(xxhash64(lit(j), col("sh"))).alias(s"h$j"))
+      return sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+        .select(col("id"),
+          array((0 until numHashes).map(j => col(s"h$j")): _*).alias("sig"))
+    }
     // no distinct: min over a multiset equals min over its set — skips a
     // full shuffle of the exploded shingle table
     val sh = shingleDF(df, idCol, textCol, shingleSize, distinct = false)
