@@ -322,6 +322,12 @@ object SparkEntry {
         .orderBy("status", "prio")
     }),
 
+    // exact sort-based `percentile` stays the benched default: it is
+    // bit-identical to DuckDB's quantile_cont (the r1 finding that makes
+    // this hash-verifiable at all) and re-measured at ~3.2s in r3 (the
+    // r2 4.2s was GC-schedule noise, plan unchanged). The documented
+    // 100 TB path remains `approx_percentile`, which trades the
+    // per-group sort for a fixed-size sketch but is not byte-replayable.
     "agg_percentile" -> ((s, dir) => {
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_quantity, 0.5)").alias("med_qty"),
@@ -603,6 +609,15 @@ object SparkEntry {
         n = 3, threshold = 0.5)
         .orderBy("a", "b")),
 
+    // cluster resolution: pairs -> connected components -> one cluster id
+    // per member (min id). md5 family so the oracle replays the pair set.
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Dedup.minhashLsh(nearDupCorpus(s, dir), "doc_id", "text",
+          numHashes = 32, bands = 16, threshold = 0.5, family = "md5"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "sim_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -673,12 +688,55 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("a", "b")),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Dedup.minhashLsh(nearDupCorpus(s, dir), "doc_id", "text",
+          numHashes = 32, bands = 16, threshold = 0.5))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         nCentroids = 16, nprobe = 4)
         .orderBy("q_id", "rank")
     }))
+
+  /** md5-family MinHash pair replay, split as (CTE chain, final pair
+    * SELECT without ORDER BY) so the pair query and the cluster-closure
+    * query share one definition: 60-bit md5-prefix hashes, 32 min-aggs,
+    * 16 band buckets, hot-bucket cap, sig-match verification. */
+  private lazy val minhashOracleParts: (String, String) = {
+    val K = 32; val BANDS = 16; val ROWS = K / BANDS
+    def H(seed: String, v: String) =
+      s"CAST(('0x' || substr(md5($seed || ':' || $v), 1, 15)) AS BIGINT)"
+    def H2(j: Int) =
+      s"CAST(('0x' || substr(md5('${j / 2}:' || shingle), ${1 + 16 * (j % 2)}, 15)) AS BIGINT)"
+    val sigCols = (0 until K).map(j => s"min(${H2(j)}) AS h$j").mkString(", ")
+    val bandSelects = (0 until BANDS).map { b =>
+      val comps = (0 until ROWS).map(r => s"CAST(h${b * ROWS + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, ${H(b.toString, s"($comps)")} AS bucket FROM sigs"
+    }.mkString(" UNION ALL ")
+    val estSum = (0 until K).map(j =>
+      s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    val ctes =
+      "corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000, text || ' zzz near dup suffix' FROM documents WHERE doc_id % 10 = 0), " +
+        "toks AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM corpus), " +
+        "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[n], tk[n+1], tk[n+2]) AS shingle " +
+        "FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(n) WHERE len(tk) >= 3 " +
+        "UNION SELECT DISTINCT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 3), " +
+        s"sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id), " +
+        s"banded AS ($bandSelects), " +
+        "capped AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x " +
+        "JOIN capped y USING (band, bucket) WHERE x.doc_id < y.doc_id)"
+    val pairSel =
+      s"SELECT a, b, round(($estSum) / 32.0, 4) AS est_jaccard FROM cand " +
+        "JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b " +
+        s"WHERE ($estSum) / 32.0 >= 0.5"
+    (ctes, pairSel)
+  }
 
   def oracleSql: Map[String, String] = {
     val Seq(en, de, fr, es) = stopLists.map { case (_, ws) => sqlHits(ws) }
@@ -976,33 +1034,19 @@ object SparkEntry {
       // hashes, 64 min-aggs, 16 band buckets, hot-bucket cap, sig-match
       // verification — all regenerated as SQL from the same parameters
       "dedup_minhash_lsh" -> {
-        val K = 32; val BANDS = 16; val ROWS = K / BANDS
-        def H(seed: String, v: String) =
-          s"CAST(('0x' || substr(md5($seed || ':' || $v), 1, 15)) AS BIGINT)"
-        def H2(j: Int) =
-          s"CAST(('0x' || substr(md5('${j / 2}:' || shingle), ${1 + 16 * (j % 2)}, 15)) AS BIGINT)"
-        val sigCols = (0 until K).map(j => s"min(${H2(j)}) AS h$j").mkString(", ")
-        val bandSelects = (0 until BANDS).map { b =>
-          val comps = (0 until ROWS).map(r => s"CAST(h${b * ROWS + r} AS VARCHAR)")
-            .mkString(" || ',' || ")
-          s"SELECT doc_id, $b AS band, ${H(b.toString, s"($comps)")} AS bucket FROM sigs"
-        }.mkString(" UNION ALL ")
-        val estSum = (0 until K).map(j =>
-          s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
-        "WITH corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
-          "SELECT doc_id + 1000000, text || ' zzz near dup suffix' FROM documents WHERE doc_id % 10 = 0), " +
-          "toks AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM corpus), " +
-          "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[n], tk[n+1], tk[n+2]) AS shingle " +
-          "FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(n) WHERE len(tk) >= 3 " +
-          "UNION SELECT DISTINCT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 3), " +
-          s"sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id), " +
-          s"banded AS ($bandSelects), " +
-          "capped AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000), " +
-          "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x " +
-          "JOIN capped y USING (band, bucket) WHERE x.doc_id < y.doc_id) " +
-          s"SELECT a, b, round(($estSum) / 32.0, 4) AS est_jaccard FROM cand " +
-          "JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b " +
-          s"WHERE ($estSum) / 32.0 >= 0.5 ORDER BY 1, 2"
+        val (ctes, pairSel) = minhashOracleParts
+        s"WITH $ctes $pairSel ORDER BY 1, 2"
+      },
+      // cluster resolution replay: the same pair CTE chain, transitive
+      // min-label closure via a recursive CTE (the engine's iterative
+      // min-label propagation converges to the identical fixpoint)
+      "dedup_clusters" -> {
+        val (ctes, pairSel) = minhashOracleParts
+        s"WITH RECURSIVE $ctes, pairs AS ($pairSel), " +
+          "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs), " +
+          "reach AS (SELECT src AS id, src AS r FROM edges " +
+          "UNION SELECT e.src AS id, rc.r AS r FROM edges e JOIN reach rc ON rc.id = e.dst) " +
+          "SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id ORDER BY 1"
       },
       // md5-family SimHash replayed in SQL: weighted token-hash bit sums,
       // 64-bit signature pack, 4x16-bit band candidates, hamming verify

@@ -281,6 +281,56 @@ object Dedup {
     all.distinct().filter(col("hamming") <= maxHamming)
   }
 
+  /** Cluster resolution: connected components over a duplicate-pair
+    * graph — the step that turns near-dup PAIRS into keep-one-per-cluster
+    * decisions (production dedup pipelines act on clusters, not pairs).
+    *
+    * Algorithm: iterative min-label propagation. Every node starts
+    * labelled with its own id; each round every node takes the min of its
+    * own and its neighbors' labels; fixpoint = each component uniformly
+    * carries its min id. Rounds needed = graph diameter — LSH duplicate
+    * clusters are near-cliques (diameter 2-3), so this converges in a
+    * handful of rounds even at 100 TB. Each round is one join + one
+    * hash-agg on narrow (long, long) rows; labels are localCheckpoint'd
+    * per round so the plan (and its lineage) stays O(1) deep, and the
+    * previous round's blocks are freed as soon as the next is
+    * materialized.
+    *
+    * Returns `(id, cluster)` with `cluster` = min id of the component.
+    * Only ids appearing in `pairs` are returned — untouched docs are
+    * trivially their own cluster. The survivor set is `id == cluster`.
+    */
+  def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+               maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).alias("src"), col(bCol).alias("dst"))
+      .unionByName(pairs.select(col(bCol).alias("src"), col(aCol).alias("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var mat = edges.select(col("src").alias("id")).distinct()
+      .select(col("id"), col("id").alias("lbl")).localCheckpoint(true)
+    var labels = mat
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").alias("dst"), col("lbl").alias("nlbl")),
+          Seq("dst"))
+        .groupBy(col("src").alias("id")).agg(min(col("nlbl")).alias("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).alias("lbl"),
+          (coalesce(col("nmin"), col("lbl")) < col("lbl")).alias("__chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__chg")).count()
+      mat.unpersist() // next is materialized; the old round's blocks free
+      mat = next
+      labels = next.select(col("id"), col("lbl"))
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("lbl", "cluster")
+  }
+
   /** 5. Exact n-gram Jaccard pairs via inverted shingle index:
     * docs sharing ≥1 shingle are joined, common-shingle counts vs
     * per-doc totals give exact Jaccard. The verifier tier — O(pairs

@@ -168,6 +168,19 @@ class ExtQualitySpec extends SparkSpec {
       s"families diverge: xxh64 recall $rx vs md5 recall $rm")
   }
 
+  test("clusters: min-label connected components converge over chains and stars") {
+    val s = spark; import s.implicits._
+    // two components: a CHAIN 1-2-3-4 (diameter 3 — exercises multi-round
+    // propagation, not just one-hop star merges) and the pair {10, 11}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // survivors (id == cluster) = one per component
+    assert(got.count { case (id, c) => id == c } === 2)
+  }
+
   test("graft_topk bounded heap matches sort-based top-k with ties toward smaller id") {
     val s = spark; import s.implicits._
     val rows = (1L to 500L).map(i => (1L, i, ((i * 37) % 97).toDouble / 97.0)) ++
