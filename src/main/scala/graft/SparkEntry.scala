@@ -2,7 +2,7 @@ package graft
 
 import graft.api._
 import graft.builder._
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.query.{MongoFilter, QueryParams}
 import graft.store.{MemoryStore, TableStore}
 import graft.store.views._
@@ -618,6 +618,27 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // deterministic sampling / mixture ops (training-data curation):
+    // md5 hash family so the oracle replays the exact sample membership
+    "sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), "doc_id", rate = 0.25,
+        family = "md5")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratified(t(s, dir, "documents"), Seq("lang", "source"),
+        "doc_id", perStratum = 5, family = "md5")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    "sample_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetPack(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).alias("n_tokens")),
+        orderCol = "doc_id", tokensCol = "n_tokens", budget = 30000)
+        .orderBy("doc_id")),
+
     "sim_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -961,6 +982,23 @@ object SparkEntry {
       "mm_meta" ->
         ("SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len, " +
          "md5(text) AS content_md5 FROM documents ORDER BY 1"),
+      // md5-family seeded hash (seed 0) on the stringified key — the
+      // byte-identical replay of Dedup.seededHash("md5", 0, key)
+      "sample_hash" -> {
+        val h = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        s"SELECT doc_id, lang, source FROM documents WHERE $h % 10000 < 2500 ORDER BY doc_id"
+      },
+      "sample_stratified" -> {
+        val h = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        "SELECT doc_id, lang, source FROM documents " +
+          s"QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY $h, doc_id) <= 5 " +
+          "ORDER BY doc_id"
+      },
+      "sample_token_budget" ->
+        ("WITH toks AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents) " +
+         "SELECT doc_id, n_tokens FROM toks " +
+         "QUALIFY sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 30000 " +
+         "ORDER BY doc_id"),
       "sim_cosine_topk" ->
         ("SELECT q_id, rank, n_id, sim FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
          "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim, " +

@@ -181,6 +181,52 @@ class ExtQualitySpec extends SparkSpec {
     assert(got.count { case (id, c) => id == c } === 2)
   }
 
+  test("hashSample: deterministic, disjoint complement, append-stable membership") {
+    import graft.ext.Sampling
+    val sample = Sampling.hashSample(docs, "doc_id", 0.3)
+    val a = sample.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)                                     // reproducible
+    val comp = Sampling.hashSampleComplement(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((a intersect comp).isEmpty)
+    assert(a.size + comp.size === docs.count())          // exact partition
+    // membership is per-key: a doc keeps its fate when the corpus grows
+    val bigger = docs.unionByName(docs.select((col("doc_id") + 900000).alias("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars")))
+    val a2 = Sampling.hashSample(bigger, "doc_id", 0.3)
+      .filter(col("doc_id") < 900000).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a2 === a)
+  }
+
+  test("stratified: exact per-stratum quota in deterministic hash order") {
+    import graft.ext.Sampling
+    val got = Sampling.stratified(docs, Seq("lang"), "doc_id", perStratum = 7)
+    val counts = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    avail.foreach { case (lang, n) =>
+      assert(counts(lang) === math.min(n, 7L), s"stratum $lang")
+    }
+  }
+
+  test("tokenBudgetPack: distributed prefix sum equals the naive global window") {
+    import graft.ext.Sampling
+    val s = spark; import s.implicits._
+    val rows = (1L to 1000L).map(i => (i, (i * 13 % 50) + 1)).toDF("k", "toks")
+    val got = Sampling.tokenBudgetPack(rows, "k", "toks", budget = 5000,
+      numPartitions = 8).select("k").collect().map(_.getLong(0)).toSet
+    // naive oracle: running sum in k order, single pass
+    var acc = 0L
+    val want = (1L to 1000L).takeWhile { i =>
+      acc += (i * 13 % 50) + 1; acc <= 5000
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.size < 1000)
+  }
+
   test("graft_topk bounded heap matches sort-based top-k with ties toward smaller id") {
     val s = spark; import s.implicits._
     val rows = (1L to 500L).map(i => (1L, i, ((i * 37) % 97).toDouble / 97.0)) ++
