@@ -80,4 +80,14 @@ object StreamingBuilder {
         keys.map(col)): _*)
       .agg(count(lit(1)).alias("n"))
   }
+
+  /** Streaming exact dedup: first occurrence per `keys` wins; duplicate
+    * state is dropped once the event-time watermark passes (bounded
+    * state — the streaming twin of [[graft.ext.Dedup.exact]], which at
+    * 10⁸ keys/hour is the difference between O(window) and O(stream)
+    * state). Returns a streaming DataFrame ready for `writeStream`. */
+  def dedupWithinWatermark(stream: DataFrame, keys: Seq[String],
+                           tsCol: String, delay: String): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 }

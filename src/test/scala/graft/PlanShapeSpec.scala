@@ -50,4 +50,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"unexpected window in brute-force top-k:\n$p")
     assert(p.contains("graft_topk"), s"expected graft_topk aggregate:\n$p")
   }
+
+  test("ngram jaccard shingles via the compiled kernel — no HOF lambda tower, no distinct shuffle") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(p.contains("graft_ngram_hashes"), s"expected NgramHashes kernel:\n$p")
+    // the lambda tower (transform/slice/concat_ws per gram) is interpreted
+    // CodegenFallback — its reappearance would be a 4-5x regression
+    assert(!p.contains("lambdafunction"), s"unexpected HOF lambdas:\n$p")
+    // per-doc set dedup happens inside the kernel: no (id, shingle)
+    // distinct aggregate may reappear upstream of the posting join
+    assert(!p.contains("HashAggregate(keys=[id"), s"unexpected distinct shuffle:\n$p")
+  }
+
+  test("minhash engine family hashes shingles once (kernel), not k string hashes") {
+    val p = SparkEntry.benchOverrides("dedup_minhash_lsh")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_ngram_hashes"), s"expected NgramHashes kernel:\n$p")
+    // the interpreted per-shingle gram-construction tower must stay gone
+    // (lambdas on the SMALL candidate set — zip_with verification, band
+    // hashing over 32-long sigs — are fine; per-corpus-row grams are not)
+    assert(!p.contains("concat_ws( , slice("), s"gram lambda tower is back:\n$p")
+  }
+
+  test("sample_hash is a pure filter — no shuffle, no aggregate") {
+    val p = plan("sample_hash")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
+    assert(p.contains("Filter"), s"expected a filter plan:\n$p")
+  }
+
+  test("builders run their transform plan exactly once (BuilderSpec accumulator pins it)") {
+    // shape-level guard: MapBuilder.run must keep the localCheckpoint —
+    // the accumulator test in BuilderSpec is the behavioral pin; here we
+    // assert the plan the builder writes is the checkpointed one (scan of
+    // cached blocks, not a re-derived join)
+    val src = new graft.store.TableStore(spark, sf("orders"), "orders",
+      "o_orderkey", "o_orderdate")
+    val tgt = new graft.store.MemoryStore(spark, "t", key = "o_orderkey",
+      lastUpdatedField = "o_orderdate")
+    graft.builder.CopyBuilder(src, tgt).run()
+    // target contents come from an eagerly-materialized batch: its plan
+    // must not re-reference the source parquet scan
+    val p = tgt.df.queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"), s"target plan re-reads source:\n$p")
+  }
 }

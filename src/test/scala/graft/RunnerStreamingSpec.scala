@@ -110,6 +110,28 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(tgt.query("""{"k": 2}""").collect()(0).getAs[String]("v") === "B2")
   }
 
+  test("StreamingBuilder.dedupWithinWatermark: first occurrence wins, bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val deduped = StreamingBuilder.dedupWithinWatermark(
+      stream.toDF().toDF("k", "v", "ts"), Seq("k"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup").start()
+    val t = (m: String) => Timestamp.valueOf(s"2024-06-01 $m:00")
+    stream.addData((1L, "first", t("00:01")), (1L, "dup-in-batch", t("00:02")),
+      (2L, "first", t("00:03")))
+    q.processAllAvailable()
+    // duplicate of key 1 arriving within the watermark window is dropped
+    stream.addData((1L, "dup-later", t("00:05")), (3L, "first", t("00:06")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT k, v FROM stream_dedup ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq((1L, "first"), (2L, "first"), (3L, "first")))
+  }
+
   test("StreamingBuilder.windowedCounts: watermarked tumbling-window agg") {
     val s = spark
     import s.implicits._
