@@ -302,8 +302,13 @@ object Dedup {
     */
   def clusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).alias("src"), col(bCol).alias("dst"))
-      .unionByName(pairs.select(col(bCol).alias("src"), col(aCol).alias("dst")))
+    // materialize the pair plan once: the symmetric-edge union references
+    // it twice, and upstream pair producers (LSH join pipelines) are far
+    // too expensive to execute per branch
+    val p = pairs.select(col(aCol).alias("src"), col(bCol).alias("dst"))
+      .localCheckpoint(true)
+    val edges = p
+      .unionByName(p.select(col("dst").alias("src"), col("src").alias("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var mat = edges.select(col("src").alias("id")).distinct()
