@@ -133,6 +133,86 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
     copy(left = l, right = r)
 }
 
+/** Packed sign-bit signature of a vector against `h` fixed hyperplanes
+  * (random-hyperplane LSH). The composable spelling — one
+  * `aggregate(zip_with(vec, lit(plane), …))` fold PER PLANE — allocates
+  * h interpreted lambda frames per row; this kernel is one fused loop
+  * over h×dim inside whole-stage codegen.
+  *
+  * Bit-for-bit equivalent to the HOF fold the oracle replays: doubles
+  * accumulate in index order, and a null element (or a vector shorter
+  * than the plane) poisons that plane's projection to null → bit 0,
+  * exactly like null-propagation through `zip_with`/`aggregate`. */
+case class HyperplaneSig(left: Expression, right: Expression)
+  extends BinaryExpression with Serializable {
+  override def prettyName: String = "graft_hyperplane_sig"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = left.nullable
+
+  private def vecElem: Option[DataType] = left.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (vecElem.isEmpty)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double> vector, got ${left.dataType.simpleString}")
+    right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable array<array<double>> plane matrix")
+    }
+  }
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val ad = right.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val inner = ad.getArray(i)
+      Array.tabulate(inner.numElements())(inner.getDouble)
+    }
+  }
+  private def isFloat: Boolean = vecElem.contains(FloatType)
+
+  override def nullSafeEval(v: Any, unused: Any): Any =
+    HyperplaneSig.compute(v.asInstanceOf[ArrayData], planes, isFloat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, (x, _) =>
+      s"${ev.value} = graft.functions.HyperplaneSig.compute($x, $ref, $isFloat);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object HyperplaneSig {
+  def compute(vec: ArrayData, planes: Array[Array[Double]],
+              isFloat: Boolean): Long = {
+    val m = vec.numElements()
+    var sig = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      if (m == p.length) { // any length mismatch → null-padded fold → bit 0
+        var acc = 0.0
+        var ok = true
+        var j = 0
+        while (ok && j < p.length) {
+          if (vec.isNullAt(j)) ok = false // null poisons the projection
+          else acc += (if (isFloat) vec.getFloat(j).toDouble
+                       else vec.getDouble(j)) * p(j)
+          j += 1
+        }
+        if (ok && acc >= 0) sig |= (1L << i)
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
 /** Registration: per-session (`GraftFunctions.register(spark)`) or via
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
 object GraftFunctions {
@@ -147,7 +227,8 @@ object GraftFunctions {
     "graft_topk" -> (es => TopKAgg.build(es)),
     "graft_ngram_hashes" -> (es => NgramHashes(es(0),
       es(1).eval().asInstanceOf[Number].intValue(),
-      es(2).eval().asInstanceOf[Boolean])))
+      es(2).eval().asInstanceOf[Boolean])),
+    "graft_hyperplane_sig" -> (es => HyperplaneSig(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -161,6 +242,13 @@ object GraftFunctions {
   def cosine(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+  }
+  /** Fused random-hyperplane LSH signature — [[HyperplaneSig]]. */
+  def hyperplaneSig(spark: SparkSession, vec: Column,
+                    planes: Array[Array[Double]]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_hyperplane_sig",
+      vec, org.apache.spark.sql.functions.typedlit(planes.map(_.toSeq).toSeq))
   }
   /** Hashed (optionally distinct) word n-gram shingles — [[NgramHashes]]. */
   def ngramHashes(spark: SparkSession, tokens: Column, n: Int,
