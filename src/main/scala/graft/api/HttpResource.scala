@@ -57,22 +57,29 @@ class ReadResource(
 
   /** Run `body` under a per-request job group with a cancellation
     * deadline. Job groups are thread-local, so concurrent requests on
-    * different server threads cancel independently. */
+    * different server threads cancel independently.
+    * `cancelJobGroupAndFutureJobs` (not plain cancel) closes the
+    * between-actions window: a request that is on the driver between two
+    * Spark actions when the deadline fires still has its NEXT action
+    * killed. The 504 decision keys on the watchdog's fired flag, not
+    * wall clock, so a genuine post-deadline failure still surfaces as
+    * 500 and a marginally-early cancellation still maps to 504. */
   protected def timed[T](body: => T): T = {
     if (timeoutMs <= 0) return body
     val sc = store.spark.sparkContext
     val group = s"graft-http-${Thread.currentThread().getId}-${System.nanoTime()}"
     sc.setJobGroup(group, "graft http request", interruptOnCancel = true)
-    val watchdog = new java.util.Timer("graft-http-watchdog", true)
-    val cancel = new java.util.TimerTask { def run(): Unit = sc.cancelJobGroup(group) }
-    watchdog.schedule(cancel, timeoutMs)
-    val t0 = System.nanoTime()
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cancel = new java.util.TimerTask {
+      def run(): Unit = { fired.set(true); sc.cancelJobGroupAndFutureJobs(group) }
+    }
+    ReadResource.watchdog.schedule(cancel, timeoutMs)
     try body
     catch {
-      case e: Throwable if (System.nanoTime() - t0) / 1000000 >= timeoutMs =>
+      case e: Throwable if fired.get() =>
         throw ApiError(504, s"query exceeded ${timeoutMs}ms")
     } finally {
-      cancel.cancel(); watchdog.cancel(); sc.clearJobGroup()
+      cancel.cancel(); sc.clearJobGroup()
     }
   }
 
@@ -83,9 +90,9 @@ class ReadResource(
     // limit ≤ maxLimit by PaginationQuery contract → bounded collect
     val results = ops.foldLeft(store.query(qp))((d, op) => op.postProcess(d, params))
     val rows = results.toJSON.collect()
-    // meta hooks see the criteria-filtered (pre-pagination) frame
-    lazy val filtered = store.query(withDefault(
-      QueryParams(criteria = qp.criteria)))
+    // meta hooks see the criteria-filtered (pre-pagination) frame;
+    // qp.criteria already carries the merged default — no re-wrap
+    lazy val filtered = store.query(QueryParams(criteria = qp.criteria))
     val metaEntries = s""""total_doc": $total""" +:
       ops.flatMap(_.meta(filtered, params).toSeq.map {
         case (k, v) => s"${Json.str(k)}: $v"
@@ -107,6 +114,12 @@ class ReadResource(
       criteria = Some(s"""{${Json.str(store.key)}: $lit}"""), limit = Some(1)))
     store.query(qp).toJSON.collect().headOption
   }
+}
+
+object ReadResource {
+  /** One shared daemon scheduler for every request deadline — per-request
+    * Timer construction would churn an OS thread per call. */
+  private[api] val watchdog = new java.util.Timer("graft-http-watchdog", true)
 }
 
 /** Read-only [[Store]] over a re-evaluated frame — lets a resource serve

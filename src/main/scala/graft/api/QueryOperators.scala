@@ -159,8 +159,7 @@ class FacetQuery(val field: String, val topK: Int = 10) extends QueryOperator {
     val counts = filtered.groupBy(col(field)).count()
       .orderBy(desc("count"), col(field)).limit(topK).collect()
     val obj = counts.map { r =>
-      val k = String.valueOf(r.get(0)).replace("\\", "\\\\").replace("\"", "\\\"")
-      s""""$k": ${r.getLong(1)}"""
+      s"${Json.str(String.valueOf(r.get(0)))}: ${r.getLong(1)}"
     }.mkString("{", ", ", "}")
     Map(s"facet_$field" -> obj)
   }

@@ -236,8 +236,12 @@ object Dedup {
     *   its most-duplicated members unless another band still pairs them.
     *   `overCap = "star"` instead pairs each over-cap bucket's min-id
     *   representative with every other member — O(bucket) instead of
-    *   O(bucket²) — so giant clusters stay connected (star topology)
-    *   rather than vanishing. */
+    *   O(bucket²). Members that VERIFY against the representative
+    *   (hamming ≤ max) stay connected; a drifted member close to a
+    *   neighbor but far from the representative still yields no pair
+    *   from this band (it may pair via another band) — star mode trades
+    *   that recall tail for linear cost, vs drop mode which loses the
+    *   whole bucket. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, family: String = "xxh64",
                    maxBucketSize: Int = 1000,
@@ -332,8 +336,25 @@ object Dedup {
       labels = next.select(col("id"), col("lbl"))
       i += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Dedup.clusters did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — a component with diameter " +
+          s"> $maxIter is split across cluster ids; raise maxIter")
     edges.unpersist()
     labels.withColumnRenamed("lbl", "cluster")
+  }
+
+  /** End-to-end dedup: drop every non-canonical duplicate from `df`.
+    * Survivor per connected component = min id ([[clusters]]); docs in
+    * no pair pass through untouched. One anti-join against the (small)
+    * non-survivor set — the final step of a production dedup pipeline:
+    * `keepCanonical(corpus, minhashLsh(corpus, ...))`. */
+  def keepCanonical(df: DataFrame, pairs: DataFrame, idCol: String,
+                    aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val losers = clusters(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster")).select(col("id").alias(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** 5. Exact n-gram Jaccard pairs via inverted shingle index:

@@ -72,7 +72,9 @@ object Sampling {
     val spark = df.sparkSession
     val np = if (numPartitions > 0) numPartitions
              else spark.sessionState.conf.numShufflePartitions
-    val ordered = df.withColumn(tokensCol, col(tokensCol).cast("long"))
+    // null token counts would sum as 0 in the partials but NPE in the
+    // primitive getLong below — make both passes agree on 0
+    val ordered = df.withColumn(tokensCol, coalesce(col(tokensCol).cast("long"), lit(0L)))
       .repartitionByRange(np, col(orderCol).asc)
       .sortWithinPartitions(col(orderCol).asc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -232,8 +232,10 @@ object Similarity {
     *   default) buckets above the cap contribute NO pairs — a duplicate
     *   cluster larger than the cap silently loses its most-duplicated
     *   members. `overCap = "star"` pairs the bucket's min-id
-    *   representative with every member instead (O(bucket), cluster stays
-    *   connected). */
+    *   representative with every member instead (O(bucket)); only members
+    *   whose cosine to the representative clears `threshold` survive the
+    *   verification, so a drifted member near a neighbor but not the
+    *   representative is still lost — the linear-cost trade-off. */
   def cosineDupPairs(corpus: DataFrame, dim: Int, threshold: Double = 0.95,
                      h: Int = 12, idCol: String = "vec_id",
                      vecCol: String = "embedding",

@@ -181,6 +181,16 @@ class ExtQualitySpec extends SparkSpec {
     assert(got.count { case (id, c) => id == c } === 2)
   }
 
+  test("keepCanonical: survivors = one per component plus untouched docs") {
+    val s = spark; import s.implicits._
+    val corpus = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val kept = Dedup.keepCanonical(corpus, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // components {1,2,3} -> keep 1; {5,6} -> keep 5; 4,7..10 untouched
+    assert(kept === Set(1L, 4L, 5L, 7L, 8L, 9L, 10L))
+  }
+
   test("hashSample: deterministic, disjoint complement, append-stable membership") {
     import graft.ext.Sampling
     val sample = Sampling.hashSample(docs, "doc_id", 0.3)
