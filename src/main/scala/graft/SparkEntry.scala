@@ -618,6 +618,11 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "text_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.repetitionRatio(s, col("text"), n = 3).alias("rep_ratio"))
+        .orderBy("doc_id")),
+
     // deterministic sampling / mixture ops (training-data curation):
     // md5 hash family so the oracle replays the exact sample membership
     "sample_hash" -> ((s, dir) =>
@@ -982,6 +987,15 @@ object SparkEntry {
       "mm_meta" ->
         ("SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_len, " +
          "md5(text) AS content_md5 FROM documents ORDER BY 1"),
+      // n-gram multiset vs set sizes — 1 - distinct/total per doc; the
+      // gram construction mirrors the dedup shingle CTEs
+      "text_repetition" ->
+        ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM documents), " +
+         "grams AS (SELECT doc_id, concat_ws(' ', tk[n], tk[n+1], tk[n+2]) AS g " +
+         "FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(n) WHERE len(tk) >= 3 " +
+         "UNION ALL SELECT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 3) " +
+         "SELECT doc_id, round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS rep_ratio " +
+         "FROM grams GROUP BY doc_id ORDER BY doc_id"),
       // md5-family seeded hash (seed 0) on the stringified key — the
       // byte-identical replay of Dedup.seededHash("md5", 0, key)
       "sample_hash" -> {

@@ -29,6 +29,22 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
 
+  /** Gopher-style n-gram repetition ratio: the fraction of word n-grams
+    * that are repeats of an earlier one (`1 - distinct/total`) — the
+    * standard duplicate-line/paragraph quality signal for LLM corpus
+    * filtering. Rides the compiled [[graft.functions.NgramHashes]]
+    * kernel twice (multiset size + set size), so the whole signal is two
+    * fused loops per row — no explode, no shuffle, no lambdas. The
+    * normalized tokenization matches [[graft.ext.Dedup.shingleDF]]
+    * (lowercase, alnum runs). */
+  def repetitionRatio(spark: org.apache.spark.sql.SparkSession,
+                      text: Column, n: Int = 3): Column = {
+    val toks = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    val all = graft.functions.GraftFunctions.ngramHashes(spark, toks, n, distinct = false)
+    val uniq = graft.functions.GraftFunctions.ngramHashes(spark, toks, n, distinct = true)
+    round(lit(1.0) - size(uniq).cast("double") / size(all).cast("double"), 4)
+  }
+
   private val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),

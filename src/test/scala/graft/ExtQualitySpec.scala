@@ -181,6 +181,22 @@ class ExtQualitySpec extends SparkSpec {
     assert(got.count { case (id, c) => id == c } === 2)
   }
 
+  test("repetitionRatio: 0 for all-unique grams, rises with duplicated spans") {
+    val s = spark; import s.implicits._
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "one two three four five six"),            // all 3-grams unique
+      (2L, "spam spam spam spam spam spam spam"),     // one distinct 3-gram
+      (3L, "ab")                                      // < n tokens: single gram
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.repetitionRatio(spark, col("text")).alias("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) === 0.0)
+    assert(got(2L) === 0.8)   // 5 grams, 1 distinct -> 1 - 1/5
+    assert(got(3L) === 0.0)
+  }
+
   test("keepCanonical: survivors = one per component plus untouched docs") {
     val s = spark; import s.implicits._
     val corpus = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
