@@ -285,6 +285,70 @@ object Dedup {
     all.distinct().filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental MinHash+LSH: near-dup pairs for a NEW batch against an
+    * existing signature table plus within the batch itself — without
+    * touching the old corpus text. This is the incremental-ETL shape at
+    * scale: signatures are computed once per document ever (persist
+    * [[minhashSignatures]] output as a store; a MapBuilder keeps it
+    * current), and each new batch only bands itself and joins the
+    * accumulated band index. Returns `(a, b, est_jaccard)` where `b` is
+    * always a new-batch id (`a` may be old or new, `a < b` within-batch).
+    *
+    * `existingSigs` must come from [[minhashSignatures]] with the SAME
+    * (numHashes, shingleSize, family) — signatures from different
+    * parameters are incomparable. */
+  def minhashLshIncremental(newDf: DataFrame, existingSigs: DataFrame,
+                            idCol: String, textCol: String,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleSize: Int = 3, threshold: Double = 0.7,
+                            maxBucketSize: Int = 1000,
+                            family: String = "xxh64"): DataFrame = {
+    val rows = numHashes / bands
+    val newSigs = minhashSignatures(newDf, idCol, textCol, numHashes,
+      shingleSize, family).localCheckpoint(true)
+    val allSigs = existingSigs.select(col("id"), col("sig"))
+      .unionByName(newSigs)
+    def banded(sigs: DataFrame): DataFrame = {
+      val bandExprs = (0 until bands).map { b =>
+        seededHash(family, b, concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, rows), x => x.cast("string"))))
+      }
+      sigs.select(col("id"), posexplode(array(bandExprs: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    }
+    val oldBanded = banded(existingSigs.select(col("id"), col("sig")))
+    val newBanded = banded(newSigs)
+    // hot-bucket cap measured over the FULL index (old + new occupancy)
+    val hot = oldBanded.unionByName(newBanded)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).alias("__bn")).filter(col("__bn") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val oldCapped = oldBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    val newCapped = newBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+    // old-vs-new: every bucket match (ids live in disjoint batches, so no
+    // order guard — an old id larger than a new one is still a pair);
+    // new-vs-new: a < b dedups the symmetric self-join
+    val oldNew = oldCapped.select(col("band"), col("bucket"), col("id").alias("a"))
+      .join(newCapped.select(col("band"), col("bucket"), col("id").alias("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") =!= col("b"))
+    val newNew = newCapped.select(col("band"), col("bucket"), col("id").alias("a"))
+      .join(newCapped.select(col("band"), col("bucket"), col("id").alias("b")),
+        Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+    val cand = oldNew.select(col("a"), col("b"))
+      .unionByName(newNew.select(col("a"), col("b"))).distinct()
+    cand
+      .join(allSigs.select(col("id").alias("a"), col("sig").alias("siga")), Seq("a"))
+      .join(newSigs.select(col("id").alias("b"), col("sig").alias("sigb")), Seq("b"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("est_jaccard"), 4).alias("est_jaccard"))
+  }
+
   /** Cluster resolution: connected components over a duplicate-pair
     * graph — the step that turns near-dup PAIRS into keep-one-per-cluster
     * decisions (production dedup pipelines act on clusters, not pairs).

@@ -168,6 +168,27 @@ class ExtQualitySpec extends SparkSpec {
       s"families diverge: xxh64 recall $rx vs md5 recall $rm")
   }
 
+  test("minhashLshIncremental: new batch vs signature table, any id order, within-batch pairs") {
+    val s = spark; import s.implicits._
+    val base = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+    val oldSigs = Dedup.minhashSignatures(base, "doc_id", "text")
+      .localCheckpoint(true) // the persisted signature table
+    val t7 = base.filter(col("doc_id") === 7).select("text").collect()(0).getString(0)
+    // new ids BOTH below and above the old range: the old-vs-new join must
+    // not order-filter (old 7 > new 0 is still a pair)
+    val newBatch = Seq(
+      (0L, t7 + " tiny suffix"),          // near-dup of OLD doc 7, new id < old id
+      (600001L, t7), (600002L, t7)        // identical pair WITHIN the batch
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshIncremental(newBatch, oldSigs, "doc_id", "text",
+      threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 0L)), s"old-vs-new (old>new id) pair missing: $pairs")
+    assert(pairs.contains((600001L, 600002L)), s"within-batch pair missing: $pairs")
+    // b side is always a new-batch id
+    assert(pairs.forall { case (_, b) => b == 0L || b >= 600001L })
+  }
+
   test("clusters: min-label connected components converge over chains and stars") {
     val s = spark; import s.implicits._
     // two components: a CHAIN 1-2-3-4 (diameter 3 — exercises multi-round
