@@ -644,6 +644,18 @@ object SparkEntry {
         orderCol = "doc_id", tokensCol = "n_tokens", budget = 30000)
         .orderBy("doc_id")),
 
+    // int8 embedding quantization fidelity: cosine(original, dequantized)
+    // per vector — floor-based codes, so the oracle replays exactly
+    "emb_quantize_error" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("vec_id"), col("embedding"),
+          Similarity.quantizeI8(col("embedding")).alias("p"))
+        .select(col("vec_id"),
+          round(graft.functions.GraftFunctions.cosine(s,
+            col("embedding"), Similarity.dequantize(col("p"))), 4).alias("qcos"))
+        .orderBy("vec_id")
+    }),
+
     "sim_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -1013,6 +1025,13 @@ object SparkEntry {
          "SELECT doc_id, n_tokens FROM toks " +
          "QUALIFY sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 30000 " +
          "ORDER BY doc_id"),
+      "emb_quantize_error" ->
+        ("WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
+         "CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) > 0 " +
+         "THEN 127.0 / list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) " +
+         "ELSE 1.0 END AS scale FROM embeddings), " +
+         "d AS (SELECT vec_id, v, list_transform(v, x -> floor(x * scale + 0.5) / scale) AS dq FROM q) " +
+         "SELECT vec_id, round(list_cosine_similarity(v, dq), 4) AS qcos FROM d ORDER BY vec_id"),
       "sim_cosine_topk" ->
         ("SELECT q_id, rank, n_id, sim FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
          "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim, " +

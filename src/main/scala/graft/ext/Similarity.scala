@@ -219,6 +219,27 @@ object Similarity {
     }
   }
 
+  /** Symmetric per-vector int8 quantization — the 4× storage/scan
+    * reduction for embedding columns at corpus scale. `scale = 127 /
+    * max|x|`; elements quantize as `floor(x·scale + 0.5)` (floor-based so
+    * any engine replays the exact integers — no round-half ambiguity).
+    * Returns `(q: array<int8-valued double codes as int>, scale)` via a
+    * struct column; [[dequantize]] restores `q / scale`. Write-path
+    * transform (runs once per document), composed from built-in HOFs. */
+  def quantizeI8(vec: Column): Column = {
+    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
+    val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(1.0))
+    struct(
+      transform(vec, x => floor(x.cast("double") * scale + 0.5).cast("int"))
+        .alias("q"),
+      scale.alias("scale"))
+  }
+
+  /** Inverse of [[quantizeI8]]: `q / scale` as double vector. */
+  def dequantize(packed: Column): Column =
+    transform(packed.getField("q"),
+      q => q.cast("double") / packed.getField("scale"))
+
   /** Embedding-cosine near-duplicate pairs: LSH same-bucket candidates,
     * verified `cosine >= threshold`. Returns `(a, b, sim)`, a < b.
     *

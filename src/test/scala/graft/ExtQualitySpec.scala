@@ -189,6 +189,23 @@ class ExtQualitySpec extends SparkSpec {
     assert(pairs.forall { case (_, b) => b == 0L || b >= 600001L })
   }
 
+  test("quantizeI8 round-trip: int8 codes, cosine fidelity >= 0.999") {
+    val emb = sf("embeddings")
+    val rt = emb.select(col("vec_id"), col("embedding"),
+        Similarity.quantizeI8(col("embedding")).alias("p"))
+      .select(col("vec_id"),
+        col("p.q").alias("codes"),
+        graft.functions.GraftFunctions.cosine(spark,
+          col("embedding"), Similarity.dequantize(col("p"))).alias("c"))
+    // codes fit int8
+    val bounds = rt.select(array_max(col("codes")).alias("mx"),
+      array_min(col("codes")).alias("mn"))
+      .agg(max(col("mx")), min(col("mn"))).collect()(0)
+    assert(bounds.getInt(0) <= 127 && bounds.getInt(1) >= -127)
+    // 64-dim int8 keeps cosine essentially intact
+    assert(rt.agg(min(col("c"))).collect()(0).getDouble(0) >= 0.999)
+  }
+
   test("clusters: min-label connected components converge over chains and stars") {
     val s = spark; import s.implicits._
     // two components: a CHAIN 1-2-3-4 (diameter 3 — exercises multi-round
