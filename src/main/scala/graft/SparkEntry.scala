@@ -647,12 +647,10 @@ object SparkEntry {
     // int8 embedding quantization fidelity: cosine(original, dequantized)
     // per vector — floor-based codes, so the oracle replays exactly
     "emb_quantize_error" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      emb.select(col("vec_id"), col("embedding"),
-          Similarity.quantizeI8(col("embedding")).alias("p"))
-        .select(col("vec_id"),
-          round(graft.functions.GraftFunctions.cosine(s,
-            col("embedding"), Similarity.dequantize(col("p"))), 4).alias("qcos"))
+      val emb = Similarity.quantizeI8(t(s, dir, "embeddings"), "embedding")
+      emb.select(col("vec_id"),
+          round(graft.functions.GraftFunctions.cosine(s, col("embedding"),
+            Similarity.dequantize(col("q"), col("q_scale"))), 4).alias("qcos"))
         .orderBy("vec_id")
     }),
 

@@ -74,12 +74,11 @@ object Dedup {
     * kernel: `(id, sh)` with `sh` a 64-bit gram hash — one compiled loop
     * per row, no HOF lambda tower (see TextShingles.scala). */
   private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
-                             n: Int, distinct: Boolean): DataFrame = {
-    val toks = split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " ")
+                             n: Int, distinct: Boolean): DataFrame =
     df.select(col(idCol).alias("id"),
       explode(graft.functions.GraftFunctions.ngramHashes(
-        df.sparkSession, toks, n, distinct)).alias("sh"))
-  }
+        df.sparkSession, TextAnalysis.normTokens(col(textCol)), n, distinct))
+        .alias("sh"))
 
   /** 1. Exact duplicates: groups of identical content. Returns one row
     * per duplicated hash: `(h, n, keep, ids)` — `keep` = min id (the
@@ -158,6 +157,8 @@ object Dedup {
                  numHashes: Int = 64, bands: Int = 16,
                  shingleSize: Int = 3, threshold: Double = 0.7,
                  maxBucketSize: Int = 1000, family: String = "xxh64"): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     // sigs are used twice (banding + verification): persist the small
     // signature table instead of recomputing the shingle pipeline. At
@@ -296,18 +297,25 @@ object Dedup {
     *
     * `existingSigs` must come from [[minhashSignatures]] with the SAME
     * (numHashes, shingleSize, family) — signatures from different
-    * parameters are incomparable. */
+    * parameters are incomparable. An id present in BOTH the table and
+    * the new batch is treated as a re-ingest: the new signature wins and
+    * the stale table row is ignored for this call. */
   def minhashLshIncremental(newDf: DataFrame, existingSigs: DataFrame,
                             idCol: String, textCol: String,
                             numHashes: Int = 64, bands: Int = 16,
                             shingleSize: Int = 3, threshold: Double = 0.7,
                             maxBucketSize: Int = 1000,
                             family: String = "xxh64"): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val newSigs = minhashSignatures(newDf, idCol, textCol, numHashes,
       shingleSize, family).localCheckpoint(true)
-    val allSigs = existingSigs.select(col("id"), col("sig"))
-      .unionByName(newSigs)
+    // re-ingested ids: drop the stale table signature (new wins) — an id
+    // on both sides would otherwise fan every verification join in two
+    val oldOnly = existingSigs.select(col("id"), col("sig"))
+      .join(newSigs.select(col("id")), Seq("id"), "left_anti")
+    val allSigs = oldOnly.unionByName(newSigs)
     def banded(sigs: DataFrame): DataFrame = {
       val bandExprs = (0 until bands).map { b =>
         seededHash(family, b, concat_ws(",",
@@ -316,7 +324,12 @@ object Dedup {
       sigs.select(col("id"), posexplode(array(bandExprs: _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     }
-    val oldBanded = banded(existingSigs.select(col("id"), col("sig")))
+    // the old band index feeds two consumers (hot-bucket agg + anti-join)
+    // — persist so the table is banded once per call, not twice. At
+    // cluster scale, persist the band index NEXT TO the signature store
+    // and pass it in instead of re-deriving it per batch.
+    val oldBanded = banded(oldOnly)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBanded = banded(newSigs)
     // hot-bucket cap measured over the FULL index (old + new occupancy)
     val hot = oldBanded.unionByName(newBanded)
@@ -439,9 +452,9 @@ object Dedup {
     // sizes aggregate. The narrow (id, sz, sh) posting table is persisted
     // once (the "write the inverted index once" staging table) and feeds
     // the hot-postings cap and both self-join sides.
-    val toks = split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " ")), " ")
     val docSh = df.select(col(idCol).alias("id"),
-      graft.functions.GraftFunctions.ngramHashes(df.sparkSession, toks, n).alias("shs"))
+      graft.functions.GraftFunctions.ngramHashes(df.sparkSession,
+        TextAnalysis.normTokens(col(textCol)), n).alias("shs"))
     val posted = docSh
       .select(col("id"), size(col("shs")).alias("sz"), explode(col("shs")).alias("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -219,26 +219,30 @@ object Similarity {
     }
   }
 
-  /** Symmetric per-vector int8 quantization — the 4× storage/scan
-    * reduction for embedding columns at corpus scale. `scale = 127 /
-    * max|x|`; elements quantize as `floor(x·scale + 0.5)` (floor-based so
-    * any engine replays the exact integers — no round-half ambiguity).
-    * Returns `(q: array<int8-valued double codes as int>, scale)` via a
-    * struct column; [[dequantize]] restores `q / scale`. Write-path
-    * transform (runs once per document), composed from built-in HOFs. */
-  def quantizeI8(vec: Column): Column = {
-    val mx = array_max(transform(vec, x => abs(x.cast("double"))))
-    val scale = when(mx > 0, lit(127.0) / mx).otherwise(lit(1.0))
-    struct(
-      transform(vec, x => floor(x.cast("double") * scale + 0.5).cast("int"))
-        .alias("q"),
-      scale.alias("scale"))
+  /** Symmetric per-vector int8 quantization — a genuine 4× storage/scan
+    * reduction for embedding columns at corpus scale (codes are
+    * `array<tinyint>`). `scale = 127 / max|x|`; elements quantize as
+    * `floor(x·scale + 0.5)` (floor-based so any engine replays the exact
+    * integers — no round-half ambiguity). Appends `qCol` (codes) and
+    * `{qCol}_scale` to `df`.
+    *
+    * DataFrame-level on purpose: the scale must live in its OWN
+    * projection so the quantize lambda references it as a bound
+    * attribute — inlining `array_max(...)` into the per-element lambda
+    * would re-reduce the whole vector for every element (O(d²); the
+    * repo's documented HOF-inlining trap). The scale column stays in the
+    * output, which also keeps CollapseProject from re-inlining it. */
+  def quantizeI8(df: DataFrame, vecCol: String, qCol: String = "q"): DataFrame = {
+    val scaleCol = s"${qCol}_scale"
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.withColumn(scaleCol, when(mx > 0, lit(127.0) / mx).otherwise(lit(1.0)))
+      .withColumn(qCol, transform(col(vecCol),
+        x => floor(x.cast("double") * col(scaleCol) + 0.5).cast("byte")))
   }
 
-  /** Inverse of [[quantizeI8]]: `q / scale` as double vector. */
-  def dequantize(packed: Column): Column =
-    transform(packed.getField("q"),
-      q => q.cast("double") / packed.getField("scale"))
+  /** Inverse of [[quantizeI8]]: `q / scale` as a double vector. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, c => c.cast("double") / scale)
 
   /** Embedding-cosine near-duplicate pairs: LSH same-bucket candidates,
     * verified `cosine >= threshold`. Returns `(a, b, sim)`, a < b.

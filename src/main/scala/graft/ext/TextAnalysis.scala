@@ -14,6 +14,16 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("\\S+"), lit(0))
 
+  /** Normalized word tokens (lowercase alnum runs) — the SHARED spelling
+    * behind the shingle/dedup/repetition operators and their oracle SQL:
+    * fully codegen'd (no filter HOF; collapsing runs to single spaces +
+    * trim makes a plain split sufficient). Empty/punct-only text yields
+    * `[""]`, which grams to the single empty shingle exactly like the
+    * oracle's empty token list. Keep the one definition — the DuckDB
+    * replays byte-match this tokenization. */
+  private[graft] def normTokens(text: Column): Column =
+    split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))
@@ -39,7 +49,7 @@ object TextAnalysis {
     * (lowercase, alnum runs). */
   def repetitionRatio(spark: org.apache.spark.sql.SparkSession,
                       text: Column, n: Int = 3): Column = {
-    val toks = split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
+    val toks = normTokens(text)
     val all = graft.functions.GraftFunctions.ngramHashes(spark, toks, n, distinct = false)
     val uniq = graft.functions.GraftFunctions.ngramHashes(spark, toks, n, distinct = true)
     round(lit(1.0) - size(uniq).cast("double") / size(all).cast("double"), 4)

@@ -170,7 +170,10 @@ class ExtQualitySpec extends SparkSpec {
 
   test("minhashLshIncremental: new batch vs signature table, any id order, within-batch pairs") {
     val s = spark; import s.implicits._
-    val base = docs.select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+    // old ids start at 1 so new id 0 is genuinely OUTSIDE the old range
+    // (an id on both sides exercises re-ingest, tested separately below)
+    val base = docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") >= 1 && col("doc_id") < 50)
     val oldSigs = Dedup.minhashSignatures(base, "doc_id", "text")
       .localCheckpoint(true) // the persisted signature table
     val t7 = base.filter(col("doc_id") === 7).select("text").collect()(0).getString(0)
@@ -187,21 +190,28 @@ class ExtQualitySpec extends SparkSpec {
     assert(pairs.contains((600001L, 600002L)), s"within-batch pair missing: $pairs")
     // b side is always a new-batch id
     assert(pairs.forall { case (_, b) => b == 0L || b >= 600001L })
+    // re-ingest: an id on BOTH sides — the stale table signature is
+    // dropped (new wins), so the replacement text pairs with nothing and
+    // there is no duplicate verification fan-out
+    val reBatch = Seq((7L, "totally different replacement text entirely"))
+      .toDF("doc_id", "text")
+    val rePairs = Dedup.minhashLshIncremental(reBatch, oldSigs, "doc_id", "text",
+      threshold = 0.5).collect()
+    assert(rePairs.isEmpty, s"stale signature leaked: ${rePairs.mkString(",")}")
   }
 
-  test("quantizeI8 round-trip: int8 codes, cosine fidelity >= 0.999") {
-    val emb = sf("embeddings")
-    val rt = emb.select(col("vec_id"), col("embedding"),
-        Similarity.quantizeI8(col("embedding")).alias("p"))
-      .select(col("vec_id"),
-        col("p.q").alias("codes"),
+  test("quantizeI8 round-trip: tinyint codes, cosine fidelity >= 0.999") {
+    val rt = Similarity.quantizeI8(sf("embeddings"), "embedding")
+      .select(col("vec_id"), col("q"),
         graft.functions.GraftFunctions.cosine(spark,
-          col("embedding"), Similarity.dequantize(col("p"))).alias("c"))
-    // codes fit int8
-    val bounds = rt.select(array_max(col("codes")).alias("mx"),
-      array_min(col("codes")).alias("mn"))
+          col("embedding"), Similarity.dequantize(col("q"), col("q_scale"))).alias("c"))
+    // codes are REAL int8 (tinyint array — the 4x storage claim)
+    assert(rt.schema("q").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    val bounds = rt.select(array_max(col("q")).alias("mx"),
+      array_min(col("q")).alias("mn"))
       .agg(max(col("mx")), min(col("mn"))).collect()(0)
-    assert(bounds.getInt(0) <= 127 && bounds.getInt(1) >= -127)
+    assert(bounds.getByte(0) <= 127 && bounds.getByte(1) >= -127)
     // 64-dim int8 keeps cosine essentially intact
     assert(rt.agg(min(col("c"))).collect()(0).getDouble(0) >= 0.999)
   }
