@@ -207,6 +207,16 @@ object Dedup {
     * (id, 64×long) row per doc. */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         family: String = "xxh64"): DataFrame = {
+    if (family == "xxh64") {
+      // engine fast path: the whole signature is ONE compiled loop per
+      // row ([[graft.functions.SimHash64]]) — a pure projection, so the
+      // signature stage needs no explode and no shuffle at all. Hash
+      // values match the aggregate spelling bit-for-bit (same chained
+      // literal-0 seed), so banding/verification see identical outputs.
+      return df.select(col(idCol).alias("id"),
+        graft.functions.GraftFunctions.simhash64(df.sparkSession,
+          TextAnalysis.tokens(col(textCol))).alias("simhash"))
+    }
     val toks = df.select(col(idCol).alias("id"),
         explode(TextAnalysis.tokens(col(textCol))).alias("tok"))
       .withColumn("h", seededHash(family, 0, col("tok")))

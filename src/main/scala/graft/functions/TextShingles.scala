@@ -55,6 +55,68 @@ case class NgramHashes(child: Expression, n: Int, distinct: Boolean)
     copy(child = c)
 }
 
+/** 64-bit SimHash of a token array in one compiled loop — replaces the
+  * explode + 64-conditional-sum aggregate shape with a PURE PROJECTION:
+  * signatures need no shuffle at all. Token multiplicity is the weight
+  * (each occurrence contributes ±1 per bit). Hash values equal the
+  * composable `xxhash64(lit(0), tok)` spelling: the literal-0 seed link
+  * is reproduced exactly, so kernel and aggregate signatures are
+  * bit-identical for the engine (xxh64) family. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with Serializable {
+
+  override def prettyName: String = "graft_simhash64"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(tokens: Any): Any =
+    SimHash64.compute(tokens.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SimHash64 {
+  /** Seed after hashing the literal 0 (IntegerType) under Spark's default
+    * 42 — matches `xxhash64(lit(0), tok)`'s chained-seed evaluation. */
+  private val SEED0: Long =
+    XxHash64Function.hash(0, org.apache.spark.sql.types.IntegerType, 42L)
+
+  def compute(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val m = tokens.numElements()
+    var i = 0
+    while (i < m) {
+      if (!tokens.isNullAt(i)) {
+        val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, SEED0)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
 object NgramHashes {
   private val SPACE = UTF8String.fromString(" ")
 

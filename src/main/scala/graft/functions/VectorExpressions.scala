@@ -228,7 +228,8 @@ object GraftFunctions {
     "graft_ngram_hashes" -> (es => NgramHashes(es(0),
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Boolean])),
-    "graft_hyperplane_sig" -> (es => HyperplaneSig(es(0), es(1))))
+    "graft_hyperplane_sig" -> (es => HyperplaneSig(es(0), es(1))),
+    "graft_simhash64" -> (es => SimHash64(es(0))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -249,6 +250,11 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_hyperplane_sig",
       vec, org.apache.spark.sql.functions.typedlit(planes.map(_.toSeq).toSeq))
+  }
+  /** Per-row 64-bit SimHash of a token array — [[SimHash64]]. */
+  def simhash64(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_simhash64", tokens)
   }
   /** Hashed (optionally distinct) word n-gram shingles — [[NgramHashes]]. */
   def ngramHashes(spark: SparkSession, tokens: Column, n: Int,

@@ -140,6 +140,27 @@ class ExtQualitySpec extends SparkSpec {
     assert(strIvf.count() > 0)
   }
 
+  test("SimHash64 kernel is bit-identical to the explode+aggregate spelling") {
+    import graft.ext.TextAnalysis
+    val base = docs.select(col("doc_id"), col("text")).limit(100)
+    val kernel = Dedup.simhashSignatures(base, "doc_id", "text") // xxh64 kernel path
+    // the pre-kernel spelling: explode + xxhash64(lit(0), tok) + 64 sums
+    val toks = base.select(col("doc_id").alias("id"),
+        explode(TextAnalysis.tokens(col("text"))).alias("tok"))
+      .withColumn("h", xxhash64(lit(0), col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, lit(1L))
+        .otherwise(lit(-1L))).alias(s"b$i"))
+    val agg = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val want = agg.select(col("id"), sig.alias("want"))
+    val joined = kernel.join(want, Seq("id"))
+    assert(joined.count() === 100)
+    assert(joined.filter(col("simhash") =!= col("want")).count() === 0)
+  }
+
   test("hash families agree: xxh64 and md5 minhash/simhash find the same pair sets") {
     // the bench times the xxh64 family while the oracle byte-replays the
     // md5 family — this pins that both plans find the same duplicates on

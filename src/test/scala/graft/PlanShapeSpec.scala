@@ -72,6 +72,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("concat_ws( , slice("), s"gram lambda tower is back:\n$p")
   }
 
+  test("simhash engine signatures are a pure projection — no explode, no shuffle") {
+    val p = graft.ext.Dedup.simhashSignatures(sf("documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft_simhash64"), s"expected SimHash64 kernel:\n$p")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in signature stage:\n$p")
+    assert(!p.contains("Generate"), s"unexpected explode in signature stage:\n$p")
+  }
+
   test("sample_hash is a pure filter — no shuffle, no aggregate") {
     val p = plan("sample_hash")
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
