@@ -115,6 +115,12 @@ object Runner {
               renames = opt(s, "renames").map(_.fields().asScala.map(e =>
                 e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty))
           }.toSeq, store("target"))
+      case "dedup" =>
+        new DedupBuilder(store("source"), store("target"),
+          textField = str(n, "text_field", "text"),
+          method = str(n, "method", "minhash"),
+          threshold = opt(n, "threshold").map(_.asDouble()).getOrElse(0.7),
+          criteria = criteria(n))
       case other => throw new IllegalArgumentException(s"unknown builder type: $other")
     }
   }

@@ -72,6 +72,38 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(report.builders.head._2.processed > 0)
   }
 
+  test("Runner: dedup builder from spec (exact + minhash near-dup)") {
+    val s = spark; import s.implicits._
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val base = java.nio.file.Files.createTempDirectory("runner_dd").toString
+    // 1&2 exact copies; 3 unique
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", t0),
+      (2L, "alpha beta gamma delta epsilon zeta", t0),
+      (3L, "totally different words entirely here now", t0))
+      .toDF("doc_id", "text", "lu").write.parquet(s"$base/docs.parquet")
+    def spec(method: String, tgt: String) =
+      s"""{
+         |  "stores": {
+         |    "src": {"type": "parquet_table", "path": "$base/docs.parquet",
+         |            "key": "doc_id", "last_updated": "lu"},
+         |    "tgt": {"type": "parquet", "root": "$base/$tgt",
+         |            "key": "doc_id", "last_updated": "lu"}
+         |  },
+         |  "builders": [
+         |    {"type": "dedup", "source": "src", "target": "tgt",
+         |     "method": "$method", "threshold": 0.5, "text_field": "text"}
+         |  ]
+         |}""".stripMargin
+    val r1 = Runner.run(spark, spec("exact", "t_exact"))
+    assert(r1.builders.head._2.processed === 2) // canonical 1 + unique 3
+    val tgt = new graft.store.ParquetStore(spark, s"$base/t_exact", "doc_id", "lu")
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    // minhash method wires through pairs -> clusters -> keepCanonical
+    val r2 = Runner.run(spark, spec("minhash", "t_mh"))
+    assert(r2.builders.head._2.processed === 2)
+  }
+
   test("LuFormat: 1ms ISO ceiling round-trip (utils.py:81-103)") {
     val s = spark; import s.implicits._
     import graft.store.LuFormat
