@@ -330,6 +330,14 @@ object GraftHttp {
         }
       })
     }
+    // without an executor the JDK server dispatches EVERY request on its
+    // single dispatcher thread — concurrent clients would serialize (and
+    // one slow query would block all others despite the 504 machinery).
+    // A cached daemon pool gives each request its own thread, which is
+    // also what the per-thread job-group cancellation design assumes.
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool { r =>
+      val t = new Thread(r, "graft-http"); t.setDaemon(true); t
+    })
     server.start()
     server
   }

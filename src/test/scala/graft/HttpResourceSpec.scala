@@ -204,6 +204,20 @@ class HttpResourceSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("concurrent requests are served in parallel (per-request threads)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec = scala.concurrent.ExecutionContext.global
+    val results = Await.result(
+      Future.sequence((1 to 6).map(i => Future(get(s"$base/?_limit=$i")))),
+      60.seconds)
+    assert(results.forall(_._1 == 200))
+    val sizes = results.map { case (_, body) =>
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(body).get("data").size()
+    }
+    assert(sizes.sorted === (1 to 6))
+  }
+
   test("defaultCriteria is $and-merged into every search and key lookup") {
     val guarded = new ReadResource(store, Seq(new PaginationQuery(5, 100)),
       defaultCriteria = Some("""{"o_orderstatus": "O"}"""))
