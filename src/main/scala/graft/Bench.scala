@@ -39,20 +39,23 @@ object Bench {
       dt
     }
     // headline numbers use the engine hash family (xxh64) for the sketch
-    // queries; the md5 family is the oracle-replay artifact Verify keeps
+    // queries; the md5 family is the oracle-replay artifact Verify keeps.
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run (iteration aid; the
+    // headline number is only meaningful on the full set).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     val engineQueries = SparkEntry.queries ++ SparkEntry.benchOverrides
-    val results = engineQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time(fn, name)
-    }
+    val results = engineQueries.toSeq.filter(p => keep(p._1)).sortBy(_._1)
+      .map { case (name, fn) => name -> time(fn, name) }
     // second pass: the md5-family originals, reported separately so the
     // replayability overhead stays visible but outside the total.
     // Verification scope: the timed xxh64 plans are not themselves
     // byte-replayed by the DuckDB oracle (the md5 family is); the
     // cross-family agreement spec in ExtQualitySpec ("hash families
     // agree") pins that both plans find the same duplicate sets.
-    val md5Results = SparkEntry.benchOverrides.keys.toSeq.sorted.map { name =>
-      name -> time(SparkEntry.queries(name), s"$name(md5)")
-    }
+    val md5Results = SparkEntry.benchOverrides.keys.toSeq.filter(keep).sorted
+      .map { name => name -> time(SparkEntry.queries(name), s"$name(md5)") }
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -543,14 +543,20 @@ object SparkEntry {
     }),
 
     "a10_text_facets" -> ((s, dir) => {
-      // $text search + facet counts (A10 generate_atlas_search_pipeline)
+      // $text search + facet counts (A10 generate_atlas_search_pipeline).
+      // All facets come out of ONE scan: each matching doc explodes into
+      // one (facet, value) row per facet dimension, then a single
+      // hash-agg counts them — a union of per-facet groupBys would re-run
+      // the $text tokenization scan once per facet.
       val m = MongoFilter(t(s, dir, "documents"),
         """{"$text": {"$search": "spark data"}}""")
-      val bySource = m.groupBy(col("source")).agg(count(lit(1)).alias("n"))
-        .select(lit("source").alias("facet"), col("source").alias("value"), col("n"))
-      val byLang = m.groupBy(col("lang")).agg(count(lit(1)).alias("n"))
-        .select(lit("lang").alias("facet"), col("lang").alias("value"), col("n"))
-      bySource.unionByName(byLang).orderBy("facet", "value")
+      m.select(explode(array(
+          struct(lit("source").alias("facet"), col("source").alias("value")),
+          struct(lit("lang").alias("facet"), col("lang").alias("value"))))
+          .alias("fv"))
+        .groupBy(col("fv.facet").alias("facet"), col("fv.value").alias("value"))
+        .agg(count(lit(1)).alias("n"))
+        .orderBy("facet", "value")
     }),
 
     "json_scalar_extract" -> ((s, dir) => {

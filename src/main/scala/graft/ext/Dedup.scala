@@ -412,12 +412,18 @@ object Dedup {
         .join(labels.select(col("id").alias("dst"), col("lbl").alias("nlbl")),
           Seq("dst"))
         .groupBy(col("src").alias("id")).agg(min(col("nlbl")).alias("nmin"))
+      // one Spark action per round: the changed-label count rides the
+      // checkpoint materialization as an observed metric instead of a
+      // second count() pass over the round's output
+      val obs = new org.apache.spark.sql.Observation(s"cc_round_$i")
       val next = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).alias("lbl"),
           (coalesce(col("nmin"), col("lbl")) < col("lbl")).alias("__chg"))
+        .observe(obs,
+          coalesce(sum(when(col("__chg"), 1L).otherwise(0L)), lit(0L)).alias("changed"))
         .localCheckpoint(true)
-      changed = next.filter(col("__chg")).count()
+      changed = obs.get.apply("changed").asInstanceOf[Long]
       mat.unpersist() // next is materialized; the old round's blocks free
       mat = next
       labels = next.select(col("id"), col("lbl"))
