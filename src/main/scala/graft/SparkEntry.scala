@@ -322,17 +322,34 @@ object SparkEntry {
         .orderBy("status", "prio")
     }),
 
-    // exact sort-based `percentile` stays the benched default: it is
-    // bit-identical to DuckDB's quantile_cont (the r1 finding that makes
-    // this hash-verifiable at all) and re-measured at ~3.2s in r3 (the
-    // r2 4.2s was GC-schedule noise, plan unchanged). The documented
-    // 100 TB path remains `approx_percentile`, which trades the
-    // per-group sort for a fixed-size sketch but is not byte-replayable.
+    // exact sort-based `percentile`: bit-identical to DuckDB's
+    // quantile_cont (the r1 finding that makes this hash-verifiable at
+    // all), kept as the hash-match spelling. SCALE CAVEAT: Spark's exact
+    // percentile is an ObjectHashAggregate whose per-group buffer holds
+    // every distinct value — on a high-cardinality column
+    // (l_extendedprice) that state is unbounded per group, so at 100 TB
+    // the documented path is `agg_percentile_approx` below (fixed-size
+    // GK sketch, rank error ≤ n/accuracy).
     "agg_percentile" -> ((s, dir) => {
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_quantity, 0.5)").alias("med_qty"),
           expr("percentile(l_extendedprice, 0.25)").alias("q25_price"),
           expr("percentile(l_extendedprice, 0.75)").alias("q75_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    // the 100 TB percentile path: approx_percentile's per-group state is
+    // a fixed-size Greenwald-Khanna sketch (rank error ≤ n/accuracy =
+    // n/10000) instead of the exact variant's all-distinct-values buffer.
+    // Oracle-verifiable because the quantile points are chosen OFF the
+    // cdf plateau boundaries of the (integer-plateaued) columns: both
+    // engines' discrete-quantile ranks land mid-plateau, so the returned
+    // DATA VALUES agree exactly even though the sketches differ.
+    "agg_percentile_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, 0.51, 10000)").alias("med_qty"),
+          expr("approx_percentile(l_discount, 0.30, 10000)").alias("q30_disc"),
+          expr("approx_percentile(l_discount, 0.70, 10000)").alias("q70_disc"))
         .orderBy("l_returnflag")
     }),
 
@@ -914,6 +931,11 @@ object SparkEntry {
         ("SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty, " +
          "quantile_cont(l_extendedprice, 0.25) AS q25_price, " +
          "quantile_cont(l_extendedprice, 0.75) AS q75_price " +
+         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+      "agg_percentile_approx" ->
+        ("SELECT l_returnflag, quantile_disc(l_quantity, 0.51) AS med_qty, " +
+         "quantile_disc(l_discount, 0.30) AS q30_disc, " +
+         "quantile_disc(l_discount, 0.70) AS q70_disc " +
          "FROM lineitem GROUP BY 1 ORDER BY 1"),
       "agg_cube" ->
         ("SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls, " +

@@ -5,6 +5,8 @@ import graft.store.Store
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import scala.util.Try
+
 /** Incremental many→one grouped merge (reference `GroupBuilder`,
   * `builders/group_builder.py:18-236`).
   *
@@ -20,11 +22,17 @@ import org.apache.spark.sql.functions._
   *    `{key}s` sorted membership array (`group_builder.py:66,146`),
   *    `max(last_updated)`, `state`, `_bt` (`group_builder.py:142-155`)
   *
-  * The merge itself is declarative: a map of output column → aggregation
-  * expression over the grouped docs (`agg`), so the whole build is one
-  * shuffle on the grouping keys with partial (map-side) aggregation —
-  * the shape that survives 100 TB. A `collect_list(struct(*))`-based
-  * doc-function plane is available via `aggExprs = GroupBuilder.collectDocs`.
+  * Two merge planes:
+  *  - declarative (`aggExprs`): a map of output column → aggregation
+  *    expression over the grouped docs, so the whole build is one shuffle
+  *    on the grouping keys with partial (map-side) aggregation — the
+  *    shape that survives 100 TB. Always `state = "successful"` —
+  *    expression failure is a job failure, not a per-group state.
+  *  - doc-function ([[GroupBuilder.docs]]): an arbitrary `String => String`
+  *    over each group's docs as a JSON ARRAY (the `unary_function`
+  *    analogue, `group_builder.py:125-155`) under per-group `Try` +
+  *    optional timeout — a failing group emits `state: "failed"` + `error`
+  *    instead of failing the job, mirroring [[MapBuilder.docs]].
   */
 class GroupBuilder(
     val source: Store,
@@ -32,7 +40,10 @@ class GroupBuilder(
     val groupingKeys: Seq[String],
     val aggExprs: Seq[Column],
     val criteria: Option[String] = None,
-    val retryFailed: Boolean = false)
+    val retryFailed: Boolean = false,
+    val docFn: Option[String => String] = None,
+    val timeoutMs: Long = 0,
+    val storeProcessTime: Boolean = true)
   extends Builder {
 
   private def spark = source.spark
@@ -80,25 +91,122 @@ class GroupBuilder(
     src.join(pendingTuples, groupingKeys, "left_semi")
   }
 
+  /** `prechunk(n)` analogue for group builds (reference
+    * `group_builder.py:93-105` splits the pending grouping tuples for
+    * external distribution). Range-based split on the FIRST grouping key
+    * from approximate quantiles of the pending groups — O(n) driver
+    * memory, like [[MapBuilder.prechunk]]. Numeric first-grouping-key
+    * only (range semantics). Chunk boundaries sit ON the grouping key,
+    * so every group lands wholly inside exactly one chunk; each returned
+    * JSON is a valid `criteria` for a scoped builder run and their union
+    * covers the pending set exactly. */
+  def prechunk(n: Int): Seq[String] = {
+    require(n > 0, "prechunk needs n > 0")
+    val gk = groupingKeys.head
+    val tuples = pendingItems().select(col(gk)).distinct()
+    val cuts = tuples.stat.approxQuantile(gk,
+      (1 until n).map(_.toDouble / n).toArray, 0.001).distinct.sorted
+    Prechunk.rangeCriteria(gk, cuts)
+  }
+
   def run(): BuildReport = {
     val items = pendingItems()
-    val aggs = Seq(
-      min(col(source.key)).alias(target.key),
-      sort_array(collect_list(col(source.key))).alias(pluralKeys),
-      max(col(source.lastUpdatedField)).alias(source.lastUpdatedField)
-    ) ++ aggExprs
-    val out = items.groupBy(groupingKeys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("state", lit("successful"))
-      .withColumn("_bt", current_timestamp())
+    val out = docFn match {
+      case None =>
+        val aggs = Seq(
+          min(col(source.key)).alias(target.key),
+          sort_array(collect_list(col(source.key))).alias(pluralKeys),
+          max(col(source.lastUpdatedField)).alias(source.lastUpdatedField)
+        ) ++ aggExprs
+        items.groupBy(groupingKeys.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          .withColumn("state", lit("successful"))
+          .withColumn("_bt", current_timestamp())
+      case Some(fn) => docMerge(items, fn)
+    }
     // materialize once: the report count and the upsert write are separate
     // actions; without this the whole group-agg (the expensive part of the
-    // build) would execute twice (see MapBuilder.run for the full note)
+    // build) would execute twice (see MapBuilder.run for the full note) —
+    // and the checkpoint also pins a user doc-fn to one invocation per
+    // group, so a nondeterministic fn cannot make the report disagree
+    // with what is written
     val mat = out.localCheckpoint(true)
-    val processed = mat.count()
+    val hasState = mat.columns.contains("state")
+    val counts = mat.agg(
+      count(lit(1)).alias("n"),
+      (if (hasState) count_if(col("state") === "failed") else lit(0L)).alias("f")
+    ).head()
+    val processed = counts.getLong(0)
+    val failed = counts.getLong(1)
     if (processed > 0) target.update(mat, Seq(target.key))
     mat.unpersist()
-    BuildReport(processed, 0)
+    BuildReport(processed, failed)
+  }
+
+  /** The doc-function plane: each group's docs as a JSON array → user fn
+    * under `Try`/timeout → JSON object back through schema inference.
+    * Engine fields (target key = min source key, plural membership,
+    * max lu) ride a to_json envelope and are attached only when the fn's
+    * output doesn't already carry them (`group_builder.py:142-150`); a
+    * failed group keeps the envelope so retries can find it. */
+  private def docMerge(items: DataFrame, fn: String => String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val tMs = timeoutMs
+    val keepPt = storeProcessTime
+
+    val grouped = items.groupBy(groupingKeys.map(col): _*)
+      .agg(
+        min(col(source.key)).alias("__tk"),
+        sort_array(collect_list(col(source.key))).alias("__pk"),
+        max(col(source.lastUpdatedField)).alias("__lu"),
+        collect_list(to_json(struct(items.columns.map(col): _*))).alias("__docs"))
+    val envelope = to_json(struct(
+      col("__tk").alias(target.key),
+      col("__pk").alias(pluralKeys),
+      col("__lu").alias(source.lastUpdatedField)))
+    val pairs = grouped.select(envelope.alias("env"), col("__docs").alias("docs"))
+      .as[(String, Seq[String])]
+
+    val outJson = pairs.map { case (env, docs) =>
+      val mapper = MapBuilder.mapper
+      val t0 = System.nanoTime()
+      // parse of the fn's output belongs INSIDE the Try: malformed JSON
+      // from one group must become a failed doc, not a task failure
+      val res = Try {
+        val outDoc = TimeLimited(fn, docs.mkString("[", ",", "]"), tMs)
+        mapper.readTree(outDoc) match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+          case other => throw new IllegalArgumentException(
+            s"group function must return a JSON object, got: ${String.valueOf(other).take(80)}")
+        }
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val node = res match {
+        case scala.util.Success(o) =>
+          o.put("state", "successful"); o
+        case scala.util.Failure(e) =>
+          val o = mapper.createObjectNode()
+          o.put("state", "failed")
+          o.put("error", String.valueOf(e.getMessage)); o
+      }
+      val it = mapper.readTree(env).fields()
+      while (it.hasNext) {
+        val e = it.next()
+        if (!node.has(e.getKey))
+          node.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue)
+      }
+      if (keepPt) node.put("_process_time", dt)
+      mapper.writeValueAsString(node)
+    }
+    val inferred = spark.read.json(outJson).withColumn("_bt", current_timestamp())
+    // the JSON round-trip stringifies lu; restore the source's type so the
+    // target's watermark (`lastUpdated`) stays a real timestamp
+    val luName = source.lastUpdatedField
+    if (inferred.columns.contains(luName))
+      inferred.withColumn(luName,
+        col(luName).cast(items.schema(luName).dataType))
+    else inferred
   }
 }
 
@@ -107,4 +215,29 @@ object GroupBuilder {
     * structs (the reference hands `list[dict]` to `unary_function`). */
   def collectDocs(columns: Seq[String]): Seq[Column] =
     Seq(collect_list(struct(columns.map(col): _*)).alias("docs"))
+
+  /** Arbitrary group-merge function plane (per-group error capture +
+    * timeout): `fn` receives the group's docs as a JSON array string and
+    * returns one JSON object (the reference `unary_function`,
+    * `group_builder.py:125-155`). */
+  def docs(source: Store, target: Store, groupingKeys: Seq[String],
+           fn: String => String, criteria: Option[String] = None,
+           retryFailed: Boolean = false, timeoutMs: Long = 0): GroupBuilder =
+    new GroupBuilder(source, target, groupingKeys, Nil, criteria, retryFailed,
+      Some(fn), timeoutMs)
+}
+
+/** Shared range-split criteria emission for `prechunk` (MapBuilder splits
+  * pending keys, GroupBuilder splits pending grouping tuples). */
+private[builder] object Prechunk {
+  def rangeCriteria(field: String, cuts: Seq[Double]): Seq[String] = {
+    val bounds: Seq[Option[Double]] = (None +: cuts.map(Option(_))) :+ None
+    bounds.sliding(2).map {
+      case Seq(None, None)        => "{}"
+      case Seq(None, Some(hi))    => s"""{"$field": {"$$lt": $hi}}"""
+      case Seq(Some(lo), None)    => s"""{"$field": {"$$gte": $lo}}"""
+      case Seq(Some(lo), Some(hi)) =>
+        s"""{"$field": {"$$gte": $lo, "$$lt": $hi}}"""
+    }.toSeq
+  }
 }

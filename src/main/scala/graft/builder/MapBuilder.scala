@@ -88,14 +88,7 @@ class MapBuilder(
     val keys = pendingKeys()
     val cuts = keys.stat.approxQuantile(source.key,
       (1 until n).map(_.toDouble / n).toArray, 0.001).distinct.sorted
-    val bounds: Seq[Option[Double]] = (None +: cuts.toSeq.map(Option(_))) :+ None
-    bounds.sliding(2).map {
-      case Seq(None, None)        => "{}"
-      case Seq(None, Some(hi))    => s"""{"${source.key}": {"$$lt": $hi}}"""
-      case Seq(Some(lo), None)    => s"""{"${source.key}": {"$$gte": $lo}}"""
-      case Seq(Some(lo), Some(hi)) =>
-        s"""{"${source.key}": {"$$gte": $lo, "$$lt": $hi}}"""
-    }.toSeq
+    Prechunk.rangeCriteria(source.key, cuts.toSeq)
   }
 
   def run(): BuildReport = {
@@ -198,7 +191,12 @@ class MapBuilder(
           mapper.writeValueAsString(node)
       }
     }
-    spark.read.json(outJson).withColumn("_bt", current_timestamp())
+    val inferred = spark.read.json(outJson).withColumn("_bt", current_timestamp())
+    // the JSON round-trip stringifies lu; restore the source's type so the
+    // target's watermark (`lastUpdated`) stays a real timestamp
+    if (inferred.columns.contains(luName) && items.columns.contains(luName))
+      inferred.withColumn(luName, col(luName).cast(items.schema(luName).dataType))
+    else inferred
   }
 }
 
