@@ -93,10 +93,15 @@ class ReadResource(
     // meta hooks see the criteria-filtered (pre-pagination) frame;
     // qp.criteria already carries the merged default — no re-wrap
     lazy val filtered = store.query(QueryParams(criteria = qp.criteria))
+    // facet operators are folded into ONE explode-struct job per request
+    // (FacetQuery.combinedMeta) instead of one action per facet field
+    val facetMeta = FacetQuery.combinedMeta(filtered,
+      ops.collect { case f: FacetQuery => f })
     val metaEntries = s""""total_doc": $total""" +:
-      ops.flatMap(_.meta(filtered, params).toSeq.map {
+      (ops.filterNot(_.isInstanceOf[FacetQuery])
+        .flatMap(_.meta(filtered, params).toSeq) ++ facetMeta).map {
         case (k, v) => s"${Json.str(k)}: $v"
-      })
+      }
     s"""{"data": ${rows.mkString("[", ",", "]")}, "meta": ${metaEntries.mkString("{", ", ", "}")}}"""
   }
 

@@ -148,7 +148,16 @@ class DynamicQuery(val schema: StructType, val excluded: Set[String] = Set.empty
 
 /** Facet contributor (the reference surfaces facet counts through the
   * `meta` hook): value→count for `field` over the full filtered match
-  * set, top-`topK` by count. Pure meta — contributes no criteria. */
+  * set, top-`topK` by count (count ties break on the string rendering of
+  * the value — the same order the serving path's combined scan uses).
+  * Pure meta — contributes no criteria.
+  *
+  * [[ReadResource.search]] does NOT call `meta` once per facet: all
+  * FacetQuery operators on a resource are folded into ONE explode-struct
+  * aggregation per request ([[FacetQuery.combinedMeta]], the
+  * `a10_text_facets` plan shape) — n facets cost one scan + one job, not
+  * n. The per-instance `meta` here serves custom operator stacks that
+  * call it directly. */
 class FacetQuery(val field: String, val topK: Int = 10) extends QueryOperator {
   import org.apache.spark.sql.functions._
   def query(params: Map[String, String]): QueryParams = QueryParams.empty
@@ -156,12 +165,48 @@ class FacetQuery(val field: String, val topK: Int = 10) extends QueryOperator {
                     params: Map[String, String]): Map[String, String] = {
     if (!filtered.columns.contains(field)) return Map.empty
     // bounded collect: topK rows of a count aggregate
-    val counts = filtered.groupBy(col(field)).count()
-      .orderBy(desc("count"), col(field)).limit(topK).collect()
+    val counts = filtered.groupBy(col(field).cast("string").alias("value")).count()
+      .orderBy(desc("count"), col("value")).limit(topK).collect()
     val obj = counts.map { r =>
       s"${Json.str(String.valueOf(r.get(0)))}: ${r.getLong(1)}"
     }.mkString("{", ", ", "}")
     Map(s"facet_$field" -> obj)
+  }
+}
+
+object FacetQuery {
+  import org.apache.spark.sql.functions._
+
+  /** All facets in ONE Spark job: each matching doc explodes into one
+    * (facet, value) row per facet dimension, a single hash-agg counts
+    * them, and one window keeps the per-facet top-K — the serving-path
+    * twin of the oracle-checked `a10_text_facets` plan. The collect is
+    * bounded by Σ topK rows. Values are compared/rendered as strings
+    * (the explode array must be uniformly typed); count ties therefore
+    * break on the string form, matching [[FacetQuery.meta]]. */
+  def combinedMeta(filtered: org.apache.spark.sql.DataFrame,
+                   facets: Seq[FacetQuery]): Seq[(String, String)] = {
+    val present = facets.filter(f => filtered.columns.contains(f.field))
+    if (present.isEmpty) return Nil
+    val structs = present.map(f =>
+      struct(lit(f.field).alias("facet"), col(f.field).cast("string").alias("value")))
+    val counts = filtered.select(explode(array(structs: _*)).alias("fv"))
+      .groupBy(col("fv.facet").alias("facet"), col("fv.value").alias("value"))
+      .agg(count(lit(1)).alias("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("facet")).orderBy(desc("n"), col("value"))
+    val maxK = present.map(_.topK).max
+    val top = counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxK)
+      .collect()
+    present.map { f =>
+      val rows = top.filter(_.getString(0) == f.field)
+        .sortBy(_.getInt(3)).take(f.topK)
+      val obj = rows.map { r =>
+        s"${Json.str(String.valueOf(r.getString(1)))}: ${r.getLong(2)}"
+      }.mkString("{", ", ", "}")
+      s"facet_${f.field}" -> obj
+    }
   }
 }
 

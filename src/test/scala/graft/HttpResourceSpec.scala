@@ -171,6 +171,51 @@ class HttpResourceSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("facet meta: two facets cost the same job count as one (single-scan serving path)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { counter.incrementAndGet(); () }
+    }
+    // poll until the async listener bus has drained (counter stable 300ms)
+    def settled(): Int = {
+      var last = -1; var cur = counter.get(); var spins = 0
+      while (cur != last && spins < 20) {
+        last = cur; Thread.sleep(300); cur = counter.get(); spins += 1
+      }
+      cur
+    }
+    def jobsFor(facets: Seq[FacetQuery]): (Int, com.fasterxml.jackson.databind.JsonNode) = {
+      val res = new ReadResource(store, Seq(new PaginationQuery(5, 100)) ++ facets)
+      val srv = GraftHttp.serve(Map("orders" -> res))
+      try {
+        val url = s"http://localhost:${srv.getAddress.getPort}/orders/?_limit=2"
+        spark.sparkContext.addSparkListener(listener)
+        counter.set(0)
+        val r = client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        assert(r.statusCode() === 200)
+        val n = settled()
+        (n, new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body()).get("meta"))
+      } finally {
+        spark.sparkContext.removeSparkListener(listener); srv.stop(0)
+      }
+    }
+    val (jobs1, _) = jobsFor(Seq(new FacetQuery("o_orderstatus")))
+    val (jobs2, meta2) = jobsFor(Seq(
+      new FacetQuery("o_orderstatus"), new FacetQuery("o_orderpriority", topK = 3)))
+    // the second facet must not add a Spark job: all facets ride one
+    // explode-struct aggregation (FacetQuery.combinedMeta)
+    assert(jobs2 === jobs1)
+    // payload identical to the per-facet meta hook
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val perField = new FacetQuery("o_orderstatus").meta(store.df, Map.empty) ++
+      new FacetQuery("o_orderpriority", topK = 3).meta(store.df, Map.empty)
+    perField.foreach { case (k, v) =>
+      assert(meta2.get(k) === om.readTree(v), s"facet $k")
+    }
+  }
+
   test("A14 submission routes: POST intake, dup -> 409, PATCH appends state, GET reflects it") {
     val inner = new graft.store.MemoryStore(spark, "subs",
       key = "submission_id", lastUpdatedField = "last_updated")
