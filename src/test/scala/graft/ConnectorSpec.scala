@@ -119,6 +119,86 @@ class ConnectorSpec extends SparkSpec {
     }
   }
 
+  test("JsonSchemaValidator: reference test_validator.py cases (validators.py:13-90)") {
+    val s = spark; import s.implicits._
+    // the reference's test_schema: required task_id/successful, typed
+    // fields, nested object schema for `lattice` (msonable_schema analogue)
+    val schemaJson = """{
+      "type": "object",
+      "properties": {
+        "task_id": {"type": "string"},
+        "successful": {"type": "boolean"},
+        "lattice": {"type": "object", "required": ["a"],
+                    "properties": {"a": {"type": "integer"}}}
+      },
+      "required": ["task_id", "successful"]
+    }"""
+    val v = new JsonSchemaValidator(schemaJson)
+    def errsOf(docJson: String): Seq[String] = {
+      val df = s.read.json(Seq(docJson).toDS())
+      val r = v.annotate(df).collect()(0)
+      Option(r.getAs[scala.collection.Seq[String]]("_validation_errors"))
+        .map(_.toSeq).getOrElse(Nil)
+    }
+    assert(errsOf("""{"task_id": "mp-test", "successful": true, "lattice": {"a": 5}}""") === Nil)
+    // invalid_doc_msonable: lattice is an array, not an object
+    val e1 = errsOf("""{"task_id": "mp-test", "successful": true, "lattice": ["I am not a lattice!"]}""")
+    assert(e1.size === 1 && e1.head.startsWith("lattice:") && e1.head.contains("not of type 'object'"))
+    // invalid_doc_missing_key: 'successful' missing -> parent-path error
+    val e2 = errsOf("""{"task_id": "mp-test", "lattice": {"a": 5}}""")
+    assert(e2 === Seq(": 'successful' is a required property"))
+    // invalid_doc_wrong_type: successful is a string
+    val e3 = errsOf("""{"task_id": "mp-test", "successful": "true", "lattice": {"a": 5}}""")
+    assert(e3.size === 1 && e3.head.startsWith("successful:") && e3.head.contains("not of type 'boolean'"))
+    // strict raises (ValidationError analogue)
+    intercept[IllegalArgumentException] {
+      new JsonSchemaValidator(schemaJson, strict = true)
+        .split(s.read.json(Seq("""{"task_id": "mp-test"}""").toDS()))
+    }
+  }
+
+  test("JsonSchemaValidator: enum, bounds, lengths, pattern, nested required, array items") {
+    val s = spark; import s.implicits._
+    val v = new JsonSchemaValidator("""{
+      "type": "object",
+      "properties": {
+        "state": {"type": "string", "enum": ["new", "done"]},
+        "score": {"type": "number", "minimum": 0, "exclusiveMaximum": 10},
+        "name": {"type": "string", "minLength": 2, "maxLength": 5, "pattern": "^[a-z]+$"},
+        "tags": {"type": "array", "items": {"type": "string"}},
+        "meta": {"type": "object", "required": ["owner"],
+                 "properties": {"owner": {"type": "string"},
+                                "depth": {"type": "integer", "maximum": 3}}}
+      },
+      "required": ["state"]
+    }""")
+    val df = s.read.json(Seq(
+      """{"k": 1, "state": "new",  "score": 3,  "name": "ab",     "tags": ["x"], "meta": {"owner": "me", "depth": 2}}""",
+      """{"k": 2, "state": "odd",  "score": -1, "name": "a",      "tags": ["x"]}""",
+      """{"k": 3, "state": "done", "score": 10, "name": "toolong", "meta": {"depth": 9}}""",
+      """{"k": 4, "state": "new",  "name": "UPPER"}"""
+    ).toDS())
+    val errs = v.annotate(df).select("k", "_validation_errors").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[scala.collection.Seq[String]](1)).map(_.toSeq).getOrElse(Nil)).toMap
+    assert(errs(1L) === Nil)
+    assert(errs(2L).exists(_.contains("not one of the enum")))
+    assert(errs(2L).exists(_.contains("less than the minimum")))
+    assert(errs(2L).exists(_.contains("shorter than minLength")))
+    assert(errs(3L).exists(_.contains("greater than or equal to the exclusive maximum")))
+    assert(errs(3L).exists(_.contains("longer than maxLength")))
+    // nested: depth > 3 and missing required owner, both at their dot paths
+    assert(errs(3L).exists(e => e.startsWith("meta:") && e.contains("'owner' is a required property")))
+    assert(errs(3L).exists(e => e.startsWith("meta.depth:") && e.contains("greater than the maximum")))
+    assert(errs(4L).exists(_.contains("does not match pattern")))
+    // doc 4 has no meta at all: nested required must NOT fire (guard)
+    assert(!errs(4L).exists(_.contains("owner")))
+    // array with wrong item type (separate frame: item type is static)
+    val bad = s.read.json(Seq("""{"k": 9, "state": "new", "tags": [1, 2]}""").toDS())
+    val e9 = v.annotate(bad).collect()(0).getAs[scala.collection.Seq[String]]("_validation_errors")
+    assert(e9 != null)
+    assert(e9.exists(e => e.startsWith("tags:") && e.contains("not of type 'string'")))
+  }
+
   test("BlobStore: zlib round-trip, newest-per-key, metadata criteria (gridfs.py:41-536)") {
     val s = spark; import s.implicits._
     val bs = new BlobStore(spark, tmp("graft_blob"), key = "k",
