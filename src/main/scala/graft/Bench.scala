@@ -59,7 +59,30 @@ object Bench {
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)},"sf":"$sfDir"}""")
+    // per-query DuckDB oracle seconds alongside the engine timings, so the
+    // perf ratio is tracked per query instead of against an aggregate
+    // estimate (VERDICT r4 item 8). DuckDB lives driver-side only: this is
+    // an optional measurement SUBPROCESS (tools/bench_oracle.py), never a
+    // library dependency — fails soft when python3/duckdb is absent.
+    val oracleSec: Option[String] = scala.util.Try {
+      val script = java.nio.file.Paths.get(
+        sys.props.getOrElse("user.dir", "."), "tools", "bench_oracle.py")
+      if (!java.nio.file.Files.exists(script)) throw new RuntimeException("no script")
+      val names = SparkEntry.oracleSql.keySet.filter(keep)
+      val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
+      java.nio.file.Files.writeString(tmp, SparkEntry.oracleSqlJson)
+      val p = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString).start()
+      val out = new String(p.getInputStream.readAllBytes()).trim
+      if (p.waitFor() != 0 || !out.startsWith("{")) throw new RuntimeException("oracle bench failed")
+      // keep only the queries this run timed (SPARK_GRAFT_ONLY filter)
+      val node = com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(out)
+      val kept = names.toSeq.sorted.flatMap { n =>
+        Option(node.get(n)).filterNot(_.isNull).map(v => "\"" + n + "\":" + v.asDouble())
+      }
+      kept.mkString("{", ",", "}")
+    }.toOption
+    val oracleField = oracleSec.map(o => s""","oracle_sec":$o""").getOrElse("")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -797,6 +797,23 @@ object SparkEntry {
     (ctes, pairSel)
   }
 
+  /** [[oracleSql]] as one JSON object (shared by [[Verify]] and
+    * [[Bench]]). JSON string escape covers backslash, quote, and ALL
+    * control chars (<0x20) — a tab or CR in builder-authored SQL would
+    * otherwise break the driver's json.load. */
+  def oracleSqlJson: String = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+  }
+
   def oracleSql: Map[String, String] = {
     val Seq(en, de, fr, es) = stopLists.map { case (_, ws) => sqlHits(ws) }
     Map(

@@ -17,9 +17,30 @@ import org.apache.spark.sql.functions._
   *    min-id survivor per cluster ([[Dedup.keepCanonical]])
   *  - `"simhash"` / `"ngram"` — same, over the respective pair producers
   *
+  * ==Incremental builds==
+  * With an `indexStore` (method `"minhash"` only), the build follows the
+  * reference's incremental contract (`core/store.py:239-275`): the FIRST
+  * run writes every doc's signature + cluster label to the index; each
+  * REPEAT run hashes and bands ONLY the docs not yet in the index
+  * ([[Dedup.minhashLshIncrementalSigs]]) against the persisted
+  * signatures, re-resolves components over (new pairs ∪ stored cluster
+  * edges), then repairs the target: old canonicals dethroned by a
+  * smaller new id are removed, new survivors upserted. At 100 TB this is
+  * the difference between re-hashing the corpus per batch and per-batch
+  * work proportional to the batch.
+  *
+  * Index schema: `(id, sig, cluster)` — one row per doc ever seen;
+  * `cluster` = min id of its component (self for singletons). Stored
+  * cluster membership re-enters each resolution as `(cluster → id)`
+  * edges, so a new doc chaining into an old cluster through any old
+  * member converges to the same labels a from-scratch build would.
+  *
   * The write follows the standard builder shape: the output plan is
   * materialized once (localCheckpoint), the report count reads the
   * cached blocks, and the upsert consumes them (see MapBuilder.run).
+  * Report semantics: full builds report docs written; indexed builds
+  * report docs EXAMINED this run (the incremental contract's measure —
+  * a repeat run over an unchanged corpus reports 0).
   */
 class DedupBuilder(
     val source: Store,
@@ -27,16 +48,31 @@ class DedupBuilder(
     val textField: String,
     val method: String = "minhash",
     val threshold: Double = 0.7,
-    val criteria: Option[String] = None)
+    val criteria: Option[String] = None,
+    val indexStore: Option[Store] = None)
   extends Builder {
+
+  require(indexStore.isEmpty || method == "minhash",
+    s"indexStore (incremental dedup) is only supported for method=minhash, got '$method'")
 
   private def scoped: DataFrame =
     criteria.map(c => MongoFilter(source.df, c)).getOrElse(source.df)
 
-  /** The candidate set for this build — the (scoped) source corpus. */
-  def pendingItems(): DataFrame = scoped
+  /** The candidate set for this build — the (scoped) source corpus, or
+    * with an index the docs the index hasn't seen yet. */
+  def pendingItems(): DataFrame = indexStore match {
+    case Some(idx) if idx.df.columns.contains("id") =>
+      scoped.join(idx.df.select(col("id").alias(source.key)),
+        Seq(source.key), "left_anti")
+    case _ => scoped
+  }
 
-  def run(): BuildReport = {
+  def run(): BuildReport = indexStore match {
+    case Some(idx) => runIndexed(idx)
+    case None => runFull()
+  }
+
+  private def runFull(): BuildReport = {
     val kept: DataFrame = method match {
       case "exact" | "fingerprint" =>
         val groups =
@@ -66,5 +102,56 @@ class DedupBuilder(
     if (processed > 0) target.update(mat, Seq(target.key))
     mat.unpersist()
     BuildReport(processed, 0)
+  }
+
+  /** One incremental round against the signature index (see class doc). */
+  private def runIndexed(idx: Store): BuildReport = {
+    val k = source.key
+    val corpus = scoped
+    val hasIndex = idx.df.columns.contains("id") && idx.df.columns.contains("sig")
+
+    // batch = docs the index hasn't seen; first run sees the whole corpus
+    val batch =
+      (if (hasIndex)
+         corpus.join(idx.df.select(col("id").alias(k)), Seq(k), "left_anti")
+       else corpus).localCheckpoint(true)
+    val examined = batch.count()
+    if (examined == 0) { batch.unpersist(); return BuildReport(0, 0) }
+
+    // batch signatures: computed once, consumed by banding, verification
+    // and the index write
+    val newSigs = Dedup.minhashSignatures(batch, k, textField)
+      .localCheckpoint(true)
+
+    val (pairs, oldEdges, allSigs) =
+      if (!hasIndex)
+        (Dedup.minhashLshFromSigs(newSigs, threshold = threshold),
+          None, newSigs)
+      else {
+        val known = idx.df.select(col("id"), col("sig"), col("cluster"))
+        (Dedup.minhashLshIncrementalSigs(newSigs,
+            known.select(col("id"), col("sig")), threshold = threshold),
+          // stored membership re-enters resolution as (cluster → id) edges
+          Some(known.filter(col("cluster") =!= col("id"))
+            .select(col("cluster").alias("a"), col("id").alias("b"))),
+          known.select(col("id"), col("sig")).unionByName(newSigs))
+      }
+    val edgeSet = oldEdges.foldLeft(pairs.select(col("a"), col("b")))(_ unionByName _)
+    val labels = Dedup.clusters(edgeSet) // (id, cluster), checkpointed
+
+    // refreshed index: every doc ever seen, with its current label
+    idx.update(allSigs.join(labels, Seq("id"), "left_outer")
+      .select(col("id"), col("sig"),
+        coalesce(col("cluster"), col("id")).alias("cluster")), Seq("id"))
+
+    val losers = labels.filter(col("id") =!= col("cluster"))
+      .select(col("id").alias(k)).localCheckpoint(true)
+    // a previously-canonical doc dethroned by a smaller new id leaves the
+    // target (anti-join: no-op for losers that were never written)
+    target.removeKeys(losers)
+    val mat = batch.join(losers, Seq(k), "left_anti").localCheckpoint(true)
+    if (mat.count() > 0) target.update(mat, Seq(target.key))
+    mat.unpersist(); losers.unpersist(); batch.unpersist()
+    BuildReport(examined, 0)
   }
 }

@@ -157,23 +157,37 @@ object Dedup {
                  numHashes: Int = 64, bands: Int = 16,
                  shingleSize: Int = 3, threshold: Double = 0.7,
                  maxBucketSize: Int = 1000, family: String = "xxh64"): DataFrame = {
-    require(bands >= 1 && numHashes % bands == 0,
-      s"bands ($bands) must divide numHashes ($numHashes)")
-    val rows = numHashes / bands
     // sigs are used twice (banding + verification): persist the small
     // signature table instead of recomputing the shingle pipeline. At
     // cluster scale this is the "write signatures once" staging table.
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize, family)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // band buckets carry ONLY (id, band, bucket) — the 8-byte-per-column
-    // shape keeps the bucket shuffle and self-join narrow; the 64-long
-    // signature arrays never enter a shuffle
+    minhashLshFromSigs(sigs, numHashes, bands, threshold, maxBucketSize, family)
+  }
+
+  /** Band a signature table into `(id, band, bucket)` rows — ONLY 8-byte
+    * columns, so the bucket shuffle and self-join stay narrow; the k-long
+    * signature arrays never enter a shuffle. */
+  private[graft] def bandSigs(sigs: DataFrame, numHashes: Int, bands: Int,
+                              family: String): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
     val bandExprs = (0 until bands).map { b =>
       seededHash(family, b, concat_ws(",",
         transform(slice(col("sig"), b * rows + 1, rows), x => x.cast("string"))))
     }
-    val banded = sigs.select(col("id"), posexplode(array(bandExprs: _*)))
+    sigs.select(col("id"), posexplode(array(bandExprs: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** [[minhashLsh]] over a pre-computed `(id, sig)` table (e.g. a
+    * persisted signature store). `sigs` is consumed twice (banding +
+    * verification) — pass a persisted/checkpointed frame. */
+  def minhashLshFromSigs(sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.7, maxBucketSize: Int = 1000,
+                         family: String = "xxh64"): DataFrame = {
+    val banded = bandSigs(sigs, numHashes, bands, family)
     // skew guard: drop boilerplate buckets larger than maxBucketSize.
     // Hash-agg (map-side partials) + broadcast anti-join of the tiny
     // hot-bucket list — no sort-window shuffle over the full table.
@@ -316,31 +330,34 @@ object Dedup {
                             shingleSize: Int = 3, threshold: Double = 0.7,
                             maxBucketSize: Int = 1000,
                             family: String = "xxh64"): DataFrame = {
-    require(bands >= 1 && numHashes % bands == 0,
-      s"bands ($bands) must divide numHashes ($numHashes)")
-    val rows = numHashes / bands
     val newSigs = minhashSignatures(newDf, idCol, textCol, numHashes,
       shingleSize, family).localCheckpoint(true)
+    minhashLshIncrementalSigs(newSigs, existingSigs, numHashes, bands,
+      threshold, maxBucketSize, family)
+  }
+
+  /** [[minhashLshIncremental]] over pre-computed new-batch signatures
+    * (callers that also persist the batch signatures — e.g.
+    * [[graft.builder.DedupBuilder]]'s signature store — avoid hashing the
+    * batch twice). `newSigs` is consumed multiple times: pass a
+    * persisted/checkpointed frame. */
+  def minhashLshIncrementalSigs(newSigs: DataFrame, existingSigs: DataFrame,
+                                numHashes: Int = 64, bands: Int = 16,
+                                threshold: Double = 0.7,
+                                maxBucketSize: Int = 1000,
+                                family: String = "xxh64"): DataFrame = {
     // re-ingested ids: drop the stale table signature (new wins) — an id
     // on both sides would otherwise fan every verification join in two
     val oldOnly = existingSigs.select(col("id"), col("sig"))
       .join(newSigs.select(col("id")), Seq("id"), "left_anti")
     val allSigs = oldOnly.unionByName(newSigs)
-    def banded(sigs: DataFrame): DataFrame = {
-      val bandExprs = (0 until bands).map { b =>
-        seededHash(family, b, concat_ws(",",
-          transform(slice(col("sig"), b * rows + 1, rows), x => x.cast("string"))))
-      }
-      sigs.select(col("id"), posexplode(array(bandExprs: _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    }
     // the old band index feeds two consumers (hot-bucket agg + anti-join)
     // — persist so the table is banded once per call, not twice. At
     // cluster scale, persist the band index NEXT TO the signature store
     // and pass it in instead of re-deriving it per batch.
-    val oldBanded = banded(oldOnly)
+    val oldBanded = bandSigs(oldOnly, numHashes, bands, family)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newBanded = banded(newSigs)
+    val newBanded = bandSigs(newSigs, numHashes, bands, family)
     // hot-bucket cap measured over the FULL index (old + new occupancy)
     val hot = oldBanded.unionByName(newBanded)
       .groupBy(col("band"), col("bucket"))

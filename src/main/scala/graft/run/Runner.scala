@@ -120,7 +120,9 @@ object Runner {
           textField = str(n, "text_field", "text"),
           method = str(n, "method", "minhash"),
           threshold = opt(n, "threshold").map(_.asDouble()).getOrElse(0.7),
-          criteria = criteria(n))
+          criteria = criteria(n),
+          // optional persisted signature index → incremental repeat builds
+          indexStore = opt(n, "index").map(i => stores(i.asText())))
       case other => throw new IllegalArgumentException(s"unknown builder type: $other")
     }
   }

@@ -104,6 +104,49 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(r2.builders.head._2.processed === 2)
   }
 
+  test("DedupBuilder incremental: repeat builds process only the new batch (core/store.py:239-275)") {
+    val s = spark; import s.implicits._
+    import graft.builder.DedupBuilder
+    import graft.store.MemoryStore
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val uniqText = "totally different words entirely here now for sure"
+    val src = new MemoryStore(spark, "src", key = "doc_id", lastUpdatedField = "lu")
+    src.load(Seq(
+      (1L, dupText, t0), (2L, dupText, t0), (3L, uniqText, t0)
+    ).toDF("doc_id", "text", "lu"))
+    val tgt = new MemoryStore(spark, "tgt", key = "doc_id", lastUpdatedField = "lu")
+    val idx = new MemoryStore(spark, "idx", key = "id", lastUpdatedField = "cluster")
+    def builder() = new DedupBuilder(src, tgt, "text", "minhash",
+      threshold = 0.5, indexStore = Some(idx))
+
+    // first build: whole corpus examined, index written, canonical = {1, 3}
+    val r1 = builder().run()
+    assert(r1.processed === 3)
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    assert(idx.df.count() === 3)
+
+    // batch 2: doc 4 dups doc 3 (larger id → dropped); doc 0 dups the
+    // 1/2 cluster with a SMALLER id → 0 dethrones 1 as canonical
+    src.update(Seq((4L, uniqText, t0), (0L, dupText, t0)).toDF("doc_id", "text", "lu"))
+    val b2 = builder()
+    assert(b2.pendingItems().select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(0L, 4L))
+    val r2 = builder().run()
+    assert(r2.processed === 2) // ONLY the new batch was examined
+    assert(idx.df.count() === 5)
+
+    // canonical view identical to a from-scratch minhash build
+    val fromScratch = graft.ext.Dedup.keepCanonical(src.df,
+      graft.ext.Dedup.minhashLsh(src.df, "doc_id", "text", threshold = 0.5), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(fromScratch === Array(0L, 3L)) // sanity: 0 is the new canonical
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === fromScratch)
+
+    // unchanged corpus → zero work
+    assert(builder().run().processed === 0)
+  }
+
   test("LuFormat: 1ms ISO ceiling round-trip (utils.py:81-103)") {
     val s = spark; import s.implicits._
     import graft.store.LuFormat
