@@ -415,15 +415,25 @@ object Dedup {
     // too expensive to execute per branch
     val p = pairs.select(col(aCol).alias("src"), col(bCol).alias("dst"))
       .localCheckpoint(true)
+    // pre-partition on dst: every round joins edges on dst, so paying one
+    // extra shuffle here lets the cached partitioning be reused by all R
+    // round joins instead of re-exchanging the edge table each round
     val edges = p
       .unionByName(p.select(col("dst").alias("src"), col("src").alias("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var mat = edges.select(col("src").alias("id")).distinct()
-      .select(col("id"), col("id").alias("lbl")).localCheckpoint(true)
+    // fused first round: labels after round 1 are exactly
+    // min(id, min(neighbor id)) — computed as ONE aggregation over the
+    // edge table, replacing both the identity-labels materialization and
+    // the first join round of the generic loop
+    var mat = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).alias("lbl"))
+      .select(col("src").alias("id"), col("lbl"))
+      .localCheckpoint(true)
     var labels = mat
     var changed = 1L
-    var i = 0
+    var i = 1
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").alias("dst"), col("lbl").alias("nlbl")),
