@@ -43,7 +43,8 @@ class GroupBuilder(
     val retryFailed: Boolean = false,
     val docFn: Option[String => String] = None,
     val timeoutMs: Long = 0,
-    val storeProcessTime: Boolean = true)
+    val storeProcessTime: Boolean = true,
+    val projection: Seq[String] = Nil)
   extends Builder {
 
   private def spark = source.spark
@@ -82,9 +83,18 @@ class GroupBuilder(
   }
 
   /** Whole groups touching any pending id (distinct grouping tuples →
-    * left-semi re-fetch, `group_builder.py:214-236`). */
+    * left-semi re-fetch, `group_builder.py:214-236`). `projection`
+    * prunes the fetched columns like the reference (`:113-117`), always
+    * forced to include grouping keys + key + lu. */
   def pendingItems(): DataFrame = {
-    val src = scopedSource
+    val src0 = scopedSource
+    val src =
+      if (projection.isEmpty) src0
+      else {
+        val want = (projection ++ groupingKeys :+ source.key :+
+          source.lastUpdatedField).distinct
+        src0.select(want.map(col): _*)
+      }
     val pendingTuples = src
       .join(pendingIds(), Seq(source.key), "left_semi")
       .select(groupingKeys.map(col): _*).distinct()

@@ -139,6 +139,18 @@ class BuilderSpec extends SparkSpec {
     assert(b.pendingItems().columns.toSet === Set("v", "k", "lu"))
   }
 
+  test("GroupBuilder projection: grouping keys + key/lu forced in (group_builder.py:113-117)") {
+    val s = spark; import s.implicits._
+    val docs = (0L to 5L).map(k => (k, k % 2, s"d$k", s"x$k", now)).toDF("k", "a", "b", "c", "lu")
+    val src = new MemoryStore(spark, "src", key = "k", lastUpdatedField = "lu")
+    src.load(docs)
+    val tgt = new MemoryStore(spark, "tgt", key = "kgrp", lastUpdatedField = "lu")
+    val b = new GroupBuilder(src, tgt, Seq("a"), Seq(count(lit(1)).alias("n")),
+      projection = Seq("b"))
+    assert(b.pendingItems().columns.toSet === Set("b", "a", "k", "lu"))
+    assert(b.run().processed === 2)
+  }
+
   test("GroupBuilder doc plane: collect_list(struct) group merge (group_builder.py:125-155)") {
     val s = spark; import s.implicits._
     val docs = (0L to 5L).map(k => (k, k % 2, s"d$k", now)).toDF("k", "a", "b", "lu")
