@@ -123,35 +123,45 @@ class DedupBuilder(
     val newSigs = Dedup.minhashSignatures(batch, k, textField)
       .localCheckpoint(true)
 
-    val (pairs, oldEdges, allSigs) =
+    val (pairs, oldEdges, known) =
       if (!hasIndex)
-        (Dedup.minhashLshFromSigs(newSigs, threshold = threshold),
-          None, newSigs)
+        (Dedup.minhashLshFromSigs(newSigs, threshold = threshold), None, None)
       else {
-        val known = idx.df.select(col("id"), col("sig"), col("cluster"))
+        val kn = idx.df.select(col("id"), col("sig"), col("cluster"))
         (Dedup.minhashLshIncrementalSigs(newSigs,
-            known.select(col("id"), col("sig")), threshold = threshold),
+            kn.select(col("id"), col("sig")), threshold = threshold),
           // stored membership re-enters resolution as (cluster → id) edges
-          Some(known.filter(col("cluster") =!= col("id"))
+          Some(kn.filter(col("cluster") =!= col("id"))
             .select(col("cluster").alias("a"), col("id").alias("b"))),
-          known.select(col("id"), col("sig")).unionByName(newSigs))
+          Some(kn))
       }
     val edgeSet = oldEdges.foldLeft(pairs.select(col("a"), col("b")))(_ unionByName _)
     val labels = Dedup.clusters(edgeSet) // (id, cluster), checkpointed
 
-    // refreshed index: every doc ever seen, with its current label
-    idx.update(allSigs.join(labels, Seq("id"), "left_outer")
+    // index delta — batch-proportional, never corpus-proportional: new
+    // rows, plus old rows whose label CHANGED this round. Min-label
+    // monotonicity (labels only decrease) means every other old row is
+    // byte-identical in the store already, and every doc whose
+    // canonical/loser status changed is in this delta.
+    val newRows = newSigs.join(labels, Seq("id"), "left_outer")
       .select(col("id"), col("sig"),
-        coalesce(col("cluster"), col("id")).alias("cluster")), Seq("id"))
+        coalesce(col("cluster"), col("id")).alias("cluster"))
+    val changedOld = known.map(_.withColumnRenamed("cluster", "__old")
+        .join(labels, Seq("id"))
+        .filter(col("cluster") =!= col("__old"))
+        .select(col("id"), col("sig"), col("cluster")))
+    val delta = changedOld.foldLeft(newRows)(_ unionByName _).localCheckpoint(true)
+    idx.update(delta, Seq("id"))
 
-    val losers = labels.filter(col("id") =!= col("cluster"))
+    // losers can only appear inside the delta (monotonicity again): a
+    // dethroned old canonical has a changed label; an old loser stays a
+    // loser and was removed by the run that demoted it
+    val losers = delta.filter(col("id") =!= col("cluster"))
       .select(col("id").alias(k)).localCheckpoint(true)
-    // a previously-canonical doc dethroned by a smaller new id leaves the
-    // target (anti-join: no-op for losers that were never written)
     target.removeKeys(losers)
     val mat = batch.join(losers, Seq(k), "left_anti").localCheckpoint(true)
     if (mat.count() > 0) target.update(mat, Seq(target.key))
-    mat.unpersist(); losers.unpersist(); batch.unpersist()
+    mat.unpersist(); losers.unpersist(); delta.unpersist(); batch.unpersist()
     BuildReport(examined, 0)
   }
 }

@@ -135,6 +135,9 @@ class RunnerStreamingSpec extends SparkSpec {
     val r2 = builder().run()
     assert(r2.processed === 2) // ONLY the new batch was examined
     assert(idx.df.count() === 5)
+    // delta write propagated the label change to the stored OLD members
+    assert(idx.df.filter(col("id").isin(0L, 1L, 2L)).select("cluster")
+      .collect().map(_.getLong(0)).toSet === Set(0L))
 
     // canonical view identical to a from-scratch minhash build
     val fromScratch = graft.ext.Dedup.keepCanonical(src.df,
