@@ -478,38 +478,53 @@ object Dedup {
   }
 
   /** 5. Exact n-gram Jaccard pairs via inverted shingle index:
-    * docs sharing ≥1 shingle are joined, common-shingle counts vs
+    * docs sharing ≥1 shingle are paired, common-shingle counts vs
     * per-doc totals give exact Jaccard. The verifier tier — O(pairs
-    * sharing shingles); use LSH (tier 3) to pre-filter at scale. */
+    * sharing shingles); use LSH (tier 3) to pre-filter at scale.
+    *
+    * Plan shape (round 5): shingles hash once in the compiled
+    * [[graft.functions.NgramHashes]] kernel (per-doc set-dedup inside the
+    * loop — no distinct shuffle), then ONE aggregation gathers each
+    * shingle's capped posting list via
+    * [[graft.functions.BoundedCollectAgg]] — the cap that drops hot
+    * (stopword-only) shingles is enforced INSIDE the aggregate with
+    * O(cap) state and NULL-on-overflow, so the posting table is shuffled
+    * exactly once. Pairs then expand map-side from each list with a
+    * two-level explode (per-row arrays bounded at |list| ≤ cap structs,
+    * never |list|²). The previous shape shuffled the posting table three
+    * times (hot-count aggregate + both self-join sides).
+    * TypedImperativeAggregate note: set
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` ≥ 64k
+    * for sketch workloads (see [[minhashSignatures]]).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxPostings: Int = 1000): DataFrame = {
-    // shingles join on their 64-bit hash, not the string — 8-byte keys in
-    // the inverted-index shuffle (collision odds ~|shingles|²/2^65: nil).
-    // The shingle set is computed by the native [[graft.functions.NgramHashes]]
-    // kernel: one codegen'd loop per row replaces the interpreted
-    // transform/slice/concat_ws lambda tower (the r2 bench regression),
-    // and per-doc set-dedup happens inside that loop — no (id, shingle)
-    // distinct shuffle exists at all. The per-doc set size rides along
-    // with each posting (8 bytes) instead of two joins against a separate
-    // sizes aggregate. The narrow (id, sz, sh) posting table is persisted
-    // once (the "write the inverted index once" staging table) and feeds
-    // the hot-postings cap and both self-join sides.
-    val docSh = df.select(col(idCol).alias("id"),
-      graft.functions.GraftFunctions.ngramHashes(df.sparkSession,
-        TextAnalysis.normTokens(col(textCol)), n).alias("shs"))
-    val posted = docSh
-      .select(col("id"), size(col("shs")).alias("sz"), explode(col("shs")).alias("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // posting-list skew cap (stopword-only shingles): hash-agg + broadcast
-    // anti-join of the tiny hot-postings list, not a sort-window
-    val hot = posted.groupBy("sh").agg(count(lit(1)).alias("__pn"))
-      .filter(col("__pn") > maxPostings).select(col("sh"))
-    val capped = posted.join(broadcast(hot), Seq("sh"), "left_anti")
-    capped.select(col("sh"), col("id").alias("a"), col("sz").alias("sza"))
-      .join(capped.select(col("sh"), col("id").alias("b"), col("sz").alias("szb")),
-            Seq("sh"))
-      .filter(col("a") < col("b"))
+    val spark = df.sparkSession
+    // postings keyed by the 64-bit gram hash, not the string — 8-byte
+    // keys in the single inverted-index shuffle (collision odds
+    // ~|shingles|²/2^65: nil); per-doc set size rides with each posting
+    val posted = df.select(col(idCol).alias("id"),
+        graft.functions.GraftFunctions.ngramHashes(spark,
+          TextAnalysis.normTokens(col(textCol)), n).alias("shs"))
+      .select(col("id"), size(col("shs")).cast("long").alias("sz"),
+        explode(col("shs")).alias("sh"))
+    val lists = posted.groupBy(col("sh"))
+      .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
+        col("id"), col("sz"), maxPostings).alias("lst"))
+      .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+    // unordered combinations, two-level: element i pairs with the list
+    // tail after i — memory per generated row stays O(|list|)
+    val pairs = lists
+      .select(col("lst"), posexplode(col("lst")))
+      .select(col("col").alias("p"),
+        explode(slice(col("lst"), col("pos") + 2,
+          greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+    pairs.select(
+        least(col("p.id"), col("q.id")).alias("a"),
+        greatest(col("p.id"), col("q.id")).alias("b"),
+        when(col("p.id") <= col("q.id"), col("p.aux")).otherwise(col("q.aux")).alias("sza"),
+        when(col("p.id") <= col("q.id"), col("q.aux")).otherwise(col("p.aux")).alias("szb"))
       // sza/szb are functionally determined by a/b — extra group keys only
       .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).alias("common"))
       .withColumn("jaccard", round(col("common").cast("double") /

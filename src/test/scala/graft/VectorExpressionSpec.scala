@@ -83,4 +83,26 @@ class VectorExpressionSpec extends SparkSpec {
     val baseAll = sigs(rows.map(r => (0L, r._2)).toDF("id", "sh"))(0L)
     supSig.zip(baseAll).foreach { case (x, y) => assert(x <= y) }
   }
+  test("BoundedCollectAgg: capped posting lists, NULL on overflow, partition-invariant") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // key 1: 3 postings (under cap); key 2: 12 postings (over cap of 10)
+    val rows = (1L to 3L).map(i => (1L, i, 100L + i)) ++
+      (1L to 12L).map(i => (2L, i, 200L + i))
+    // many partitions force partial-buffer merges, incl. merged overflow
+    val df = rows.toDF("k", "id", "aux").repartition(8)
+    val out = df.groupBy(col("k"))
+      .agg(graft.functions.BoundedCollectAgg.boundedCollect(s, col("id"), col("aux"), 10).alias("lst"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[org.apache.spark.sql.Row](1))).toMap
+    assert(out(2L) === None) // hot key -> NULL
+    val got = out(1L).get.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got === Seq((1L, 101L), (2L, 102L), (3L, 103L)))
+    // exactly-at-cap group survives with all entries
+    val atCap = (1L to 10L).map(i => (9L, i, i)).toDF("k", "id", "aux").repartition(5)
+      .groupBy(col("k"))
+      .agg(graft.functions.BoundedCollectAgg.boundedCollect(s, col("id"), col("aux"), 10).alias("lst"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(atCap.size === 10)
+  }
+
 }
