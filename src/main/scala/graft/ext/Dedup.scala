@@ -188,17 +188,24 @@ object Dedup {
                          threshold: Double = 0.7, maxBucketSize: Int = 1000,
                          family: String = "xxh64"): DataFrame = {
     val banded = bandSigs(sigs, numHashes, bands, family)
-    // skew guard: drop boilerplate buckets larger than maxBucketSize.
-    // Hash-agg (map-side partials) + broadcast anti-join of the tiny
-    // hot-bucket list — no sort-window shuffle over the full table.
-    val hot = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).alias("__bn")).filter(col("__bn") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val sized = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    val a = sized.select(col("band"), col("bucket"), col("id").alias("a"))
-    val b = sized.select(col("band"), col("bucket"), col("id").alias("b"))
-    val cand = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+    // ONE aggregation shuffles the banded table once: bucket member lists
+    // ride a BoundedCollectAgg whose cap is the hot-bucket (boilerplate)
+    // skew guard — NULL-on-overflow drops the bucket with O(cap) state,
+    // replacing the hot-count aggregate + broadcast anti-join + self-join
+    // trio that shuffled the banded table three times. Candidates expand
+    // map-side (two-level explode: per-row arrays stay O(|bucket|)).
+    val lists = banded.groupBy(col("band"), col("bucket"))
+      .agg(graft.functions.BoundedCollectAgg.boundedCollect(sigs.sparkSession,
+        col("id"), lit(0L), maxBucketSize).alias("lst"))
+      .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+    val cand = lists
+      .select(col("lst"), posexplode(col("lst")))
+      .select(col("col").alias("p"),
+        explode(slice(col("lst"), col("pos") + 2,
+          greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+      .select(least(col("p.id"), col("q.id")).alias("a"),
+        greatest(col("p.id"), col("q.id")).alias("b"))
+      .distinct()
     cand
       .join(sigs.select(col("id").alias("a"), col("sig").alias("siga")), Seq("a"))
       .join(sigs.select(col("id").alias("b"), col("sig").alias("sigb")), Seq("b"))
@@ -273,29 +280,49 @@ object Dedup {
                    overCap: String = "drop"): DataFrame = {
     require(overCap == "drop" || overCap == "star",
       s"overCap must be 'drop' or 'star', got '$overCap'")
-    val sigs = simhashSignatures(df, idCol, textCol, family)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // in drop mode the signature table has a single consumer (banding) —
+    // no persist; star mode re-reads it for the over-cap member fetch
+    val sigs0 = simhashSignatures(df, idCol, textCol, family)
+    val sigs =
+      if (overCap == "star")
+        sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigs0
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val hot = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).alias("__bn")).filter(col("__bn") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val sized = banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    val a = sized.select(col("band"), col("bucket"), col("id").alias("a"),
-      col("simhash").alias("sa"))
-    val b = sized.select(col("band"), col("bucket"), col("id").alias("b"),
-      col("simhash").alias("sb"))
-    val pairs = a.join(b, Seq("band", "bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).alias("hamming"))
+    // ONE aggregation shuffles the banded table once: each bucket's
+    // member list rides a BoundedCollectAgg (signature as aux, so hamming
+    // verification is map-side arithmetic — no join), NULL marks over-cap
+    // buckets. The previous shape shuffled the banded table three times
+    // (hot-count aggregate + both self-join sides).
+    val lists0 = banded.groupBy(col("band"), col("bucket"))
+      .agg(graft.functions.BoundedCollectAgg.boundedCollect(df.sparkSession,
+        col("id"), col("simhash"), maxBucketSize).alias("lst"))
+    val lists = // star mode reads it twice (pair expansion + hot keys)
+      if (overCap == "star")
+        lists0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else lists0
+    val pairs = lists
+      .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+      .select(col("lst"), posexplode(col("lst")))
+      .select(col("col").alias("p"),
+        explode(slice(col("lst"), col("pos") + 2,
+          greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+      .select(
+        least(col("p.id"), col("q.id")).alias("a"),
+        greatest(col("p.id"), col("q.id")).alias("b"),
+        bit_count(col("p.aux").bitwiseXOR(col("q.aux"))).alias("hamming"))
     val all =
       if (overCap == "drop") pairs
       else {
         // star topology for over-cap buckets: min-id representative pairs
         // with every member — linear in bucket size, keeps the cluster
-        // connected for downstream transitive grouping
+        // connected for downstream transitive grouping. Over-cap keys
+        // come from the NULL lists; members are re-fetched with one
+        // broadcast semi-join against the persisted signature banding.
+        val hot = lists.filter(col("lst").isNull)
+          .select(col("band"), col("bucket"))
         val overs = banded.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
         val reps = overs.groupBy(col("band"), col("bucket"))
           .agg(min_by(struct(col("id"), col("simhash")), col("id")).alias("__r"))
