@@ -378,33 +378,37 @@ object Dedup {
     val oldOnly = existingSigs.select(col("id"), col("sig"))
       .join(newSigs.select(col("id")), Seq("id"), "left_anti")
     val allSigs = oldOnly.unionByName(newSigs)
-    // the old band index feeds two consumers (hot-bucket agg + anti-join)
-    // — persist so the table is banded once per call, not twice. At
-    // cluster scale, persist the band index NEXT TO the signature store
-    // and pass it in instead of re-deriving it per batch.
-    val oldBanded = bandSigs(oldOnly, numHashes, bands, family)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newBanded = bandSigs(newSigs, numHashes, bands, family)
-    // hot-bucket cap measured over the FULL index (old + new occupancy)
-    val hot = oldBanded.unionByName(newBanded)
-      .groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).alias("__bn")).filter(col("__bn") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val oldCapped = oldBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    val newCapped = newBanded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    // old-vs-new: every bucket match (ids live in disjoint batches, so no
-    // order guard — an old id larger than a new one is still a pair);
-    // new-vs-new: a < b dedups the symmetric self-join
-    val oldNew = oldCapped.select(col("band"), col("bucket"), col("id").alias("a"))
-      .join(newCapped.select(col("band"), col("bucket"), col("id").alias("b")),
-        Seq("band", "bucket"))
-      .filter(col("a") =!= col("b"))
-    val newNew = newCapped.select(col("band"), col("bucket"), col("id").alias("a"))
-      .join(newCapped.select(col("band"), col("bucket"), col("id").alias("b")),
-        Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-    val cand = oldNew.select(col("a"), col("b"))
-      .unionByName(newNew.select(col("a"), col("b"))).distinct()
+    // ONE aggregation over the union banding: the old/new tag rides the
+    // BoundedCollectAgg aux slot, the hot-bucket cap (measured over the
+    // FULL old+new occupancy, as before) is enforced in-flight with
+    // NULL-on-overflow, and candidates expand map-side keeping only
+    // pairs that touch ≥1 new member. This replaces the previous
+    // hot-union aggregate + two broadcast anti-joins + two bucket joins
+    // (old×new, new×new) that shuffled each banded table multiple times.
+    val tagged = bandSigs(oldOnly, numHashes, bands, family)
+      .withColumn("__new", lit(0L))
+      .unionByName(bandSigs(newSigs, numHashes, bands, family)
+        .withColumn("__new", lit(1L)))
+    val lists = tagged.groupBy(col("band"), col("bucket"))
+      .agg(graft.functions.BoundedCollectAgg.boundedCollect(newSigs.sparkSession,
+        col("id"), col("__new"), maxBucketSize).alias("lst"))
+      .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+    // (a, b) with b always a NEW id: old-new pairs keep the old id as a
+    // (no order guard — disjoint batches), new-new pairs order a < b
+    val cand = lists
+      .select(col("lst"), posexplode(col("lst")))
+      .select(col("col").alias("p"),
+        explode(slice(col("lst"), col("pos") + 2,
+          greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+      .filter(col("p.aux") + col("q.aux") >= 1)
+      .select(
+        when(col("p.aux") === 0, col("p.id"))
+          .when(col("q.aux") === 0, col("q.id"))
+          .otherwise(least(col("p.id"), col("q.id"))).alias("a"),
+        when(col("p.aux") === 0, col("q.id"))
+          .when(col("q.aux") === 0, col("p.id"))
+          .otherwise(greatest(col("p.id"), col("q.id"))).alias("b"))
+      .distinct()
     cand
       .join(allSigs.select(col("id").alias("a"), col("sig").alias("siga")), Seq("a"))
       .join(newSigs.select(col("id").alias("b"), col("sig").alias("sigb")), Seq("b"))

@@ -51,6 +51,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft_topk"), s"expected graft_topk aggregate:\n$p")
   }
 
+  test("LSH candidate generation is single-shuffle (round 5): bounded-collect, simhash join-free") {
+    val ps = plan("dedup_simhash")
+    assert(ps.contains("graft_bounded_collect"), s"expected bounded-collect lists:\n$ps")
+    // hamming rides the aggregate's aux slot: pair generation + verification
+    // need NO join at all — reappearance of one is the 3-shuffle regression
+    assert(!ps.contains("Join"), s"unexpected join in simhash pairs:\n$ps")
+    val pm = plan("dedup_minhash_lsh")
+    assert(pm.contains("graft_bounded_collect"), s"expected bounded-collect candidates:\n$pm")
+  }
+
   test("ngram jaccard shingles via the compiled kernel — no HOF lambda tower, no distinct shuffle") {
     val p = plan("dedup_ngram_jaccard")
     assert(p.contains("graft_ngram_hashes"), s"expected NgramHashes kernel:\n$p")
