@@ -181,3 +181,48 @@ class SandboxStore(val inner: Store, val sandbox: String,
   override def removeDocs(criteria: String): Unit = inner.removeDocs(criteria)
   override def removeKeys(keys: DataFrame): Unit = inner.removeKeys(keys)
 }
+
+/** Validator-attached store (reference `core/store.py` `validator`
+  * attribute + `stores/mongolike.py:378-391`): every `update` batch runs
+  * through the contract first — invalid documents are NOT stored. Strict
+  * validators abort the write (the reference's raised ValidationError);
+  * non-strict ones route invalid docs to the optional `rejects` sink
+  * (with their `_validation_errors`) and store the rest, the
+  * log-and-drop analogue with an auditable trail. Validation is one
+  * distributed filter pass ([[graft.store.RowValidator]]) — never a
+  * per-doc driver loop. */
+class ValidatingStore(val inner: Store, val contract: graft.store.RowValidator,
+                      val rejects: Option[Store] = None)
+  extends Store {
+  def spark: SparkSession = inner.spark
+  def key: String = inner.key
+  override def lastUpdatedField: String = inner.lastUpdatedField
+  val name: String = s"validated:${inner.name}"
+  def df: DataFrame = inner.df
+
+  override def update(docs: DataFrame, keyFields: Seq[String]): Unit = {
+    // one materialization: the strict probe, the rejects write and the
+    // inner write must not each re-run the batch plan (builder rule)
+    val annotated = contract.annotate(docs).localCheckpoint(true)
+    try {
+      val invalid = annotated.filter(col("_validation_errors").isNotNull)
+      if (contract.strict) {
+        val bad = invalid.limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"validation failed (strict): ${bad.head.getAs[Seq[String]]("_validation_errors").mkString("; ")}")
+      }
+      rejects.foreach { sink =>
+        val flat = invalid.withColumn("_validation_errors",
+          concat_ws("; ", col("_validation_errors")))
+        if (!flat.isEmpty) sink.update(flat, keyFields)
+      }
+      val valid = annotated.filter(col("_validation_errors").isNull)
+        .drop("_validation_errors")
+      if (!valid.isEmpty) inner.update(valid, keyFields)
+    } finally annotated.unpersist()
+  }
+  override def removeDocs(criteria: String): Unit = inner.removeDocs(criteria)
+  override def removeKeys(keys: DataFrame): Unit = inner.removeKeys(keys)
+  override def ensureIndex(field: String, unique: Boolean = false): Boolean =
+    inner.ensureIndex(field, unique)
+}

@@ -199,6 +199,29 @@ class ConnectorSpec extends SparkSpec {
     assert(e9.exists(e => e.startsWith("tags:") && e.contains("not of type 'string'")))
   }
 
+  test("ValidatingStore: invalid docs never stored; rejects sink gets the trail (mongolike.py:378-391)") {
+    val s = spark; import s.implicits._
+    import graft.store.views.ValidatingStore
+    val inner = new MemoryStore(spark, "inner", key = "k", lastUpdatedField = "lu")
+    val rejects = new MemoryStore(spark, "rej", key = "k", lastUpdatedField = "lu")
+    val v = new DocValidator(Seq(
+      FieldRule("k", required = true),
+      FieldRule("score", min = Some(0.0))))
+    val vs = new ValidatingStore(inner, v, Some(rejects))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    vs.update(Seq((1L, 5.0, t0), (2L, -3.0, t0), (3L, 1.0, t0)).toDF("k", "score", "lu"))
+    assert(inner.df.select("k").collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    val rej = rejects.df.collect()
+    assert(rej.length === 1 && rej(0).getAs[Long]("k") === 2L)
+    assert(rej(0).getAs[String]("_validation_errors").contains("below minimum"))
+    // strict contract aborts the write, stores nothing new
+    val strictStore = new ValidatingStore(inner, new DocValidator(v.rules, strict = true))
+    intercept[IllegalArgumentException] {
+      strictStore.update(Seq((9L, -1.0, t0)).toDF("k", "score", "lu"))
+    }
+    assert(inner.count() === 2)
+  }
+
   test("BlobStore: zlib round-trip, newest-per-key, metadata criteria (gridfs.py:41-536)") {
     val s = spark; import s.implicits._
     val bs = new BlobStore(spark, tmp("graft_blob"), key = "k",
