@@ -76,6 +76,13 @@ object Runner {
           .getOrElse(Nil), lu)
       case "open_data" => new OpenDataStore(spark, n.get("root").asText(),
         n.get("object_grouping").elements().asScala.map(_.asText()).toSeq, key, lu)
+      // schema-validated write path: {"type": "validated", "inner": {...},
+      // "schema": <JSON Schema>, "strict": bool, "rejects": {...}}
+      case "validated" => new graft.store.views.ValidatingStore(
+        buildStore(spark, n.get("inner")),
+        new JsonSchemaValidator(n.get("schema").toString,
+          opt(n, "strict").exists(_.asBoolean())),
+        opt(n, "rejects").map(r => buildStore(spark, r)))
       case other => throw new IllegalArgumentException(s"unknown store type: $other")
     }
   }

@@ -150,6 +150,33 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(builder().run().processed === 0)
   }
 
+  test("Runner: validated store from spec drops schema-invalid docs on write") {
+    val s = spark; import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("runner_val").toString
+    Seq((1L, 10.0, Timestamp.valueOf("2024-06-01 00:00:00")),
+        (2L, -4.0, Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("k", "score", "lu").write.parquet(s"$base/src.parquet")
+    // validated wrapper over a DURABLE inner store, so the copy build's
+    // write survives the run and can be asserted by re-opening the root
+    val spec =
+      s"""{
+         |  "stores": {
+         |    "src": {"type": "parquet_table", "path": "$base/src.parquet",
+         |            "key": "k", "last_updated": "lu"},
+         |    "tgt": {"type": "validated", "key": "k",
+         |            "inner": {"type": "parquet", "root": "$base/tgt",
+         |                      "key": "k", "last_updated": "lu"},
+         |            "schema": {"type": "object", "required": ["k"],
+         |                       "properties": {"score": {"type": "number", "minimum": 0}}}}
+         |  },
+         |  "builders": [ {"type": "copy", "source": "src", "target": "tgt"} ]
+         |}""".stripMargin
+    val report = Runner.run(spark, spec)
+    assert(report.builders.head._2.processed === 2) // builder saw both docs
+    val written = new graft.store.ParquetStore(spark, s"$base/tgt", "k", "lu")
+    assert(written.df.select("k").collect().map(_.getLong(0)) === Array(1L))
+  }
+
   test("LuFormat: 1ms ISO ceiling round-trip (utils.py:81-103)") {
     val s = spark; import s.implicits._
     import graft.store.LuFormat
