@@ -77,6 +77,42 @@ object SparkEntry {
         concat(col("text"), lit(" zzz near dup suffix")).alias("text")))
   }
 
+  /** documents with synthetic PII planted deterministically (the corpus
+    * has none of its own): residue classes 3/5/7 get an email / IPv4 /
+    * phone appended. */
+  private def piiCorpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"), concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".1"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" call +1 555-014-2222"))
+        .otherwise(lit(""))).alias("text"))
+
+  /** documents with boilerplate footer lines planted: one universal
+    * footer (every doc), one on even ids; odd ids get a per-doc unique
+    * line instead — the C4 line-dedup test corpus. */
+  private def lineCorpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"), concat(col("text"),
+      lit("\nSubscribe to our newsletter today"),
+      when(col("doc_id") % 2 === 0, lit("\nAll rights reserved"))
+        .otherwise(concat(lit("\nunique line "), col("doc_id").cast("string"))))
+      .alias("text"))
+
+  /** embeddings ∪ nudged twins of every 10th vector (first component
+    * +0.1), all math in doubles — the embedding near-dup corpus shared by
+    * `dedup_embedding` and `dedup_semantic`. */
+  private def embDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").alias("embedding"))
+    base.unionByName(base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).alias("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.1)).otherwise(x)).alias("embedding")))
+  }
+
   // shared language-ID spec so Spark and oracle SQL stay in lockstep
   private val stopLists = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
@@ -697,21 +733,11 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    "dedup_embedding" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+    "dedup_embedding" -> ((s, dir) =>
       // all math in doubles from the start (float->double cast is exact,
       // so the DuckDB twin computes on identical values)
-      val base = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").alias("embedding"))
-      // synthetic near-dups: every 10th vector re-enters with its first
-      // component nudged — the embedding analogue of nearDupCorpus
-      val dups = base.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).alias("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(0.1)).otherwise(x)).alias("embedding"))
-      Similarity.cosineDupPairs(base.unionByName(dups), dim = 64, threshold = 0.9)
-        .orderBy("a", "b")
-    }),
+      Similarity.cosineDupPairs(embDupCorpus(s, dir), dim = 64, threshold = 0.9)
+        .orderBy("a", "b")),
 
     "mm_meta" -> ((s, dir) =>
       Multimodal.pack(t(s, dir, "documents"), "doc_id", col("text"), "text")
@@ -730,7 +756,49 @@ object SparkEntry {
           "doc_id", col("text"), "image"))
         .select((col("media_id") +:
           (0 until 8).map(j => element_at(col("feature"), j + 1).alias(s"f$j"))): _*)
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // PII redaction (the Dolma-style pre-training scrub): synthetic
+    // emails / IPs / phone numbers are planted deterministically, then
+    // scrubbed + counted in one codegen'd projection — no shuffle at all
+    // beyond the output sort
+    "text_pii_scrub" -> ((s, dir) => {
+      val planted = piiCorpus(s, dir)
+      val c = TextAnalysis.piiCounts(col("text"))
+      planted.select(col("doc_id"),
+          c.getField("emails").alias("n_email"),
+          c.getField("ips").alias("n_ip"),
+          c.getField("phones").alias("n_phone"),
+          md5(TextAnalysis.scrubPii(col("text")).cast("binary")).alias("scrub_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: eval set = every 37th doc's text; any
+    // corpus doc sharing a word 3-gram with it is flagged with its
+    // distinct-shared-gram count (broadcast eval grams, map-side join)
+    "decon_ngram_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Dedup.contamination(d, d.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // C4-style corpus-wide line dedup: planted boilerplate footers (one
+    // universal, one on even ids) exceed the occurrence cap and vanish;
+    // per-doc unique lines survive with order preserved
+    "dedup_lines" -> ((s, dir) =>
+      Dedup.dedupLines(lineCorpus(s, dir), "doc_id", "text",
+          maxOccurrences = 10)
+        .select(col("doc_id"), md5(col("text").cast("binary")).alias("clean_md5"))
+        .orderBy("doc_id")),
+
+    // SemDeDup-style semantic near-dup pairs: cell partition by nearest
+    // deterministic centroid, within-cell cosine ≥ 0.9. md5 family so the
+    // oracle replays the centroid draw; xxh64 twin in benchOverrides.
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDupPairs(embDupCorpus(s, dir), nCentroids = 16,
+          threshold = 0.9, family = "md5")
+        .orderBy("a", "b"))
   )
 
   /** Engine-family twins of the md5-replayable sketch queries: identical
@@ -758,7 +826,11 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         nCentroids = 16, nprobe = 4)
         .orderBy("q_id", "rank")
-    }))
+    }),
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDupPairs(embDupCorpus(s, dir), nCentroids = 16,
+        threshold = 0.9)
+        .orderBy("a", "b")))
 
   /** md5-family MinHash pair replay, split as (CTE chain, final pair
     * SELECT without ORDER BY) so the pair query and the cluster-closure
@@ -1144,6 +1216,67 @@ object SparkEntry {
           "FROM capped x JOIN capped y ON x.sig = y.sig AND x.id < y.id " +
           "WHERE list_cosine_similarity(x.vec, y.vec) >= 0.9 ORDER BY 1, 2"
       },
+      // SemDeDup replay: centroid draw by the seeded md5 id-hash (same
+      // spelling as sim_ivf_topk), nearest-cell assignment via QUALIFY,
+      // within-cell pairs with exact cosine verification
+      "dedup_semantic" -> {
+        val H = "CAST(('0x' || substr(md5('0:' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        "WITH corpus AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings " +
+          "UNION ALL SELECT vec_id + 1000000, " +
+          "list_concat([CAST(embedding[1] AS DOUBLE) + 0.1], CAST(embedding[2:] AS DOUBLE[])) " +
+          "FROM embeddings WHERE vec_id % 10 = 0), " +
+          s"cents AS (SELECT id AS c_id, vec AS c_vec FROM corpus ORDER BY $H ASC, id ASC LIMIT 16), " +
+          "cells AS (SELECT e.id, e.vec, c.c_id AS cell FROM corpus e, cents c " +
+          "QUALIFY row_number() OVER (PARTITION BY e.id ORDER BY " +
+          "list_cosine_similarity(e.vec, c.c_vec) DESC, c.c_id ASC) <= 1) " +
+          "SELECT x.id AS a, y.id AS b, round(list_cosine_similarity(x.vec, y.vec), 4) AS sim " +
+          "FROM cells x JOIN cells y ON x.cell = y.cell AND x.id < y.id " +
+          "WHERE list_cosine_similarity(x.vec, y.vec) >= 0.9 ORDER BY 1, 2"
+      },
+      // PII scrub replay: identical plant expression, identical RE2/Java-
+      // compatible patterns, counts taken on the progressively-scrubbed
+      // text exactly as TextAnalysis.piiCounts chains them
+      "text_pii_scrub" -> {
+        val plant = "text || " +
+          "(CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END) || " +
+          "(CASE WHEN doc_id % 5 = 0 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END) || " +
+          "(CASE WHEN doc_id % 7 = 0 THEN ' call +1 555-014-2222' ELSE '' END)"
+        // NOTE: DuckDB single-quoted strings take backslashes literally,
+        // so the Java pattern embeds verbatim — only quotes need escaping
+        val pats = graft.ext.TextAnalysis.piiPatterns.map(_._1)
+          .map(_.replace("'", "''"))
+        val repls = graft.ext.TextAnalysis.piiPatterns.map(_._2)
+        s"WITH corpus AS (SELECT doc_id, $plant AS text FROM documents), " +
+          s"s1 AS (SELECT doc_id, len(regexp_extract_all(text, '${pats(0)}')) AS n_email, " +
+          s"regexp_replace(text, '${pats(0)}', '${repls(0)}', 'g') AS text FROM corpus), " +
+          s"s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(text, '${pats(1)}')) AS n_ip, " +
+          s"regexp_replace(text, '${pats(1)}', '${repls(1)}', 'g') AS text FROM s1), " +
+          s"s3 AS (SELECT doc_id, n_email, n_ip, len(regexp_extract_all(text, '${pats(2)}')) AS n_phone, " +
+          s"regexp_replace(text, '${pats(2)}', '${repls(2)}', 'g') AS text FROM s2) " +
+          "SELECT doc_id, n_email, n_ip, n_phone, md5(text) AS scrub_md5 FROM s3 ORDER BY doc_id"
+      },
+      // decontamination replay: same tokenization/shingle CTE as the
+      // n-gram oracle, eval = every 37th doc, distinct shared-gram counts
+      "decon_ngram_overlap" ->
+        ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM documents), " +
+         "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[n], tk[n+1], tk[n+2]) AS shingle " +
+         "FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(n) WHERE len(tk) >= 3 " +
+         "UNION SELECT DISTINCT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 3), " +
+         "ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0) " +
+         "SELECT doc_id, count(*) AS matched FROM sh JOIN ev USING (shingle) " +
+         "GROUP BY doc_id ORDER BY doc_id"),
+      // line-dedup replay: same planted footers, occurrence counts over
+      // exploded lines, anti-join, ordered string_agg reassembly
+      "dedup_lines" ->
+        ("WITH corpus AS (SELECT doc_id, text || chr(10) || 'Subscribe to our newsletter today' || " +
+         "(CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'All rights reserved' " +
+         "ELSE chr(10) || 'unique line ' || CAST(doc_id AS VARCHAR) END) AS text FROM documents), " +
+         "la AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus), " +
+         "lines AS (SELECT doc_id, u.n AS pos, ls[u.n] AS line FROM la, UNNEST(range(1, len(ls) + 1)) AS u(n)), " +
+         "hot AS (SELECT line FROM lines GROUP BY 1 HAVING count(*) > 10) " +
+         "SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5 " +
+         "FROM lines WHERE line NOT IN (SELECT line FROM hot) " +
+         "GROUP BY doc_id ORDER BY doc_id"),
       // the md5-family MinHash is byte-replayable: 60-bit md5-prefix
       // hashes, 64 min-aggs, 16 band buckets, hot-bucket cap, sig-match
       // verification — all regenerated as SQL from the same parameters

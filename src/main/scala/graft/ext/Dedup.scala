@@ -563,4 +563,66 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
+
+  /** 6. Benchmark decontamination: docs sharing ≥1 word n-gram with an
+    * evaluation set (the GPT-3/Gopher-style n-gram overlap check that
+    * keeps test sets out of training corpora). Returns `(id, matched)` —
+    * contaminated corpus docs with their count of distinct shared grams.
+    *
+    * Scale shape: the eval set is SMALL BY CONTRACT (benchmarks are
+    * thousands of docs, the corpus is the 100 TB side), so its distinct
+    * gram-hash table broadcasts and the corpus-side join is map-side —
+    * the corpus is scanned once, grams hash in the compiled
+    * [[graft.functions.NgramHashes]] kernel, and the only shuffle is the
+    * per-doc match-count aggregation over the (rare) surviving rows. */
+  def contamination(corpus: DataFrame, evalDf: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    def grams(df: DataFrame) =
+      explode(graft.functions.GraftFunctions.ngramHashes(spark,
+        TextAnalysis.normTokens(col(textCol)), n)).alias("sh")
+    val evalGrams = evalDf.select(grams(evalDf)).distinct()
+    corpus.select(col(idCol), grams(corpus))
+      .join(broadcast(evalGrams), Seq("sh"))
+      // per-doc grams are already distinct (kernel contract), so the
+      // count IS the distinct shared-gram count — no countDistinct state
+      .groupBy(col(idCol)).agg(count(lit(1)).alias("matched"))
+  }
+
+  /** Drop every corpus doc contaminated by `evalDf` ([[contamination]]);
+    * the anti-join's right side is the (small) contaminated-id set. */
+  def decontaminate(corpus: DataFrame, evalDf: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3): DataFrame =
+    corpus.join(contamination(corpus, evalDf, idCol, textCol, n)
+      .select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** 7. Corpus-wide line-level dedup (the C4 boilerplate filter): drop
+    * every line whose total occurrence count across the corpus exceeds
+    * `maxOccurrences` (navigation chrome, cookie banners, license
+    * footers), and reassemble each document's surviving lines in order.
+    * Returns `(id, text)`; documents whose every line is boilerplate drop
+    * out entirely (their cleaned text would be empty).
+    *
+    * Scale shape: lines shuffle as 8-byte hashes for the frequency
+    * aggregate (map-side partials collapse repeats before the exchange);
+    * the hot-line set is tiny by construction — a line must repeat >
+    * `maxOccurrences` times corpus-wide to enter it — so the removal join
+    * broadcasts and the only corpus-volume shuffle is the per-doc
+    * reassembly groupBy. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 maxOccurrences: Int = 10,
+                 family: String = "xxh64"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "line")))
+      .withColumn("lh", seededHash(family, 0, col("line")))
+    val hot = lines.groupBy(col("lh"))
+      .agg(count(lit(1)).alias("n")).filter(col("n") > maxOccurrences)
+      .select(col("lh"))
+    lines.join(broadcast(hot), Seq("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").alias(textCol))
+  }
 }

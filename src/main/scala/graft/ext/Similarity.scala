@@ -297,4 +297,38 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).alias("sim"))
   }
+
+  /** SemDeDup-style semantic near-dup pairs: partition the corpus into
+    * `nCentroids` cells by nearest centroid, then compare pairs only
+    * WITHIN a cell — the clustering prunes the O(n²) comparison space to
+    * O(n²/k) while keeping semantically-close pairs co-located (SemDeDup,
+    * Abbas et al. 2023). Centroids come from the same deterministic
+    * seeded-hash draw as [[ivfTopK]], so `family = "md5"` makes the whole
+    * pipeline — draw, assignment, pairing — replayable by an external
+    * oracle; at cluster scale swap in k-means centroids without changing
+    * the plan shape.
+    *
+    * Scale shape: centroid assignment is the inlined-argmax PROJECTION of
+    * [[assignToCells]] (zero shuffles on the corpus side); the self-join
+    * shuffles the corpus by cell once per side. Cell populations are
+    * ~n/k with data-dependent skew — size `nCentroids` so cells fit the
+    * quadratic verify (SemDeDup runs k ≈ 10⁴-10⁵ at web scale); pair
+    * survivors are `cosine ≥ threshold`, returned as `(a, b, sim)`. */
+  def semanticDupPairs(corpus: DataFrame, nCentroids: Int = 16,
+                       threshold: Double = 0.95,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       family: String = "xxh64"): DataFrame = {
+    val centOrder = graft.ext.Dedup.seededHash(family, 0, col(idCol).cast("string"))
+    val cents = broadcast(
+      corpus.orderBy(centOrder.asc, col(idCol).asc).limit(nCentroids)
+        .select(col(idCol).alias("c_id"), col(vecCol).alias("c_vec")))
+    val cells = assignToCells(corpus, cents, idCol, vecCol, keep = 1)
+    val a = cells.select(col("cell"), col("__rid").alias("a"), col("__rvec").alias("va"))
+    val b = cells.select(col("cell"), col("__rid").alias("b"), col("__rvec").alias("vb"))
+    a.join(b, Seq("cell")).filter(col("a") < col("b"))
+      .withColumn("sim", nativeCosine(corpus, col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), round(col("sim"), 4).alias("sim"))
+  }
 }

@@ -109,4 +109,38 @@ object TextAnalysis {
     * the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]+", " ").cast("binary"))
+
+  /** PII patterns shared by [[scrubPii]] and [[piiCounts]] — kept to the
+    * regex subset that Java's engine and RE2-family engines (DuckDB, Go)
+    * interpret identically (no backrefs, no lookaround), so redaction is
+    * byte-replayable by the oracle. Order matters: emails first (an email
+    * contains dot-runs an IP pattern could nibble), then IPv4, then
+    * international/US phone shapes. */
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9]{1,3}[- .][0-9]{2,4}[- .][0-9]{2,4}([- .][0-9]{2,4})?\\b" -> "<PHONE>")
+
+  /** Scrub emails / IPv4 addresses / phone numbers from text (the
+    * standard pre-training redaction pass, e.g. Dolma's PII filter).
+    * A chain of `regexp_replace` — one codegen'd projection, no UDFs,
+    * no shuffle: runs at scan speed over 100 TB. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Per-document PII hit counts `(emails, ips, phones)` — the audit
+    * signal next to [[scrubPii]]'s redaction. Counted on the same
+    * progressively-scrubbed text the replacement chain sees, so counts
+    * sum to the number of `<...>` markers emitted. */
+  def piiCounts(text: Column): Column = {
+    val (counts, _) = piiPatterns.foldLeft((List.empty[Column], text)) {
+      case ((acc, t), (pat, repl)) =>
+        (size(regexp_extract_all(t, lit(pat), lit(0))) :: acc,
+          regexp_replace(t, pat, repl))
+    }
+    struct(counts.reverse.head.alias("emails"),
+      counts.reverse(1).alias("ips"), counts.reverse(2).alias("phones"))
+  }
 }

@@ -322,6 +322,78 @@ class ExtQualitySpec extends SparkSpec {
     assert(got.nonEmpty && got.size < 1000)
   }
 
+  test("scrubPii redacts emails/IPs/phones and piiCounts matches the markers") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or 192.168.001.42 thanks"),
+      (2L, "call +44 020 7946-0958 today"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      graft.ext.TextAnalysis.scrubPii(col("text")).alias("clean"),
+      graft.ext.TextAnalysis.piiCounts(col("text")).alias("c"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean") === "reach me at <EMAIL> or <IP> thanks")
+    assert(out(1).getAs[String]("clean") === "call <PHONE> today")
+    assert(out(2).getAs[String]("clean") === "no pii here at all")
+    val c0 = out(0).getStruct(2)
+    assert(c0.getAs[Int]("emails") === 1 && c0.getAs[Int]("ips") === 1
+      && c0.getAs[Int]("phones") === 0)
+    val c2 = out(2).getStruct(2)
+    assert(c2.getAs[Int]("emails") === 0 && c2.getAs[Int]("ips") === 0
+      && c2.getAs[Int]("phones") === 0)
+  }
+
+  test("contamination flags n-gram overlap with the eval set; decontaminate drops it") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely unrelated training material goes here"),
+      (3L, "we saw a quick brown fox yesterday evening")).toDF("doc_id", "text")
+    val eval = Seq((100L, "quick brown fox")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet === Set(1L, 3L)) // both contain "quick brown fox"
+    assert(hits(1L) === 1L && hits(3L) === 1L)
+    val clean = Dedup.decontaminate(corpus, eval, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean === Set(2L))
+  }
+
+  test("dedupLines removes corpus-frequent lines, keeps per-doc order") {
+    val s = spark; import s.implicits._
+    val footer = "subscribe now"
+    val docs = (1L to 20L).map(i =>
+      (i, s"body of doc $i\n$footer\nclosing line $i")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", maxOccurrences = 10)
+      .orderBy("doc_id").collect()
+    assert(out.length === 20)
+    assert(out(0).getAs[String]("text") === "body of doc 1\nclosing line 1")
+    // a doc made ENTIRELY of boilerplate drops out
+    val all = docs.unionByName(Seq((999L, footer)).toDF("doc_id", "text"))
+    val ids = Dedup.dedupLines(all, "doc_id", "text", maxOccurrences = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(999L) && ids.size === 20)
+  }
+
+  test("semanticDupPairs finds perturbed twins inside their cell") {
+    val emb = sf("embeddings")
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").alias("embedding"))
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).alias("vec_id"),
+        expr("transform(embedding, (x, i) -> if(i = 0, x + 0.1d, x))")
+          .alias("embedding"))
+    val pairs = Similarity.semanticDupPairs(base.unionByName(twins),
+      nCentroids = 16, threshold = 0.9)
+    val twinPairs = pairs.filter(col("b") === col("a") + 1000000L).count()
+    val expected = twins.count()
+    // a twin pair is only missed if the nudge flips its nearest centroid
+    assert(twinPairs >= (expected * 0.8).toLong,
+      s"found $twinPairs of $expected twin pairs")
+    // every reported pair genuinely clears the cosine threshold
+    assert(pairs.filter(col("sim") < 0.9).count() === 0)
+  }
+
   test("graft_topk bounded heap matches sort-based top-k with ties toward smaller id") {
     val s = spark; import s.implicits._
     val rows = (1L to 500L).map(i => (1L, i, ((i * 37) % 97).toDouble / 97.0)) ++

@@ -112,4 +112,36 @@ class PlanShapeSpec extends SparkSpec {
     val p = tgt.df.queryExecution.executedPlan.toString
     assert(!p.contains("FileScan parquet"), s"target plan re-reads source:\n$p")
   }
+
+  test("text_pii_scrub is a pure projection — no shuffle before the output sort") {
+    val p = plan("text_pii_scrub")
+    // exactly one exchange: the deterministic output ORDER BY
+    assert(p.split("Exchange").length - 1 <= 1, s"scrub plan shuffles:\n$p")
+    assert(!p.contains("HashAggregate"), s"unexpected aggregate:\n$p")
+  }
+
+  test("decontamination joins the corpus against BROADCAST eval grams") {
+    val p = plan("decon_ngram_overlap")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"expected partial aggregation of match counts:\n$p")
+  }
+
+  test("dedup_lines removes hot lines via broadcast anti-join (one corpus-volume shuffle)") {
+    val p = plan("dedup_lines")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"hot-line set not a broadcast anti-join:\n$p")
+  }
+
+  test("semanticDupPairs corpus assignment stays the inlined-argmax projection") {
+    import org.apache.spark.sql.functions._
+    val emb = sf("embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").alias("embedding"))
+    val p = graft.ext.Similarity.semanticDupPairs(emb, nCentroids = 8,
+      threshold = 0.9).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"unexpected window in cell assignment:\n$p")
+    // centroid vectors were collected (bounded by contract) and inlined:
+    // assignment is the literal-argmax projection, not a join
+    assert(p.contains("greatest(struct"), s"assignment not the inlined argmax:\n$p")
+  }
 }
