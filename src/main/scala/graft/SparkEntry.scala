@@ -703,6 +703,23 @@ object SparkEntry {
         orderCol = "doc_id", tokensCol = "n_tokens", budget = 30000)
         .orderBy("doc_id")),
 
+    // GPT-style sequence packing: concat-then-chunk ids over the token
+    // stream — same distributed prefix sum as sample_token_budget
+    "sample_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).alias("n_tokens")),
+        orderCol = "doc_id", tokensCol = "n_tokens", seqLen = 2048)
+        .orderBy("doc_id")),
+
+    // training-mix dial: per-language sampling rates as one pushdown
+    // filter; md5 family so the oracle replays membership exactly
+    "sample_weighted_mix" -> ((s, dir) =>
+      Sampling.weightedMix(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1, family = "md5")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // int8 embedding quantization fidelity: cosine(original, dequantized)
     // per vector — floor-based codes, so the oracle replays exactly
     "emb_quantize_error" -> ((s, dir) => {
@@ -1140,6 +1157,18 @@ object SparkEntry {
          "SELECT doc_id, n_tokens FROM toks " +
          "QUALIFY sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 30000 " +
          "ORDER BY doc_id"),
+      "sample_pack_sequences" ->
+        ("WITH toks AS (SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents), " +
+         // CAST: DuckDB sum(BIGINT) yields HUGEINT, which pandas floats
+         "p AS (SELECT doc_id, n_tokens, COALESCE(CAST(sum(n_tokens) OVER " +
+         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pre FROM toks) " +
+         "SELECT doc_id, n_tokens, pre // 2048 AS pack_id, pre % 2048 AS pack_offset FROM p ORDER BY doc_id"),
+      "sample_weighted_mix" -> {
+        val h = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        s"SELECT doc_id, lang, source FROM documents WHERE $h % 10000 < " +
+          "(CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END) " +
+          "ORDER BY doc_id"
+      },
       "emb_quantize_error" ->
         ("WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, " +
          "CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) > 0 " +

@@ -104,4 +104,74 @@ object Sampling {
     }(org.apache.spark.sql.Encoders.row(ordered.schema))
     out
   }
+
+  /** Sequence packing for training batches: concatenate docs in
+    * `orderCol` order and chunk the token stream into fixed `seqLen`
+    * windows. Each row gets `pack_id` (which sequence its FIRST token
+    * lands in: `floor(exclusive_prefix / seqLen)`) and `pack_offset`
+    * (position within that sequence) — the "concat then chunk" packing
+    * of GPT-style pipelines; a doc whose tokens straddle a boundary
+    * continues into the next pack, exactly like the flattened stream.
+    *
+    * Same distributed prefix-sum skeleton as [[tokenBudgetPack]] (the
+    * naive `sum() OVER (ORDER BY …)` collapses to one partition): one
+    * range shuffle, per-partition partials, O(partitions) driver prefix,
+    * then the per-row ids are a streaming pass — no window anywhere. */
+  def packSequences(df: DataFrame, orderCol: String, tokensCol: String,
+                    seqLen: Long, numPartitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = df.sparkSession
+    val np = if (numPartitions > 0) numPartitions
+             else spark.sessionState.conf.numShufflePartitions
+    val ordered = df.withColumn(tokensCol, coalesce(col(tokensCol).cast("long"), lit(0L)))
+      .repartitionByRange(np, col(orderCol).asc)
+      .sortWithinPartitions(col(orderCol).asc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials = ordered
+      .select(spark_partition_id().alias("__pid"), col(tokensCol).alias("__t"))
+      .groupBy("__pid").agg(sum(col("__t")).alias("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 to partials.keys.foldLeft(-1)(math.max)).map { p =>
+        val o = p -> acc; acc += partials.getOrElse(p, 0L); o
+      }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val tokIdx = ordered.schema.fieldIndex(tokensCol)
+    val outSchema = ordered.schema
+      .add("pack_id", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("pack_offset", org.apache.spark.sql.types.LongType, nullable = false)
+    ordered.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = bc.value.getOrElse(pid, 0L)
+      it.map { row =>
+        val start = acc
+        acc += row.getLong(tokIdx)
+        Row.fromSeq(row.toSeq :+ (start / seqLen) :+ (start % seqLen))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Per-stratum weighted mixture: deterministic hash sampling with a
+    * different rate per stratum value (the "20% code, 50% web, 100%
+    * books" training-mix dial). Same stable-membership contract as
+    * [[hashSample]] — a doc's fate depends only on (key, seed, its
+    * stratum's rate), never on corpus size — and the whole thing is ONE
+    * pushdown-friendly filter: the rate lookup inlines as a literal
+    * CASE chain (mix tables are small by definition), so no join, no
+    * shuffle, no state. */
+  def weightedMix(df: DataFrame, stratumCol: String, keyCol: String,
+                  rates: Map[String, Double], defaultRate: Double = 0.0,
+                  buckets: Int = 10000, family: String = "xxh64",
+                  seed: Int = 0): DataFrame = {
+    (defaultRate +: rates.values.toSeq).foreach(r =>
+      require(r >= 0 && r <= 1, s"rates must be in [0,1], got $r"))
+    val h = Dedup.seededHash(family, seed, col(keyCol).cast("string"))
+    val cut = rates.foldLeft(lit(math.round(defaultRate * buckets))) {
+      case (acc, (v, r)) =>
+        when(col(stratumCol) === v, lit(math.round(r * buckets))).otherwise(acc)
+    }
+    df.filter(pmod(h, lit(buckets.toLong)) < cut)
+  }
 }

@@ -394,6 +394,45 @@ class ExtQualitySpec extends SparkSpec {
     assert(pairs.filter(col("sim") < 0.9).count() === 0)
   }
 
+  test("packSequences: distributed pack ids equal the naive global prefix sum") {
+    import graft.ext.Sampling
+    val s = spark; import s.implicits._
+    val rows = (1L to 500L).map(i => (i, (i * 7 % 40) + 1)).toDF("k", "toks")
+    val got = Sampling.packSequences(rows, "k", "toks", seqLen = 128,
+      numPartitions = 8)
+      .select("k", "pack_id", "pack_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var acc = 0L
+    val want = (1L to 500L).map { i =>
+      val start = acc; acc += (i * 7 % 40) + 1
+      (i, start / 128, start % 128)
+    }
+    assert(got.toSeq === want)
+    // a doc straddling a boundary belongs to the pack of its FIRST token
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
+  test("weightedMix: per-stratum rates within tolerance, membership append-stable") {
+    import graft.ext.Sampling
+    val s = spark; import s.implicits._
+    val rows = (1L to 4000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("k", "lang")
+    val mix = Sampling.weightedMix(rows, "lang", "k",
+      Map("en" -> 0.5, "de" -> 0.1))
+    val byLang = mix.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") - 1000L) < 150, s"en rate off: $byLang")
+    assert(math.abs(byLang("de") - 200L) < 80, s"de rate off: $byLang")
+    // append stability: membership of the first half is unchanged when
+    // the corpus doubles (a doc's fate depends only on its own key)
+    val half = Sampling.weightedMix(rows.filter(col("k") <= 2000),
+      "lang", "k", Map("en" -> 0.5, "de" -> 0.1))
+      .select("k").collect().map(_.getLong(0)).toSet
+    val fullFirstHalf = mix.filter(col("k") <= 2000)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(half === fullFirstHalf)
+  }
+
   test("graft_topk bounded heap matches sort-based top-k with ties toward smaller id") {
     val s = spark; import s.implicits._
     val rows = (1L to 500L).map(i => (1L, i, ((i * 37) % 97).toDouble / 97.0)) ++
