@@ -94,8 +94,21 @@ class DedupBuilder(
           Dedup.ngramJaccardPairs(scoped, source.key, textField,
             threshold = threshold),
           source.key)
+      case "semantic" =>
+        // textField names the embedding column here (SemDeDup over
+        // vectors; same pairs → components → min-id survivor pipeline)
+        Dedup.keepCanonical(scoped,
+          graft.ext.Similarity.semanticDupPairs(scoped,
+            threshold = threshold, idCol = source.key, vecCol = textField),
+          source.key)
+      case "lines" =>
+        // content REWRITE, not row filtering: textField is replaced by
+        // its boilerplate-filtered version; docs whose every line was
+        // corpus-frequent drop out (their cleaned text would be empty)
+        val cleaned = Dedup.dedupLines(scoped, source.key, textField)
+        scoped.drop(textField).join(cleaned, Seq(source.key))
       case other => throw new IllegalArgumentException(
-        s"unknown dedup method: $other (exact|fingerprint|minhash|simhash|ngram)")
+        s"unknown dedup method: $other (exact|fingerprint|minhash|simhash|ngram|semantic|lines)")
     }
     val mat = kept.localCheckpoint(true)
     val processed = mat.count()
@@ -163,5 +176,35 @@ class DedupBuilder(
     if (mat.count() > 0) target.update(mat, Seq(target.key))
     mat.unpersist(); losers.unpersist(); delta.unpersist(); batch.unpersist()
     BuildReport(examined, 0)
+  }
+}
+
+/** Decontamination build: write `source` minus every doc sharing a word
+  * n-gram with `evalStore` (the benchmark-leakage guard) into `target` —
+  * [[graft.ext.Dedup.decontaminate]] surfaced through the builder/Runner
+  * plane. The eval store is small by contract (its distinct gram hashes
+  * broadcast); the corpus side is scanned once. */
+class DecontaminateBuilder(
+    val source: Store,
+    val evalStore: Store,
+    val target: Store,
+    val textField: String = "text",
+    val n: Int = 3,
+    val criteria: Option[String] = None)
+  extends Builder {
+
+  private def scoped: DataFrame =
+    criteria.map(c => MongoFilter(source.df, c)).getOrElse(source.df)
+
+  def pendingItems(): DataFrame = scoped
+
+  def run(): BuildReport = {
+    val clean = Dedup.decontaminate(scoped, evalStore.df,
+      source.key, textField, n)
+    val mat = clean.localCheckpoint(true)
+    val kept = mat.count()
+    if (kept > 0) target.update(mat, Seq(target.key))
+    mat.unpersist()
+    BuildReport(kept, 0)
   }
 }

@@ -130,6 +130,12 @@ object Runner {
           criteria = criteria(n),
           // optional persisted signature index → incremental repeat builds
           indexStore = opt(n, "index").map(i => stores(i.asText())))
+      case "decontaminate" =>
+        new DecontaminateBuilder(store("source"), store("eval"),
+          store("target"),
+          textField = str(n, "text_field", "text"),
+          n = opt(n, "ngram").map(_.asInt()).getOrElse(3),
+          criteria = criteria(n))
       case other => throw new IllegalArgumentException(s"unknown builder type: $other")
     }
   }

@@ -267,4 +267,23 @@ class BuilderSpec extends SparkSpec {
     val r = tgt.query("""{"k": 1}""").collect()(0)
     assert(r.getAs[String]("a") === "vb" && r.getAs[String]("b") === "vb")
   }
+
+  test("DedupBuilder semantic method: duplicate vector collapses to the min-id twin") {
+    val s = spark; import s.implicits._
+    // 20 vectors in 4 angular clusters (hot dim i%4, spread dim 4+i%4);
+    // same-cluster mates stay below cos 0.999, so with threshold 0.9999
+    // only the exact duplicate (id 21 = copy of id 1) pairs
+    def vec(i: Int): Seq[Double] =
+      Seq.tabulate(8)(d =>
+        if (d == i % 4) 1.0 else if (d == 4 + i % 4) 0.02 * i else 0.0)
+    val rows = (1 to 20).map(i => (i.toLong, vec(i), now)) :+ ((21L, vec(1), now))
+    val src = new MemoryStore(spark, "src", key = "vec_id", lastUpdatedField = "lu")
+    src.load(rows.toDF("vec_id", "embedding", "lu"))
+    val tgt = new MemoryStore(spark, "tgt", key = "vec_id", lastUpdatedField = "lu")
+    val r = new DedupBuilder(src, tgt, textField = "embedding",
+      method = "semantic", threshold = 0.9999).run()
+    assert(r.processed === 20)
+    val kept = tgt.df.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(21L) && kept.size === 20)
+  }
 }

@@ -104,6 +104,49 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(r2.builders.head._2.processed === 2)
   }
 
+  test("Runner: lines method rewrites boilerplate out; decontaminate step drops eval overlap") {
+    val s = spark; import s.implicits._
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val base = java.nio.file.Files.createTempDirectory("runner_dc").toString
+    // every doc carries the same footer line; body tokens are per-doc
+    // unique, so only doc 3 shares a 3-gram with the eval set
+    (1L to 12L).map(i => (i, s"alpha$i beta$i gamma$i\nvisit our homepage", t0))
+      .toDF("doc_id", "text", "lu").write.parquet(s"$base/docs.parquet")
+    Seq((100L, "alpha3 beta3 gamma3", t0))
+      .toDF("doc_id", "text", "lu").write.parquet(s"$base/eval.parquet")
+    val spec =
+      s"""{
+         |  "stores": {
+         |    "src": {"type": "parquet_table", "path": "$base/docs.parquet",
+         |            "key": "doc_id", "last_updated": "lu"},
+         |    "eval": {"type": "parquet_table", "path": "$base/eval.parquet",
+         |             "key": "doc_id", "last_updated": "lu"},
+         |    "t_lines": {"type": "parquet", "root": "$base/t_lines",
+         |                "key": "doc_id", "last_updated": "lu"},
+         |    "t_decon": {"type": "parquet", "root": "$base/t_decon",
+         |                "key": "doc_id", "last_updated": "lu"}
+         |  },
+         |  "builders": [
+         |    {"type": "dedup", "source": "src", "target": "t_lines",
+         |     "method": "lines", "text_field": "text"},
+         |    {"type": "decontaminate", "source": "src", "eval": "eval",
+         |     "target": "t_decon", "text_field": "text", "ngram": 3}
+         |  ]
+         |}""".stripMargin
+    val r = Runner.run(spark, spec)
+    // lines: the 12-occurrence footer is boilerplate (cap 10), bodies stay
+    val lines = new graft.store.ParquetStore(spark, s"$base/t_lines", "doc_id", "lu")
+    assert(lines.df.count() === 12)
+    assert(lines.df.filter(col("text").contains("homepage")).count() === 0)
+    assert(lines.df.filter(col("doc_id") === 1L)
+      .select("text").collect()(0).getString(0) === "alpha1 beta1 gamma1")
+    // decontaminate: only doc 3 shares the eval 3-gram → 11 docs survive
+    val decon = new graft.store.ParquetStore(spark, s"$base/t_decon", "doc_id", "lu")
+    assert(r.builders.find(_._1.contains("decon")).forall(_._2.processed == 11) ||
+      decon.df.count() === 11)
+    assert(!decon.df.select("doc_id").collect().map(_.getLong(0)).contains(3L))
+  }
+
   test("DedupBuilder incremental: repeat builds process only the new batch (core/store.py:239-275)") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder
