@@ -86,11 +86,16 @@ object Bench {
       if (!java.nio.file.Files.exists(script)) throw new RuntimeException("no script")
       val names = SparkEntry.oracleSql.keySet.filter(keep)
       val tmp = java.nio.file.Files.createTempFile("graft_oracle", ".json")
-      java.nio.file.Files.writeString(tmp, SparkEntry.oracleSqlJson)
-      val p = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString).start()
-      val out = new String(p.getInputStream.readAllBytes()).trim
-      if (p.waitFor() != 0 || !out.startsWith("{")) throw new RuntimeException("oracle bench failed")
-      // keep only the queries this run timed (SPARK_GRAFT_ONLY filter)
+      // ship only the queries this run timed — the subprocess would
+      // otherwise execute the full oracle suite under SPARK_GRAFT_ONLY
+      java.nio.file.Files.writeString(tmp, SparkEntry.oracleSqlJson(Some(names)))
+      val out =
+        try {
+          val p = new ProcessBuilder("python3", script.toString, sfDir, tmp.toString).start()
+          val o = new String(p.getInputStream.readAllBytes()).trim
+          if (p.waitFor() != 0 || !o.startsWith("{")) throw new RuntimeException("oracle bench failed")
+          o
+        } finally java.nio.file.Files.deleteIfExists(tmp)
       val node = com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(out)
       val kept = names.toSeq.sorted.flatMap { n =>
         Option(node.get(n)).filterNot(_.isNull).map(v => "\"" + n + "\":" + v.asDouble())

@@ -890,7 +890,11 @@ object SparkEntry {
     * [[Bench]]). JSON string escape covers backslash, quote, and ALL
     * control chars (<0x20) — a tab or CR in builder-authored SQL would
     * otherwise break the driver's json.load. */
-  def oracleSqlJson: String = {
+  def oracleSqlJson: String = oracleSqlJson(None)
+
+  /** Optionally restricted to `names` (Bench's SPARK_GRAFT_ONLY filter —
+    * the oracle subprocess should only time the queries this run timed). */
+  def oracleSqlJson(names: Option[Set[String]]): String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -900,7 +904,8 @@ object SparkEntry {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    oracleSql.filter { case (k, _) => names.forall(_.contains(k)) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
   }
 
   def oracleSql: Map[String, String] = {

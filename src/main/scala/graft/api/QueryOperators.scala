@@ -186,7 +186,13 @@ object FacetQuery {
     * break on the string form, matching [[FacetQuery.meta]]. */
   def combinedMeta(filtered: org.apache.spark.sql.DataFrame,
                    facets: Seq[FacetQuery]): Seq[(String, String)] = {
-    val present = facets.filter(f => filtered.columns.contains(f.field))
+    val present0 = facets.filter(f => filtered.columns.contains(f.field))
+    // one struct per DISTINCT field: duplicate operators on the same
+    // field would each emit a (facet, value) row per doc — doubling
+    // every count — and their `facet_<field>` meta keys collide anyway;
+    // keep the widest topK per field, in first-appearance order
+    val present = present0.map(_.field).distinct.map(fld =>
+      present0.filter(_.field == fld).maxBy(_.topK))
     if (present.isEmpty) return Nil
     val structs = present.map(f =>
       struct(lit(f.field).alias("facet"), col(f.field).cast("string").alias("value")))

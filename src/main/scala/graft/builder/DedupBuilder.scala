@@ -58,10 +58,17 @@ class DedupBuilder(
   private def scoped: DataFrame =
     criteria.map(c => MongoFilter(source.df, c)).getOrElse(source.df)
 
+  /** A usable signature index needs BOTH columns — the single definition
+    * shared by [[pendingItems]] and the indexed run, so a partial/drifted
+    * index table (e.g. id-only) cannot make the estimate and the actual
+    * build disagree about what counts as "seen". */
+  private def usableIndex(idx: Store): Boolean =
+    idx.df.columns.contains("id") && idx.df.columns.contains("sig")
+
   /** The candidate set for this build — the (scoped) source corpus, or
     * with an index the docs the index hasn't seen yet. */
   def pendingItems(): DataFrame = indexStore match {
-    case Some(idx) if idx.df.columns.contains("id") =>
+    case Some(idx) if usableIndex(idx) =>
       scoped.join(idx.df.select(col("id").alias(source.key)),
         Seq(source.key), "left_anti")
     case _ => scoped
@@ -121,7 +128,7 @@ class DedupBuilder(
   private def runIndexed(idx: Store): BuildReport = {
     val k = source.key
     val corpus = scoped
-    val hasIndex = idx.df.columns.contains("id") && idx.df.columns.contains("sig")
+    val hasIndex = usableIndex(idx)
 
     // batch = docs the index hasn't seen; first run sees the whole corpus
     val batch =

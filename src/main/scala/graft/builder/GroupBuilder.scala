@@ -209,7 +209,11 @@ class GroupBuilder(
       if (keepPt) node.put("_process_time", dt)
       mapper.writeValueAsString(node)
     }
-    val inferred = spark.read.json(outJson).withColumn("_bt", current_timestamp())
+    // checkpoint the STRINGS before read.json: schema inference is its
+    // own pass, so an unmaterialized fn would run once for inference and
+    // again downstream (see MapBuilder.docs — same pin)
+    val jsonMat = outJson.localCheckpoint(true)
+    val inferred = spark.read.json(jsonMat).withColumn("_bt", current_timestamp())
     // the JSON round-trip stringifies lu; restore the source's type so the
     // target's watermark (`lastUpdated`) stays a real timestamp
     val luName = source.lastUpdatedField

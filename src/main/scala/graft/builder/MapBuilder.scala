@@ -191,7 +191,13 @@ class MapBuilder(
           mapper.writeValueAsString(node)
       }
     }
-    val inferred = spark.read.json(outJson).withColumn("_bt", current_timestamp())
+    // checkpoint the STRINGS before read.json: schema inference is its own
+    // pass over the dataset, so an unmaterialized fn would execute once
+    // for inference and again downstream — side effects and
+    // _process_time would double, and a field emitted only in the second
+    // pass would be silently dropped (absent from the inferred schema)
+    val jsonMat = outJson.localCheckpoint(true)
+    val inferred = spark.read.json(jsonMat).withColumn("_bt", current_timestamp())
     // the JSON round-trip stringifies lu; restore the source's type so the
     // target's watermark (`lastUpdated`) stays a real timestamp
     if (inferred.columns.contains(luName) && items.columns.contains(luName))

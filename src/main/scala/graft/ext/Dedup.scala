@@ -181,6 +181,31 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
+  /** id-type dispatch for the capped candidate paths: integral ids ride
+    * the single-shuffle [[graft.functions.BoundedCollectAgg]] kernel
+    * (cast to long — lossless); any other id type (string keys are
+    * common in document stores) falls back to the join-based shape,
+    * which is id-type-agnostic at the cost of shuffling the banded
+    * table three times. Same pair sets either way. */
+  private def integralId(df: DataFrame, idCol: String): Boolean =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+
+  /** Fallback over-cap keys + capped banding for non-integral ids:
+    * hot-count aggregate → broadcast anti-join (the pre-kernel shape). */
+  private def cappedBandedFallback(banded: DataFrame, maxBucketSize: Int)
+      : (DataFrame, DataFrame) = {
+    val hot = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).alias("__n")).filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    (banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti"), hot)
+  }
+
   /** [[minhashLsh]] over a pre-computed `(id, sig)` table (e.g. a
     * persisted signature store). `sigs` is consumed twice (banding +
     * verification) — pass a persisted/checkpointed frame. */
@@ -194,18 +219,31 @@ object Dedup {
     // replacing the hot-count aggregate + broadcast anti-join + self-join
     // trio that shuffled the banded table three times. Candidates expand
     // map-side (two-level explode: per-row arrays stay O(|bucket|)).
-    val lists = banded.groupBy(col("band"), col("bucket"))
-      .agg(graft.functions.BoundedCollectAgg.boundedCollect(sigs.sparkSession,
-        col("id"), lit(0L), maxBucketSize).alias("lst"))
-      .filter(col("lst").isNotNull && size(col("lst")) >= 2)
-    val cand = lists
-      .select(col("lst"), posexplode(col("lst")))
-      .select(col("col").alias("p"),
-        explode(slice(col("lst"), col("pos") + 2,
-          greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
-      .select(least(col("p.id"), col("q.id")).alias("a"),
-        greatest(col("p.id"), col("q.id")).alias("b"))
-      .distinct()
+    // Non-integral ids take the join-based fallback ([[integralId]]).
+    val cand = if (integralId(sigs, "id")) {
+      val lists = banded
+        .select(col("band"), col("bucket"), col("id").cast("long").alias("id"))
+        .groupBy(col("band"), col("bucket"))
+        .agg(graft.functions.BoundedCollectAgg.boundedCollect(sigs.sparkSession,
+          col("id"), lit(0L), maxBucketSize).alias("lst"))
+        .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+      lists
+        .select(col("lst"), posexplode(col("lst")))
+        .select(col("col").alias("p"),
+          explode(slice(col("lst"), col("pos") + 2,
+            greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+        .select(least(col("p.id"), col("q.id")).alias("a"),
+          greatest(col("p.id"), col("q.id")).alias("b"))
+        .distinct()
+    } else {
+      val (capped, _) = cappedBandedFallback(banded, maxBucketSize)
+      capped.select(col("band"), col("bucket"), col("id").alias("a"))
+        .join(capped.select(col("band"), col("bucket"), col("id").alias("b")),
+          Seq("band", "bucket"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"))
+        .distinct()
+    }
     cand
       .join(sigs.select(col("id").alias("a"), col("sig").alias("siga")), Seq("a"))
       .join(sigs.select(col("id").alias("b"), col("sig").alias("sigb")), Seq("b"))
@@ -287,7 +325,11 @@ object Dedup {
       if (overCap == "star")
         sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigs0
-    val banded = sigs.select(col("id"), col("simhash"),
+    // integral ids are cast to long HERE so the kernel pairs and the
+    // star-mode union agree on the id type ([[integralId]] dispatch)
+    val idExpr =
+      if (integralId(sigs, "id")) col("id").cast("long").alias("id") else col("id")
+    val banded = sigs.select(idExpr, col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -295,34 +337,47 @@ object Dedup {
     // member list rides a BoundedCollectAgg (signature as aux, so hamming
     // verification is map-side arithmetic — no join), NULL marks over-cap
     // buckets. The previous shape shuffled the banded table three times
-    // (hot-count aggregate + both self-join sides).
-    val lists0 = banded.groupBy(col("band"), col("bucket"))
-      .agg(graft.functions.BoundedCollectAgg.boundedCollect(df.sparkSession,
-        col("id"), col("simhash"), maxBucketSize).alias("lst"))
-    val lists = // star mode reads it twice (pair expansion + hot keys)
-      if (overCap == "star")
-        lists0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else lists0
-    val pairs = lists
-      .filter(col("lst").isNotNull && size(col("lst")) >= 2)
-      .select(col("lst"), posexplode(col("lst")))
-      .select(col("col").alias("p"),
-        explode(slice(col("lst"), col("pos") + 2,
-          greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
-      .select(
-        least(col("p.id"), col("q.id")).alias("a"),
-        greatest(col("p.id"), col("q.id")).alias("b"),
-        bit_count(col("p.aux").bitwiseXOR(col("q.aux"))).alias("hamming"))
+    // (hot-count aggregate + both self-join sides). Non-integral ids
+    // take the join-based fallback ([[integralId]]).
+    val (pairs, hot) = if (integralId(sigs, "id")) {
+      val lists0 = banded.groupBy(col("band"), col("bucket"))
+        .agg(graft.functions.BoundedCollectAgg.boundedCollect(df.sparkSession,
+          col("id"), col("simhash"), maxBucketSize).alias("lst"))
+      val lists = // star mode reads it twice (pair expansion + hot keys)
+        if (overCap == "star")
+          lists0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else lists0
+      (lists
+        .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+        .select(col("lst"), posexplode(col("lst")))
+        .select(col("col").alias("p"),
+          explode(slice(col("lst"), col("pos") + 2,
+            greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+        .select(
+          least(col("p.id"), col("q.id")).alias("a"),
+          greatest(col("p.id"), col("q.id")).alias("b"),
+          bit_count(col("p.aux").bitwiseXOR(col("q.aux"))).alias("hamming")),
+        lists.filter(col("lst").isNull).select(col("band"), col("bucket")))
+    } else {
+      val (capped, hotKeys) = cappedBandedFallback(banded, maxBucketSize)
+      (capped.select(col("band"), col("bucket"), col("id").alias("a"),
+          col("simhash").alias("__sa"))
+        .join(capped.select(col("band"), col("bucket"), col("id").alias("b"),
+          col("simhash").alias("__sb")), Seq("band", "bucket"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("__sa").bitwiseXOR(col("__sb"))).alias("hamming")),
+        hotKeys)
+    }
     val all =
       if (overCap == "drop") pairs
       else {
         // star topology for over-cap buckets: min-id representative pairs
         // with every member — linear in bucket size, keeps the cluster
         // connected for downstream transitive grouping. Over-cap keys
-        // come from the NULL lists; members are re-fetched with one
-        // broadcast semi-join against the persisted signature banding.
-        val hot = lists.filter(col("lst").isNull)
-          .select(col("band"), col("bucket"))
+        // come from the NULL lists (kernel) / hot-count keys (fallback);
+        // members are re-fetched with one broadcast semi-join against
+        // the persisted signature banding.
         val overs = banded.join(broadcast(hot), Seq("band", "bucket"), "left_semi")
         val reps = overs.groupBy(col("band"), col("bucket"))
           .agg(min_by(struct(col("id"), col("simhash")), col("id")).alias("__r"))
@@ -389,26 +444,48 @@ object Dedup {
       .withColumn("__new", lit(0L))
       .unionByName(bandSigs(newSigs, numHashes, bands, family)
         .withColumn("__new", lit(1L)))
-    val lists = tagged.groupBy(col("band"), col("bucket"))
-      .agg(graft.functions.BoundedCollectAgg.boundedCollect(newSigs.sparkSession,
-        col("id"), col("__new"), maxBucketSize).alias("lst"))
-      .filter(col("lst").isNotNull && size(col("lst")) >= 2)
     // (a, b) with b always a NEW id: old-new pairs keep the old id as a
-    // (no order guard — disjoint batches), new-new pairs order a < b
-    val cand = lists
-      .select(col("lst"), posexplode(col("lst")))
-      .select(col("col").alias("p"),
-        explode(slice(col("lst"), col("pos") + 2,
-          greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
-      .filter(col("p.aux") + col("q.aux") >= 1)
-      .select(
-        when(col("p.aux") === 0, col("p.id"))
-          .when(col("q.aux") === 0, col("q.id"))
-          .otherwise(least(col("p.id"), col("q.id"))).alias("a"),
-        when(col("p.aux") === 0, col("q.id"))
-          .when(col("q.aux") === 0, col("p.id"))
-          .otherwise(greatest(col("p.id"), col("q.id"))).alias("b"))
-      .distinct()
+    // (no order guard — disjoint batches), new-new pairs order a < b.
+    // Non-integral ids take the join-based fallback ([[integralId]]).
+    val cand = if (integralId(newSigs, "id")) {
+      val lists = tagged
+        .select(col("band"), col("bucket"),
+          col("id").cast("long").alias("id"), col("__new"))
+        .groupBy(col("band"), col("bucket"))
+        .agg(graft.functions.BoundedCollectAgg.boundedCollect(newSigs.sparkSession,
+          col("id"), col("__new"), maxBucketSize).alias("lst"))
+        .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+      lists
+        .select(col("lst"), posexplode(col("lst")))
+        .select(col("col").alias("p"),
+          explode(slice(col("lst"), col("pos") + 2,
+            greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+        .filter(col("p.aux") + col("q.aux") >= 1)
+        .select(
+          when(col("p.aux") === 0, col("p.id"))
+            .when(col("q.aux") === 0, col("q.id"))
+            .otherwise(least(col("p.id"), col("q.id"))).alias("a"),
+          when(col("p.aux") === 0, col("q.id"))
+            .when(col("q.aux") === 0, col("p.id"))
+            .otherwise(greatest(col("p.id"), col("q.id"))).alias("b"))
+        .distinct()
+    } else {
+      val (capped, _) = cappedBandedFallback(tagged, maxBucketSize)
+      capped.select(col("band"), col("bucket"), col("id").alias("__pi"),
+          col("__new").alias("__pn"))
+        .join(capped.select(col("band"), col("bucket"), col("id").alias("__qi"),
+          col("__new").alias("__qn")), Seq("band", "bucket"))
+        .filter(col("__pi") < col("__qi"))
+        .filter(col("__pn") + col("__qn") >= 1)
+        .select(
+          when(col("__pn") === 0, col("__pi"))
+            .when(col("__qn") === 0, col("__qi"))
+            .otherwise(col("__pi")).alias("a"), // __pi < __qi already
+          when(col("__pn") === 0, col("__qi"))
+            .when(col("__qn") === 0, col("__pi"))
+            .otherwise(col("__qi")).alias("b"))
+        .distinct()
+    }
     cand
       .join(allSigs.select(col("id").alias("a"), col("sig").alias("siga")), Seq("a"))
       .join(newSigs.select(col("id").alias("b"), col("sig").alias("sigb")), Seq("b"))
@@ -463,9 +540,11 @@ object Dedup {
       .select(col("src").alias("id"), col("lbl"))
       .localCheckpoint(true)
     var labels = mat
-    var changed = 1L
+    // -1 = "not yet measured": with maxIter=1 the loop never runs and no
+    // round observed label changes, so no convergence warning may fire
+    var changed = -1L
     var i = 1
-    while (changed > 0 && i < maxIter) {
+    while (changed != 0 && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").alias("dst"), col("lbl").alias("nlbl")),
           Seq("dst"))
@@ -535,29 +614,46 @@ object Dedup {
     // postings keyed by the 64-bit gram hash, not the string — 8-byte
     // keys in the single inverted-index shuffle (collision odds
     // ~|shingles|²/2^65: nil); per-doc set size rides with each posting
-    val posted = df.select(col(idCol).alias("id"),
+    // integral ids ride the bounded-collect kernel (cast to long);
+    // non-integral ids fall back to the join-based inverted index
+    val idExpr =
+      if (integralId(df, idCol)) col(idCol).cast("long").alias("id")
+      else col(idCol).alias("id")
+    val posted = df.select(idExpr,
         graft.functions.GraftFunctions.ngramHashes(spark,
           TextAnalysis.normTokens(col(textCol)), n).alias("shs"))
       .select(col("id"), size(col("shs")).cast("long").alias("sz"),
         explode(col("shs")).alias("sh"))
-    val lists = posted.groupBy(col("sh"))
-      .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
-        col("id"), col("sz"), maxPostings).alias("lst"))
-      .filter(col("lst").isNotNull && size(col("lst")) >= 2)
-    // unordered combinations, two-level: element i pairs with the list
-    // tail after i — memory per generated row stays O(|list|)
-    val pairs = lists
-      .select(col("lst"), posexplode(col("lst")))
-      .select(col("col").alias("p"),
-        explode(slice(col("lst"), col("pos") + 2,
-          greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
-    pairs.select(
-        least(col("p.id"), col("q.id")).alias("a"),
-        greatest(col("p.id"), col("q.id")).alias("b"),
-        when(col("p.id") <= col("q.id"), col("p.aux")).otherwise(col("q.aux")).alias("sza"),
-        when(col("p.id") <= col("q.id"), col("q.aux")).otherwise(col("p.aux")).alias("szb"))
-      // sza/szb are functionally determined by a/b — extra group keys only
-      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).alias("common"))
+    val common = if (integralId(df, idCol)) {
+      val lists = posted.groupBy(col("sh"))
+        .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
+          col("id"), col("sz"), maxPostings).alias("lst"))
+        .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+      // unordered combinations, two-level: element i pairs with the list
+      // tail after i — memory per generated row stays O(|list|)
+      lists
+        .select(col("lst"), posexplode(col("lst")))
+        .select(col("col").alias("p"),
+          explode(slice(col("lst"), col("pos") + 2,
+            greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+        .select(
+          least(col("p.id"), col("q.id")).alias("a"),
+          greatest(col("p.id"), col("q.id")).alias("b"),
+          when(col("p.id") <= col("q.id"), col("p.aux")).otherwise(col("q.aux")).alias("sza"),
+          when(col("p.id") <= col("q.id"), col("q.aux")).otherwise(col("p.aux")).alias("szb"))
+    } else {
+      val hot = posted.groupBy(col("sh"))
+        .agg(count(lit(1)).alias("__n")).filter(col("__n") > maxPostings)
+        .select(col("sh"))
+      val capped = posted.join(broadcast(hot), Seq("sh"), "left_anti")
+      capped.select(col("sh"), col("id").alias("a"), col("sz").alias("sza"))
+        .join(capped.select(col("sh"), col("id").alias("b"), col("sz").alias("szb")),
+          Seq("sh"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("sza"), col("szb"))
+    }
+    // sza/szb are functionally determined by a/b — extra group keys only
+    common.groupBy("a", "b", "sza", "szb").agg(count(lit(1)).alias("common"))
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("sza") + col("szb") - col("common")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
@@ -605,10 +701,12 @@ object Dedup {
     *
     * Scale shape: lines shuffle as 8-byte hashes for the frequency
     * aggregate (map-side partials collapse repeats before the exchange);
-    * the hot-line set is tiny by construction — a line must repeat >
-    * `maxOccurrences` times corpus-wide to enter it — so the removal join
-    * broadcasts and the only corpus-volume shuffle is the per-doc
-    * reassembly groupBy. */
+    * the hot-line set only admits lines repeating > `maxOccurrences`
+    * times corpus-wide — usually small, so AQE converts the removal
+    * anti-join to a broadcast at runtime, but it is NOT hinted: its size
+    * is bounded only by totalLines/maxOccurrences, and a boilerplate-
+    * heavy corpus can legitimately exceed broadcast limits, in which
+    * case the join degrades gracefully to a shuffle. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  maxOccurrences: Int = 10,
                  family: String = "xxh64"): DataFrame = {
@@ -619,7 +717,11 @@ object Dedup {
     val hot = lines.groupBy(col("lh"))
       .agg(count(lit(1)).alias("n")).filter(col("n") > maxOccurrences)
       .select(col("lh"))
-    lines.join(broadcast(hot), Seq("lh"), "left_anti")
+    // no broadcast HINT: the hot-line set is usually small, but it is
+    // bounded only by totalLines/maxOccurrences — a boilerplate-heavy
+    // corpus at 100 TB can push it past broadcast limits, so let AQE
+    // pick broadcast-vs-shuffle from the measured size at runtime
+    lines.join(hot, Seq("lh"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("line")))),

@@ -67,34 +67,43 @@ object Sampling {
     * here (build-spec preference (d)): a running scalar carried across
     * rows of a sorted partition has no window-free declarative spelling
     * that avoids the single-partition collapse. */
-  def tokenBudgetPack(df: DataFrame, orderCol: String, tokensCol: String,
-                      budget: Long, numPartitions: Int = 0): DataFrame = {
+  /** Shared distributed-prefix-sum skeleton for [[tokenBudgetPack]] and
+    * [[packSequences]]: range-partition + sort by `orderCol` (one
+    * shuffle), per-partition token partials reduced to ONE row each,
+    * exclusive prefix offsets over those partials (O(partitions) driver
+    * memory, broadcast back). Null token counts coalesce to 0 so the
+    * partials and the primitive `getLong` walk agree. Exclusive offsets
+    * are keyed by partition id in range order (even AQE-coalesced range
+    * partitions stay ordered by construction); iteration runs to the max
+    * OBSERVED pid in case AQE coalesced below `numPartitions`. */
+  private def prefixOffsets(df: DataFrame, orderCol: String, tokensCol: String,
+                            numPartitions: Int)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[Map[Int, Long]], Int) = {
     val spark = df.sparkSession
     val np = if (numPartitions > 0) numPartitions
              else spark.sessionState.conf.numShufflePartitions
-    // null token counts would sum as 0 in the partials but NPE in the
-    // primitive getLong below — make both passes agree on 0
     val ordered = df.withColumn(tokensCol, coalesce(col(tokensCol).cast("long"), lit(0L)))
       .repartitionByRange(np, col(orderCol).asc)
       .sortWithinPartitions(col(orderCol).asc)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // partial token sums per physical partition: one tiny row each
     val partials = ordered
       .select(spark_partition_id().alias("__pid"), col(tokensCol).alias("__t"))
       .groupBy("__pid").agg(sum(col("__t")).alias("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // exclusive prefix offsets in partition-id order (range partitions —
-    // even AQE-coalesced ones — are ordered by construction); iterate to
-    // the max OBSERVED pid in case AQE coalesced below np
     val offsets: Map[Int, Long] = {
       var acc = 0L
       (0 to partials.keys.foldLeft(-1)(math.max)).map { p =>
         val o = p -> acc; acc += partials.getOrElse(p, 0L); o
       }.toMap
     }
-    val bc = spark.sparkContext.broadcast(offsets)
-    val tokIdx = ordered.schema.fieldIndex(tokensCol)
-    val out = ordered.mapPartitions { it =>
+    (ordered, spark.sparkContext.broadcast(offsets),
+      ordered.schema.fieldIndex(tokensCol))
+  }
+
+  def tokenBudgetPack(df: DataFrame, orderCol: String, tokensCol: String,
+                      budget: Long, numPartitions: Int = 0): DataFrame = {
+    val (ordered, bc, tokIdx) = prefixOffsets(df, orderCol, tokensCol, numPartitions)
+    ordered.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var acc = bc.value.getOrElse(pid, 0L)
       it.filter { row =>
@@ -102,7 +111,6 @@ object Sampling {
         acc <= budget
       }
     }(org.apache.spark.sql.Encoders.row(ordered.schema))
-    out
   }
 
   /** Sequence packing for training batches: concatenate docs in
@@ -120,25 +128,7 @@ object Sampling {
   def packSequences(df: DataFrame, orderCol: String, tokensCol: String,
                     seqLen: Long, numPartitions: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
-    val spark = df.sparkSession
-    val np = if (numPartitions > 0) numPartitions
-             else spark.sessionState.conf.numShufflePartitions
-    val ordered = df.withColumn(tokensCol, coalesce(col(tokensCol).cast("long"), lit(0L)))
-      .repartitionByRange(np, col(orderCol).asc)
-      .sortWithinPartitions(col(orderCol).asc)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partials = ordered
-      .select(spark_partition_id().alias("__pid"), col(tokensCol).alias("__t"))
-      .groupBy("__pid").agg(sum(col("__t")).alias("__s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets: Map[Int, Long] = {
-      var acc = 0L
-      (0 to partials.keys.foldLeft(-1)(math.max)).map { p =>
-        val o = p -> acc; acc += partials.getOrElse(p, 0L); o
-      }.toMap
-    }
-    val bc = spark.sparkContext.broadcast(offsets)
-    val tokIdx = ordered.schema.fieldIndex(tokensCol)
+    val (ordered, bc, tokIdx) = prefixOffsets(df, orderCol, tokensCol, numPartitions)
     val outSchema = ordered.schema
       .add("pack_id", org.apache.spark.sql.types.LongType, nullable = false)
       .add("pack_offset", org.apache.spark.sql.types.LongType, nullable = false)

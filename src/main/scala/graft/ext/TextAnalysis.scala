@@ -115,11 +115,16 @@ object TextAnalysis {
     * interpret identically (no backrefs, no lookaround), so redaction is
     * byte-replayable by the oracle. Order matters: emails first (an email
     * contains dot-runs an IP pattern could nibble), then IPv4, then
-    * international/US phone shapes. */
+    * phones. The phone pattern deliberately requires either a `+`
+    * country prefix or the strict NANP 3-3-4 shape, and never accepts
+    * `.` as a separator — otherwise ISO/European dates (`2026-08-12`,
+    * `10.12.2023`) and version triples would be scrubbed out of ordinary
+    * corpus text. */
   private[graft] val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>",
-    "\\+?[0-9]{1,3}[- .][0-9]{2,4}[- .][0-9]{2,4}([- .][0-9]{2,4})?\\b" -> "<PHONE>")
+    ("(\\+[0-9]{1,3}[- ][0-9]{2,4}[- ][0-9]{2,4}([- ][0-9]{2,4})?" +
+      "|\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4})\\b") -> "<PHONE>")
 
   /** Scrub emails / IPv4 addresses / phone numbers from text (the
     * standard pre-training redaction pass, e.g. Dolma's PII filter).

@@ -268,6 +268,26 @@ class BuilderSpec extends SparkSpec {
     assert(r.getAs[String]("a") === "vb" && r.getAs[String]("b") === "vb")
   }
 
+  test("doc-plane fns run exactly once per row/group (inference pass reads the checkpoint)") {
+    val s = spark; import s.implicits._
+    val rowCalls = spark.sparkContext.longAccumulator("doc_fn_calls")
+    val src = new MemoryStore(spark, "src", key = "k", lastUpdatedField = "lu")
+    src.load((1L to 5L).map(i => (i, s"v$i", now)).toDF("k", "v", "lu"))
+    val tgt = new MemoryStore(spark, "tgt", key = "k", lastUpdatedField = "lu")
+    MapBuilder.docs(src, tgt, { doc => rowCalls.add(1); doc }).run()
+    // spark.read.json schema inference is its own pass — without the
+    // string checkpoint this was 10 (inference + materialization)
+    assert(rowCalls.value === 5)
+    val grpCalls = spark.sparkContext.longAccumulator("grp_fn_calls")
+    val gsrc = new MemoryStore(spark, "gsrc", key = "k", lastUpdatedField = "lu")
+    gsrc.load(Seq((1L, "a", now), (2L, "a", now), (3L, "b", now))
+      .toDF("k", "g", "lu"))
+    val gtgt = new MemoryStore(spark, "gtgt", key = "g", lastUpdatedField = "lu")
+    GroupBuilder.docs(gsrc, gtgt, Seq("g"),
+      { docs => grpCalls.add(1); s"""{"n": ${docs.count(_ == '{')}}""" }).run()
+    assert(grpCalls.value === 2)
+  }
+
   test("DedupBuilder semantic method: duplicate vector collapses to the min-id twin") {
     val s = spark; import s.implicits._
     // 20 vectors in 4 angular clusters (hot dim i%4, spread dim 4+i%4);

@@ -327,7 +327,9 @@ class ExtQualitySpec extends SparkSpec {
     val df = Seq(
       (1L, "reach me at jane.doe+spam@mail.example.org or 192.168.001.42 thanks"),
       (2L, "call +44 020 7946-0958 today"),
-      (3L, "no pii here at all")).toDF("doc_id", "text")
+      (3L, "no pii here at all"),
+      (4L, "released 2026-08-12 as v10.12.2023 or 10-12-2023"),
+      (5L, "dial 555-014-2222 now")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"),
       graft.ext.TextAnalysis.scrubPii(col("text")).alias("clean"),
       graft.ext.TextAnalysis.piiCounts(col("text")).alias("c"))
@@ -335,12 +337,16 @@ class ExtQualitySpec extends SparkSpec {
     assert(out(0).getAs[String]("clean") === "reach me at <EMAIL> or <IP> thanks")
     assert(out(1).getAs[String]("clean") === "call <PHONE> today")
     assert(out(2).getAs[String]("clean") === "no pii here at all")
+    // dates and version triples must survive the phone pattern untouched
+    assert(out(3).getAs[String]("clean") === "released 2026-08-12 as v10.12.2023 or 10-12-2023")
+    assert(out(4).getAs[String]("clean") === "dial <PHONE> now") // NANP 3-3-4
     val c0 = out(0).getStruct(2)
     assert(c0.getAs[Int]("emails") === 1 && c0.getAs[Int]("ips") === 1
       && c0.getAs[Int]("phones") === 0)
     val c2 = out(2).getStruct(2)
     assert(c2.getAs[Int]("emails") === 0 && c2.getAs[Int]("ips") === 0
       && c2.getAs[Int]("phones") === 0)
+    assert(out(3).getStruct(2).getAs[Int]("phones") === 0)
   }
 
   test("contamination flags n-gram overlap with the eval set; decontaminate drops it") {
@@ -431,6 +437,37 @@ class ExtQualitySpec extends SparkSpec {
     val fullFirstHalf = mix.filter(col("k") <= 2000)
       .select("k").collect().map(_.getLong(0)).toSet
     assert(half === fullFirstHalf)
+  }
+
+  test("dedup pair producers accept STRING ids via the join-based fallback") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      ("doc-a", "alpha beta gamma delta epsilon zeta eta"),
+      ("doc-b", "alpha beta gamma delta epsilon zeta eta"),
+      ("doc-z", "completely different material over here instead")
+    ).toDF("doc_id", "text")
+    val mh = Dedup.minhashLsh(corpus, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(mh.length === 1 &&
+      mh(0).getString(0) === "doc-a" && mh(0).getString(1) === "doc-b")
+    val sh = Dedup.simhashPairs(corpus, "doc_id", "text").collect()
+    assert(sh.length === 1 && sh(0).getAs[Int]("hamming") === 0)
+    val ng = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(ng.length === 1 && ng(0).getAs[Double]("jaccard") === 1.0)
+    // star mode exercises the fallback hot-key path
+    val star = Dedup.simhashPairs(corpus, "doc_id", "text",
+      maxBucketSize = 1, overCap = "star").collect()
+    assert(star.exists(r => r.getString(0) === "doc-a" && r.getString(1) === "doc-b"))
+    // incremental banding against an existing string-id signature table
+    val newSigs = Dedup.minhashSignatures(
+      corpus.filter(col("doc_id") === "doc-b"), "doc_id", "text")
+    val oldSigs = Dedup.minhashSignatures(
+      corpus.filter(col("doc_id") =!= "doc-b"), "doc_id", "text")
+    val inc = Dedup.minhashLshIncrementalSigs(newSigs, oldSigs, threshold = 0.5)
+      .collect()
+    assert(inc.length === 1 &&
+      inc(0).getString(0) === "doc-a" && inc(0).getString(1) === "doc-b")
   }
 
   test("graft_topk bounded heap matches sort-based top-k with ties toward smaller id") {
