@@ -642,6 +642,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-rule document filter with per-rule attrition flags — one
+    // codegen'd projection, no shuffle before the output sort
+    "text_gopher_rules" -> ((s, dir) => {
+      val g = TextAnalysis.gopherRules(col("text"), minWords = 20)
+      t(s, dir, "documents").select(col("doc_id"), g.alias("g"))
+        .select(col("doc_id"), col("g.n_words").alias("n_words"),
+          col("g.mean_word_len").alias("mean_word_len"),
+          col("g.word_count_ok").alias("word_count_ok"),
+          col("g.mean_len_ok").alias("mean_len_ok"),
+          col("g.symbol_ok").alias("symbol_ok"),
+          col("g.alpha_ok").alias("alpha_ok"),
+          col("g.passes").alias("passes"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(s, dir), "doc_id", "text")
         .select(col("h"), col("n"), col("keep")).orderBy("h")),
@@ -1126,6 +1141,22 @@ object SparkEntry {
       "text_fingerprint" ->
         ("SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp " +
          "FROM documents ORDER BY doc_id"),
+      "text_gopher_rules" -> {
+        val sym = "len(regexp_extract_all(text, '#|\\.\\.\\.|…'))"
+        val alpha = "len(regexp_extract_all(lower(text), '\\S*[a-z]\\S*'))"
+        val wcOk = "(n >= 20 AND n <= 100000)"
+        val mlOk = "(mean_len >= 3.0 AND mean_len <= 10.0)"
+        val syOk = "(CASE WHEN n > 0 THEN CAST(syms AS DOUBLE) / n <= 0.1 ELSE FALSE END)"
+        val alOk = "(CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n >= 0.8 ELSE FALSE END)"
+        "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws, text FROM documents), " +
+          "m AS (SELECT doc_id, len(ws) AS n, " +
+          "CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) ELSE 0.0 END AS mean_len, " +
+          s"$sym AS syms, $alpha AS alpha FROM w) " +
+          "SELECT doc_id, CAST(n AS BIGINT) AS n_words, round(mean_len, 4) AS mean_word_len, " +
+          s"$wcOk AS word_count_ok, $mlOk AS mean_len_ok, $syOk AS symbol_ok, $alOk AS alpha_ok, " +
+          s"($wcOk AND $mlOk AND $syOk AND $alOk) AS passes " +
+          "FROM m ORDER BY doc_id"
+      },
       "dedup_exact" ->
         (s"SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep FROM $dupCorpusSql " +
          "GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"),

@@ -92,6 +92,41 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Gopher-style rule flags (Rae et al. 2021 §A1.1, simplified to the
+    * deterministic subset): per-document quality gates as one codegen'd
+    * projection — the standard pre-training document filter. Returns a
+    * struct of the raw signals and per-rule booleans plus the combined
+    * `passes` gate, so pipelines can log WHY a document was dropped
+    * (production filters always report per-rule attrition).
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [3, 10]; symbol-to-word ratio (`#`/`…`/`...`) ≤ 0.1; fraction of
+    * words containing an alphabetic character ≥ 0.8. */
+  def gopherRules(text: Column, minWords: Int = 50,
+                  maxWords: Int = 100000): Column = {
+    val words = tokens(text)
+    val n = size(words).cast("double")
+    val meanLen = when(n > 0,
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / n)
+      .otherwise(lit(0.0))
+    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
+      .cast("double")
+    val alphaWords = size(regexp_extract_all(lower(text),
+      lit("\\S*[a-z]\\S*"), lit(0))).cast("double")
+    val wordCountOk = n >= minWords && n <= maxWords
+    val meanLenOk = meanLen >= 3.0 && meanLen <= 10.0
+    val symbolOk = when(n > 0, symbols / n <= 0.1).otherwise(lit(false))
+    val alphaOk = when(n > 0, alphaWords / n >= 0.8).otherwise(lit(false))
+    struct(
+      n.cast("long").alias("n_words"),
+      round(meanLen, 4).alias("mean_word_len"),
+      wordCountOk.alias("word_count_ok"),
+      meanLenOk.alias("mean_len_ok"),
+      symbolOk.alias("symbol_ok"),
+      alphaOk.alias("alpha_ok"),
+      (wordCountOk && meanLenOk && symbolOk && alphaOk).alias("passes"))
+  }
+
   /** Composite quality score in [0,1]: penalize extreme length, high
     * punctuation density, missing stopwords — the shape of a C4/Gopher
     * style filter, deterministic and codegen'd. */

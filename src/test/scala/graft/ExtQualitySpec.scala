@@ -439,6 +439,26 @@ class ExtQualitySpec extends SparkSpec {
     assert(half === fullFirstHalf)
   }
 
+  test("gopherRules: per-rule flags gate word count, mean length, symbols, alpha") {
+    val s = spark; import s.implicits._
+    val good = ("w" + "ord ") * 30 // 30 four-letter words
+    val df = Seq(
+      (1L, good.trim),
+      (2L, ""),                                  // empty: everything fails
+      (3L, ("#### " * 30).trim),                 // symbol-heavy, no alpha
+      (4L, ("a " * 30).trim)                     // mean word length 1 < 3
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.ext.TextAnalysis.gopherRules(col("text"), minWords = 10).alias("g"))
+      .orderBy("doc_id").collect().map(_.getStruct(1))
+    assert(out(0).getAs[Boolean]("passes"))
+    assert(out(0).getAs[Long]("n_words") === 30)
+    assert(out(0).getAs[Double]("mean_word_len") === 4.0)
+    assert(!out(1).getAs[Boolean]("passes") && out(1).getAs[Long]("n_words") === 0)
+    assert(!out(2).getAs[Boolean]("symbol_ok") && !out(2).getAs[Boolean]("alpha_ok"))
+    assert(!out(3).getAs[Boolean]("mean_len_ok") && out(3).getAs[Boolean]("alpha_ok"))
+  }
+
   test("dedup pair producers accept STRING ids via the join-based fallback") {
     val s = spark; import s.implicits._
     val corpus = Seq(
