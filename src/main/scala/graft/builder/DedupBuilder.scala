@@ -18,22 +18,28 @@ import org.apache.spark.sql.functions._
   *  - `"simhash"` / `"ngram"` — same, over the respective pair producers
   *
   * ==Incremental builds==
-  * With an `indexStore` (method `"minhash"` only), the build follows the
-  * reference's incremental contract (`core/store.py:239-275`): the FIRST
-  * run writes every doc's signature + cluster label to the index; each
-  * REPEAT run hashes and bands ONLY the docs not yet in the index
-  * ([[Dedup.minhashLshIncrementalSigs]]) against the persisted
-  * signatures, re-resolves components over (new pairs ∪ stored cluster
-  * edges), then repairs the target: old canonicals dethroned by a
-  * smaller new id are removed, new survivors upserted. At 100 TB this is
-  * the difference between re-hashing the corpus per batch and per-batch
-  * work proportional to the batch.
+  * With an `indexStore` (methods `"minhash"` and `"semantic"`), the
+  * build follows the reference's incremental contract
+  * (`core/store.py:239-275`): the FIRST run writes every doc's
+  * signature + cluster label to the index; each REPEAT run processes
+  * ONLY the docs not yet in the index against the persisted state,
+  * re-resolves components over (new pairs ∪ stored cluster edges), then
+  * repairs the target: old canonicals dethroned by a smaller new id are
+  * removed, new survivors upserted. At 100 TB this is the difference
+  * between re-hashing the corpus per batch and per-batch work
+  * proportional to the batch.
   *
-  * Index schema: `(id, sig, cluster)` — one row per doc ever seen;
-  * `cluster` = min id of its component (self for singletons). Stored
-  * cluster membership re-enters each resolution as `(cluster → id)`
-  * edges, so a new doc chaining into an old cluster through any old
-  * member converges to the same labels a from-scratch build would.
+  * Index schema, minhash: `(id, sig, cluster)`
+  * ([[Dedup.minhashLshIncrementalSigs]] bands the new batch against the
+  * stored signatures). Semantic: `(id, vec, cell, centroid, cluster)` —
+  * the first run's deterministic centroid draw is PERSISTED
+  * (`centroid = true` rows), so every later batch assigns to the SAME
+  * cells with the inlined-argmax projection and compares only against
+  * its cell's stored members. In both, `cluster` = min id of the
+  * component (self for singletons); stored membership re-enters each
+  * resolution as `(cluster → id)` edges, so a new doc chaining into an
+  * old cluster through any old member converges to the same labels a
+  * from-scratch build would.
   *
   * The write follows the standard builder shape: the output plan is
   * materialized once (localCheckpoint), the report count reads the
@@ -49,21 +55,27 @@ class DedupBuilder(
     val method: String = "minhash",
     val threshold: Double = 0.7,
     val criteria: Option[String] = None,
-    val indexStore: Option[Store] = None)
+    val indexStore: Option[Store] = None,
+    val nCentroids: Int = 16)
   extends Builder {
 
-  require(indexStore.isEmpty || method == "minhash",
-    s"indexStore (incremental dedup) is only supported for method=minhash, got '$method'")
+  require(indexStore.isEmpty || method == "minhash" || method == "semantic",
+    "indexStore (incremental dedup) is only supported for " +
+      s"method=minhash|semantic, got '$method'")
 
   private def scoped: DataFrame =
     criteria.map(c => MongoFilter(source.df, c)).getOrElse(source.df)
 
-  /** A usable signature index needs BOTH columns — the single definition
-    * shared by [[pendingItems]] and the indexed run, so a partial/drifted
-    * index table (e.g. id-only) cannot make the estimate and the actual
-    * build disagree about what counts as "seen". */
-  private def usableIndex(idx: Store): Boolean =
-    idx.df.columns.contains("id") && idx.df.columns.contains("sig")
+  /** A usable index needs the full method-specific schema — the single
+    * definition shared by [[pendingItems]] and the indexed runs, so a
+    * partial/drifted index table (e.g. id-only) cannot make the estimate
+    * and the actual build disagree about what counts as "seen". */
+  private def usableIndex(idx: Store): Boolean = {
+    val c = idx.df.columns
+    c.contains("id") && c.contains("cluster") &&
+      (if (method == "semantic") Seq("vec", "cell", "centroid").forall(c.contains)
+       else c.contains("sig"))
+  }
 
   /** The candidate set for this build — the (scoped) source corpus, or
     * with an index the docs the index hasn't seen yet. */
@@ -75,6 +87,7 @@ class DedupBuilder(
   }
 
   def run(): BuildReport = indexStore match {
+    case Some(idx) if method == "semantic" => runSemanticIndexed(idx)
     case Some(idx) => runIndexed(idx)
     case None => runFull()
   }
@@ -105,7 +118,7 @@ class DedupBuilder(
         // textField names the embedding column here (SemDeDup over
         // vectors; same pairs → components → min-id survivor pipeline)
         Dedup.keepCanonical(scoped,
-          graft.ext.Similarity.semanticDupPairs(scoped,
+          graft.ext.Similarity.semanticDupPairs(scoped, nCentroids,
             threshold = threshold, idCol = source.key, vecCol = textField),
           source.key)
       case "lines" =>
@@ -155,27 +168,100 @@ class DedupBuilder(
             .select(col("cluster").alias("a"), col("id").alias("b"))),
           Some(kn))
       }
+    resolveDeltaAndRepair(idx, batch, examined,
+      newSigs.select(col("id"), col("sig")), pairs, oldEdges, known)
+  }
+
+  /** One incremental round against a persisted semantic (cell) index:
+    * same contract as the minhash round, but the per-doc state is
+    * `(vec, cell, centroid)` and candidate pairs are exact within-cell
+    * cosine comparisons (new×stored + new×new) against the FIRST run's
+    * persisted centroid draw — so repeated builds assign with the same
+    * inlined-argmax projection the batch plane uses and never re-score
+    * old×old pairs. */
+  private def runSemanticIndexed(idx: Store): BuildReport = {
+    import graft.ext.Similarity
+    val k = source.key
+    val corpus = scoped
+    val hasIndex = usableIndex(idx)
+    val batch =
+      (if (hasIndex)
+         corpus.join(idx.df.select(col("id").alias(k)), Seq(k), "left_anti")
+       else corpus).localCheckpoint(true)
+    val examined = batch.count()
+    if (examined == 0) { batch.unpersist(); return BuildReport(0, 0) }
+
+    val cents =
+      if (hasIndex)
+        broadcast(idx.df.filter(col("centroid"))
+          .select(col("id").alias("c_id"), col("vec").alias("c_vec")))
+      else {
+        // the same deterministic seeded draw as Similarity.semanticDupPairs
+        val order = Dedup.seededHash("xxh64", 0, col(k).cast("string"))
+        broadcast(batch.orderBy(order.asc, col(k).asc).limit(nCentroids)
+          .select(col(k).alias("c_id"), col(textField).alias("c_vec")))
+      }
+    val newCells = Similarity.assignToCells(batch, cents, k, textField, keep = 1)
+      .select(col("__rid").alias("id"), col("__rvec").alias("vec"), col("cell"))
+      .localCheckpoint(true)
+    val spark = newCells.sparkSession
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.cosine(spark, a, b)
+    val newNew = newCells
+      .select(col("cell"), col("id").alias("a"), col("vec").alias("va"))
+      .join(newCells.select(col("cell"), col("id").alias("b"), col("vec").alias("vb")),
+        Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(cos(col("va"), col("vb")) >= threshold)
+      .select(col("a"), col("b"))
+    val pairs =
+      if (!hasIndex) newNew
+      else newNew.unionByName(
+        // old member as a, new as b — disjoint batches need no ordering
+        idx.df.select(col("cell"), col("id").alias("a"), col("vec").alias("va"))
+          .join(newCells.select(col("cell"), col("id").alias("b"),
+            col("vec").alias("vb")), Seq("cell"))
+          .filter(cos(col("va"), col("vb")) >= threshold)
+          .select(col("a"), col("b")))
+    val known =
+      if (hasIndex)
+        Some(idx.df.select(col("id"), col("vec"), col("cell"),
+          col("centroid"), col("cluster")))
+      else None
+    val oldEdges = known.map(_.filter(col("cluster") =!= col("id"))
+      .select(col("cluster").alias("a"), col("id").alias("b")))
+    // first-run centroid rows are flagged; later batches never are
+    val newRows = newCells
+      .join(cents.select(col("c_id").alias("id")).withColumn("__c", lit(true)),
+        Seq("id"), "left_outer")
+      .withColumn("centroid", coalesce(col("__c"), lit(false))).drop("__c")
+    resolveDeltaAndRepair(idx, batch, examined, newRows, pairs, oldEdges, known)
+  }
+
+  /** Shared incremental tail (see class doc): min-label components over
+    * (new pairs ∪ stored cluster edges), then the batch-proportional
+    * index delta — new rows plus old rows whose label CHANGED this
+    * round. Min-label monotonicity (labels only decrease) means every
+    * other old row is byte-identical in the store already, and every
+    * doc whose canonical/loser status changed is in this delta; losers
+    * therefore only ever appear inside the delta (a dethroned old
+    * canonical has a changed label; an old loser stays a loser and was
+    * removed by the run that demoted it). `newRows0` carries
+    * `(id, payload…)`, `known` the same payload plus `cluster`. */
+  private def resolveDeltaAndRepair(idx: Store, batch: DataFrame,
+      examined: Long, newRows0: DataFrame, pairs: DataFrame,
+      oldEdges: Option[DataFrame], known: Option[DataFrame]): BuildReport = {
+    val k = source.key
     val edgeSet = oldEdges.foldLeft(pairs.select(col("a"), col("b")))(_ unionByName _)
     val labels = Dedup.clusters(edgeSet) // (id, cluster), checkpointed
-
-    // index delta — batch-proportional, never corpus-proportional: new
-    // rows, plus old rows whose label CHANGED this round. Min-label
-    // monotonicity (labels only decrease) means every other old row is
-    // byte-identical in the store already, and every doc whose
-    // canonical/loser status changed is in this delta.
-    val newRows = newSigs.join(labels, Seq("id"), "left_outer")
-      .select(col("id"), col("sig"),
-        coalesce(col("cluster"), col("id")).alias("cluster"))
+    val newRows = newRows0.join(labels, Seq("id"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
     val changedOld = known.map(_.withColumnRenamed("cluster", "__old")
         .join(labels, Seq("id"))
         .filter(col("cluster") =!= col("__old"))
-        .select(col("id"), col("sig"), col("cluster")))
+        .drop("__old"))
     val delta = changedOld.foldLeft(newRows)(_ unionByName _).localCheckpoint(true)
     idx.update(delta, Seq("id"))
-
-    // losers can only appear inside the delta (monotonicity again): a
-    // dethroned old canonical has a changed label; an old loser stays a
-    // loser and was removed by the run that demoted it
     val losers = delta.filter(col("id") =!= col("cluster"))
       .select(col("id").alias(k)).localCheckpoint(true)
     target.removeKeys(losers)

@@ -128,8 +128,9 @@ object Runner {
           method = str(n, "method", "minhash"),
           threshold = opt(n, "threshold").map(_.asDouble()).getOrElse(0.7),
           criteria = criteria(n),
-          // optional persisted signature index → incremental repeat builds
-          indexStore = opt(n, "index").map(i => stores(i.asText())))
+          // optional persisted signature/cell index → incremental repeats
+          indexStore = opt(n, "index").map(i => stores(i.asText())),
+          nCentroids = opt(n, "n_centroids").map(_.asInt()).getOrElse(16))
       case "decontaminate" =>
         new DecontaminateBuilder(store("source"), store("eval"),
           store("target"),

@@ -193,6 +193,52 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(builder().run().processed === 0)
   }
 
+  test("DedupBuilder incremental SEMANTIC: persisted centroid cells, batch-only repeat work") {
+    val s = spark; import s.implicits._
+    import graft.builder.DedupBuilder
+    import graft.store.MemoryStore
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    // 4 angular clusters (see BuilderSpec semantic test); copies pair at
+    // cosine 1.0, same-cluster mates stay below the 0.9999 threshold
+    def vec(i: Int): Seq[Double] =
+      Seq.tabulate(8)(d =>
+        if (d == i % 4) 1.0 else if (d == 4 + i % 4) 0.02 * i else 0.0)
+    val src = new MemoryStore(spark, "ssrc", key = "vec_id", lastUpdatedField = "lu")
+    src.load(((1 to 20).map(i => (i.toLong, vec(i), t0)) :+ ((21L, vec(1), t0)))
+      .toDF("vec_id", "embedding", "lu"))
+    val tgt = new MemoryStore(spark, "stgt", key = "vec_id", lastUpdatedField = "lu")
+    val idx = new MemoryStore(spark, "sidx", key = "id", lastUpdatedField = "cluster")
+    def builder() = new DedupBuilder(src, tgt, "embedding", "semantic",
+      threshold = 0.9999, indexStore = Some(idx))
+
+    // first build: 21 examined, copy 21 collapses onto 1, centroids persisted
+    val r1 = builder().run()
+    assert(r1.processed === 21)
+    assert(tgt.df.count() === 20)
+    assert(!tgt.df.select("vec_id").collect().map(_.getLong(0)).contains(21L))
+    assert(idx.df.count() === 21)
+    assert(idx.df.filter(col("centroid")).count() === 16)
+
+    // batch 2: 0 copies vec(1) (dethrones canonical 1); 22 copies vec(2)
+    src.update(Seq((0L, vec(1), t0), (22L, vec(2), t0))
+      .toDF("vec_id", "embedding", "lu"))
+    val b2 = builder()
+    assert(b2.pendingItems().select("vec_id").collect().map(_.getLong(0)).sorted
+      === Array(0L, 22L))
+    val r2 = builder().run()
+    assert(r2.processed === 2) // batch-proportional, not corpus-proportional
+    assert(idx.df.count() === 23)
+    // label change propagated to the stored old members of the cluster
+    assert(idx.df.filter(col("id").isin(0L, 1L, 21L)).select("cluster")
+      .collect().map(_.getLong(0)).toSet === Set(0L))
+    // target repaired: 1 dethroned by 0, 22 dropped, everything else kept
+    val kept = tgt.df.select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(kept === (Array(0L) ++ (2L to 20L)))
+
+    // unchanged corpus → zero work
+    assert(builder().run().processed === 0)
+  }
+
   test("Runner: validated store from spec drops schema-invalid docs on write") {
     val s = spark; import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("runner_val").toString
