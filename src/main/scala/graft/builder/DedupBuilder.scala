@@ -62,6 +62,7 @@ class DedupBuilder(
   require(indexStore.isEmpty || method == "minhash" || method == "semantic",
     "indexStore (incremental dedup) is only supported for " +
       s"method=minhash|semantic, got '$method'")
+  require(nCentroids > 0, s"nCentroids must be positive, got $nCentroids")
 
   private def scoped: DataFrame =
     criteria.map(c => MongoFilter(source.df, c)).getOrElse(source.df)
@@ -77,13 +78,41 @@ class DedupBuilder(
        else c.contains("sig"))
   }
 
+  /** Run-time index check: usable → incremental; EMPTY → first run; any
+    * other populated layout → refuse. Running full-corpus and upserting
+    * this method's rows into a foreign index (e.g. a minhash step and a
+    * semantic step sharing one `"index"` store ref) would union the
+    * schemas, and the next run would band against null payloads —
+    * silently never detecting those docs' duplicates. */
+  private def hasCompatibleIndex(idx: Store): Boolean = {
+    val usable = usableIndex(idx)
+    if (!usable && idx.df.columns.nonEmpty && !idx.df.isEmpty)
+      throw new IllegalArgumentException(
+        s"indexStore contains rows but not the '$method' index schema " +
+          s"(columns: ${idx.df.columns.mkString(", ")}) — refusing to mix index layouts")
+    usable
+  }
+
+  /** The one definition of "docs the index hasn't seen". */
+  private def unseen(df: DataFrame, idx: Store): DataFrame =
+    df.join(idx.df.select(col("id").alias(source.key)),
+      Seq(source.key), "left_anti")
+
   /** The candidate set for this build — the (scoped) source corpus, or
     * with an index the docs the index hasn't seen yet. */
   def pendingItems(): DataFrame = indexStore match {
-    case Some(idx) if usableIndex(idx) =>
-      scoped.join(idx.df.select(col("id").alias(source.key)),
-        Seq(source.key), "left_anti")
+    case Some(idx) if usableIndex(idx) => unseen(scoped, idx)
     case _ => scoped
+  }
+
+  /** Shared indexed-run preamble: this round's batch (checkpointed) and
+    * its size; `None` means the batch is empty and the run is a no-op. */
+  private def indexedBatch(idx: Store, hasIndex: Boolean)
+      : Option[(DataFrame, Long)] = {
+    val batch =
+      (if (hasIndex) unseen(scoped, idx) else scoped).localCheckpoint(true)
+    val examined = batch.count()
+    if (examined == 0) { batch.unpersist(); None } else Some((batch, examined))
   }
 
   def run(): BuildReport = indexStore match {
@@ -140,17 +169,11 @@ class DedupBuilder(
   /** One incremental round against the signature index (see class doc). */
   private def runIndexed(idx: Store): BuildReport = {
     val k = source.key
-    val corpus = scoped
-    val hasIndex = usableIndex(idx)
-
-    // batch = docs the index hasn't seen; first run sees the whole corpus
-    val batch =
-      (if (hasIndex)
-         corpus.join(idx.df.select(col("id").alias(k)), Seq(k), "left_anti")
-       else corpus).localCheckpoint(true)
-    val examined = batch.count()
-    if (examined == 0) { batch.unpersist(); return BuildReport(0, 0) }
-
+    val hasIndex = hasCompatibleIndex(idx)
+    val (batch, examined) = indexedBatch(idx, hasIndex) match {
+      case None => return BuildReport(0, 0)
+      case Some(be) => be
+    }
     // batch signatures: computed once, consumed by banding, verification
     // and the index write
     val newSigs = Dedup.minhashSignatures(batch, k, textField)
@@ -168,8 +191,10 @@ class DedupBuilder(
             .select(col("cluster").alias("a"), col("id").alias("b"))),
           Some(kn))
       }
-    resolveDeltaAndRepair(idx, batch, examined,
+    val r = resolveDeltaAndRepair(idx, batch, examined,
       newSigs.select(col("id"), col("sig")), pairs, oldEdges, known)
+    newSigs.unpersist()
+    r
   }
 
   /** One incremental round against a persisted semantic (cell) index:
@@ -182,25 +207,18 @@ class DedupBuilder(
   private def runSemanticIndexed(idx: Store): BuildReport = {
     import graft.ext.Similarity
     val k = source.key
-    val corpus = scoped
-    val hasIndex = usableIndex(idx)
-    val batch =
-      (if (hasIndex)
-         corpus.join(idx.df.select(col("id").alias(k)), Seq(k), "left_anti")
-       else corpus).localCheckpoint(true)
-    val examined = batch.count()
-    if (examined == 0) { batch.unpersist(); return BuildReport(0, 0) }
-
+    val hasIndex = hasCompatibleIndex(idx)
+    val (batch, examined) = indexedBatch(idx, hasIndex) match {
+      case None => return BuildReport(0, 0)
+      case Some(be) => be
+    }
     val cents =
       if (hasIndex)
         broadcast(idx.df.filter(col("centroid"))
           .select(col("id").alias("c_id"), col("vec").alias("c_vec")))
-      else {
-        // the same deterministic seeded draw as Similarity.semanticDupPairs
-        val order = Dedup.seededHash("xxh64", 0, col(k).cast("string"))
-        broadcast(batch.orderBy(order.asc, col(k).asc).limit(nCentroids)
-          .select(col(k).alias("c_id"), col(textField).alias("c_vec")))
-      }
+      else
+        // the ONE deterministic draw shared with the batch plane
+        Similarity.centroidDraw(batch, nCentroids, k, textField)
     val newCells = Similarity.assignToCells(batch, cents, k, textField, keep = 1)
       .select(col("__rid").alias("id"), col("__rvec").alias("vec"), col("cell"))
       .localCheckpoint(true)
@@ -235,7 +253,10 @@ class DedupBuilder(
       .join(cents.select(col("c_id").alias("id")).withColumn("__c", lit(true)),
         Seq("id"), "left_outer")
       .withColumn("centroid", coalesce(col("__c"), lit(false))).drop("__c")
-    resolveDeltaAndRepair(idx, batch, examined, newRows, pairs, oldEdges, known)
+    val r = resolveDeltaAndRepair(idx, batch, examined, newRows, pairs,
+      oldEdges, known)
+    newCells.unpersist()
+    r
   }
 
   /** Shared incremental tail (see class doc): min-label components over

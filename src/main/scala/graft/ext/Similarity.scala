@@ -133,17 +133,27 @@ object Similarity {
     * (broadcast centroid table, one scan); a query probes the `nprobe`
     * nearest centroid cells and reranks exactly inside them — touching
     * ~nprobe/nCentroids of the corpus instead of all of it. */
+  /** The ONE deterministic centroid draw shared by [[ivfTopK]],
+    * [[semanticDupPairs]] and the incremental semantic builder: a
+    * TakeOrdered pass by seeded id-hash (no global sort, no driver
+    * materialization), broadcast-ready. Callers that persist the draw
+    * (the incremental index) replay the exact same cells the batch
+    * plane computes. */
+  private[graft] def centroidDraw(corpus: DataFrame, nCentroids: Int,
+                                  idCol: String, vecCol: String,
+                                  family: String = "xxh64"): DataFrame = {
+    val centOrder = graft.ext.Dedup.seededHash(family, 0, col(idCol).cast("string"))
+    broadcast(
+      corpus.orderBy(centOrder.asc, col(idCol).asc).limit(nCentroids)
+        .select(col(idCol).alias("c_id"), col(vecCol).alias("c_vec")))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               family: String = "xxh64")
       : DataFrame = {
-    // deterministic pseudo-random centroid pick: one TakeOrdered pass by
-    // id-hash — no global sort, no driver materialization
-    val centOrder = graft.ext.Dedup.seededHash(family, 0, col(idCol).cast("string"))
-    val cents = broadcast(
-      corpus.orderBy(centOrder.asc, col(idCol).asc).limit(nCentroids)
-        .select(col(idCol).alias("c_id"), col(vecCol).alias("c_vec")))
+    val cents = centroidDraw(corpus, nCentroids, idCol, vecCol, family)
     val cells = assignToCells(corpus, cents, idCol, vecCol, keep = 1)
       .select(col("__rid").alias("n_id"), col("__rvec").alias("n_vec"), col("cell"))
     val probes = assignToCells(queries, cents, idCol, vecCol, keep = nprobe)
@@ -319,10 +329,7 @@ object Similarity {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        family: String = "xxh64"): DataFrame = {
-    val centOrder = graft.ext.Dedup.seededHash(family, 0, col(idCol).cast("string"))
-    val cents = broadcast(
-      corpus.orderBy(centOrder.asc, col(idCol).asc).limit(nCentroids)
-        .select(col(idCol).alias("c_id"), col(vecCol).alias("c_vec")))
+    val cents = centroidDraw(corpus, nCentroids, idCol, vecCol, family)
     val cells = assignToCells(corpus, cents, idCol, vecCol, keep = 1)
     val a = cells.select(col("cell"), col("__rid").alias("a"), col("__rvec").alias("va"))
     val b = cells.select(col("cell"), col("__rid").alias("b"), col("__rvec").alias("vb"))

@@ -104,11 +104,8 @@ object TextAnalysis {
     * words containing an alphabetic character ≥ 0.8. */
   def gopherRules(text: Column, minWords: Int = 50,
                   maxWords: Int = 100000): Column = {
-    val words = tokens(text)
-    val n = size(words).cast("double")
-    val meanLen = when(n > 0,
-      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / n)
-      .otherwise(lit(0.0))
+    val n = size(tokens(text)).cast("double")
+    val meanLen = meanTokenLen(text)
     val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
       .cast("double")
     val alphaWords = size(regexp_extract_all(lower(text),

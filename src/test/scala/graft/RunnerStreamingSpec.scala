@@ -237,6 +237,15 @@ class RunnerStreamingSpec extends SparkSpec {
 
     // unchanged corpus → zero work
     assert(builder().run().processed === 0)
+
+    // a populated index with a FOREIGN layout is refused, not silently
+    // merged (null payloads would suppress duplicate detection later)
+    val minhashTgt = new MemoryStore(spark, "mtg", key = "vec_id", lastUpdatedField = "lu")
+    val e = intercept[IllegalArgumentException] {
+      new DedupBuilder(src, minhashTgt, "embedding", "minhash",
+        threshold = 0.5, indexStore = Some(idx)).run()
+    }
+    assert(e.getMessage.contains("refusing to mix index layouts"))
   }
 
   test("Runner: validated store from spec drops schema-invalid docs on write") {
