@@ -727,6 +727,19 @@ object SparkEntry {
         orderCol = "doc_id", tokensCol = "n_tokens", seqLen = 2048)
         .orderBy("doc_id")),
 
+    // materialized packs: concat each fixed-length sequence's docs in
+    // order — the data-loader end of sample_pack_sequences
+    "sample_packed_text" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).alias("n_tokens"))
+      Sampling.materializePacks(
+          Sampling.packSequences(toks, "doc_id", "n_tokens", seqLen = 2048),
+          "doc_id", "text")
+        .select(col("pack_id"), col("n_docs"),
+          md5(col("text").cast("binary")).alias("pack_md5"))
+        .orderBy("pack_id")
+    }),
+
     // training-mix dial: per-language sampling rates as one pushdown
     // filter; md5 family so the oracle replays membership exactly
     "sample_weighted_mix" -> ((s, dir) =>
@@ -1199,6 +1212,13 @@ object SparkEntry {
          "p AS (SELECT doc_id, n_tokens, COALESCE(CAST(sum(n_tokens) OVER " +
          "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pre FROM toks) " +
          "SELECT doc_id, n_tokens, pre // 2048 AS pack_id, pre % 2048 AS pack_offset FROM p ORDER BY doc_id"),
+      "sample_packed_text" ->
+        ("WITH toks AS (SELECT doc_id, text, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents), " +
+         "p AS (SELECT doc_id, text, COALESCE(CAST(sum(n_tokens) OVER " +
+         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 2048 AS pack_id FROM toks) " +
+         "SELECT pack_id, count(*) AS n_docs, " +
+         "md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS pack_md5 " +
+         "FROM p GROUP BY pack_id ORDER BY pack_id"),
       "sample_weighted_mix" -> {
         val h = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
         s"SELECT doc_id, lang, source FROM documents WHERE $h % 10000 < " +

@@ -143,6 +143,21 @@ object Sampling {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Materialize packed training sequences: group [[packSequences]]
+    * output by `pack_id` and concatenate each pack's texts in
+    * `orderCol` order — the final "concat docs into fixed-length
+    * sequences" step of a GPT-style data loader. One hash-agg shuffle
+    * on the pack id; per-pack state is bounded by seqLen's doc count.
+    * Returns `(pack_id, n_docs, text)`. */
+  def materializePacks(packed: DataFrame, orderCol: String, textCol: String,
+                       sep: String = "\n\n"): DataFrame =
+    packed.groupBy(col("pack_id"))
+      .agg(
+        count(lit(1)).alias("n_docs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+          x => x.getField(textCol)), sep).alias(textCol))
+
   /** Per-stratum weighted mixture: deterministic hash sampling with a
     * different rate per stratum value (the "20% code, 50% web, 100%
     * books" training-mix dial). Same stable-membership contract as

@@ -416,6 +416,17 @@ class ExtQualitySpec extends SparkSpec {
     assert(got.toSeq === want)
     // a doc straddling a boundary belongs to the pack of its FIRST token
     assert(got.map(_._2).distinct.length > 1)
+    // materialization: each pack concatenates its rows in key order
+    val rows2 = (1L to 500L).map(i => (i, (i * 7 % 40) + 1, s"d$i"))
+      .toDF("k", "toks", "text")
+    val packs = Sampling.materializePacks(
+      Sampling.packSequences(rows2, "k", "toks", seqLen = 128, numPartitions = 8),
+      "k", "text", sep = "|").collect()
+      .map(r => r.getAs[Long]("pack_id") -> r.getAs[String]("text")).toMap
+    val wantPacks = want.groupBy(_._2).map { case (p, ds) =>
+      p -> ds.map(d => s"d${d._1}").mkString("|")
+    }
+    assert(packs === wantPacks)
   }
 
   test("weightedMix: per-stratum rates within tolerance, membership append-stable") {
