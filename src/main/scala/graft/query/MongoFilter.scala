@@ -92,10 +92,17 @@ object MongoFilter {
       .getOrElse(identity)
   }
 
+  /** BSON extended-JSON wrappers (`{"$date": …}`, `{"$oid": …}`) are
+    * literal VALUES, not operator docs — direct equality against them
+    * must not route through the operator dispatch. */
+  private def isExtendedLiteral(v: JsonNode): Boolean =
+    v.isObject && v.size() == 1 && (v.has("$date") || v.has("$oid"))
+
   /** One field → value-or-operator-doc. */
   private def compileField(field: String, v: JsonNode,
                            schema: Option[StructType]): Column = {
-    if (v.isObject && v.fieldNames().asScala.exists(_.startsWith("$"))) {
+    if (v.isObject && !isExtendedLiteral(v)
+        && v.fieldNames().asScala.exists(_.startsWith("$"))) {
       v.fields().asScala.map { e =>
         compileOp(field, e.getKey, e.getValue, schema)
       }.reduce(_ && _)
@@ -128,7 +135,15 @@ object MongoFilter {
     // negative ones everything ($exists has its own handling below)
     if (absent(schema, field) && op != "$exists")
       return op match {
-        case "$ne" | "$nin" | "$not" => lit(true)
+        // missing ≡ null, so a null operand flips the negative operators:
+        // {m: {$ne: null}} and {m: {$nin: [null,…]}} match NOTHING
+        case "$ne" => if (v.isNull) lit(false) else lit(true)
+        case "$nin" =>
+          if (v.isArray && v.elements().asScala.exists(_.isNull)) lit(false)
+          else lit(true)
+        // $not recurses: the absent branches of the inner operators emit
+        // pure literals, so no unresolvable column reference is built
+        case "$not" => !coalesce(compileField(field, v, schema), lit(false))
         case "$eq" => eqMatch(field, v, schema)
         case _ => lit(false)
       }
@@ -153,7 +168,14 @@ object MongoFilter {
           case Some(_: ArrayType) =>
             // Mongo $in on an array field: any element ∈ vs
             arrays_overlap(c, array(vs.map(lit): _*))
-          case _ => c.isin(vs: _*)
+          case _ =>
+            // null in the list matches null values (Mongo); strip it
+            // from isin so three-valued logic can't poison the rest
+            val nonNull = vs.filterNot(_ == null)
+            val base =
+              if (nonNull.nonEmpty) coalesce(c.isin(nonNull: _*), lit(false))
+              else lit(false)
+            if (vs.contains(null)) base || c.isNull else base
         }
       case "$nin" =>
         val vs = values(v)
@@ -161,7 +183,13 @@ object MongoFilter {
           case Some(_: ArrayType) =>
             // null arrays overlap nothing → they match $nin
             !coalesce(arrays_overlap(c, array(vs.map(lit): _*)), lit(false))
-          case _ => !c.isin(vs: _*) || c.isNull
+          case _ =>
+            // value ∉ list; null values match UNLESS null ∈ list
+            val nonNull = vs.filterNot(_ == null)
+            val notIn =
+              if (nonNull.nonEmpty) !coalesce(c.isin(nonNull: _*), lit(false))
+              else lit(true)
+            if (vs.contains(null)) notIn && c.isNotNull else notIn
         }
       case "$exists" =>
         val present = schema.forall(hasPath(_, field))
@@ -195,7 +223,10 @@ object MongoFilter {
         case "$lt"  => x < lit(literal(e.getValue))
         case "$lte" => x <= lit(literal(e.getValue))
         case "$in"  => x.isin(values(e.getValue): _*)
-        case k      => x.getField(k.stripPrefix("$")) === lit(literal(e.getValue))
+        case k if k.startsWith("$") => throw new IllegalArgumentException(
+          s"unsupported $$elemMatch operator: $k")
+        // non-$ key: struct-element field equality
+        case k      => x.getField(k) === lit(literal(e.getValue))
       }
     }.reduce(_ && _)
   }

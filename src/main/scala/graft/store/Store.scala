@@ -59,7 +59,10 @@ trait Store {
     if (!present)
       return spark.emptyDataFrame.withColumn(field.replace('.', '_'), lit(null)).limit(0)
     val proj =
-      if (isArray) base.select(explode(col(field)).alias(field.replace('.', '_')))
+      // explode_outer: a doc whose array VALUE is null contributes null
+      // (the documented "null values are included" contract — plain
+      // explode would drop the row entirely)
+      if (isArray) base.select(explode_outer(col(field)).alias(field.replace('.', '_')))
       else base.select(col(field).alias(field.replace('.', '_')))
     proj.distinct()
   }
@@ -109,8 +112,12 @@ trait Store {
     val docProps =
       if (properties.nonEmpty) (properties ++ keys).distinct else Nil
     val base = QueryParams(criteria, docProps, sort, skip, limit)(df)
-    val docCols = if (docProps.nonEmpty) docProps else base.columns.toSeq
-    base.groupBy(keys.map(col): _*)
+    // the QueryParams projection aliases dot-paths to flat leaf names
+    // ("a.b" → "a_b"); group keys and doc columns must reference those
+    // POST-projection names or dotted properties fail resolution
+    val flat = (s: String) => if (docProps.nonEmpty) s.replace('.', '_') else s
+    val docCols = if (docProps.nonEmpty) docProps.map(flat) else base.columns.toSeq
+    base.groupBy(keys.map(k => col(flat(k))): _*)
       .agg(collect_list(struct(docCols.map(col): _*)).alias("docs"))
   }
 

@@ -5,6 +5,8 @@ import graft.store.Store
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** C13 `JointStore` (reference `stores/compound_stores.py:14-314`):
   * read-only left-outer equi-join of N stores on a shared key.
   *
@@ -32,7 +34,15 @@ class JointStore(
 
   def spark: SparkSession = main.spark
   def key: String = main.key
-  override def lastUpdatedField: String = main.lastUpdatedField
+  /** The combined `greatest`-of-all-stores timestamp when any member
+    * carries one — so `lastUpdated`/`newerIn` see updates landing in a
+    * NON-main store (the reference's `$addFields {lu: $max[...]}` is the
+    * timestamp the view is queried by, `compound_stores.py:201-204`). */
+  override def lastUpdatedField: String =
+    if (main.df.columns.contains(main.lastUpdatedField) ||
+        others.exists { case (_, o) => o.df.columns.contains(o.lastUpdatedField) })
+      "_joint_last_updated"
+    else main.lastUpdatedField
   val name: String = s"joint:${(main.name +: others.map(_._1)).mkString("+")}"
 
   def df: DataFrame = {
@@ -110,11 +120,14 @@ class ConcatStore(val stores: Seq[Store], val name: String = "concat")
 class AliasingStore(val inner: Store, val aliases: Map[String, String])
   extends Store {
   def spark: SparkSession = inner.spark
-  def key: String = inner.key
-  override def lastUpdatedField: String = inner.lastUpdatedField
-  val name: String = s"alias:${inner.name}"
-
   private val internalToExternal: Map[String, String] = aliases.map(_.swap)
+  // the contract fields surface EXTERNAL names, like every read: an
+  // aliased key/timestamp otherwise breaks key-addressed operations
+  // (newerIn/groupby would reference a column df does not expose)
+  def key: String = internalToExternal.getOrElse(inner.key, inner.key)
+  override def lastUpdatedField: String =
+    internalToExternal.getOrElse(inner.lastUpdatedField, inner.lastUpdatedField)
+  val name: String = s"alias:${inner.name}"
 
   def df: DataFrame = {
     val d = inner.df
@@ -134,13 +147,38 @@ class AliasingStore(val inner: Store, val aliases: Map[String, String])
     inner.update(renamed, keyFields.map(k => aliases.getOrElse(k, k)))
   }
   override def removeDocs(criteria: String): Unit = {
-    // criteria arrives in external names; rewrite keys to internal
-    val rewritten = aliases.foldLeft(criteria) { case (c, (ext, int)) =>
-      c.replace("\"" + ext + "\"", "\"" + int + "\"")
+    // criteria arrives in external names; rewrite FIELD KEYS to internal
+    // via the JSON tree — a string replace would also rewrite matching
+    // value strings and delete the wrong documents
+    val mapper = graft.builder.MapBuilder.mapper
+    def rename(n: com.fasterxml.jackson.databind.JsonNode)
+        : com.fasterxml.jackson.databind.JsonNode = n match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        val out = mapper.createObjectNode()
+        o.fields().asScala.foreach { e =>
+          val k =
+            if (e.getKey.startsWith("$")) e.getKey
+            else aliases.getOrElse(e.getKey, e.getKey)
+          out.set[com.fasterxml.jackson.databind.JsonNode](k, rename(e.getValue))
+        }
+        out
+      case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+        val out = mapper.createArrayNode()
+        a.elements().asScala.foreach(e =>
+          out.add(rename(e)))
+        out
+      case other => other
     }
-    inner.removeDocs(rewritten)
+    inner.removeDocs(mapper.writeValueAsString(rename(mapper.readTree(criteria))))
   }
-  override def removeKeys(keys: DataFrame): Unit = inner.removeKeys(keys)
+  override def removeKeys(keys: DataFrame): Unit = {
+    // keys arrive under the EXTERNAL key name; translate for the inner
+    val renamed =
+      if (key != inner.key && keys.columns.contains(key))
+        keys.withColumnRenamed(key, inner.key)
+      else keys
+    inner.removeKeys(renamed)
+  }
 }
 
 /** C16 `SandboxStore` (reference `stores/advanced_stores.py:391-546`):
@@ -178,8 +216,13 @@ class SandboxStore(val inner: Store, val sandbox: String,
       else docs.withColumn("sbxn", array(lit(sandbox)))
     inner.update(tagged, keyFields)
   }
-  override def removeDocs(criteria: String): Unit = inner.removeDocs(criteria)
-  override def removeKeys(keys: DataFrame): Unit = inner.removeKeys(keys)
+  // deletes are sandbox-scoped like reads: resolving the criteria against
+  // the FILTERED view and deleting by key means a sandbox can never
+  // remove another sandbox's (or, in exclusive mode, untagged) documents
+  override def removeDocs(criteria: String): Unit =
+    inner.removeKeys(MongoFilter(df, criteria).select(col(key)))
+  override def removeKeys(keys: DataFrame): Unit =
+    inner.removeKeys(keys.join(df.select(col(key)), Seq(key), "left_semi"))
 }
 
 /** Validator-attached store (reference `core/store.py` `validator`

@@ -61,6 +61,57 @@ class JsonViewsSpec extends SparkSpec {
     assert(inner.query("""{"internal_name": "z"}""").count() === 1)
   }
 
+  test("AliasingStore: aliased key surfaces externally; deletes rewrite keys not values") {
+    val s = spark; import s.implicits._
+    val inner = new MemoryStore(spark, "inner2", key = "task_id", lastUpdatedField = "ts")
+    inner.load(Seq((1L, "type", 10), (2L, "other", 20))
+      .toDF("task_id", "label", "internal_val"))
+    val aliased = new AliasingStore(inner,
+      Map("task" -> "task_id", "type" -> "internal_val"))
+    // the contract fields speak external names, like every read
+    assert(aliased.key === "task")
+    assert(aliased.df.columns.contains("task"))
+    // criteria VALUE "type" must not be rewritten to the internal name
+    // of the aliased FIELD "type" (string replace would delete doc 1)
+    aliased.removeDocs("""{"label": "type"}""")
+    assert(inner.df.count() === 1)
+    assert(inner.df.select("task_id").collect()(0).getLong(0) === 2L)
+    // removeKeys arrives under the external key name
+    aliased.removeKeys(Seq(2L).toDF("task"))
+    assert(inner.df.count() === 0)
+  }
+
+  test("SandboxStore: deletes are sandbox-scoped (cannot touch other sandboxes)") {
+    val s = spark; import s.implicits._
+    val inner = new MemoryStore(spark, "innersb", key = "task_id")
+    inner.load(Seq(
+      (1L, Seq("core"), "a"), (2L, Seq("other"), "a"), (3L, null, "a")
+    ).toDF("task_id", "sbxn", "v"))
+    val core = new SandboxStore(inner, "core")
+    // criteria matches ALL docs, but only sandbox-visible ones (1, 3) go
+    core.removeDocs("""{"v": "a"}""")
+    assert(inner.df.select("task_id").collect().map(_.getLong(0)).toSet === Set(2L))
+    // removeKeys equally scoped: key 2 belongs to another sandbox
+    inner.load(Seq((1L, Seq("core"), "a"), (2L, Seq("other"), "a"))
+      .toDF("task_id", "sbxn", "v"))
+    core.removeKeys(Seq(1L, 2L).toDF("task_id"))
+    assert(inner.df.select("task_id").collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
+  test("JointStore.lastUpdatedField is the combined timestamp (non-main updates visible)") {
+    val s = spark; import s.implicits._
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val main = new TableStore(s, Seq((1L, "m", t1)).toDF("k", "mv", "last_updated"),
+      "main", "k")
+    val other = new TableStore(s, Seq((1L, "o", t2)).toDF("k", "ov", "last_updated"),
+      "other", "k")
+    val j = new JointStore(main, Seq("oth" -> other))
+    assert(j.lastUpdatedField === "_joint_last_updated")
+    // lastUpdated sees the NON-main store's newer timestamp
+    assert(j.lastUpdated === Some(t2))
+  }
+
   test("SandboxStore: predicate injection + write tagging (advanced_stores.py:422-507)") {
     val s = spark; import s.implicits._
     val inner = new MemoryStore(spark, "inner", key = "task_id")

@@ -69,6 +69,38 @@ class MongoFilterSpec extends SparkSpec {
     assert(MongoFilter(d2, """{"$expr": {"$eq": [{"$arrayElemAt": ["$state", 0]}, "submitted"]}}""").count() === 2)
   }
 
+  test("extended-JSON literal equality: {$date}/{$oid} are values, not operators") {
+    val s = spark; import s.implicits._
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-06-01T00:00:00Z"))
+    val d = Seq((1L, ts, "64f1deadbeefdeadbeefdead"),
+      (2L, java.sql.Timestamp.from(java.time.Instant.parse("2025-01-01T00:00:00Z")), "aa"))
+      .toDF("k", "ts", "oid")
+    assert(MongoFilter(d, """{"ts": {"$date": "2024-06-01T00:00:00Z"}}""").count() === 1)
+    assert(MongoFilter(d, """{"oid": {"$oid": "64f1deadbeefdeadbeefdead"}}""").count() === 1)
+  }
+
+  test("$in/$nin with null in the list follow Mongo null semantics") {
+    // a=null doc exists; scalar field a over [1,4,7,null]
+    assert(n("""{"a": {"$in": [1, null]}}""") === 2)  // 1 and the null doc
+    assert(n("""{"a": {"$in": [null]}}""") === 1)
+    assert(n("""{"a": {"$nin": [null, 7]}}""") === 2) // 1 and 4; null excluded
+    assert(n("""{"a": {"$nin": [7]}}""") === 3)       // 1, 4, and the null doc
+  }
+
+  test("absent-field negatives with null operand match nothing (missing ≡ null)") {
+    assert(n("""{"m": {"$ne": null}}""") === 0)
+    assert(n("""{"m": {"$ne": 5}}""") === 4)
+    assert(n("""{"m": {"$nin": [null]}}""") === 0)
+    assert(n("""{"m": {"$nin": [5]}}""") === 4)
+    assert(n("""{"m": {"$not": {"$eq": null}}}""") === 0)
+  }
+
+  test("$elemMatch rejects unsupported $-operators instead of guessing a field") {
+    intercept[IllegalArgumentException] {
+      n("""{"tags": {"$elemMatch": {"$nin": ["x"]}}}""")
+    }
+  }
+
   test("QueryParams canonical fold: match→sort→project→skip→limit") {
     val out = QueryParams(
       criteria = Some("""{"a": {"$gte": 1}}"""),

@@ -56,6 +56,30 @@ class StoreSpec extends SparkSpec {
     assert(sizes === Map("a" -> 2, "b" -> 1, "c" -> 1))
   }
 
+  test("distinct on array fields keeps null-valued docs (explode_outer)") {
+    val s = spark; import s.implicits._
+    val st = new MemoryStore(spark, "dn", key = "k")
+    st.load(Seq((1L, Seq("a", "b")), (2L, null)).toDF("k", "f"))
+    val vals = st.distinct("f").collect().map(r =>
+      Option(r.getString(0)).getOrElse("<null>")).toSet
+    assert(vals === Set("a", "b", "<null>"))
+  }
+
+  test("groupby with dot-path properties references the projected flat names") {
+    val s = spark; import s.implicits._
+    val st = new MemoryStore(spark, "gp", key = "k")
+    st.load(Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L)).toDF("k", "g", "n")
+      .select(col("k"), col("g"), struct(col("n").alias("x")).alias("nested")))
+    val grouped = st.groupby(Seq("g"), properties = Seq("nested.x", "k"))
+      .orderBy("g").collect()
+    assert(grouped.length === 2)
+    val docs = grouped(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("docs")
+    assert(docs.size === 2)
+    // projected dotted property surfaces under its flat alias; docs
+    // carry properties ∪ group keys (reference $project shape)
+    assert(docs.head.schema.fieldNames.toSet === Set("nested_x", "k", "g"))
+  }
+
   test("update = upsert by key; last-write-wins within batch") {
     val s = spark; import s.implicits._
     val st = mkStore()
