@@ -71,7 +71,12 @@ class ReadResource(
     sc.setJobGroup(group, "graft http request", interruptOnCancel = true)
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
     val cancel = new java.util.TimerTask {
-      def run(): Unit = { fired.set(true); sc.cancelJobGroupAndFutureJobs(group) }
+      // NEVER let a throw escape: an uncaught exception (e.g. cancelling
+      // on a stopped SparkContext) kills the shared Timer thread, after
+      // which every timed request fails at schedule()
+      def run(): Unit =
+        try { fired.set(true); sc.cancelJobGroupAndFutureJobs(group) }
+        catch { case _: Throwable => () }
     }
     ReadResource.watchdog.schedule(cancel, timeoutMs)
     try body
@@ -85,7 +90,11 @@ class ReadResource(
 
   /** GET/POST search: params → operator compile → `{data, meta}`. */
   def search(params: Map[String, String]): String = timed {
-    val qp = withDefault(QueryOperator.compile(params, ops))
+    val qp0 = withDefault(QueryOperator.compile(params, ops))
+    // the bounded-collect contract must hold even for a resource built
+    // WITHOUT a PaginationQuery: an uncapped search would collect the
+    // whole store onto the serving driver
+    val qp = if (qp0.limit.isEmpty) qp0.copy(limit = Some(1000)) else qp0
     val total = store.count(qp.criteria) // keeps the footer-count fast path
     // limit ≤ maxLimit by PaginationQuery contract → bounded collect
     val results = ops.foldLeft(store.query(qp))((d, op) => op.postProcess(d, params))
@@ -286,7 +295,7 @@ object GraftHttp {
           }
         } catch {
           case e: Throwable =>
-            send(ex, 500, s"""{"error": "${String.valueOf(e.getMessage).replace("\"", "'").take(500)}"}""".getBytes(UTF_8), "application/json")
+            send(ex, 500, s"""{"error": ${Json.str(String.valueOf(e.getMessage).take(500))}}""".getBytes(UTF_8), "application/json")
         }
       })
     }
@@ -329,9 +338,9 @@ object GraftHttp {
           }
         } catch {
           case ApiError(status, msg) =>
-            send(ex, status, s"""{"error": "${msg.replace("\"", "'")}"}""")
+            send(ex, status, s"""{"error": ${Json.str(msg)}}""")
           case e: Throwable =>
-            send(ex, 500, s"""{"error": "${String.valueOf(e.getMessage).replace("\"", "'").take(500)}"}""")
+            send(ex, 500, s"""{"error": ${Json.str(String.valueOf(e.getMessage).take(500))}}""")
         }
       })
     }

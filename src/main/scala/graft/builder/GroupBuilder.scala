@@ -116,7 +116,7 @@ class GroupBuilder(
     val tuples = pendingItems().select(col(gk)).distinct()
     val cuts = tuples.stat.approxQuantile(gk,
       (1 until n).map(_.toDouble / n).toArray, 0.001).distinct.sorted
-    Prechunk.rangeCriteria(gk, cuts)
+    Prechunk.rangeCriteria(gk, cuts.toSeq, criteria)
   }
 
   def run(): BuildReport = {
@@ -148,7 +148,26 @@ class GroupBuilder(
     ).head()
     val processed = counts.getLong(0)
     val failed = counts.getLong(1)
-    if (processed > 0) target.update(mat, Seq(target.key))
+    if (processed > 0) {
+      // a re-merged group can land under a NEW target key (a new member
+      // with a smaller source key joins): the old group doc — stale
+      // membership, stale aggregates — must not survive next to the new
+      // one. Stale docs = old target keys whose plural membership
+      // intersects this batch's membership under a DIFFERENT key; one
+      // membership-explode join, batch-proportional on the new side.
+      if (target.df.columns.contains(pluralKeys) &&
+          mat.columns.contains(pluralKeys)) {
+        val newPairs = mat.select(col(target.key).alias("__nk"),
+          explode(col(pluralKeys)).alias("__m"))
+        val oldPairs = target.df.select(col(target.key).alias("__ok"),
+          explode(col(pluralKeys)).alias("__m"))
+        val stale = oldPairs.join(newPairs, Seq("__m"))
+          .filter(col("__ok") =!= col("__nk"))
+          .select(col("__ok").alias(target.key)).distinct()
+        target.removeKeys(stale)
+      }
+      target.update(mat, Seq(target.key))
+    }
     mat.unpersist()
     BuildReport(processed, failed)
   }
@@ -242,16 +261,25 @@ object GroupBuilder {
 }
 
 /** Shared range-split criteria emission for `prechunk` (MapBuilder splits
-  * pending keys, GroupBuilder splits pending grouping tuples). */
+  * pending keys, GroupBuilder splits pending grouping tuples). `scope` is
+  * the builder's own criteria: each chunk must carry it ($and-composed),
+  * or a scoped chunked run would process every doc in its key range —
+  * a superset of the delta the build was meant to touch. */
 private[builder] object Prechunk {
-  def rangeCriteria(field: String, cuts: Seq[Double]): Seq[String] = {
+  def rangeCriteria(field: String, cuts: Seq[Double],
+                    scope: Option[String] = None): Seq[String] = {
     val bounds: Seq[Option[Double]] = (None +: cuts.map(Option(_))) :+ None
-    bounds.sliding(2).map {
+    val ranges = bounds.sliding(2).map {
       case Seq(None, None)        => "{}"
       case Seq(None, Some(hi))    => s"""{"$field": {"$$lt": $hi}}"""
       case Seq(Some(lo), None)    => s"""{"$field": {"$$gte": $lo}}"""
       case Seq(Some(lo), Some(hi)) =>
         s"""{"$field": {"$$gte": $lo, "$$lt": $hi}}"""
     }.toSeq
+    ranges.map {
+      case r if scope.isEmpty => r
+      case "{}"               => scope.get
+      case r                  => s"""{"$$and": [${scope.get}, $r]}"""
+    }
   }
 }

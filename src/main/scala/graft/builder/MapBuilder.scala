@@ -88,7 +88,7 @@ class MapBuilder(
     val keys = pendingKeys()
     val cuts = keys.stat.approxQuantile(source.key,
       (1 until n).map(_.toDouble / n).toArray, 0.001).distinct.sorted
-    Prechunk.rangeCriteria(source.key, cuts.toSeq)
+    Prechunk.rangeCriteria(source.key, cuts.toSeq, criteria)
   }
 
   def run(): BuildReport = {

@@ -37,17 +37,25 @@ object Runner {
     }.toMap
 
     val reporter = new Reporting(spark, reporting)
-    val results = spec.get("builders").elements().asScala.zipWithIndex.map {
-      case (b, i) =>
-        val typ = b.get("type").asText()
-        val label = s"$typ#$i"
-        reporter.event(label, "BUILD_STARTED")
-        val report = buildBuilder(b, stores).run()
-        reporter.event(label, "BUILD_ENDED", report)
-        label -> report
-    }.toSeq
-    reporter.flush()
-    RunReport(results)
+    // flush in finally: a failing builder must not discard the telemetry
+    // of the builders that already ran, and the failure itself is an
+    // event (the E6 ReportingHandler records errors, utils.py:221-263)
+    try {
+      val results = spec.get("builders").elements().asScala.zipWithIndex.map {
+        case (b, i) =>
+          val typ = b.get("type").asText()
+          val label = s"$typ#$i"
+          reporter.event(label, "BUILD_STARTED")
+          val report =
+            try buildBuilder(b, stores).run()
+            catch { case e: Throwable =>
+              reporter.event(label, "BUILD_FAILED"); throw e
+            }
+          reporter.event(label, "BUILD_ENDED", report)
+          label -> report
+      }.toSeq
+      RunReport(results)
+    } finally reporter.flush()
   }
 
   private def opt(n: JsonNode, f: String): Option[JsonNode] =

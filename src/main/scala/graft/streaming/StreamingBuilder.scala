@@ -30,42 +30,30 @@ class StreamingBuilder(
 
   require(source.isStreaming, "StreamingBuilder needs a streaming DataFrame")
 
-  /** Start the continuous build; returns the query handle. */
-  def start(): StreamingQuery = {
+  /** The one write-path definition shared by [[start]] and [[runOnce]]
+    * (watermark guard → transform → update-mode foreachBatch upsert →
+    * checkpoint wiring); only the trigger differs. */
+  private def launch(trigger: Option[Trigger]): StreamingQuery = {
     val lu = target.lastUpdatedField
     val watermarked = watermarkDelay match {
       case Some(d) if source.columns.contains(lu) => source.withWatermark(lu, d)
       case _ => source
     }
-    val shaped = transform(watermarked)
-    var writer = shaped.writeStream
+    var writer = transform(watermarked).writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) target.update(batch, Seq(target.key))
       }
+    trigger.foreach(t => writer = writer.trigger(t))
     checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
     writer.start()
   }
 
+  /** Start the continuous build; returns the query handle. */
+  def start(): StreamingQuery = launch(None)
+
   /** Drain all currently-available input then stop (test/backfill mode). */
-  def runOnce(): Unit = {
-    val q = {
-      val lu = target.lastUpdatedField
-      val watermarked = watermarkDelay match {
-        case Some(d) if source.columns.contains(lu) => source.withWatermark(lu, d)
-        case _ => source
-      }
-      var writer = transform(watermarked).writeStream
-        .outputMode("update")
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          if (!batch.isEmpty) target.update(batch, Seq(target.key))
-        }
-      checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
-      writer.start()
-    }
-    q.awaitTermination()
-  }
+  def runOnce(): Unit = launch(Some(Trigger.AvailableNow())).awaitTermination()
 }
 
 object StreamingBuilder {

@@ -115,6 +115,42 @@ class BuilderSpec extends SparkSpec {
       criteria = Some("""{"k": {"$ne": 3}}""")).pendingIds().count() === 0)
   }
 
+  test("GroupBuilder: re-merged group under a NEW min key removes the stale group doc") {
+    val s = spark; import s.implicits._
+    val src = new MemoryStore(spark, "gsk", key = "k", lastUpdatedField = "lu")
+    src.load(Seq((5L, "g", now), (7L, "g", now)).toDF("k", "a", "lu"))
+    val tgt = new MemoryStore(spark, "gst", key = "kgrp", lastUpdatedField = "lu")
+    def build() = new GroupBuilder(src, tgt, Seq("a"),
+      aggExprs = Seq(count(lit(1)).alias("n_docs"))).run()
+    build()
+    assert(tgt.df.select("kgrp").collect()(0).getLong(0) === 5L)
+    // a new member with a SMALLER key joins the group: the group re-merges
+    // under key 3 and the stale doc at key 5 must go
+    src.update(Seq((3L, "g", now1)).toDF("k", "a", "lu"))
+    build()
+    val rows = tgt.df.collect()
+    assert(rows.length === 1, s"stale group doc survived: ${rows.mkString}")
+    assert(rows(0).getAs[Long]("kgrp") === 3L)
+    assert(rows(0).getAs[Seq[Long]]("ks") === Seq(3L, 5L, 7L))
+    assert(rows(0).getAs[Long]("n_docs") === 3L)
+  }
+
+  test("prechunk carries the builder's own criteria into every chunk") {
+    val s = spark; import s.implicits._
+    val src = new MemoryStore(spark, "pcc", key = "k", lastUpdatedField = "lu")
+    src.load((0L to 99L).map(k => (k, if (k % 2 == 0) "x" else "y", now))
+      .toDF("k", "t", "lu"))
+    val tgt = new MemoryStore(spark, "pct", key = "k", lastUpdatedField = "lu")
+    val b = CopyBuilder(src, tgt, criteria = Some("""{"t": "x"}"""))
+    val chunks = b.prechunk(2)
+    assert(chunks.forall(_.contains(""""t": "x"""")),
+      s"chunk lost the build scope: $chunks")
+    // a scoped run per chunk converges to the same target as one run
+    chunks.foreach(c => MapBuilder.columns(src, tgt, identity,
+      criteria = Some(c)).run())
+    assert(tgt.df.count() === 50) // only t=x docs, never the y half
+  }
+
   test("ProjectionBuilder: field selection, rename, later-wins merge") {
     val s = spark; import s.implicits._
     val s1 = new MemoryStore(spark, "s1", key = "k", lastUpdatedField = "lu")
