@@ -57,16 +57,18 @@ object Multimodal {
     * per-batch codec setup). Output: (media_id, feature array). */
   def extractFeatures(packed: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = packed.sparkSession
+    // the id column keeps its INPUT type: pack() accepts any id, and a
+    // cast("long") on string ids would null them and NPE in the kernel
     val outSchema = StructType(Seq(
-      StructField("media_id", LongType),
+      StructField("media_id", packed.schema("media_id").dataType),
       StructField("feature", ArrayType(DoubleType))))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    packed.select(col("media_id").cast("long"), col("content"))
+    packed.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // per-batch setup would happen here (codec init, model load)
           batch.iterator.map { r =>
-            Row(r.getLong(0), stubDecode(r.getAs[Array[Byte]](1)).toSeq)
+            Row(r.get(0), stubDecode(r.getAs[Array[Byte]](1)).toSeq)
           }
         }
       }(enc)

@@ -43,11 +43,16 @@ object TemporalJoins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.keys.foldLeft(unioned) { (d, out) =>
-      d.withColumn(out, last(col(out), ignoreNulls = true).over(w))
-    }
+    // propagate the last right ROW as one struct, not per-column fills:
+    // independent per-column last(ignoreNulls) would stitch values from
+    // DIFFERENT right rows whenever a right payload carries nulls (and
+    // resurrect older non-null values over a legitimately-null latest)
+    val outs = payload.keys.toSeq
+    val rowStruct = when(col("__side") === 0, struct(outs.map(col): _*))
+    val filled = unioned.withColumn("__r",
+      last(rowStruct, ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select(lCols.map(col) ++ payload.keys.map(col): _*)
+      .select(lCols.map(col) ++ outs.map(o => col(s"__r.$o").alias(o)): _*)
   }
 
   /** Range join on a time interval: pairs (l, r) with

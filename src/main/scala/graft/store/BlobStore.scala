@@ -95,6 +95,16 @@ class BlobStore(
 
   override def lastUpdated: Option[java.sql.Timestamp] = {
     if (isEmpty) return None
+    // a store populated via put() without a last_updated column has no
+    // metadata timestamp field — that is "no watermark", not a crash
+    val hasLu = df.schema.fields.find(_.name == "metadata").exists {
+      _.dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fieldNames.contains(lastUpdatedField)
+        case _ => false
+      }
+    }
+    if (!hasLu) return None
     df.agg(max(col(s"metadata.$lastUpdatedField"))).collect().headOption
       .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[java.sql.Timestamp]))
   }

@@ -56,7 +56,11 @@ class FileStore(
       element_at(split(col("path"), "/"), -1).alias("name"),
       col("path"),
       rel.alias("path_relative"),
-      regexp_replace(rel, "/[^/]+$", "").alias("parent"),
+      // a file directly under root has NO slash in its relative path —
+      // the strip-last-segment regex would return the name itself; its
+      // parent is the empty string (the root)
+      when(rel.contains("/"), regexp_replace(rel, "/[^/]+$", ""))
+        .otherwise(lit("")).alias("parent"),
       col("length").alias("size"),
       col("modificationTime").alias("last_updated"),
       md5(col("content")).alias("hash"),

@@ -50,8 +50,12 @@ class ObjectStore(
     val wanted = params.properties.map(_.split('.').head).toSet
     val criteriaFields = params.criteria.toSeq
       .flatMap(graft.query.MongoFilter.topLevelFields).map(_.split('.').head).toSet
+    // sort fields count toward coverage: routing a query whose ORDER BY
+    // column lives only in the data table to the slim index would fail
+    // resolution at analysis
+    val sortFields = params.sort.map(_._1.split('.').head).toSet
     val covered = params.properties.nonEmpty &&
-      (wanted ++ criteriaFields).subsetOf(indexCols)
+      (wanted ++ criteriaFields ++ sortFields).subsetOf(indexCols)
     if (covered) params(index.df)
     else if (criteriaFields.nonEmpty && criteriaFields.subsetOf(indexCols) && !index.isEmpty) {
       // filter on the slim index, then join keys against the data table —

@@ -36,24 +36,45 @@ class OpenDataStore(
   private def dataPath = s"$root/data"
   private def manifestPath = s"$root/manifest.jsonl"
 
+  // Hadoop FS, not java.io: the class contract says s3a:// roots work
+  // unchanged, and local-FS probes would silently treat an object-store
+  // instance as empty (the update path would then overwrite-lose data)
+  private def hadoopFs(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def isEmpty: Boolean = {
-    val p = new java.io.File(dataPath)
-    !p.exists() || p.listFiles() == null || p.listFiles().isEmpty
+    val path = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = hadoopFs(dataPath)
+    // ignore marker files: a remove-all overwrite leaves only _SUCCESS,
+    // and treating that as "non-empty" would make every later read fail
+    // schema inference — the store must read as empty instead
+    !fs.exists(path) || fs.listStatus(path).forall { s =>
+      val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
+    }
   }
 
   def df: DataFrame =
     if (isEmpty) spark.emptyDataFrame
-    else spark.read.json(dataPath)
+    // inferTimestamp: the JSONL round-trip writes timestamps as ISO
+    // strings; without it last_updated re-reads as string and the
+    // watermark machinery (lastUpdated/newerIn) breaks on types
+    else spark.read.option("inferTimestamp", "true").json(dataPath)
 
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {
     val next =
       if (isEmpty) Store.dedupLastWins(docs, keyFields)
       else {
-        // merge only the partitions the batch touches: semi-join current
-        // data to the batch's grouping tuples (partition-pruned scan),
-        // upsert within them, leave every other partition untouched
-        val touched = docs.select(objectGrouping.map(col): _*).distinct()
-        val current = df.join(touched, objectGrouping, "left_semi")
+        // merge only the partitions the batch touches: the batch's own
+        // grouping tuples PLUS the current partitions of the batch's
+        // keys — a doc whose grouping value changed must have its OLD
+        // copy rewritten out of its previous partition, or both copies
+        // would survive (key-uniqueness corruption)
+        val d = df
+        val batchTouched = docs.select(objectGrouping.map(col): _*).distinct()
+        val movedFrom = d.join(docs.select(col(key)), Seq(key), "left_semi")
+          .select(objectGrouping.map(col): _*).distinct()
+        val touched = batchTouched.unionByName(movedFrom).distinct()
+        val current = d.join(touched, objectGrouping, "left_semi")
         // sever lineage: the merged plan reads the files the dynamic
         // overwrite below replaces
         Store.upsertPlan(current, docs, keyFields).localCheckpoint(true)
@@ -101,7 +122,10 @@ class OpenDataStore(
 
   private def storeManifest(): Unit = {
     val rows = manifest.toJSON.collect() // one line per partition: small
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(manifestPath),
-      rows.mkString("", "\n", "\n"))
+    val out = hadoopFs(manifestPath)
+      .create(new org.apache.hadoop.fs.Path(manifestPath), true)
+    try out.write(rows.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }
