@@ -38,16 +38,20 @@ object Bench {
     // Spark's block cache is cleared between runs — only JVM-global
     // state (JIT, codegen cache, page cache) persists, so the timed
     // pass measures the per-query data work, the quantity that scales.
-    def time(fn: (SparkSession, String) => DataFrame, name: String): Double = {
+    // Failures return None and are EXCLUDED from every total (and emitted
+    // as JSON nulls) — folding a fail-fast latency into the headline sum
+    // would misreport both the engine and the warm+timed double execution.
+    def time(fn: (SparkSession, String) => DataFrame, name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // evict per-query persisted staging tables
       System.gc()                // let ContextCleaner reap shuffle/broadcast state
-      dt
+      if (ok) Some(dt) else None
     }
     // headline numbers use the engine hash family (xxh64) for the sketch
     // queries; the md5 family is the oracle-replay artifact Verify keeps.
@@ -72,15 +76,18 @@ object Bench {
       .map(name => name -> SparkEntry.queries(name))
     warm(timedMd5)
     val md5Results = timedMd5.map { case (name, fn) => name -> time(fn, s"$name(md5)") }
-    def fmt(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def fmt(rs: Seq[(String, Option[Double])]): String =
+      rs.map { case (k, v) =>
+        "\"" + k + "\":" + v.map(d => f"$d%.3f").getOrElse("null")
+      }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val failed = (results ++ md5Results).collect { case (n, None) => n }.distinct
     // per-query DuckDB oracle seconds alongside the engine timings, so the
     // perf ratio is tracked per query instead of against an aggregate
     // estimate (VERDICT r4 item 8). DuckDB lives driver-side only: this is
     // an optional measurement SUBPROCESS (tools/bench_oracle.py), never a
     // library dependency — fails soft when python3/duckdb is absent.
-    val oracleSec: Option[String] = scala.util.Try {
+    val oracleSec: Map[String, Double] = scala.util.Try {
       val script = java.nio.file.Paths.get(
         sys.props.getOrElse("user.dir", "."), "tools", "bench_oracle.py")
       if (!java.nio.file.Files.exists(script)) throw new RuntimeException("no script")
@@ -97,13 +104,50 @@ object Bench {
           o
         } finally java.nio.file.Files.deleteIfExists(tmp)
       val node = com.fasterxml.jackson.databind.json.JsonMapper.builder().build().readTree(out)
-      val kept = names.toSeq.sorted.flatMap { n =>
-        Option(node.get(n)).filterNot(_.isNull).map(v => "\"" + n + "\":" + v.asDouble())
-      }
-      kept.mkString("{", ",", "}")
-    }.toOption
-    val oracleField = oracleSec.map(o => s""","oracle_sec":$o""").getOrElse("")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField,"sf":"$sfDir"}""")
+      names.toSeq.sorted.flatMap { n =>
+        Option(node.get(n)).filterNot(_.isNull).map(n -> _.asDouble())
+      }.toMap
+    }.getOrElse(Map.empty)
+    val oracleField =
+      if (oracleSec.isEmpty) ""
+      else ","+"\"oracle_sec\":" + oracleSec.toSeq.sorted
+        .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val failedField =
+      if (failed.isEmpty) ""
+      else ","+"\"failed\":" + failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField$failedField,"sf":"$sfDir"}"""
+    println(fullLine)
+    // full artifact on disk too — the driver archives only a ~2 KB tail of
+    // stdout, which truncated the round-5 line into an unparseable header
+    scala.util.Try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json"), fullLine + "\n")
+    }
+    // LAST line: a self-contained compact summary sized to survive the
+    // tail capture — aggregate engine/oracle/ratio plus the per-query
+    // [engine, oracle, ratio] triples for the most expensive queries
+    // (greedy by max(engine, oracle) until the size budget); the omitted
+    // small-query remainder is aggregated, never silently dropped.
+    val oracleTotal = results.collect {
+      case (n, Some(_)) if oracleSec.contains(n) => oracleSec(n) }.sum
+    val ratio = if (oracleTotal > 0) total / oracleTotal else -1.0
+    def triple(n: String, e: Double): String = {
+      val o = oracleSec.get(n)
+      val r = o.filter(_ > 0).map(ov => f"${e / ov}%.2f").getOrElse("null")
+      "\"" + n + f"""\":[$e%.2f,${o.map(v => f"$v%.2f").getOrElse("null")},$r]"""
+    }
+    val byCost = results.collect { case (n, Some(e)) => (n, e) }
+      .sortBy { case (n, e) => -math.max(e, oracleSec.getOrElse(n, 0.0)) }
+    val budget = 1500 // chars for the per-query map
+    val (entries, omitted) = byCost.foldLeft((Vector.empty[String], Vector.empty[(String, Double)])) {
+      case ((acc, om), (n, e)) =>
+        val t = triple(n, e)
+        if (acc.map(_.length + 1).sum + t.length <= budget) (acc :+ t, om)
+        else (acc, om :+ (n -> e))
+    }
+    val omittedEngine = omitted.map(_._2).sum
+    val omittedOracle = omitted.flatMap { case (n, _) => oracleSec.get(n) }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","engine_sec":$total%.3f,"oracle_sec":$oracleTotal%.3f,"ratio":$ratio%.3f$failedField,"per_query_eng_orc_ratio":${entries.mkString("{", ",", "}")},"omitted":{"n":${omitted.length},"engine_sec":$omittedEngine%.2f,"oracle_sec":$omittedOracle%.2f},"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

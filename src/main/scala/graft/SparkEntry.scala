@@ -266,7 +266,7 @@ object SparkEntry {
       val ord = new TableStore(s, t(s, dir, "orders"), "orders", "o_orderkey", "o_orderdate")
       new JointStore(main, Seq("ord" -> ord), mergeAtRoot = true).df
         .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"),
-          col("o_orderstatus"), col("_joint_last_updated").alias("joint_lu"))
+          col("o_orderstatus"), col("l_shipdate").alias("joint_lu"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
@@ -291,6 +291,30 @@ object SparkEntry {
         purchases, keys = Seq("user_id"), tsCol = "ts",
         payload = Map("last_purchase_id" -> "event_id"))
         .select(col("event_id"), col("user_id"), col("last_purchase_id"))
+        .orderBy("event_id")
+    }),
+
+    "join_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.ext.TemporalJoins.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, keys = Seq("user_id"), tsCol = "ts",
+        payload = Map("next_purchase_id" -> "event_id"),
+        direction = "forward")
+        .select(col("event_id"), col("user_id"), col("next_purchase_id"))
+        .orderBy("event_id")
+    }),
+
+    "join_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      graft.ext.TemporalJoins.asofJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")),
+        purchases, keys = Seq("user_id"), tsCol = "ts",
+        payload = Map("recent_purchase_id" -> "event_id"),
+        toleranceMs = Some(86400000L)) // 1 day
+        .select(col("event_id"), col("user_id"), col("recent_purchase_id"))
         .orderBy("event_id")
     }),
 
@@ -1035,6 +1059,17 @@ object SparkEntry {
          "ORDER BY 1"),
       "join_asof" ->
         ("SELECT l.event_id, l.user_id, r.event_id AS last_purchase_id " +
+         "FROM events l ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events " +
+         "WHERE event_type = 'purchase') r ON l.user_id = r.user_id AND l.ts >= r.ts " +
+         "ORDER BY l.event_id"),
+      "join_asof_forward" ->
+        ("SELECT l.event_id, l.user_id, r.event_id AS next_purchase_id " +
+         "FROM events l ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events " +
+         "WHERE event_type = 'purchase') r ON l.user_id = r.user_id AND l.ts <= r.ts " +
+         "ORDER BY l.event_id"),
+      "join_asof_tolerance" ->
+        ("SELECT l.event_id, l.user_id, CASE WHEN epoch_ms(l.ts) - epoch_ms(r.ts) " +
+         "<= 86400000 THEN r.event_id END AS recent_purchase_id " +
          "FROM events l ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events " +
          "WHERE event_type = 'purchase') r ON l.user_id = r.user_id AND l.ts >= r.ts " +
          "ORDER BY l.event_id"),

@@ -45,7 +45,8 @@ class ReadResource(
     val ops: Seq[QueryOperator],
     val defaultCriteria: Option[String] = None,
     val timeoutMs: Long = 0,
-    val responseHeaders: Map[String, String] = Map.empty) {
+    val responseHeaders: Map[String, String] = Map.empty,
+    val countTtlMs: Long = 30000) {
 
   private def withDefault(qp: QueryParams): QueryParams = defaultCriteria match {
     case None => qp
@@ -88,14 +89,43 @@ class ReadResource(
     }
   }
 
+  /** `total_doc` with a short-TTL cache keyed on the (merged) criteria
+    * JSON: the reference recomputes `total_doc` per request
+    * (`read_resource.py`), but at scale a full count per request is a
+    * tail-latency cliff — identical criteria within the TTL reuse the
+    * last count. No-criteria counts still route through
+    * `store.count(None)`'s ParquetStore footer-metadata fast path on a
+    * miss. `countTtlMs <= 0` disables caching (the live
+    * [[SubmissionResource]] view passes 0 — its totals must reflect
+    * every intake immediately). The map is bounded crudely (clear past
+    * 1024 distinct criteria) — a TTL cache, not an LRU, on purpose:
+    * entries are 16 bytes and the serving tier restarts far more often
+    * than 1024 distinct hot criteria accumulate. */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private def cachedCount(criteria: Option[String]): Long = {
+    if (countTtlMs <= 0) return store.count(criteria)
+    val k = criteria.getOrElse("")
+    val now = System.nanoTime()
+    val hit = countCache.get(k)
+    if (hit != null && hit._1 > now) hit._2
+    else {
+      val v = store.count(criteria)
+      if (countCache.size > 1024) countCache.clear()
+      countCache.put(k, (now + countTtlMs * 1000000L, v))
+      v
+    }
+  }
+
   /** GET/POST search: params → operator compile → `{data, meta}`. */
   def search(params: Map[String, String]): String = timed {
     val qp0 = withDefault(QueryOperator.compile(params, ops))
     // the bounded-collect contract must hold even for a resource built
     // WITHOUT a PaginationQuery: an uncapped search would collect the
     // whole store onto the serving driver
-    val qp = if (qp0.limit.isEmpty) qp0.copy(limit = Some(1000)) else qp0
-    val total = store.count(qp.criteria) // keeps the footer-count fast path
+    val capInjected = qp0.limit.isEmpty
+    val qp = if (capInjected) qp0.copy(limit = Some(1000)) else qp0
+    val total = cachedCount(qp.criteria)
     // limit ≤ maxLimit by PaginationQuery contract → bounded collect
     val results = ops.foldLeft(store.query(qp))((d, op) => op.postProcess(d, params))
     val rows = results.toJSON.collect()
@@ -106,11 +136,18 @@ class ReadResource(
     // (FacetQuery.combinedMeta) instead of one action per facet field
     val facetMeta = FacetQuery.combinedMeta(filtered,
       ops.collect { case f: FacetQuery => f })
-    val metaEntries = s""""total_doc": $total""" +:
+    // a silently-injected cap is not silent to the client: the applied
+    // limit and a truncation flag land in the meta, so "data shorter
+    // than total" is detectable without length arithmetic
+    val capMeta =
+      if (capInjected)
+        Seq(s""""limit": 1000""", s""""truncated": ${total > rows.length}""")
+      else Nil
+    val metaEntries = (s""""total_doc": $total""" +:
       (ops.filterNot(_.isInstanceOf[FacetQuery])
         .flatMap(_.meta(filtered, params).toSeq) ++ facetMeta).map {
         case (k, v) => s"${Json.str(k)}: $v"
-      }
+      }) ++ capMeta
     s"""{"data": ${rows.mkString("[", ",", "]")}, "meta": ${metaEntries.mkString("{", ", ", "}")}}"""
   }
 
@@ -167,7 +204,9 @@ class SubmissionResource(
   extends ReadResource(
     new ViewStore(sub.inner.spark, s"${sub.inner.name}-submissions",
       "submission_id", "last_updated", () => sub.withCurrentState),
-    ops, None, timeoutMs, responseHeaders) {
+    // countTtlMs = 0: a live intake view must reflect every submission
+    // in total_doc immediately — no cached counts
+    ops, None, timeoutMs, responseHeaders, countTtlMs = 0) {
 
   /** POST intake: body = one JSON object or an array of objects. */
   def submit(body: String): (Int, String) = timed {

@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   *  - `"simhash"` / `"ngram"` — same, over the respective pair producers
   *
   * ==Incremental builds==
-  * With an `indexStore` (methods `"minhash"` and `"semantic"`), the
-  * build follows the reference's incremental contract
+  * With an `indexStore` (methods `"minhash"`, `"simhash"` and
+  * `"semantic"`), the build follows the reference's incremental contract
   * (`core/store.py:239-275`): the FIRST run writes every doc's
   * signature + cluster label to the index; each REPEAT run processes
   * ONLY the docs not yet in the index against the persisted state,
@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
   * between re-hashing the corpus per batch and per-batch work
   * proportional to the batch.
   *
-  * Index schema, minhash: `(id, sig, cluster)`
-  * ([[Dedup.minhashLshIncrementalSigs]] bands the new batch against the
-  * stored signatures). Semantic: `(id, vec, cell, centroid, cluster)` —
+  * Index schema, minhash: `(id, sig, cluster)` with `sig` an array of
+  * hash values ([[Dedup.minhashLshIncrementalSigs]] bands the new batch
+  * against the stored signatures). Simhash: the same columns with `sig`
+  * ONE packed long ([[Dedup.simhashIncrementalSigs]]) — the sig TYPE is
+  * what keeps the two layouts from being silently mixed.
+  * Semantic: `(id, vec, cell, centroid, cluster)` —
   * the first run's deterministic centroid draw is PERSISTED
   * (`centroid = true` rows), so every later batch assigns to the SAME
   * cells with the inlined-argmax projection and compares only against
@@ -56,12 +59,15 @@ class DedupBuilder(
     val threshold: Double = 0.7,
     val criteria: Option[String] = None,
     val indexStore: Option[Store] = None,
-    val nCentroids: Int = 16)
+    val nCentroids: Int = 16,
+    val maxCellSize: Int = 10000,
+    val overCap: String = "drop")
   extends Builder {
 
-  require(indexStore.isEmpty || method == "minhash" || method == "semantic",
+  require(indexStore.isEmpty || method == "minhash" || method == "simhash" ||
+      method == "semantic",
     "indexStore (incremental dedup) is only supported for " +
-      s"method=minhash|semantic, got '$method'")
+      s"method=minhash|simhash|semantic, got '$method'")
   require(nCentroids > 0, s"nCentroids must be positive, got $nCentroids")
 
   private def scoped: DataFrame =
@@ -70,12 +76,20 @@ class DedupBuilder(
   /** A usable index needs the full method-specific schema — the single
     * definition shared by [[pendingItems]] and the indexed runs, so a
     * partial/drifted index table (e.g. id-only) cannot make the estimate
-    * and the actual build disagree about what counts as "seen". */
+    * and the actual build disagree about what counts as "seen". The
+    * `sig` TYPE disambiguates minhash (array of hash values) from
+    * simhash (one packed long) — the columns alone match both, and
+    * banding against the wrong family would silently detect nothing. */
   private def usableIndex(idx: Store): Boolean = {
-    val c = idx.df.columns
-    c.contains("id") && c.contains("cluster") &&
-      (if (method == "semantic") Seq("vec", "cell", "centroid").forall(c.contains)
-       else c.contains("sig"))
+    val df = idx.df
+    val c = df.columns
+    c.contains("id") && c.contains("cluster") && (method match {
+      case "semantic" => Seq("vec", "cell", "centroid").forall(c.contains)
+      case "minhash" => c.contains("sig") &&
+        df.schema("sig").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      case _ /* simhash */ => c.contains("sig") &&
+        df.schema("sig").dataType == org.apache.spark.sql.types.LongType
+    })
   }
 
   /** Run-time index check: usable → incremental; EMPTY → first run; any
@@ -117,7 +131,7 @@ class DedupBuilder(
 
   def run(): BuildReport = indexStore match {
     case Some(idx) if method == "semantic" => runSemanticIndexed(idx)
-    case Some(idx) => runIndexed(idx)
+    case Some(idx) => runIndexed(idx) // minhash | simhash signature index
     case None => runFull()
   }
 
@@ -148,7 +162,8 @@ class DedupBuilder(
         // vectors; same pairs → components → min-id survivor pipeline)
         Dedup.keepCanonical(scoped,
           graft.ext.Similarity.semanticDupPairs(scoped, nCentroids,
-            threshold = threshold, idCol = source.key, vecCol = textField),
+            threshold = threshold, idCol = source.key, vecCol = textField,
+            maxCellSize = maxCellSize, overCap = overCap),
           source.key)
       case "lines" =>
         // content REWRITE, not row filtering: textField is replaced by
@@ -166,7 +181,10 @@ class DedupBuilder(
     BuildReport(processed, 0)
   }
 
-  /** One incremental round against the signature index (see class doc). */
+  /** One incremental round against the signature index (see class doc).
+    * Shared by minhash (sig = array of hash values) and simhash (sig =
+    * one packed long) — the round differs only in the signature kernel
+    * and the pair producer. */
   private def runIndexed(idx: Store): BuildReport = {
     val k = source.key
     val hasIndex = hasCompatibleIndex(idx)
@@ -176,16 +194,27 @@ class DedupBuilder(
     }
     // batch signatures: computed once, consumed by banding, verification
     // and the index write
-    val newSigs = Dedup.minhashSignatures(batch, k, textField)
-      .localCheckpoint(true)
+    val newSigs = (method match {
+      case "minhash" => Dedup.minhashSignatures(batch, k, textField)
+      case _ => Dedup.simhashSignatures(batch, k, textField)
+        .withColumnRenamed("simhash", "sig")
+    }).localCheckpoint(true)
 
+    def fromScratch = method match {
+      case "minhash" => Dedup.minhashLshFromSigs(newSigs, threshold = threshold)
+      case _ => Dedup.simhashPairsFromSigs(
+        newSigs.withColumnRenamed("sig", "simhash"))
+    }
+    def incremental(knownSigs: DataFrame) = method match {
+      case "minhash" =>
+        Dedup.minhashLshIncrementalSigs(newSigs, knownSigs, threshold = threshold)
+      case _ => Dedup.simhashIncrementalSigs(newSigs, knownSigs)
+    }
     val (pairs, oldEdges, known) =
-      if (!hasIndex)
-        (Dedup.minhashLshFromSigs(newSigs, threshold = threshold), None, None)
+      if (!hasIndex) (fromScratch, None, None)
       else {
         val kn = idx.df.select(col("id"), col("sig"), col("cluster"))
-        (Dedup.minhashLshIncrementalSigs(newSigs,
-            kn.select(col("id"), col("sig")), threshold = threshold),
+        (incremental(kn.select(col("id"), col("sig"))),
           // stored membership re-enters resolution as (cluster → id) edges
           Some(kn.filter(col("cluster") =!= col("id"))
             .select(col("cluster").alias("a"), col("id").alias("b"))),
@@ -225,22 +254,53 @@ class DedupBuilder(
     val spark = newCells.sparkSession
     def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.GraftFunctions.cosine(spark, a, b)
-    val newNew = newCells
+    // Hot-cell skew guard (same cap/star machinery as the batch plane,
+    // Similarity.cellDupPairs): cell populations are counted over stored
+    // ∪ new members, so a cell that crossed the cap in ANY round stops
+    // producing quadratic joins. Star mode pairs the cell's min-id
+    // representative (across stored ∪ new) with the NEW members only —
+    // batch-proportional; if a new doc dethrones the representative,
+    // old members are not re-paired against it (the star recall
+    // trade-off [[graft.ext.Similarity.cosineDupPairs]] documents).
+    val storedCells =
+      if (hasIndex) Some(idx.df.select(col("cell"), col("id"), col("vec")))
+      else None
+    val allCells = storedCells.foldLeft(
+      newCells.select(col("cell"), col("id"), col("vec")))(_ unionByName _)
+    val hot = allCells.groupBy(col("cell")).agg(count(lit(1)).alias("__cn"))
+      .filter(col("__cn") > maxCellSize).select(col("cell"))
+    val cappedNew = newCells.join(broadcast(hot), Seq("cell"), "left_anti")
+    val newNew = cappedNew
       .select(col("cell"), col("id").alias("a"), col("vec").alias("va"))
-      .join(newCells.select(col("cell"), col("id").alias("b"), col("vec").alias("vb")),
+      .join(cappedNew.select(col("cell"), col("id").alias("b"), col("vec").alias("vb")),
         Seq("cell"))
       .filter(col("a") < col("b"))
       .filter(cos(col("va"), col("vb")) >= threshold)
       .select(col("a"), col("b"))
-    val pairs =
+    val underCap =
       if (!hasIndex) newNew
       else newNew.unionByName(
         // old member as a, new as b — disjoint batches need no ordering
-        idx.df.select(col("cell"), col("id").alias("a"), col("vec").alias("va"))
-          .join(newCells.select(col("cell"), col("id").alias("b"),
+        storedCells.get.join(broadcast(hot), Seq("cell"), "left_anti")
+          .select(col("cell"), col("id").alias("a"), col("vec").alias("va"))
+          .join(cappedNew.select(col("cell"), col("id").alias("b"),
             col("vec").alias("vb")), Seq("cell"))
           .filter(cos(col("va"), col("vb")) >= threshold)
           .select(col("a"), col("b")))
+    val pairs =
+      if (overCap != "star") underCap
+      else {
+        val overNew = newCells.join(broadcast(hot), Seq("cell"), "left_semi")
+        val reps = allCells.join(broadcast(hot), Seq("cell"), "left_semi")
+          .groupBy(col("cell"))
+          .agg(min_by(struct(col("id"), col("vec")), col("id")).alias("__r"))
+          .select(col("cell"), col("__r.id").alias("a"), col("__r.vec").alias("va"))
+        val star = overNew.join(broadcast(reps), Seq("cell"))
+          .filter(col("id") =!= col("a"))
+          .filter(cos(col("va"), col("vec")) >= threshold)
+          .select(col("a"), col("id").alias("b"))
+        underCap.unionByName(star)
+      }
     val known =
       if (hasIndex)
         Some(idx.df.select(col("id"), col("vec"), col("cell"),
@@ -297,7 +357,9 @@ class DedupBuilder(
   * n-gram with `evalStore` (the benchmark-leakage guard) into `target` —
   * [[graft.ext.Dedup.decontaminate]] surfaced through the builder/Runner
   * plane. The eval store is small by contract (its distinct gram hashes
-  * broadcast); the corpus side is scanned once. */
+  * broadcast); the corpus-side n-gram pipeline runs once — the
+  * contaminated-id set is materialized before the removal anti-join,
+  * whose second corpus pass does no gram hashing. */
 class DecontaminateBuilder(
     val source: Store,
     val evalStore: Store,

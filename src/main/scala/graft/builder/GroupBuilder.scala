@@ -153,8 +153,14 @@ class GroupBuilder(
       // with a smaller source key joins): the old group doc — stale
       // membership, stale aggregates — must not survive next to the new
       // one. Stale docs = old target keys whose plural membership
-      // intersects this batch's membership under a DIFFERENT key; one
-      // membership-explode join, batch-proportional on the new side.
+      // intersects this batch's membership under a DIFFERENT key.
+      // COST: batch-proportional on the new side, but TARGET-proportional
+      // on the old side — the whole target's membership is exploded and
+      // scanned every run (there is no member→group index to consult;
+      // the reference re-reads whole groups per run too). The scan stays
+      // shuffle-free when it matters: newPairs derives from the
+      // checkpointed batch, so AQE sees its real (small) size and
+      // broadcasts it, leaving the target side a single pass.
       if (target.df.columns.contains(pluralKeys) &&
           mat.columns.contains(pluralKeys)) {
         val newPairs = mat.select(col(target.key).alias("__nk"),

@@ -315,12 +315,20 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, family: String = "xxh64",
                    maxBucketSize: Int = 1000,
-                   overCap: String = "drop"): DataFrame = {
+                   overCap: String = "drop"): DataFrame =
+    simhashPairsFromSigs(simhashSignatures(df, idCol, textCol, family),
+      maxHamming, maxBucketSize, overCap)
+
+  /** [[simhashPairs]] over pre-computed signatures `(id, simhash)` —
+    * callers that persist signatures (the incremental index) avoid
+    * hashing the corpus twice. */
+  def simhashPairsFromSigs(sigs0: DataFrame, maxHamming: Int = 3,
+                           maxBucketSize: Int = 1000,
+                           overCap: String = "drop"): DataFrame = {
     require(overCap == "drop" || overCap == "star",
       s"overCap must be 'drop' or 'star', got '$overCap'")
     // in drop mode the signature table has a single consumer (banding) —
     // no persist; star mode re-reads it for the over-cap member fetch
-    val sigs0 = simhashSignatures(df, idCol, textCol, family)
     val sigs =
       if (overCap == "star")
         sigs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -341,7 +349,7 @@ object Dedup {
     // take the join-based fallback ([[integralId]]).
     val (pairs, hot) = if (integralId(sigs, "id")) {
       val lists0 = banded.groupBy(col("band"), col("bucket"))
-        .agg(graft.functions.BoundedCollectAgg.boundedCollect(df.sparkSession,
+        .agg(graft.functions.BoundedCollectAgg.boundedCollect(sigs.sparkSession,
           col("id"), col("simhash"), maxBucketSize).alias("lst"))
       val lists = // star mode reads it twice (pair expansion + hot keys)
         if (overCap == "star")
@@ -495,6 +503,81 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).alias("est_jaccard"))
+  }
+
+  /** Incremental SimHash: near-dup pairs for a NEW batch of signatures
+    * against an existing signature table plus within the batch — the
+    * [[minhashLshIncrementalSigs]] contract with per-doc state of ONE
+    * long (`(id, sig)`), so the persisted index is even cheaper than the
+    * minhash one. Both inputs carry `(id, sig)` where `sig` is the
+    * 64-bit simhash; returns `(a, b, hamming)` with `b` always a
+    * new-batch id (`a` may be old or new, `a < b` within-batch) and
+    * `hamming ≤ maxHamming`.
+    *
+    * Same single-aggregation shape: the union banding (4×16-bit bands)
+    * shuffles once, the old/new tag rides the BoundedCollectAgg aux
+    * slot, the hot-bucket cap is measured over the FULL old+new
+    * occupancy, and candidates expand map-side keeping only pairs that
+    * touch ≥1 new member; hamming verification joins the narrow
+    * (id, long) signature tables back on 8-byte keys. */
+  def simhashIncrementalSigs(newSigs: DataFrame, existingSigs: DataFrame,
+                             maxHamming: Int = 3,
+                             maxBucketSize: Int = 1000): DataFrame = {
+    // re-ingested ids: the new signature wins, stale table row ignored
+    val oldOnly = existingSigs.select(col("id"), col("sig"))
+      .join(newSigs.select(col("id")), Seq("id"), "left_anti")
+    val allSigs = oldOnly.unionByName(newSigs.select(col("id"), col("sig")))
+    def banded(df: DataFrame, tag: Int) = df
+      .select(col("id"), posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .withColumn("__new", lit(tag.toLong))
+    val tagged = banded(oldOnly, 0).unionByName(banded(newSigs, 1))
+    val cand = if (integralId(newSigs, "id")) {
+      val lists = tagged
+        .select(col("band"), col("bucket"),
+          col("id").cast("long").alias("id"), col("__new"))
+        .groupBy(col("band"), col("bucket"))
+        .agg(graft.functions.BoundedCollectAgg.boundedCollect(newSigs.sparkSession,
+          col("id"), col("__new"), maxBucketSize).alias("lst"))
+        .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+      lists
+        .select(col("lst"), posexplode(col("lst")))
+        .select(col("col").alias("p"),
+          explode(slice(col("lst"), col("pos") + 2,
+            greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+        .filter(col("p.aux") + col("q.aux") >= 1)
+        .select(
+          when(col("p.aux") === 0, col("p.id"))
+            .when(col("q.aux") === 0, col("q.id"))
+            .otherwise(least(col("p.id"), col("q.id"))).alias("a"),
+          when(col("p.aux") === 0, col("q.id"))
+            .when(col("q.aux") === 0, col("p.id"))
+            .otherwise(greatest(col("p.id"), col("q.id"))).alias("b"))
+        .distinct()
+    } else {
+      val (capped, _) = cappedBandedFallback(tagged, maxBucketSize)
+      capped.select(col("band"), col("bucket"), col("id").alias("__pi"),
+          col("__new").alias("__pn"))
+        .join(capped.select(col("band"), col("bucket"), col("id").alias("__qi"),
+          col("__new").alias("__qn")), Seq("band", "bucket"))
+        .filter(col("__pi") < col("__qi"))
+        .filter(col("__pn") + col("__qn") >= 1)
+        .select(
+          when(col("__pn") === 0, col("__pi"))
+            .when(col("__qn") === 0, col("__qi"))
+            .otherwise(col("__pi")).alias("a"), // __pi < __qi already
+          when(col("__pn") === 0, col("__qi"))
+            .when(col("__qn") === 0, col("__pi"))
+            .otherwise(col("__qi")).alias("b"))
+        .distinct()
+    }
+    cand
+      .join(allSigs.select(col("id").alias("a"), col("sig").alias("__sa")), Seq("a"))
+      .join(newSigs.select(col("id").alias("b"), col("sig").alias("__sb")), Seq("b"))
+      .withColumn("hamming", bit_count(col("__sa").bitwiseXOR(col("__sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
   }
 
   /** Cluster resolution: connected components over a duplicate-pair
@@ -685,12 +768,19 @@ object Dedup {
       .groupBy(col(idCol)).agg(count(lit(1)).alias("matched"))
   }
 
-  /** Drop every corpus doc contaminated by `evalDf` ([[contamination]]);
-    * the anti-join's right side is the (small) contaminated-id set. */
+  /** Drop every corpus doc contaminated by `evalDf` ([[contamination]]).
+    * The contaminated-id set is MATERIALIZED (localCheckpoint — it is
+    * small by contract: docs overlapping a benchmark) before the
+    * anti-join, so the corpus-side n-gram pipeline — the dominant cost —
+    * runs exactly once; the anti-join's second corpus pass is a plain
+    * row scan with no gram hashing, and AQE sees the checkpointed set's
+    * real size when picking broadcast-vs-shuffle for the anti-join. */
   def decontaminate(corpus: DataFrame, evalDf: DataFrame,
-                    idCol: String, textCol: String, n: Int = 3): DataFrame =
-    corpus.join(contamination(corpus, evalDf, idCol, textCol, n)
-      .select(col(idCol)), Seq(idCol), "left_anti")
+                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val contaminated = contamination(corpus, evalDf, idCol, textCol, n)
+      .select(col(idCol)).localCheckpoint(true)
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
 
   /** 7. Corpus-wide line-level dedup (the C4 boilerplate filter): drop
     * every line whose total occurrence count across the corpus exceeds

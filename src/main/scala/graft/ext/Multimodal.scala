@@ -8,18 +8,25 @@ import org.apache.spark.sql.types._
   * as opaque `BinaryType` columns + a typed metadata struct, with
   * decode / feature-extract / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB ([[stubDecode]]) — but everything
-  * Spark-side is real and tested: schema, binary packing, batched
-  * per-partition processing shape (`mapPartitions` over row batches —
-  * the JVM analogue of `mapInPandas` batch processing), and the 1→N
-  * frame-sampling generator (`posexplode` over a computed frame index).
+  * IMAGE decode is REAL: `javax.imageio` ships with the JDK (PNG, JPEG,
+  * BMP, GIF — no native deps), so `modality = "image"` payloads decode
+  * to pixel statistics ([[decodeImage]]). Audio/video codecs are not in
+  * this container, so those modalities — and image payloads ImageIO
+  * cannot parse — ride the clearly-marked deterministic STUB
+  * ([[stubDecode]]). Everything Spark-side is real and tested either
+  * way: schema, binary packing, batched per-partition processing shape
+  * (`mapPartitions` over row batches — the JVM analogue of `mapInPandas`
+  * batch processing), and the 1→N frame-sampling generator (`posexplode`
+  * over a computed frame index).
   *
   * Scale notes: binary payloads ride normal parquet pages; metadata-only
   * queries never touch the blob column (column pruning); frame sampling
   * fans out via a generator, not a collect.
   */
 object Multimodal {
+
+  /** Width of every feature vector both kernels emit. */
+  val featureWidth = 8
 
   val metaSchema: StructType = StructType(Seq(
     StructField("byte_len", LongType),
@@ -37,14 +44,50 @@ object Multimodal {
         md5(payload.cast("binary")).alias("content_md5"),
         lit(modality).alias("modality")).alias("meta"))
 
-  /** STUB decode kernel: a real codec (JPEG decode, audio PCM, …) is not
-    * available in this container. The stub derives a deterministic
-    * fixed-width "feature" from the payload bytes so the distributed
-    * plumbing (batching, schema, shuffle) is fully exercised. Swap the
-    * body for a real codec on a cluster with native libs. */
+  /** REAL image decode via `javax.imageio` (JDK built-in readers: PNG,
+    * JPEG, BMP, GIF). Feature vector ([[featureWidth]] wide):
+    * `[width, height, bands, mean_r, mean_g, mean_b, mean_luma,
+    * stddev_luma]` (BT.601 luma) — deterministic pixel statistics, the
+    * shape a quality filter or near-dup pre-pass consumes. Returns None
+    * when the payload is not a parseable image (caller falls back to
+    * [[stubDecode]]). Pixel access uses `getRGB` per pixel — fine for
+    * thumbnail/fixture scale; a production kernel on large images would
+    * read the raster's data buffer directly, same feature math. */
+  def decodeImage(bytes: Array[Byte]): Option[Array[Double]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+            val l = 0.299 * r + 0.587 * g + 0.114 * b
+            sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        val meanL = sl / n
+        Some(Array(w.toDouble, h.toDouble, img.getRaster.getNumBands.toDouble,
+          sr / n, sg / n, sb / n, meanL,
+          math.sqrt(math.max(0.0, sl2 / n - meanL * meanL))))
+      }
+    } catch { case _: Throwable => None }
+
+  /** STUB decode kernel for modalities whose codecs are not in this
+    * container (audio PCM, video). Derives a deterministic fixed-width
+    * "feature" from the payload bytes so the distributed plumbing
+    * (batching, schema, shuffle) is fully exercised. Swap the body for a
+    * real codec on a cluster with native libs. */
   def stubDecode(bytes: Array[Byte]): Array[Double] = {
-    // ??? <- real codec goes here; deterministic fake below
-    val w = 8
+    // ??? <- real audio/video codec goes here; deterministic fake below
+    val w = featureWidth
     val out = new Array[Double](w)
     var i = 0
     while (i < bytes.length) { out(i % w) += (bytes(i) & 0xFF).toDouble; i += 1 }
@@ -54,7 +97,11 @@ object Multimodal {
   /** Batched feature extraction over the binary column: `mapPartitions`
     * with an explicit batch shape (the `mapInPandas` analogue — one
     * buffer of `batchSize` rows decoded per iteration, amortizing any
-    * per-batch codec setup). Output: (media_id, feature array). */
+    * per-batch codec setup). Kernel routing is per ROW on
+    * `meta.modality` (a union of packed frames can mix modalities):
+    * `"image"` → [[decodeImage]], falling back to [[stubDecode]] when
+    * the payload is not a parseable image; everything else →
+    * [[stubDecode]]. Output: (media_id, feature array). */
   def extractFeatures(packed: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = packed.sparkSession
     // the id column keeps its INPUT type: pack() accepts any id, and a
@@ -63,12 +110,17 @@ object Multimodal {
       StructField("media_id", packed.schema("media_id").dataType),
       StructField("feature", ArrayType(DoubleType))))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    packed.select(col("media_id"), col("content"))
+    packed.select(col("media_id"), col("content"), col("meta.modality"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // per-batch setup would happen here (codec init, model load)
           batch.iterator.map { r =>
-            Row(r.get(0), stubDecode(r.getAs[Array[Byte]](1)).toSeq)
+            val bytes = r.getAs[Array[Byte]](1)
+            val feats =
+              if (r.getString(2) == "image")
+                decodeImage(bytes).getOrElse(stubDecode(bytes))
+              else stubDecode(bytes)
+            Row(r.get(0), feats.toSeq)
           }
         }
       }(enc)

@@ -323,18 +323,62 @@ object Similarity {
     * shuffles the corpus by cell once per side. Cell populations are
     * ~n/k with data-dependent skew — size `nCentroids` so cells fit the
     * quadratic verify (SemDeDup runs k ≈ 10⁴-10⁵ at web scale); pair
-    * survivors are `cosine ≥ threshold`, returned as `(a, b, sim)`. */
+    * survivors are `cosine ≥ threshold`, returned as `(a, b, sim)`.
+    *
+    * `maxCellSize`/`overCap` is the same hot-partition skew guard
+    * [[cosineDupPairs]] carries: a degenerate cell (embedding collapse,
+    * zero vectors, boilerplate) otherwise makes the within-cell self-join
+    * quadratic. `overCap = "drop"` excludes over-cap cells from pairing;
+    * `"star"` pairs each over-cap cell's min-id representative with every
+    * member (O(cell) pairs), with the same recall caveat documented on
+    * [[cosineDupPairs]]. */
   def semanticDupPairs(corpus: DataFrame, nCentroids: Int = 16,
                        threshold: Double = 0.95,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       family: String = "xxh64"): DataFrame = {
+                       family: String = "xxh64",
+                       maxCellSize: Int = 10000,
+                       overCap: String = "drop"): DataFrame = {
     val cents = centroidDraw(corpus, nCentroids, idCol, vecCol, family)
     val cells = assignToCells(corpus, cents, idCol, vecCol, keep = 1)
-    val a = cells.select(col("cell"), col("__rid").alias("a"), col("__rvec").alias("va"))
-    val b = cells.select(col("cell"), col("__rid").alias("b"), col("__rvec").alias("vb"))
-    a.join(b, Seq("cell")).filter(col("a") < col("b"))
-      .withColumn("sim", nativeCosine(corpus, col("va"), col("vb")))
+      .select(col("cell"), col("__rid").alias("id"), col("__rvec").alias("vec"))
+    cellDupPairs(cells, threshold, maxCellSize, overCap)
+  }
+
+  /** Within-cell near-dup pairs with the hot-cell guard, over a
+    * pre-assigned `(cell, id, vec)` frame — the shared tail of
+    * [[semanticDupPairs]] and the incremental semantic builder round.
+    * Under-cap cells self-join (`a < b`); over-cap cells contribute
+    * nothing (`overCap = "drop"`) or a min-id star (`"star"`). Survivors
+    * are `cosine ≥ threshold`, returned as `(a, b, sim)`. */
+  private[graft] def cellDupPairs(cells: DataFrame, threshold: Double,
+                                  maxCellSize: Int, overCap: String): DataFrame = {
+    require(overCap == "drop" || overCap == "star",
+      s"overCap must be 'drop' or 'star', got '$overCap'")
+    val hot = cells.groupBy(col("cell")).agg(count(lit(1)).alias("__cn"))
+      .filter(col("__cn") > maxCellSize).select(col("cell"))
+    val capped = cells.join(broadcast(hot), Seq("cell"), "left_anti")
+    val a = capped.select(col("cell"), col("id").alias("a"), col("vec").alias("va"))
+    val b = capped.select(col("cell"), col("id").alias("b"), col("vec").alias("vb"))
+    val pairs = a.join(b, Seq("cell")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("va"), col("vb"))
+    val all =
+      if (overCap == "drop") pairs
+      else {
+        val overs = cells.join(broadcast(hot), Seq("cell"), "left_semi")
+        val reps = overs.groupBy(col("cell"))
+          .agg(min_by(struct(col("id"), col("vec")), col("id")).alias("__r"))
+          .select(col("cell"), col("__r.id").alias("a"), col("__r.vec").alias("va"))
+        val star = overs.join(broadcast(reps), Seq("cell"))
+          .filter(col("id") =!= col("a"))
+          .select(col("a"), col("id").alias("b"), col("va"), col("vec").alias("vb"))
+        pairs.unionByName(star)
+      }
+    // no pair dedup needed: each doc lives in exactly one cell, and
+    // over-cap cells are disjoint from capped ones
+    all
+      .withColumn("sim",
+        graft.functions.GraftFunctions.cosine(cells.sparkSession, col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).alias("sim"))
   }

@@ -12,15 +12,23 @@ import org.apache.spark.sql.functions._
 object TemporalJoins {
 
   /** As-of join: for every left row, the single right row with the
-    * greatest `tsCol` ≤ left's `tsCol`, within the same `keys` group
-    * (DuckDB/kdb `ASOF JOIN` semantics, `l.ts >= r.ts`).
+    * greatest `tsCol` ≤ left's `tsCol` (`direction = "backward"`, the
+    * default — DuckDB/kdb `ASOF JOIN` `l.ts >= r.ts`) or the smallest
+    * `tsCol` ≥ left's `tsCol` (`direction = "forward"`, DuckDB
+    * `l.ts <= r.ts`), within the same `keys` group. With `toleranceMs`,
+    * a match further than that many milliseconds from the left timestamp
+    * is nulled out (pandas `merge_asof(tolerance=...)` semantics: the
+    * row keeps its left side, the payload columns become null).
     *
     * Implementation = ONE sort-shuffle, not a per-row lookup: union both
-    * sides tagged, sort by (keys, ts, side) inside each key partition,
-    * propagate the last-seen right payload with
-    * `last(_, ignoreNulls) over (unbounded preceding → current)`, keep
-    * left rows. Right rows sort before left rows on equal ts so an
-    * exact-ts match is visible to the left row (>= semantics).
+    * sides tagged, sort by (keys, ts, side) inside each key partition —
+    * ts ascending for backward, descending for forward — propagate the
+    * last-seen right payload with `last(_, ignoreNulls) over (unbounded
+    * preceding → current)`, keep left rows. Right rows sort before left
+    * rows on equal ts so an exact-ts match is visible to the left row
+    * (inclusive semantics in both directions). The tolerance check is a
+    * pure post-projection on the matched right timestamp carried in the
+    * fill struct — no extra shuffle.
     *
     * Scale: cost = the sort of |L|+|R| within key groups — the same
     * shuffle a plain grouped window costs; no broadcast or range
@@ -28,11 +36,19 @@ object TemporalJoins {
     * AQE skew split).
     *
     * @param payload right-side columns to carry (renamed as given)
+    * @param direction `"backward"` (match at-or-before) or `"forward"`
+    *   (match at-or-after)
+    * @param toleranceMs max |left.ts − right.ts| in ms for a match to
+    *   survive; None = unbounded (plain as-of)
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               tsCol: String, payload: Map[String, String]): DataFrame = {
+               tsCol: String, payload: Map[String, String],
+               direction: String = "backward",
+               toleranceMs: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val lCols = left.columns
-    // tag: right = 0, left = 1 → right sorts first on ties (>= semantics)
+    // tag: right = 0, left = 1 → right sorts first on ties (inclusive)
     val l = left.withColumn("__side", lit(1))
       .withColumns(payload.map { case (out, _) => out -> lit(null) }.toMap)
     val r0 = payload.foldLeft(right) { case (d, (out, in)) =>
@@ -40,19 +56,30 @@ object TemporalJoins {
     val r = r0.select((keys :+ tsCol).map(col) ++ payload.keys.map(col): _*)
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // propagate the last right ROW as one struct, not per-column fills:
     // independent per-column last(ignoreNulls) would stitch values from
     // DIFFERENT right rows whenever a right payload carries nulls (and
-    // resurrect older non-null values over a legitimately-null latest)
+    // resurrect older non-null values over a legitimately-null latest).
+    // The right row's own timestamp rides along for the tolerance check.
     val outs = payload.keys.toSeq
-    val rowStruct = when(col("__side") === 0, struct(outs.map(col): _*))
+    val rowStruct = when(col("__side") === 0,
+      struct((outs.map(col) :+ col(tsCol).alias("__rts")): _*))
     val filled = unioned.withColumn("__r",
       last(rowStruct, ignoreNulls = true).over(w))
+    val inTol: Column = toleranceMs match {
+      case None => lit(true)
+      case Some(tol) =>
+        // sign is fixed by construction (backward: l ≥ r, forward: r ≥ l)
+        abs(unix_millis(col(tsCol).cast("timestamp")) -
+          unix_millis(col("__r.__rts").cast("timestamp"))) <= tol
+    }
     filled.filter(col("__side") === 1)
-      .select(lCols.map(col) ++ outs.map(o => col(s"__r.$o").alias(o)): _*)
+      .select(lCols.map(col) ++
+        outs.map(o => when(inTol, col(s"__r.$o")).alias(o)): _*)
   }
 
   /** Range join on a time interval: pairs (l, r) with

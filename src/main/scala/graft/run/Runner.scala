@@ -138,7 +138,9 @@ object Runner {
           criteria = criteria(n),
           // optional persisted signature/cell index → incremental repeats
           indexStore = opt(n, "index").map(i => stores(i.asText())),
-          nCentroids = opt(n, "n_centroids").map(_.asInt()).getOrElse(16))
+          nCentroids = opt(n, "n_centroids").map(_.asInt()).getOrElse(16),
+          maxCellSize = opt(n, "max_cell_size").map(_.asInt()).getOrElse(10000),
+          overCap = str(n, "over_cap", "drop"))
       case "decontaminate" =>
         new DecontaminateBuilder(store("source"), store("eval"),
           store("target"),

@@ -18,9 +18,11 @@ import scala.jdk.CollectionConverters._
   *    document, main-store values winning on collision (the reference's
   *    `$replaceRoot{$mergeObjects}` merges main last)
   *
-  * A combined `last_updated` = `greatest` of every store's timestamp is
-  * added (reference `$addFields {lu: $max[...]}`,
-  * `compound_stores.py:201-204`).
+  * The combined `greatest`-of-all-stores timestamp OVERWRITES the main
+  * store's `lastUpdatedField` itself (reference
+  * `$addFields {last_updated_field: $max[...]}`,
+  * `compound_stores.py:201-204`) — criteria/sort on the original field
+  * name see the combined value, exactly as in the reference.
   *
   * Scale: the join shuffles on the shared key; when the non-main stores
   * are dimension-sized the planner broadcast-hashes them (AQE) — exactly
@@ -34,15 +36,12 @@ class JointStore(
 
   def spark: SparkSession = main.spark
   def key: String = main.key
-  /** The combined `greatest`-of-all-stores timestamp when any member
-    * carries one — so `lastUpdated`/`newerIn` see updates landing in a
-    * NON-main store (the reference's `$addFields {lu: $max[...]}` is the
-    * timestamp the view is queried by, `compound_stores.py:201-204`). */
-  override def lastUpdatedField: String =
-    if (main.df.columns.contains(main.lastUpdatedField) ||
-        others.exists { case (_, o) => o.df.columns.contains(o.lastUpdatedField) })
-      "_joint_last_updated"
-    else main.lastUpdatedField
+  /** The main store's field name, always: [[df]] overwrites it with the
+    * combined `greatest`-of-all-stores timestamp, so `lastUpdated`/
+    * `newerIn` see updates landing in a NON-main store without a synthetic
+    * column — and the getter is pure metadata (no member-`df` forcing;
+    * JSON-backed members would pay schema inference on a name lookup). */
+  override def lastUpdatedField: String = main.lastUpdatedField
   val name: String = s"joint:${(main.name +: others.map(_._1)).mkString("+")}"
 
   def df: DataFrame = {
@@ -73,9 +72,11 @@ class JointStore(
           lus += col(oname).getField(o.lastUpdatedField)
       }
     }
+    // overwrite the main field IN PLACE (reference semantics): queries
+    // filtering or sorting on main.lastUpdatedField see the combined max
     val out =
-      if (lus.size > 1) acc.withColumn("_joint_last_updated", greatest(lus.toSeq: _*))
-      else if (lus.size == 1) acc.withColumn("_joint_last_updated", lus.head)
+      if (lus.size > 1) acc.withColumn(main.lastUpdatedField, greatest(lus.toSeq: _*))
+      else if (lus.size == 1) acc.withColumn(main.lastUpdatedField, lus.head)
       else acc
     out.drop(others.map(o => s"__lu_${o._1}"): _*)
   }

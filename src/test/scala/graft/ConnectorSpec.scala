@@ -299,4 +299,37 @@ class ConnectorSpec extends SparkSpec {
     assert(st.count() === 1)
     assert(fdsAt(root) <= 2)
   }
+
+  test("Multimodal image decode: javax.imageio round-trip on a generated PNG; stub for the rest") {
+    val s = spark; import s.implicits._
+    // 4x2 PNG: left half pure red, right half pure blue — known statistics
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xFF0000 else 0x0000FF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val textBytes = "not an image".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, textBytes)).toDF("doc_id", "payload")
+    val packed = graft.ext.Multimodal.pack(df, "doc_id", col("payload"), "image")
+    val feats = graft.ext.Multimodal.extractFeatures(packed)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getSeq[Double](1).toArray).toMap
+    // real decode: [w, h, bands, mean_r, mean_g, mean_b, mean_luma, std_luma]
+    val f = feats(1L)
+    assert(f(0) === 4.0 && f(1) === 2.0 && f(2) === 3.0)
+    assert(f(3) === 127.5 && f(4) === 0.0 && f(5) === 127.5) // half red, half blue
+    val lumaR = 0.299 * 255; val lumaB = 0.114 * 255
+    assert(math.abs(f(6) - (lumaR + lumaB) / 2) < 1e-9)
+    assert(math.abs(f(7) - math.abs(lumaR - lumaB) / 2) < 1e-9)
+    // an image-modality payload ImageIO cannot parse falls back to the stub
+    assert(feats(2L).toSeq === graft.ext.Multimodal.stubDecode(textBytes).toSeq)
+    // audio/video modalities ride the stub even for decodable payloads
+    val audio = graft.ext.Multimodal.extractFeatures(
+      graft.ext.Multimodal.pack(df.filter(col("doc_id") === 1L), "doc_id",
+        col("payload"), "audio")).collect()(0)
+    assert(audio.getSeq[Double](1).toSeq ===
+      graft.ext.Multimodal.stubDecode(png).toSeq)
+  }
 }

@@ -263,6 +263,52 @@ class HttpResourceSpec extends SparkSpec {
     assert(sizes.sorted === (1 to 6))
   }
 
+  test("count cache: repeat search fires no count job; injected cap is marked in meta") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { counter.incrementAndGet(); () }
+    }
+    def settled(): Int = {
+      var last = -1; var cur = counter.get(); var spins = 0
+      while (cur != last && spins < 20) {
+        last = cur; Thread.sleep(300); cur = counter.get(); spins += 1
+      }
+      cur
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // no PaginationQuery → the 1000-row safety cap is injected and must
+    // be visible in meta; criteria via defaultCriteria → real count job
+    val res = new ReadResource(store, Seq(),
+      defaultCriteria = Some("""{"o_orderstatus": "O"}"""))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      counter.set(0)
+      val first = mapper.readTree(res.search(Map.empty))
+      val j1 = settled()
+      counter.set(0)
+      val second = mapper.readTree(res.search(Map.empty))
+      val j2 = settled()
+      // the repeat search reuses the cached count → strictly fewer jobs
+      assert(j2 < j1, s"expected fewer jobs on the cached search, got $j1 then $j2")
+      assert(second.get("meta").get("total_doc").asLong() ===
+        first.get("meta").get("total_doc").asLong())
+      // injected-cap marker: applied limit + truncation flag
+      assert(first.get("meta").get("limit").asLong() === 1000L)
+      val total = first.get("meta").get("total_doc").asLong()
+      assert(first.get("meta").get("truncated").asBoolean() ===
+        (total > first.get("data").size()))
+      // countTtlMs = 0 disables the cache: both searches pay the count
+      val live = new ReadResource(store, Seq(),
+        defaultCriteria = Some("""{"o_orderstatus": "O"}"""), countTtlMs = 0)
+      live.search(Map.empty)
+      counter.set(0)
+      live.search(Map.empty)
+      val jLive = settled()
+      assert(jLive > j2, s"uncached resource must still fire the count job ($jLive vs $j2)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("defaultCriteria is $and-merged into every search and key lookup") {
     val guarded = new ReadResource(store, Seq(new PaginationQuery(5, 100)),
       defaultCriteria = Some("""{"o_orderstatus": "O"}"""))

@@ -98,7 +98,7 @@ class JsonViewsSpec extends SparkSpec {
     assert(inner.df.select("task_id").collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
-  test("JointStore.lastUpdatedField is the combined timestamp (non-main updates visible)") {
+  test("JointStore overwrites lastUpdatedField in place (non-main updates visible)") {
     val s = spark; import s.implicits._
     val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
@@ -107,9 +107,12 @@ class JsonViewsSpec extends SparkSpec {
     val other = new TableStore(s, Seq((1L, "o", t2)).toDF("k", "ov", "last_updated"),
       "other", "k")
     val j = new JointStore(main, Seq("oth" -> other))
-    assert(j.lastUpdatedField === "_joint_last_updated")
-    // lastUpdated sees the NON-main store's newer timestamp
+    // reference semantics (compound_stores.py:201-204): the ORIGINAL field
+    // name carries the combined max — no synthetic column
+    assert(j.lastUpdatedField === "last_updated")
     assert(j.lastUpdated === Some(t2))
+    // criteria on the original field name see the combined value
+    assert(j.count(Some("""{"last_updated": {"$gt": "2024-01-15T00:00:00"}}""")) === 1L)
   }
 
   test("SandboxStore: predicate injection + write tagging (advanced_stores.py:422-507)") {
@@ -140,7 +143,7 @@ class JsonViewsSpec extends SparkSpec {
     val j = new JointStore(main, Seq("oth" -> other))
     val row = j.df.collect()(0)
     assert(row.getAs[org.apache.spark.sql.Row]("oth").getAs[String]("ov") === "o1")
-    assert(row.getAs[java.sql.Timestamp]("_joint_last_updated") === t2)
+    assert(row.getAs[java.sql.Timestamp]("last_updated") === t2)
   }
 
   test("JsonStore writable: update/remove persist durably across reopen") {

@@ -193,6 +193,62 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(builder().run().processed === 0)
   }
 
+  test("DedupBuilder incremental SIMHASH: one-long signature index, batch-only repeat work") {
+    val s = spark; import s.implicits._
+    import graft.builder.DedupBuilder
+    import graft.store.MemoryStore
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val uniqText = "totally different words entirely here now for sure"
+    val src = new MemoryStore(spark, "shsrc", key = "doc_id", lastUpdatedField = "lu")
+    src.load(Seq(
+      (1L, dupText, t0), (2L, dupText, t0), (3L, uniqText, t0)
+    ).toDF("doc_id", "text", "lu"))
+    val tgt = new MemoryStore(spark, "shtgt", key = "doc_id", lastUpdatedField = "lu")
+    val idx = new MemoryStore(spark, "shidx", key = "id", lastUpdatedField = "cluster")
+    def builder() = new DedupBuilder(src, tgt, "text", "simhash",
+      indexStore = Some(idx))
+
+    // first build: whole corpus examined, one-long-per-doc index written
+    val r1 = builder().run()
+    assert(r1.processed === 3)
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    assert(idx.df.count() === 3)
+    assert(idx.df.schema("sig").dataType ===
+      org.apache.spark.sql.types.LongType)
+
+    // batch 2: doc 4 dups doc 3 (larger id → dropped); doc 0 dups the
+    // 1/2 cluster with a SMALLER id → 0 dethrones 1 as canonical
+    src.update(Seq((4L, uniqText, t0), (0L, dupText, t0)).toDF("doc_id", "text", "lu"))
+    val b2 = builder()
+    assert(b2.pendingItems().select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(0L, 4L))
+    val r2 = builder().run()
+    assert(r2.processed === 2) // ONLY the new batch was examined
+    assert(idx.df.count() === 5)
+    // delta write propagated the label change to the stored OLD members
+    assert(idx.df.filter(col("id").isin(0L, 1L, 2L)).select("cluster")
+      .collect().map(_.getLong(0)).toSet === Set(0L))
+
+    // canonical view identical to a from-scratch simhash build
+    val fromScratch = graft.ext.Dedup.keepCanonical(src.df,
+      graft.ext.Dedup.simhashPairs(src.df, "doc_id", "text"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(fromScratch === Array(0L, 3L)) // sanity: 0 is the new canonical
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === fromScratch)
+
+    // unchanged corpus → zero work
+    assert(builder().run().processed === 0)
+
+    // a populated SIMHASH index under a minhash run is refused by the
+    // sig TYPE guard (columns alone match both layouts)
+    val e = intercept[IllegalArgumentException] {
+      new DedupBuilder(src, tgt, "text", "minhash",
+        threshold = 0.5, indexStore = Some(idx)).run()
+    }
+    assert(e.getMessage.contains("refusing to mix index layouts"))
+  }
+
   test("DedupBuilder incremental SEMANTIC: persisted centroid cells, batch-only repeat work") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder

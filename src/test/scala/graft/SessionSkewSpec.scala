@@ -168,6 +168,29 @@ class SessionSkewSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("semanticDupPairs hot-cell cap: star emits O(cell) pairs and keeps the cluster connected") {
+    val s = spark; import s.implicits._
+    // 22 near-identical vectors -> one degenerate cell far above the cap.
+    // Uncapped, the within-cell self-join would emit 231 pairs (O(cell²));
+    // star mode must emit exactly cell-1 = 21, all from the min-id rep.
+    val corpus = (1L to 22L)
+      .map(i => (i, Seq(1.0f, 0.001f * i, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val star = graft.ext.Similarity.semanticDupPairs(corpus, nCentroids = 1,
+      threshold = 0.95, maxCellSize = 5, overCap = "star").collect()
+    assert(star.length === 21)
+    assert(star.forall(_.getAs[Long]("a") === 1L))
+    // star keeps the over-cap cluster connected: one canonical survives
+    val pairs = graft.ext.Similarity.semanticDupPairs(corpus, nCentroids = 1,
+      threshold = 0.95, maxCellSize = 5, overCap = "star")
+    val kept = graft.ext.Dedup.keepCanonical(corpus, pairs, "vec_id")
+    assert(kept.select("vec_id").as[Long].collect().toSeq === Seq(1L))
+    // drop mode: the over-cap cell contributes nothing
+    val dropped = graft.ext.Similarity.semanticDupPairs(corpus, nCentroids = 1,
+      threshold = 0.95, maxCellSize = 5, overCap = "drop")
+    assert(dropped.count() === 0)
+  }
+
   test("asofJoin: greatest right ts <= left ts per key, >= on exact ties, null when none") {
     val s = spark; import s.implicits._
     val ts = (m: Long) => new java.sql.Timestamp(m)
@@ -179,6 +202,19 @@ class SessionSkewSpec extends SparkSpec {
       Map("matched" -> "rid")).orderBy("event_id").collect()
     assert(out.map(r => Option(r.getAs[Any]("matched"))).toSeq ===
       Seq(Some(100L), Some(101L), None, None))
+    // forward: smallest right ts >= left ts (inclusive on exact ties)
+    val fwd = graft.ext.TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts",
+      Map("matched" -> "rid"), direction = "forward")
+      .orderBy("event_id").collect()
+    assert(fwd.map(r => Option(r.getAs[Any]("matched"))).toSeq ===
+      Seq(Some(100L), None, Some(100L), None))
+    // tolerance: the event at 250 matched rid 101 (ts 200) at distance
+    // 50ms — a 40ms tolerance nulls it; the exact-tie match survives
+    val tol = graft.ext.TemporalJoins.asofJoin(left, right, Seq("user_id"), "ts",
+      Map("matched" -> "rid"), toleranceMs = Some(40L))
+      .orderBy("event_id").collect()
+    assert(tol.map(r => Option(r.getAs[Any]("matched"))).toSeq ===
+      Seq(Some(100L), None, None, None))
   }
 
   test("rangeJoinCount equals the naive theta-join") {
