@@ -151,9 +151,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              family: String = "xxh64")
+              family: String = "xxh64", trainIters: Int = 0)
       : DataFrame = {
-    val cents = centroidDraw(corpus, nCentroids, idCol, vecCol, family)
+    val cents =
+      if (trainIters <= 0) centroidDraw(corpus, nCentroids, idCol, vecCol, family)
+      else trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, family)
     val cells = assignToCells(corpus, cents, idCol, vecCol, keep = 1)
       .select(col("__rid").alias("n_id"), col("__rvec").alias("n_vec"), col("cell"))
     val probes = assignToCells(queries, cents, idCol, vecCol, keep = nprobe)
@@ -162,6 +164,46 @@ object Similarity {
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("sim", nativeCosine(corpus, col("q_vec"), col("n_vec")))
     topKPerQuery(scored, k)
+  }
+
+  /** Lloyd-trained coarse quantizer: `iters` fixed rounds of
+    * assign-to-nearest + per-cell mean, seeded from the SAME
+    * deterministic draw [[ivfTopK]]/[[semanticDupPairs]] use untrained —
+    * a fixed iteration count and a deterministic init, so repeat builds
+    * converge to the same cells up to floating-point aggregation order
+    * (cross-engine byte-replay is NOT claimed: a distributed mean is
+    * order-sensitive in the last ulp, which is why the ORACLE-verified
+    * queries keep the untrained draw and training is spec-verified on
+    * recall instead).
+    *
+    * Scale shape per round: assignment is the inlined-argmax PROJECTION
+    * of [[assignToCells]] (zero corpus-side shuffles); the update is ONE
+    * narrow aggregation — vectors explode to `(cell, pos, v)` and
+    * partial sums collapse map-side, so the shuffle carries
+    * nCentroids×dim rows regardless of corpus size. Cells emptied by a
+    * round keep their previous centroid (the standard dead-centroid
+    * guard). Returns a broadcast-ready `(c_id, c_vec)` frame with the
+    * draw's original `c_id`s. */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     family: String = "xxh64"): DataFrame = {
+    var cents = centroidDraw(corpus, nCentroids, idCol, vecCol, family)
+      .select(col("c_id").cast("long").alias("c_id"),
+        transform(col("c_vec"), _.cast("double")).alias("c_vec"))
+    for (_ <- 1 to iters) {
+      val assigned = assignToCells(corpus, cents, idCol, vecCol, keep = 1)
+      val means = assigned
+        .select(col("cell"), posexplode(col("__rvec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).alias("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).alias("c_new"))
+      cents = broadcast(
+        cents.join(means.withColumnRenamed("cell", "c_id"), Seq("c_id"), "left_outer")
+          .select(col("c_id"), coalesce(col("c_new"), col("c_vec")).alias("c_vec")))
+    }
+    cents
   }
 
   /** Nearest-centroid assignment. Three strategies by shape:
@@ -338,8 +380,11 @@ object Similarity {
                        vecCol: String = "embedding",
                        family: String = "xxh64",
                        maxCellSize: Int = 10000,
-                       overCap: String = "drop"): DataFrame = {
-    val cents = centroidDraw(corpus, nCentroids, idCol, vecCol, family)
+                       overCap: String = "drop",
+                       trainIters: Int = 0): DataFrame = {
+    val cents =
+      if (trainIters <= 0) centroidDraw(corpus, nCentroids, idCol, vecCol, family)
+      else trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, family)
     val cells = assignToCells(corpus, cents, idCol, vecCol, keep = 1)
       .select(col("cell"), col("__rid").alias("id"), col("__rvec").alias("vec"))
     cellDupPairs(cells, threshold, maxCellSize, overCap)

@@ -78,4 +78,44 @@ object StreamingBuilder {
                            tsCol: String, delay: String): DataFrame =
     stream.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Streaming NEAR-dup dedup across triggers: every micro-batch runs
+    * one incremental [[graft.builder.DedupBuilder]] round against the
+    * persisted signature index — the batch bands only ITSELF against the
+    * stored signatures ([[graft.ext.Dedup.minhashLshIncrementalSigs]] /
+    * [[graft.ext.Dedup.simhashIncrementalSigs]]), components re-resolve
+    * over (new pairs ∪ stored cluster edges), and the target is
+    * repaired (dethroned canonicals removed, survivors upserted). The
+    * index therefore grows batch-proportionally, duplicate detection
+    * spans the whole stream history, and state lives in a STORE, not in
+    * streaming memory: a restart resumes against the same index, and
+    * replayed batches are idempotent (re-ingested ids: new signature
+    * wins, labels monotone).
+    *
+    * Unlike [[dedupWithinWatermark]] the state is unbounded by design —
+    * that is the point: near-dup dedup at corpus scale needs the full
+    * signature history, and a signature is 8-512 bytes/doc in a keyed
+    * parquet store, not per-executor streaming state. `method` is
+    * `"minhash"` or `"simhash"`. */
+  def dedupStream(stream: DataFrame, key: String, textField: String,
+                  target: Store, indexStore: Store,
+                  method: String = "minhash", threshold: Double = 0.7,
+                  checkpoint: Option[String] = None): StreamingQuery = {
+    require(stream.isStreaming, "dedupStream needs a streaming DataFrame")
+    require(method == "minhash" || method == "simhash",
+      s"dedupStream supports minhash|simhash, got '$method'")
+    var writer = stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val src = new graft.store.TableStore(batch.sparkSession, batch,
+            "stream-batch", key)
+          new graft.builder.DedupBuilder(src, target, textField, method,
+            threshold = threshold, indexStore = Some(indexStore)).run()
+          ()
+        }
+      }
+    checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
+    writer.start()
+  }
 }

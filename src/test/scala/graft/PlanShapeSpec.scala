@@ -45,6 +45,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"unexpected shuffle in assignment:\n$p")
   }
 
+  test("trained centroids keep the corpus-side assignment a pure projection") {
+    import org.apache.spark.sql.functions._
+    val emb = sf("embeddings")
+    // training runs its own (bounded) jobs up front; the RESULT plan the
+    // corpus pays per scan must stay the inlined-argmax projection —
+    // identical shape to the untrained pin above
+    val cents = graft.ext.Similarity.trainCentroids(emb, nCentroids = 4,
+      iters = 2)
+    val p = graft.ext.Similarity.assignToCells(emb, cents, "vec_id", "embedding", keep = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"unexpected window in trained assignment:\n$p")
+    assert(!p.contains("Sort "), s"unexpected sort in trained assignment:\n$p")
+    assert(!p.contains("Exchange"), s"unexpected shuffle in trained assignment:\n$p")
+  }
+
   test("sim_cosine_topk reduces via bounded-heap aggregate, not a full-width window") {
     val p = plan("sim_cosine_topk")
     assert(!p.contains("Window"), s"unexpected window in brute-force top-k:\n$p")

@@ -369,6 +369,37 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(tgt.query("""{"k": 2}""").collect()(0).getAs[String]("v") === "B2")
   }
 
+  test("StreamingBuilder.dedupStream: near-dup dedup ACROSS triggers via the signature index") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val uniqText = "totally different words entirely here now for sure"
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val tgt = new MemoryStore(spark, "sdtgt", key = "doc_id", lastUpdatedField = "lu")
+    val idx = new MemoryStore(spark, "sdidx", key = "id", lastUpdatedField = "cluster")
+    val q = StreamingBuilder.dedupStream(
+      stream.toDF().toDF("doc_id", "text", "lu"), "doc_id", "text",
+      tgt, idx, threshold = 0.5)
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    // trigger 1: 2 dups + 1 unique → canonicals {1, 3}, 3 signatures
+    stream.addData((1L, dupText, t0), (2L, dupText, t0), (3L, uniqText, t0))
+    q.processAllAvailable()
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    assert(idx.df.count() === 3)
+    // trigger 2: doc 4 dups doc 3 FROM TRIGGER 1 (cross-trigger dup,
+    // dropped); doc 0 dethrones canonical 1. Index grows by exactly the
+    // batch (batch-proportional state), not the stream history.
+    stream.addData((4L, uniqText, t0), (0L, dupText, t0))
+    q.processAllAvailable()
+    q.stop()
+    assert(idx.df.count() === 5)
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === Array(0L, 3L))
+    // stored old members re-labelled to the new canonical
+    assert(idx.df.filter(col("id").isin(0L, 1L, 2L)).select("cluster")
+      .collect().map(_.getLong(0)).toSet === Set(0L))
+  }
+
   test("StreamingBuilder.dedupWithinWatermark: first occurrence wins, bounded state") {
     val s = spark
     import s.implicits._

@@ -46,6 +46,39 @@ class SubmissionIvfSpec extends SparkSpec {
     ranks.foreach(r => assert(r.getAs[Int]("mr") === r.getAs[Long]("n")))
   }
 
+  test("trainCentroids: Lloyd-trained IVF beats the deterministic draw on clustered data") {
+    val s = spark; import s.implicits._
+    // 4 tight angular clusters with per-member jitter: the seeded-hash
+    // draw routinely lands multiple centroids in one cluster (merging
+    // the others' cells); 5 Lloyd rounds pull one centroid to each
+    // cluster mean, so nprobe=1 probes the query's own cluster cell
+    def v(cl: Int, j: Int): Seq[Float] = Seq.tabulate(8)(d =>
+      if (d == cl) 1.0f
+      else if (d == 4 + cl) 0.03f * (j % 7)
+      else if (d == (cl + 1) % 4) 0.02f * (j % 5)
+      else 0.0f)
+    val corpus = (for (cl <- 0 until 4; j <- 0 until 30)
+      yield ((cl * 100 + j).toLong, v(cl, j))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 100 === 15)
+    val truth = Similarity.bruteForceTopK(corpus, queries, 5)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(trainIters: Int): Double = {
+      val r = Similarity.ivfTopK(corpus, queries, 5, nCentroids = 4,
+        nprobe = 1, trainIters = trainIters)
+        .select(col("q_id"), col("n_id")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      r.intersect(truth).size.toDouble / truth.size
+    }
+    val (untrained, trained) = (recall(0), recall(5))
+    info(s"recall untrained=$untrained trained=$trained")
+    assert(trained >= untrained,
+      s"training must not hurt recall (untrained=$untrained, trained=$trained)")
+    assert(trained >= 0.95, s"trained recall $trained below 0.95")
+    assert(untrained <= 0.99, // fixture sanity: the draw leaves headroom
+      s"fixture no longer exercises training (untrained=$untrained)")
+  }
+
   test("SubmissionStore: in-batch duplicates and null duplicate-fields rejected") {
     val s = spark; import s.implicits._
     val inner = new MemoryStore(spark, "subs2", key = "submission_id")
