@@ -391,10 +391,16 @@ object SparkEntry {
     // the documented path is `agg_percentile_approx` below (fixed-size
     // GK sketch, rank error ≤ n/accuracy).
     "agg_percentile" -> ((s, dir) => {
+      // both l_extendedprice percentiles ride ONE aggregation buffer
+      // (array form): exact percentile state is all-distinct-values per
+      // group, so a second independent agg on the same column would
+      // double the dominant cost
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_quantity, 0.5)").alias("med_qty"),
-          expr("percentile(l_extendedprice, 0.25)").alias("q25_price"),
-          expr("percentile(l_extendedprice, 0.75)").alias("q75_price"))
+          expr("percentile(l_extendedprice, array(0.25, 0.75))").alias("__qs"))
+        .select(col("l_returnflag"), col("med_qty"),
+          element_at(col("__qs"), 1).alias("q25_price"),
+          element_at(col("__qs"), 2).alias("q75_price"))
         .orderBy("l_returnflag")
     }),
 

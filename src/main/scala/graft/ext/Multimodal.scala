@@ -8,16 +8,17 @@ import org.apache.spark.sql.types._
   * as opaque `BinaryType` columns + a typed metadata struct, with
   * decode / feature-extract / frame-sample stages.
   *
-  * IMAGE decode is REAL: `javax.imageio` ships with the JDK (PNG, JPEG,
-  * BMP, GIF — no native deps), so `modality = "image"` payloads decode
-  * to pixel statistics ([[decodeImage]]). Audio/video codecs are not in
-  * this container, so those modalities — and image payloads ImageIO
-  * cannot parse — ride the clearly-marked deterministic STUB
-  * ([[stubDecode]]). Everything Spark-side is real and tested either
-  * way: schema, binary packing, batched per-partition processing shape
-  * (`mapPartitions` over row batches — the JVM analogue of `mapInPandas`
-  * batch processing), and the 1→N frame-sampling generator (`posexplode`
-  * over a computed frame index).
+  * IMAGE and AUDIO decode are REAL, on JDK built-ins with no native
+  * deps: `javax.imageio` (PNG, JPEG, BMP, GIF → pixel statistics,
+  * [[decodeImage]]) and `javax.sound.sampled` (WAV/AIFF/AU PCM →
+  * amplitude statistics, [[decodeAudio]]). Video (and compressed-audio)
+  * codecs are not in this container, so that modality — and payloads
+  * the JDK readers cannot parse — rides the clearly-marked
+  * deterministic STUB ([[stubDecode]]). Everything Spark-side is real
+  * and tested either way: schema, binary packing, batched per-partition
+  * processing shape (`mapPartitions` over row batches — the JVM
+  * analogue of `mapInPandas` batch processing), and the 1→N
+  * frame-sampling generator (`posexplode` over a computed frame index).
   *
   * Scale notes: binary payloads ride normal parquet pages; metadata-only
   * queries never touch the blob column (column pruning); frame sampling
@@ -80,13 +81,66 @@ object Multimodal {
       }
     } catch { case _: Throwable => None }
 
+  /** REAL audio decode via `javax.sound.sampled` (JDK built-in readers:
+    * WAV/AIFF/AU, PCM). Feature vector ([[featureWidth]] wide):
+    * `[sample_rate, channels, frames, bits, mean, rms, peak,
+    * zero_crossing_rate]` over amplitude-normalized samples (all
+    * channels interleaved). Returns None when the payload is not a
+    * parseable PCM audio container (caller falls back to
+    * [[stubDecode]]). 8-bit (unsigned) and 16-bit (signed, either
+    * endianness) PCM are handled — the formats the JDK writers emit. */
+  def decodeAudio(bytes: Array[Byte]): Option[Array[Double]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val pcmSigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val pcmUnsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      if (!(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16)) None
+      else {
+        val raw = in.readAllBytes()
+        val n = raw.length / (bits / 8)
+        if (n == 0) None
+        else {
+          var sum = 0.0; var sum2 = 0.0; var peak = 0.0; var zc = 0L
+          var prevSign = 0; var i = 0
+          while (i < n) {
+            val v =
+              if (bits == 8) {
+                val b = raw(i) & 0xFF
+                (if (pcmUnsigned) b - 128 else raw(i).toInt) / 128.0
+              } else {
+                val (lo, hi) = if (fmt.isBigEndian) (raw(2 * i + 1), raw(2 * i))
+                               else (raw(2 * i), raw(2 * i + 1))
+                ((hi.toInt << 8) | (lo & 0xFF)).toShort / 32768.0
+              }
+            sum += v; sum2 += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            // sign change against the last NON-zero sample: a crossing
+            // that lands exactly on 0 still counts once
+            val s = java.lang.Math.signum(v).toInt
+            if (s != 0) {
+              if (prevSign != 0 && s != prevSign) zc += 1
+              prevSign = s
+            }
+            i += 1
+          }
+          Some(Array(fmt.getSampleRate.toDouble, fmt.getChannels.toDouble,
+            (n / fmt.getChannels).toDouble, bits.toDouble, sum / n,
+            math.sqrt(sum2 / n), peak, zc.toDouble / n))
+        }
+      }
+    } catch { case _: Throwable => None }
+
   /** STUB decode kernel for modalities whose codecs are not in this
-    * container (audio PCM, video). Derives a deterministic fixed-width
-    * "feature" from the payload bytes so the distributed plumbing
-    * (batching, schema, shuffle) is fully exercised. Swap the body for a
-    * real codec on a cluster with native libs. */
+    * container (video, compressed audio). Derives a deterministic
+    * fixed-width "feature" from the payload bytes so the distributed
+    * plumbing (batching, schema, shuffle) is fully exercised. Swap the
+    * body for a real codec on a cluster with native libs. */
   def stubDecode(bytes: Array[Byte]): Array[Double] = {
-    // ??? <- real audio/video codec goes here; deterministic fake below
+    // ??? <- real video/compressed-audio codec goes here; deterministic fake below
     val w = featureWidth
     val out = new Array[Double](w)
     var i = 0
@@ -116,10 +170,11 @@ object Multimodal {
           // per-batch setup would happen here (codec init, model load)
           batch.iterator.map { r =>
             val bytes = r.getAs[Array[Byte]](1)
-            val feats =
-              if (r.getString(2) == "image")
-                decodeImage(bytes).getOrElse(stubDecode(bytes))
-              else stubDecode(bytes)
+            val feats = r.getString(2) match {
+              case "image" => decodeImage(bytes).getOrElse(stubDecode(bytes))
+              case "audio" => decodeAudio(bytes).getOrElse(stubDecode(bytes))
+              case _ => stubDecode(bytes)
+            }
             Row(r.get(0), feats.toSeq)
           }
         }

@@ -325,11 +325,45 @@ class ConnectorSpec extends SparkSpec {
     assert(math.abs(f(7) - math.abs(lumaR - lumaB) / 2) < 1e-9)
     // an image-modality payload ImageIO cannot parse falls back to the stub
     assert(feats(2L).toSeq === graft.ext.Multimodal.stubDecode(textBytes).toSeq)
-    // audio/video modalities ride the stub even for decodable payloads
-    val audio = graft.ext.Multimodal.extractFeatures(
+    // video modality rides the stub even for decodable payloads
+    val video = graft.ext.Multimodal.extractFeatures(
       graft.ext.Multimodal.pack(df.filter(col("doc_id") === 1L), "doc_id",
-        col("payload"), "audio")).collect()(0)
-    assert(audio.getSeq[Double](1).toSeq ===
+        col("payload"), "video")).collect()(0)
+    assert(video.getSeq[Double](1).toSeq ===
       graft.ext.Multimodal.stubDecode(png).toSeq)
+  }
+
+  test("Multimodal audio decode: javax.sound.sampled round-trip on a generated WAV") {
+    val s = spark; import s.implicits._
+    // 16-bit PCM mono 8 kHz, 0.1 s of a 400 Hz half-amplitude sine
+    val rate = 8000f; val n = 800; val freq = 400.0; val amp = 0.5
+    val samples = Array.tabulate(n)(i =>
+      (amp * math.sin(2 * math.Pi * freq * i / rate) * 32767).toShort)
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val feats = graft.ext.Multimodal.extractFeatures(
+      graft.ext.Multimodal.pack(df, "doc_id", col("payload"), "audio"))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getSeq[Double](1).toArray).toMap
+    // [sample_rate, channels, frames, bits, mean, rms, peak, zcr]
+    val f = feats(1L)
+    assert(f(0) === 8000.0 && f(1) === 1.0 && f(2) === 800.0 && f(3) === 16.0)
+    assert(math.abs(f(4)) < 1e-3)                         // sine: zero mean
+    assert(math.abs(f(5) - amp / math.sqrt(2)) < 1e-3)    // rms = A/sqrt(2)
+    assert(math.abs(f(6) - amp) < 1e-3)                   // peak = A
+    assert(math.abs(f(7) - 2 * freq / rate) < 0.01)       // zcr = 2f/rate
+    // unparseable payload under audio modality falls back to the stub
+    assert(feats(2L).toSeq ===
+      graft.ext.Multimodal.stubDecode("not audio".getBytes("UTF-8")).toSeq)
   }
 }
