@@ -128,9 +128,15 @@ object Bench {
     // [engine, oracle, ratio] triples for the most expensive queries
     // (greedy by max(engine, oracle) until the size budget); the omitted
     // small-query remainder is aggregated, never silently dropped.
-    val oracleTotal = results.collect {
-      case (n, Some(_)) if oracleSec.contains(n) => oracleSec(n) }.sum
-    val ratio = if (oracleTotal > 0) total / oracleTotal else -1.0
+    // ratio covers the MATCHED set only: engine queries without an
+    // oracle value (missing SQL, null timing) are excluded from BOTH
+    // sides — summing them into the numerator alone would inflate the
+    // headline ratio exactly when oracle coverage is partial
+    val matched = results.collect {
+      case (n, Some(e)) if oracleSec.contains(n) => (n, e, oracleSec(n)) }
+    val engineMatched = matched.map(_._2).sum
+    val oracleTotal = matched.map(_._3).sum
+    val ratio = if (oracleTotal > 0) engineMatched / oracleTotal else -1.0
     def triple(n: String, e: Double): String = {
       val o = oracleSec.get(n)
       val r = o.filter(_ > 0).map(ov => f"${e / ov}%.2f").getOrElse("null")
@@ -147,7 +153,7 @@ object Bench {
     }
     val omittedEngine = omitted.map(_._2).sum
     val omittedOracle = omitted.flatMap { case (n, _) => oracleSec.get(n) }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","engine_sec":$total%.3f,"oracle_sec":$oracleTotal%.3f,"ratio":$ratio%.3f$failedField,"per_query_eng_orc_ratio":${entries.mkString("{", ",", "}")},"omitted":{"n":${omitted.length},"engine_sec":$omittedEngine%.2f,"oracle_sec":$omittedOracle%.2f},"full":"BENCH_FULL.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","engine_sec":$engineMatched%.3f,"oracle_sec":$oracleTotal%.3f,"ratio":$ratio%.3f$failedField,"per_query_eng_orc_ratio":${entries.mkString("{", ",", "}")},"omitted":{"n":${omitted.length},"engine_sec":$omittedEngine%.2f,"oracle_sec":$omittedOracle%.2f},"full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -1354,9 +1354,13 @@ object SparkEntry {
           s"cents AS (SELECT id AS c_id, vec AS c_vec FROM corpus ORDER BY $H ASC, id ASC LIMIT 16), " +
           "cells AS (SELECT e.id, e.vec, c.c_id AS cell FROM corpus e, cents c " +
           "QUALIFY row_number() OVER (PARTITION BY e.id ORDER BY " +
-          "list_cosine_similarity(e.vec, c.c_vec) DESC, c.c_id ASC) <= 1) " +
+          "list_cosine_similarity(e.vec, c.c_vec) DESC, c.c_id ASC) <= 1), " +
+          // the engine's hot-cell cap (maxCellSize = 10000, drop): cells
+          // above the cap contribute no pairs in the oracle either
+          "capped AS (SELECT * FROM cells QUALIFY " +
+          "count(*) OVER (PARTITION BY cell) <= 10000) " +
           "SELECT x.id AS a, y.id AS b, round(list_cosine_similarity(x.vec, y.vec), 4) AS sim " +
-          "FROM cells x JOIN cells y ON x.cell = y.cell AND x.id < y.id " +
+          "FROM capped x JOIN capped y ON x.cell = y.cell AND x.id < y.id " +
           "WHERE list_cosine_similarity(x.vec, y.vec) >= 0.9 ORDER BY 1, 2"
       },
       // PII scrub replay: identical plant expression, identical RE2/Java-

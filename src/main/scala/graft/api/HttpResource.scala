@@ -124,7 +124,7 @@ class ReadResource(
     // WITHOUT a PaginationQuery: an uncapped search would collect the
     // whole store onto the serving driver
     val capInjected = qp0.limit.isEmpty
-    val qp = if (capInjected) qp0.copy(limit = Some(1000)) else qp0
+    val qp = if (capInjected) qp0.copy(limit = Some(ReadResource.injectedCap)) else qp0
     val total = cachedCount(qp.criteria)
     // limit ≤ maxLimit by PaginationQuery contract → bounded collect
     val results = ops.foldLeft(store.query(qp))((d, op) => op.postProcess(d, params))
@@ -141,7 +141,8 @@ class ReadResource(
     // than total" is detectable without length arithmetic
     val capMeta =
       if (capInjected)
-        Seq(s""""limit": 1000""", s""""truncated": ${total > rows.length}""")
+        Seq(s""""limit": ${ReadResource.injectedCap}""",
+          s""""truncated": ${total > rows.length}""")
       else Nil
     val metaEntries = (s""""total_doc": $total""" +:
       (ops.filterNot(_.isInstanceOf[FacetQuery])
@@ -171,6 +172,11 @@ object ReadResource {
   /** One shared daemon scheduler for every request deadline — per-request
     * Timer construction would churn an OS thread per call. */
   private[api] val watchdog = new java.util.Timer("graft-http-watchdog", true)
+
+  /** Safety cap injected when a resource is built without a
+    * PaginationQuery — the one definition both the query limit and the
+    * response-meta marker read (reference `max_limit` default). */
+  val injectedCap: Int = 1000
 }
 
 /** Read-only [[Store]] over a re-evaluated frame — lets a resource serve

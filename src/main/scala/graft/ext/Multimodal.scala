@@ -114,7 +114,11 @@ object Multimodal {
               } else {
                 val (lo, hi) = if (fmt.isBigEndian) (raw(2 * i + 1), raw(2 * i))
                                else (raw(2 * i), raw(2 * i + 1))
-                ((hi.toInt << 8) | (lo & 0xFF)).toShort / 32768.0
+                // unsigned 16-bit: midpoint 0x8000 is silence, shift it
+                // to 0 before normalizing (signed: plain sign extension)
+                if (pcmUnsigned)
+                  ((((hi & 0xFF) << 8) | (lo & 0xFF)) - 32768) / 32768.0
+                else ((hi.toInt << 8) | (lo & 0xFF)).toShort / 32768.0
               }
             sum += v; sum2 += v * v
             if (math.abs(v) > peak) peak = math.abs(v)

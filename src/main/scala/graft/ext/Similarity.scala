@@ -187,23 +187,40 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 5,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      family: String = "xxh64"): DataFrame = {
-    var cents = centroidDraw(corpus, nCentroids, idCol, vecCol, family)
-      .select(col("c_id").cast("long").alias("c_id"),
-        transform(col("c_vec"), _.cast("double")).alias("c_vec"))
+    val s = corpus.sparkSession
+    import s.implicits._
+    def toDoubles(v: Seq[Any]): Seq[Double] = v.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }
+    // the centroid table lives on the DRIVER between rounds (nCentroids
+    // rows BY CONTRACT): each round's means are collected and the next
+    // round's table rebuilt as a fresh local relation, so round i costs
+    // exactly ONE corpus aggregation — an unmaterialized join chain here
+    // would re-execute every earlier round inside assignToCells' collect
+    // (O(iters²)) and again per downstream consumer of the result
+    var cents: Map[Long, Seq[Double]] =
+      centroidDraw(corpus, nCentroids, idCol, vecCol, family).collect()
+        .map(r => r.getAs[Number]("c_id").longValue() -> toDoubles(r.getSeq[Any](1)))
+        .toMap
+    def centsDf = broadcast(cents.toSeq.sortBy(_._1).toDF("c_id", "c_vec"))
     for (_ <- 1 to iters) {
-      val assigned = assignToCells(corpus, cents, idCol, vecCol, keep = 1)
-      val means = assigned
+      val means = assignToCells(corpus, centsDf, idCol, vecCol, keep = 1)
         .select(col("cell"), posexplode(col("__rvec")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("col").cast("double")).alias("m"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).alias("c_new"))
-      cents = broadcast(
-        cents.join(means.withColumnRenamed("cell", "c_id"), Seq("c_id"), "left_outer")
-          .select(col("c_id"), coalesce(col("c_new"), col("c_vec")).alias("c_vec")))
+        .collect() // ≤ nCentroids rows
+      // cells emptied by the round keep their previous centroid (the
+      // standard dead-centroid guard): the map update only overwrites
+      // cells that produced a mean
+      cents = cents ++ means.map(r =>
+        r.getAs[Number]("cell").longValue() -> toDoubles(r.getSeq[Any](1)))
     }
-    cents
+    centsDf
   }
 
   /** Nearest-centroid assignment. Three strategies by shape:
@@ -391,11 +408,15 @@ object Similarity {
   }
 
   /** Within-cell near-dup pairs with the hot-cell guard, over a
-    * pre-assigned `(cell, id, vec)` frame — the shared tail of
-    * [[semanticDupPairs]] and the incremental semantic builder round.
-    * Under-cap cells self-join (`a < b`); over-cap cells contribute
-    * nothing (`overCap = "drop"`) or a min-id star (`"star"`). Survivors
-    * are `cosine ≥ threshold`, returned as `(a, b, sim)`. */
+    * pre-assigned `(cell, id, vec)` frame — the tail of
+    * [[semanticDupPairs]]. Under-cap cells self-join (`a < b`); over-cap
+    * cells contribute nothing (`overCap = "drop"`) or a min-id star
+    * (`"star"`). Survivors are `cosine ≥ threshold`, returned as
+    * `(a, b, sim)`. The incremental builder round
+    * (`DedupBuilder.runSemanticIndexed`) deliberately does NOT consume
+    * this helper: its pairing must exclude old×old comparisons and
+    * orient old→new, so it mirrors the cap/star shape inline — keep the
+    * two in sync when changing cap or star semantics. */
   private[graft] def cellDupPairs(cells: DataFrame, threshold: Double,
                                   maxCellSize: Int, overCap: String): DataFrame = {
     require(overCap == "drop" || overCap == "star",

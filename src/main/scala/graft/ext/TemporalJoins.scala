@@ -73,9 +73,16 @@ object TemporalJoins {
     val inTol: Column = toleranceMs match {
       case None => lit(true)
       case Some(tol) =>
-        // sign is fixed by construction (backward: l ≥ r, forward: r ≥ l)
-        abs(unix_millis(col(tsCol).cast("timestamp")) -
-          unix_millis(col("__r.__rts").cast("timestamp"))) <= tol
+        // numeric ts columns are taken AS millis: casting a long through
+        // timestamp would read epoch-SECONDS and scale the tolerance
+        // 1000×; sign is fixed by construction (backward: l ≥ r,
+        // forward: r ≥ l), abs covers both directions
+        val numericTs = left.schema(tsCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        def ms(c: Column) =
+          if (numericTs) c.cast("long")
+          else unix_millis(c.cast("timestamp"))
+        abs(ms(col(tsCol)) - ms(col("__r.__rts"))) <= tol
     }
     filled.filter(col("__side") === 1)
       .select(lCols.map(col) ++
