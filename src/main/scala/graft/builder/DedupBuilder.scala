@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   *  - `"simhash"` / `"ngram"` — same, over the respective pair producers
   *
   * ==Incremental builds==
-  * With an `indexStore` (methods `"minhash"`, `"simhash"` and
-  * `"semantic"`), the build follows the reference's incremental contract
+  * With an `indexStore` (methods `"minhash"`, `"simhash"`, `"ngram"`
+  * and `"semantic"`), the build follows the reference's incremental contract
   * (`core/store.py:239-275`): the FIRST run writes every doc's
   * signature + cluster label to the index; each REPEAT run processes
   * ONLY the docs not yet in the index against the persisted state,
@@ -32,8 +32,11 @@ import org.apache.spark.sql.functions._
   * Index schema, minhash: `(id, sig, cluster)` with `sig` an array of
   * hash values ([[Dedup.minhashLshIncrementalSigs]] bands the new batch
   * against the stored signatures). Simhash: the same columns with `sig`
-  * ONE packed long ([[Dedup.simhashIncrementalSigs]]) — the sig TYPE is
-  * what keeps the two layouts from being silently mixed.
+  * ONE packed long ([[Dedup.simhashIncrementalSigs]]). Ngram:
+  * `(id, grams, cluster)` with `grams` the doc's distinct gram hashes
+  * ([[Dedup.ngramJaccardIncrementalSigs]] posts the batch against the
+  * stored sets, shared-gram shuffle only) — column NAME and sig TYPE
+  * keep the three layouts from being silently mixed.
   * Semantic: `(id, vec, cell, centroid, cluster)` —
   * the first run's deterministic centroid draw is PERSISTED
   * (`centroid = true` rows), so every later batch assigns to the SAME
@@ -65,9 +68,9 @@ class DedupBuilder(
   extends Builder {
 
   require(indexStore.isEmpty || method == "minhash" || method == "simhash" ||
-      method == "semantic",
+      method == "ngram" || method == "semantic",
     "indexStore (incremental dedup) is only supported for " +
-      s"method=minhash|simhash|semantic, got '$method'")
+      s"method=minhash|simhash|ngram|semantic, got '$method'")
   require(nCentroids > 0, s"nCentroids must be positive, got $nCentroids")
 
   private def scoped: DataFrame =
@@ -76,18 +79,21 @@ class DedupBuilder(
   /** A usable index needs the full method-specific schema — the single
     * definition shared by [[pendingItems]] and the indexed runs, so a
     * partial/drifted index table (e.g. id-only) cannot make the estimate
-    * and the actual build disagree about what counts as "seen". The
-    * `sig` TYPE disambiguates minhash (array of hash values) from
-    * simhash (one packed long) — the columns alone match both, and
+    * and the actual build disagree about what counts as "seen". Layouts
+    * stay schema-distinguishable WITHOUT reading data: minhash `sig` is
+    * an array of hash values, simhash `sig` one packed long, and the
+    * ngram tier persists its (also array-typed) gram set under `grams` —
     * banding against the wrong family would silently detect nothing. */
   private def usableIndex(idx: Store): Boolean = {
     val df = idx.df
     val c = df.columns
     c.contains("id") && c.contains("cluster") && (method match {
       case "semantic" => Seq("vec", "cell", "centroid").forall(c.contains)
-      case "minhash" => c.contains("sig") &&
+      case "minhash" => c.contains("sig") && !c.contains("grams") &&
         df.schema("sig").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
-      case _ /* simhash */ => c.contains("sig") &&
+      case "ngram" => c.contains("grams") &&
+        df.schema("grams").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      case _ /* simhash */ => c.contains("sig") && !c.contains("grams") &&
         df.schema("sig").dataType == org.apache.spark.sql.types.LongType
     })
   }
@@ -182,9 +188,10 @@ class DedupBuilder(
   }
 
   /** One incremental round against the signature index (see class doc).
-    * Shared by minhash (sig = array of hash values) and simhash (sig =
-    * one packed long) — the round differs only in the signature kernel
-    * and the pair producer. */
+    * Shared by minhash (sig = array of hash values), simhash (sig = one
+    * packed long) and ngram (per-doc gram set, persisted as `grams`) —
+    * the round differs only in the signature kernel and the pair
+    * producer. */
   private def runIndexed(idx: Store): BuildReport = {
     val k = source.key
     val hasIndex = hasCompatibleIndex(idx)
@@ -192,36 +199,44 @@ class DedupBuilder(
       case None => return BuildReport(0, 0)
       case Some(be) => be
     }
+    val sigCol = if (method == "ngram") "grams" else "sig"
     // batch signatures: computed once, consumed by banding, verification
     // and the index write
     val newSigs = (method match {
       case "minhash" => Dedup.minhashSignatures(batch, k, textField)
-      case _ => Dedup.simhashSignatures(batch, k, textField)
+      case "simhash" => Dedup.simhashSignatures(batch, k, textField)
         .withColumnRenamed("simhash", "sig")
+      case _ => Dedup.ngramSignatures(batch, k, textField)
+        .withColumnRenamed("sig", "grams")
     }).localCheckpoint(true)
 
     def fromScratch = method match {
       case "minhash" => Dedup.minhashLshFromSigs(newSigs, threshold = threshold)
-      case _ => Dedup.simhashPairsFromSigs(
+      case "simhash" => Dedup.simhashPairsFromSigs(
         newSigs.withColumnRenamed("sig", "simhash"))
+      case _ => Dedup.ngramJaccardPairsFromSigs(
+        newSigs.withColumnRenamed("grams", "sig"), threshold = threshold)
     }
     def incremental(knownSigs: DataFrame) = method match {
       case "minhash" =>
         Dedup.minhashLshIncrementalSigs(newSigs, knownSigs, threshold = threshold)
-      case _ => Dedup.simhashIncrementalSigs(newSigs, knownSigs)
+      case "simhash" => Dedup.simhashIncrementalSigs(newSigs, knownSigs)
+      case _ => Dedup.ngramJaccardIncrementalSigs(
+        newSigs.withColumnRenamed("grams", "sig"),
+        knownSigs.withColumnRenamed("grams", "sig"), threshold = threshold)
     }
     val (pairs, oldEdges, known) =
       if (!hasIndex) (fromScratch, None, None)
       else {
-        val kn = idx.df.select(col("id"), col("sig"), col("cluster"))
-        (incremental(kn.select(col("id"), col("sig"))),
+        val kn = idx.df.select(col("id"), col(sigCol), col("cluster"))
+        (incremental(kn.select(col("id"), col(sigCol))),
           // stored membership re-enters resolution as (cluster → id) edges
           Some(kn.filter(col("cluster") =!= col("id"))
             .select(col("cluster").alias("a"), col("id").alias("b"))),
           Some(kn))
       }
     val r = resolveDeltaAndRepair(idx, batch, examined,
-      newSigs.select(col("id"), col("sig")), pairs, oldEdges, known)
+      newSigs.select(col("id"), col(sigCol)), pairs, oldEdges, known)
     newSigs.unpersist()
     r
   }

@@ -692,22 +692,35 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxPostings: Int = 1000): DataFrame = {
-    val spark = df.sparkSession
+                        maxPostings: Int = 1000): DataFrame =
+    ngramJaccardPairsFromSigs(ngramSignatures(df, idCol, textCol, n),
+      threshold, maxPostings)
+
+  /** Per-doc distinct gram-hash signatures `(id, sig)` — the per-doc
+    * state the ngram tier persists for incremental builds (the kernel
+    * already emits each doc's grams deduplicated). */
+  def ngramSignatures(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame =
+    df.select(col(idCol).alias("id"),
+      graft.functions.GraftFunctions.ngramHashes(df.sparkSession,
+        TextAnalysis.normTokens(col(textCol)), n).alias("sig"))
+
+  /** [[ngramJaccardPairs]] over pre-computed signatures `(id, sig)`. */
+  def ngramJaccardPairsFromSigs(sigs: DataFrame, threshold: Double = 0.8,
+                                maxPostings: Int = 1000): DataFrame = {
+    val spark = sigs.sparkSession
     // postings keyed by the 64-bit gram hash, not the string — 8-byte
     // keys in the single inverted-index shuffle (collision odds
     // ~|shingles|²/2^65: nil); per-doc set size rides with each posting
     // integral ids ride the bounded-collect kernel (cast to long);
     // non-integral ids fall back to the join-based inverted index
     val idExpr =
-      if (integralId(df, idCol)) col(idCol).cast("long").alias("id")
-      else col(idCol).alias("id")
-    val posted = df.select(idExpr,
-        graft.functions.GraftFunctions.ngramHashes(spark,
-          TextAnalysis.normTokens(col(textCol)), n).alias("shs"))
-      .select(col("id"), size(col("shs")).cast("long").alias("sz"),
-        explode(col("shs")).alias("sh"))
-    val common = if (integralId(df, idCol)) {
+      if (integralId(sigs, "id")) col("id").cast("long").alias("id")
+      else col("id")
+    val posted = sigs.select(idExpr, col("sig"))
+      .select(col("id"), size(col("sig")).cast("long").alias("sz"),
+        explode(col("sig")).alias("sh"))
+    val common = if (integralId(sigs, "id")) {
       val lists = posted.groupBy(col("sh"))
         .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
           col("id"), col("sz"), maxPostings).alias("lst"))
@@ -737,6 +750,96 @@ object Dedup {
     }
     // sza/szb are functionally determined by a/b — extra group keys only
     common.groupBy("a", "b", "sza", "szb").agg(count(lit(1)).alias("common"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sza") + col("szb") - col("common")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
+  /** Incremental n-gram Jaccard: pairs for a NEW batch of gram
+    * signatures against an existing signature table plus within the
+    * batch — the [[minhashLshIncrementalSigs]] contract for the
+    * verifier tier. Both inputs carry `(id, sig)` with `sig` the doc's
+    * distinct gram hashes; returns `(a, b, jaccard)` with `b` always a
+    * new-batch id and `jaccard ≥ threshold`.
+    *
+    * Batch-proportional SHUFFLE: stored postings are semi-joined to the
+    * grams the new batch actually shares before the inverted-index
+    * aggregation — a gram absent from the batch cannot produce a new
+    * pair, so only shared-gram postings leave the stored side's scan
+    * (the scan itself is once per build, like every incremental tier).
+    * Every old doc holding a shared gram survives the filter, so the
+    * `maxPostings` cap is measured over the FULL old+new occupancy of
+    * each pairable gram — identical to a from-scratch build. The
+    * old/new tag and the per-doc set size share the bounded-collect aux
+    * slot (`sz << 1 | tag`). */
+  def ngramJaccardIncrementalSigs(newSigs: DataFrame, existingSigs: DataFrame,
+                                  threshold: Double = 0.8,
+                                  maxPostings: Int = 1000): DataFrame = {
+    val spark = newSigs.sparkSession
+    // re-ingested ids: the new signature wins, stale table row ignored
+    val oldOnly = existingSigs.select(col("id"), col("sig"))
+      .join(newSigs.select(col("id")), Seq("id"), "left_anti")
+    val integral = integralId(newSigs, "id")
+    def post(df: DataFrame, tag: Int) = {
+      val idExpr = if (integral) col("id").cast("long").alias("id") else col("id")
+      df.select(idExpr, size(col("sig")).cast("long").alias("sz"),
+          explode(col("sig")).alias("sh"))
+        .withColumn("__new", lit(tag.toLong))
+    }
+    val newPosted = post(newSigs, 1)
+    val newGrams = newPosted.select(col("sh")).distinct()
+    val oldPosted = post(oldOnly, 0).join(newGrams, Seq("sh"), "left_semi")
+    val posted = oldPosted.unionByName(newPosted)
+    val expanded = if (integral) {
+      val lists = posted
+        .select(col("sh"), col("id"),
+          (shiftleft(col("sz"), 1).bitwiseOR(col("__new"))).alias("aux"))
+        .groupBy(col("sh"))
+        .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
+          col("id"), col("aux"), maxPostings).alias("lst"))
+        .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+      lists
+        .select(col("lst"), posexplode(col("lst")))
+        .select(col("col").alias("p"),
+          explode(slice(col("lst"), col("pos") + 2,
+            greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+        .select(col("p.id").alias("pi"), col("q.id").alias("qi"),
+          col("p.aux").bitwiseAND(1).alias("pn"),
+          col("q.aux").bitwiseAND(1).alias("qn"),
+          shiftright(col("p.aux"), 1).alias("psz"),
+          shiftright(col("q.aux"), 1).alias("qsz"))
+    } else {
+      val hot = posted.groupBy(col("sh")).agg(count(lit(1)).alias("__n"))
+        .filter(col("__n") > maxPostings).select(col("sh"))
+      val capped = posted.join(broadcast(hot), Seq("sh"), "left_anti")
+      capped.select(col("sh"), col("id").alias("pi"), col("sz").alias("psz"),
+          col("__new").alias("pn"))
+        .join(capped.select(col("sh"), col("id").alias("qi"),
+          col("sz").alias("qsz"), col("__new").alias("qn")), Seq("sh"))
+        .filter(col("pi") < col("qi"))
+        .select(col("pi"), col("qi"), col("pn"), col("qn"), col("psz"), col("qsz"))
+    }
+    // (a, b) with b always NEW: old-new keeps the old id as a (disjoint
+    // batches need no order guard), new-new orders a < b
+    expanded
+      .filter(col("pn") + col("qn") >= 1)
+      .select(
+        when(col("pn") === 0, col("pi"))
+          .when(col("qn") === 0, col("qi"))
+          .otherwise(least(col("pi"), col("qi"))).alias("a"),
+        when(col("pn") === 0, col("qi"))
+          .when(col("qn") === 0, col("pi"))
+          .otherwise(greatest(col("pi"), col("qi"))).alias("b"),
+        when(col("pn") === 0, col("psz"))
+          .when(col("qn") === 0, col("qsz"))
+          .otherwise(when(col("pi") <= col("qi"), col("psz"))
+            .otherwise(col("qsz"))).alias("sza"),
+        when(col("pn") === 0, col("qsz"))
+          .when(col("qn") === 0, col("psz"))
+          .otherwise(when(col("pi") <= col("qi"), col("qsz"))
+            .otherwise(col("psz"))).alias("szb"))
+      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).alias("common"))
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("sza") + col("szb") - col("common")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)

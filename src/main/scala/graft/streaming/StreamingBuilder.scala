@@ -96,14 +96,14 @@ object StreamingBuilder {
     * that is the point: near-dup dedup at corpus scale needs the full
     * signature history, and a signature is 8-512 bytes/doc in a keyed
     * parquet store, not per-executor streaming state. `method` is
-    * `"minhash"` or `"simhash"`. */
+    * `"minhash"`, `"simhash"` or `"ngram"`. */
   def dedupStream(stream: DataFrame, key: String, textField: String,
                   target: Store, indexStore: Store,
                   method: String = "minhash", threshold: Double = 0.7,
                   checkpoint: Option[String] = None): StreamingQuery = {
     require(stream.isStreaming, "dedupStream needs a streaming DataFrame")
-    require(method == "minhash" || method == "simhash",
-      s"dedupStream supports minhash|simhash, got '$method'")
+    require(method == "minhash" || method == "simhash" || method == "ngram",
+      s"dedupStream supports minhash|simhash|ngram, got '$method'")
     var writer = stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>

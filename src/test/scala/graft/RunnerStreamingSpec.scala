@@ -249,6 +249,57 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to mix index layouts"))
   }
 
+  test("DedupBuilder incremental NGRAM: gram-set index, shared-gram postings, batch-only repeat work") {
+    val s = spark; import s.implicits._
+    import graft.builder.DedupBuilder
+    import graft.store.MemoryStore
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val uniqText = "totally different words entirely here now for sure"
+    val src = new MemoryStore(spark, "ngsrc", key = "doc_id", lastUpdatedField = "lu")
+    src.load(Seq(
+      (1L, dupText, t0), (2L, dupText, t0), (3L, uniqText, t0)
+    ).toDF("doc_id", "text", "lu"))
+    val tgt = new MemoryStore(spark, "ngtgt", key = "doc_id", lastUpdatedField = "lu")
+    val idx = new MemoryStore(spark, "ngidx", key = "id", lastUpdatedField = "cluster")
+    def builder() = new DedupBuilder(src, tgt, "text", "ngram",
+      threshold = 0.5, indexStore = Some(idx))
+
+    // first build: whole corpus examined, gram-set index written
+    val r1 = builder().run()
+    assert(r1.processed === 3)
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    assert(idx.df.count() === 3)
+    assert(idx.df.columns.contains("grams"))
+
+    // batch 2: doc 4 dups doc 3 (cross-batch, larger id → dropped);
+    // doc 0 dethrones canonical 1
+    src.update(Seq((4L, uniqText, t0), (0L, dupText, t0)).toDF("doc_id", "text", "lu"))
+    val r2 = builder().run()
+    assert(r2.processed === 2) // ONLY the new batch was examined
+    assert(idx.df.count() === 5)
+    assert(idx.df.filter(col("id").isin(0L, 1L, 2L)).select("cluster")
+      .collect().map(_.getLong(0)).toSet === Set(0L))
+
+    // canonical view identical to a from-scratch ngram build
+    val fromScratch = graft.ext.Dedup.keepCanonical(src.df,
+      graft.ext.Dedup.ngramJaccardPairs(src.df, "doc_id", "text", threshold = 0.5),
+      "doc_id").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(fromScratch === Array(0L, 3L))
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === fromScratch)
+
+    // unchanged corpus → zero work
+    assert(builder().run().processed === 0)
+
+    // an ngram index under a minhash run is refused (grams column is
+    // not the minhash layout), and vice versa
+    val e = intercept[IllegalArgumentException] {
+      new DedupBuilder(src, tgt, "text", "minhash",
+        threshold = 0.5, indexStore = Some(idx)).run()
+    }
+    assert(e.getMessage.contains("refusing to mix index layouts"))
+  }
+
   test("DedupBuilder incremental SEMANTIC: persisted centroid cells, batch-only repeat work") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder
