@@ -58,6 +58,77 @@ object PropertySpec extends Properties("graft") {
         worst >= 0.98
     }
 
+  property("asofJoin backward/forward with tolerance matches the naive per-row reference") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 1000L))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 1000L))),
+      Gen.oneOf("backward", "forward"),
+      Gen.option(Gen.chooseNum(0L, 300L))) { (ls, rs0, dir, tol) =>
+      val s = spark; import s.implicits._
+      val ts = (m: Long) => new java.sql.Timestamp(m)
+      // payload = the right row's own ts, so equal-(key,ts) right rows are
+      // interchangeable and ties can't make the check flaky
+      val rs = rs0.distinct
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+        .toDF("event_id", "user_id", "ts")
+      val right = rs.map { case (k, t) => (k, ts(t), t) }
+        .toDF("user_id", "ts", "rts")
+      val got = graft.ext.TemporalJoins.asofJoin(left, right, Seq("user_id"),
+          "ts", Map("matched" -> "rts"), direction = dir, toleranceMs = tol)
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("matched")).map(_.asInstanceOf[Long])).toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rs.collect { case (rk, rt) if rk == k &&
+          (if (dir == "backward") rt <= t else rt >= t) => rt }
+        val m = (if (dir == "backward") cands.sorted.lastOption
+                 else cands.sorted.headOption)
+          .filter(rt => tol.forall(tm => math.abs(t - rt) <= tm))
+        i.toLong -> m
+      }.toMap
+      got == want
+    }
+
+  property("incremental dedup (minhash|simhash|ngram) converges to the from-scratch canonical set") =
+    forAll(
+      Gen.chooseNum(4, 14).flatMap(n => Gen.listOfN(n,
+        Gen.listOfN(8, Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon",
+          "zeta", "eta", "theta")).map(_.mkString(" ")))),
+      Gen.oneOf("minhash", "simhash", "ngram"),
+      Gen.chooseNum(0.0, 1.0)) { (texts, method, splitFrac) =>
+      val s = spark; import s.implicits._
+      import graft.builder.DedupBuilder
+      import graft.store.MemoryStore
+      val t0 = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, t0) }
+      val cut = math.max(1, (docs.size * splitFrac).toInt)
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val src = new MemoryStore(s, s"psrc$uid", key = "doc_id", lastUpdatedField = "lu")
+      val tgt = new MemoryStore(s, s"ptgt$uid", key = "doc_id", lastUpdatedField = "lu")
+      val idx = new MemoryStore(s, s"pidx$uid", key = "id", lastUpdatedField = "cluster")
+      def builder() = new DedupBuilder(src, tgt, "text", method,
+        threshold = 0.5, indexStore = Some(idx))
+      // two incremental batches...
+      src.load(docs.take(cut).toDF("doc_id", "text", "lu"))
+      builder().run()
+      if (docs.size > cut) {
+        src.update(docs.drop(cut).toDF("doc_id", "text", "lu"))
+        builder().run()
+      }
+      val incremental = tgt.df.select("doc_id").collect().map(_.getLong(0)).toSet
+      // ...must land exactly where one from-scratch build does
+      val all = docs.toDF("doc_id", "text", "lu")
+      val pairs = method match {
+        case "minhash" => graft.ext.Dedup.minhashLsh(all, "doc_id", "text", threshold = 0.5)
+        case "simhash" => graft.ext.Dedup.simhashPairs(all, "doc_id", "text")
+        case _ => graft.ext.Dedup.ngramJaccardPairs(all, "doc_id", "text", threshold = 0.5)
+      }
+      val scratch = graft.ext.Dedup.keepCanonical(all, pairs, "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      incremental == scratch
+    }
+
   property("MongoFilter range/membership criteria equal the native predicate") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)), Gen.chooseNum(-1000L, 1000L)) {
       (vals, pivot) =>
