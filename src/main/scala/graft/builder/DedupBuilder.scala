@@ -273,10 +273,11 @@ class DedupBuilder(
     // Similarity.cellDupPairs): cell populations are counted over stored
     // ∪ new members, so a cell that crossed the cap in ANY round stops
     // producing quadratic joins. Star mode pairs the cell's min-id
-    // representative (across stored ∪ new) with the NEW members only —
-    // batch-proportional; if a new doc dethrones the representative,
-    // old members are not re-paired against it (the star recall
-    // trade-off [[graft.ext.Similarity.cosineDupPairs]] documents).
+    // representative (across stored ∪ new) with the NEW members; when a
+    // new doc DETHRONES the representative, the cell's stored members
+    // re-pair against it once — O(cell) pairs on the dethroning round
+    // only — so the over-cap cluster stays connected through the new
+    // representative (rounds with a stable rep stay batch-proportional).
     val storedCells =
       if (hasIndex) Some(idx.df.select(col("cell"), col("id"), col("vec")))
       else None
@@ -310,11 +311,20 @@ class DedupBuilder(
           .groupBy(col("cell"))
           .agg(min_by(struct(col("id"), col("vec")), col("id")).alias("__r"))
           .select(col("cell"), col("__r.id").alias("a"), col("__r.vec").alias("va"))
-        val star = overNew.join(broadcast(reps), Seq("cell"))
+        val starNew = overNew.join(broadcast(reps), Seq("cell"))
           .filter(col("id") =!= col("a"))
           .filter(cos(col("va"), col("vec")) >= threshold)
           .select(col("a"), col("id").alias("b"))
-        underCap.unionByName(star)
+        // dethroned representative: stored members meet the NEW rep once
+        val starOld = storedCells.map { sc =>
+          val newReps = reps.join(newCells.select(col("id").alias("a")),
+            Seq("a"), "left_semi")
+          sc.join(broadcast(newReps), Seq("cell"))
+            .filter(col("id") =!= col("a"))
+            .filter(cos(col("va"), col("vec")) >= threshold)
+            .select(col("a"), col("id").alias("b"))
+        }
+        starOld.foldLeft(underCap.unionByName(starNew))(_ unionByName _)
       }
     val known =
       if (hasIndex)

@@ -355,6 +355,37 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to mix index layouts"))
   }
 
+  test("DedupBuilder incremental SEMANTIC star: hot cell stays connected across a dethroning") {
+    val s = spark; import s.implicits._
+    import graft.builder.DedupBuilder
+    import graft.store.MemoryStore
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    // every vector near-identical -> ONE cell, far above maxCellSize = 4
+    def vec(i: Int): Seq[Double] = Seq(1.0, 0.0001 * i, 0.0)
+    val src = new MemoryStore(spark, "stsrc", key = "vec_id", lastUpdatedField = "lu")
+    src.load((1 to 6).map(i => (i.toLong, vec(i), t0)).toDF("vec_id", "embedding", "lu"))
+    val tgt = new MemoryStore(spark, "sttgt", key = "vec_id", lastUpdatedField = "lu")
+    val idx = new MemoryStore(spark, "stidx", key = "id", lastUpdatedField = "cluster")
+    def builder() = new DedupBuilder(src, tgt, "embedding", "semantic",
+      threshold = 0.99, indexStore = Some(idx), nCentroids = 1,
+      maxCellSize = 4, overCap = "star")
+
+    // first build: over-cap cell, star keeps it connected -> one canonical
+    builder().run()
+    assert(tgt.df.select("vec_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(idx.df.count() === 6)
+
+    // batch 2: id 0 DETHRONES the representative; id 7 is another twin.
+    // The stored members must re-pair against the new rep (once), so the
+    // whole over-cap cluster converges to canonical 0 — not two islands.
+    src.update(Seq((0L, vec(0), t0), (7L, vec(7), t0)).toDF("vec_id", "embedding", "lu"))
+    val r2 = builder().run()
+    assert(r2.processed === 2)
+    assert(idx.df.count() === 8)
+    assert(tgt.df.select("vec_id").collect().map(_.getLong(0)).toSeq === Seq(0L))
+    assert(idx.df.select("cluster").collect().map(_.getLong(0)).toSet === Set(0L))
+  }
+
   test("Runner: validated store from spec drops schema-invalid docs on write") {
     val s = spark; import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("runner_val").toString
