@@ -91,7 +91,7 @@ class DedupBuilder(
       case "semantic" => Seq("vec", "cell", "centroid").forall(c.contains)
       case "minhash" => c.contains("sig") && !c.contains("grams") &&
         df.schema("sig").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
-      case "ngram" => c.contains("grams") &&
+      case "ngram" => c.contains("grams") && !c.contains("sig") &&
         df.schema("grams").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
       case _ /* simhash */ => c.contains("sig") && !c.contains("grams") &&
         df.schema("sig").dataType == org.apache.spark.sql.types.LongType
@@ -137,7 +137,7 @@ class DedupBuilder(
 
   def run(): BuildReport = indexStore match {
     case Some(idx) if method == "semantic" => runSemanticIndexed(idx)
-    case Some(idx) => runIndexed(idx) // minhash | simhash signature index
+    case Some(idx) => runIndexed(idx) // minhash | simhash | ngram signature index
     case None => runFull()
   }
 

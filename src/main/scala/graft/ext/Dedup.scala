@@ -748,13 +748,21 @@ object Dedup {
         .filter(col("a") < col("b"))
         .select(col("a"), col("b"), col("sza"), col("szb"))
     }
-    // sza/szb are functionally determined by a/b — extra group keys only
+    scoreJaccard(common, threshold)
+  }
+
+  /** The ONE jaccard-scoring tail shared by the from-scratch and
+    * incremental ngram tiers (the incremental-equals-from-scratch
+    * convergence contract pins their agreement): gram co-occurrence
+    * rows `(a, b, sza, szb)` → `(a, b, jaccard)` at `≥ threshold`.
+    * sza/szb are functionally determined by a/b — extra group keys
+    * only. */
+  private def scoreJaccard(common: DataFrame, threshold: Double): DataFrame =
     common.groupBy("a", "b", "sza", "szb").agg(count(lit(1)).alias("common"))
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("sza") + col("szb") - col("common")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
-  }
 
   /** Incremental n-gram Jaccard: pairs for a NEW batch of gram
     * signatures against an existing signature table plus within the
@@ -788,7 +796,11 @@ object Dedup {
         .withColumn("__new", lit(tag.toLong))
     }
     val newPosted = post(newSigs, 1)
-    val newGrams = newPosted.select(col("sh")).distinct()
+    // the batch's distinct gram set is batch-proportional BY CONTRACT —
+    // hint the broadcast so the stored-side semi-join stays map-side
+    // even with AQE off (an unhinted sort-merge here would shuffle the
+    // corpus-scale stored postings every batch)
+    val newGrams = broadcast(newPosted.select(col("sh")).distinct())
     val oldPosted = post(oldOnly, 0).join(newGrams, Seq("sh"), "left_semi")
     val posted = oldPosted.unionByName(newPosted)
     val expanded = if (integral) {
@@ -822,7 +834,7 @@ object Dedup {
     }
     // (a, b) with b always NEW: old-new keeps the old id as a (disjoint
     // batches need no order guard), new-new orders a < b
-    expanded
+    val common = expanded
       .filter(col("pn") + col("qn") >= 1)
       .select(
         when(col("pn") === 0, col("pi"))
@@ -839,11 +851,7 @@ object Dedup {
           .when(col("qn") === 0, col("psz"))
           .otherwise(when(col("pi") <= col("qi"), col("qsz"))
             .otherwise(col("psz"))).alias("szb"))
-      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).alias("common"))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("sza") + col("szb") - col("common")).cast("double"), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("a", "b", "jaccard")
+    scoreJaccard(common, threshold)
   }
 
   /** 6. Benchmark decontamination: docs sharing ≥1 word n-gram with an

@@ -81,9 +81,10 @@ object StreamingBuilder {
 
   /** Streaming NEAR-dup dedup across triggers: every micro-batch runs
     * one incremental [[graft.builder.DedupBuilder]] round against the
-    * persisted signature index — the batch bands only ITSELF against the
-    * stored signatures ([[graft.ext.Dedup.minhashLshIncrementalSigs]] /
-    * [[graft.ext.Dedup.simhashIncrementalSigs]]), components re-resolve
+    * persisted signature index — the batch bands/posts only ITSELF
+    * against the stored state ([[graft.ext.Dedup.minhashLshIncrementalSigs]] /
+    * [[graft.ext.Dedup.simhashIncrementalSigs]] /
+    * [[graft.ext.Dedup.ngramJaccardIncrementalSigs]]), components re-resolve
     * over (new pairs ∪ stored cluster edges), and the target is
     * repaired (dethroned canonicals removed, survivors upserted). The
     * index therefore grows batch-proportionally, duplicate detection
