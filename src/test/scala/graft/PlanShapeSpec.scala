@@ -60,6 +60,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"unexpected shuffle in trained assignment:\n$p")
   }
 
+  test("incremental ngram: stored postings semi-join the batch grams via broadcast, kernel lists present") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val docs = (1L to 6L).map(i => (i, s"alpha beta gamma delta epsilon token$i"))
+      .toDF("id", "text")
+    val newSigs = graft.ext.Dedup.ngramSignatures(docs.filter(col("id") > 4), "id", "text")
+    val oldSigs = graft.ext.Dedup.ngramSignatures(docs.filter(col("id") <= 4), "id", "text")
+    val p = graft.ext.Dedup.ngramJaccardIncrementalSigs(newSigs, oldSigs)
+      .queryExecution.executedPlan.toString
+    // the stored-side gram filter must be a broadcast semi-join (a
+    // sort-merge here shuffles corpus-scale postings every batch)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast semi-join on stored postings:\n$p")
+    assert(p.contains("graft_bounded_collect"),
+      s"expected bounded-collect posting lists:\n$p")
+  }
+
   test("sim_cosine_topk reduces via bounded-heap aggregate, not a full-width window") {
     val p = plan("sim_cosine_topk")
     assert(!p.contains("Window"), s"unexpected window in brute-force top-k:\n$p")
