@@ -147,6 +147,58 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(!decon.df.select("doc_id").collect().map(_.getLong(0)).contains(3L))
   }
 
+  test("Runner: full LLM-preprocessing chain as ONE spec (lines -> quality -> minhash -> decon)") {
+    val s = spark; import s.implicits._
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val base = java.nio.file.Files.createTempDirectory("runner_llm").toString
+    // 12 docs, all carrying the same boilerplate footer (12 > the lines
+    // cap of 10); 1/2 duplicate bodies, 3 is a one-word junk doc, 4
+    // overlaps the eval set, 5..12 are unique keepers
+    val body = (i: Long) => i match {
+      case 1L | 2L => "alpha beta gamma delta epsilon zeta"
+      case 3L      => "x"
+      case 4L      => "secret eval trigram here"
+      case i       => s"uniq${i}a uniq${i}b uniq${i}c uniq${i}d uniq${i}e"
+    }
+    (1L to 12L).map(i => (i, body(i) + "\nvisit our homepage", t0))
+      .toDF("doc_id", "text", "lu").write.parquet(s"$base/docs.parquet")
+    Seq((100L, "secret eval trigram", t0))
+      .toDF("doc_id", "text", "lu").write.parquet(s"$base/eval.parquet")
+    val spec =
+      s"""{
+         |  "stores": {
+         |    "src":  {"type": "parquet_table", "path": "$base/docs.parquet",
+         |             "key": "doc_id", "last_updated": "lu"},
+         |    "eval": {"type": "parquet_table", "path": "$base/eval.parquet",
+         |             "key": "doc_id", "last_updated": "lu"},
+         |    "t1": {"type": "parquet", "root": "$base/t1", "key": "doc_id", "last_updated": "lu"},
+         |    "t2": {"type": "parquet", "root": "$base/t2", "key": "doc_id", "last_updated": "lu"},
+         |    "t3": {"type": "parquet", "root": "$base/t3", "key": "doc_id", "last_updated": "lu"},
+         |    "final": {"type": "parquet", "root": "$base/final", "key": "doc_id", "last_updated": "lu"}
+         |  },
+         |  "builders": [
+         |    {"type": "dedup", "source": "src", "target": "t1",
+         |     "method": "lines", "text_field": "text"},
+         |    {"type": "map", "source": "t1", "target": "t2",
+         |     "exprs": {"n_words": "size(split(text, ' '))"}},
+         |    {"type": "dedup", "source": "t2", "target": "t3",
+         |     "method": "minhash", "threshold": 0.5, "text_field": "text",
+         |     "criteria": {"n_words": {"$$gte": 3}}},
+         |    {"type": "decontaminate", "source": "t3", "eval": "eval",
+         |     "target": "final", "text_field": "text", "ngram": 3}
+         |  ]
+         |}""".stripMargin
+    Runner.run(spark, spec)
+    val out = new graft.store.ParquetStore(spark, s"$base/final", "doc_id", "lu")
+    // footer stripped (lines), 2 collapsed onto 1 (minhash), 3 dropped
+    // (quality criteria), 4 dropped (decontamination)
+    assert(out.df.select("doc_id").collect().map(_.getLong(0)).sorted ===
+      (Array(1L) ++ (5L to 12L)))
+    assert(out.df.filter(col("text").contains("homepage")).count() === 0)
+    assert(out.df.filter(col("doc_id") === 1L).select("text")
+      .collect()(0).getString(0) === "alpha beta gamma delta epsilon zeta")
+  }
+
   test("DedupBuilder incremental: repeat builds process only the new batch (core/store.py:239-275)") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder
