@@ -118,8 +118,10 @@ object Bench {
     val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField$failedField,"sf":"$sfDir"}"""
     println(fullLine)
     // full artifact on disk too — the driver archives only a ~2 KB tail of
-    // stdout, which truncated the round-5 line into an unparseable header
-    scala.util.Try {
+    // stdout, which truncated the round-5 line into an unparseable header.
+    // FULL runs only: a SPARK_GRAFT_ONLY iteration run would clobber the
+    // archived full-suite artifact with a partial one
+    if (only.isEmpty) scala.util.Try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(
         sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json"), fullLine + "\n")
     }
