@@ -352,6 +352,34 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to mix index layouts"))
   }
 
+  test("DedupBuilder incremental with STRING ids: simhash and ngram ride the join fallback") {
+    val s = spark; import s.implicits._
+    import graft.builder.DedupBuilder
+    import graft.store.MemoryStore
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val uniqText = "totally different words entirely here now for sure"
+    for (method <- Seq("simhash", "ngram")) {
+      val src = new MemoryStore(spark, s"ssrc_$method", key = "doc_id", lastUpdatedField = "lu")
+      src.load(Seq(("d1", dupText, t0), ("d2", dupText, t0), ("d3", uniqText, t0))
+        .toDF("doc_id", "text", "lu"))
+      val tgt = new MemoryStore(spark, s"stgt_$method", key = "doc_id", lastUpdatedField = "lu")
+      val idx = new MemoryStore(spark, s"sidx_$method", key = "id", lastUpdatedField = "cluster")
+      def builder() = new DedupBuilder(src, tgt, "text", method,
+        threshold = 0.5, indexStore = Some(idx))
+      builder().run()
+      assert(tgt.df.select("doc_id").collect().map(_.getString(0)).sorted
+        === Array("d1", "d3"), s"method=$method first build")
+      // batch 2: d0 dethrones d1; d4 dups d3 cross-batch
+      src.update(Seq(("d4", uniqText, t0), ("d0", dupText, t0)).toDF("doc_id", "text", "lu"))
+      val r2 = builder().run()
+      assert(r2.processed === 2, s"method=$method examined")
+      assert(tgt.df.select("doc_id").collect().map(_.getString(0)).sorted
+        === Array("d0", "d3"), s"method=$method after batch 2")
+      assert(builder().run().processed === 0, s"method=$method no-op")
+    }
+  }
+
   test("DedupBuilder incremental SEMANTIC: persisted centroid cells, batch-only repeat work") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder
