@@ -867,6 +867,13 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text").cast("binary")).alias("clean_md5"))
         .orderBy("doc_id")),
 
+    // Lee et al. 2022 exact-substring duplication signal: docs holding
+    // >= 1 corpus-duplicated 3-token span, with the duplicated fraction
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // SemDeDup-style semantic near-dup pairs: cell partition by nearest
     // deterministic centroid, within-cell cosine ≥ 0.9. md5 family so the
     // oracle replays the centroid draw; xxh64 twin in benchOverrides.
@@ -1407,6 +1414,22 @@ object SparkEntry {
          "SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5 " +
          "FROM lines WHERE line NOT IN (SELECT line FROM hot) " +
          "GROUP BY doc_id ORDER BY doc_id"),
+      // duplicated 3-token spans: per-doc DISTINCT windows (kernel
+      // semantics, incl. the short-doc whole-text branch), document
+      // frequency >= 2 marks a span duplicated
+      "dedup_spans" ->
+        ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), " +
+         "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM documents), " +
+         "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[n], tk[n+1], tk[n+2]) AS shingle " +
+         "FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(n) WHERE len(tk) >= 3 " +
+         "UNION SELECT DISTINCT doc_id, array_to_string(tk, ' ') FROM toks WHERE len(tk) < 3), " +
+         "sizes AS (SELECT doc_id, count(*) AS total_spans FROM sh GROUP BY 1), " +
+         "dup AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) >= 2), " +
+         "hits AS (SELECT s.doc_id, count(*) AS dup_spans FROM sh s " +
+         "JOIN dup d ON s.shingle = d.shingle GROUP BY 1) " +
+         "SELECT h.doc_id, h.dup_spans, z.total_spans, " +
+         "round(CAST(h.dup_spans AS DOUBLE) / z.total_spans, 4) AS dup_fraction " +
+         "FROM hits h JOIN sizes z ON z.doc_id = h.doc_id ORDER BY 1"),
       // the md5-family MinHash is byte-replayable: 60-bit md5-prefix
       // hashes, 64 min-aggs, 16 band buckets, hot-bucket cap, sig-match
       // verification — all regenerated as SQL from the same parameters

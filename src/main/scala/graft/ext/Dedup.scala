@@ -893,6 +893,38 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-duplicated span detection — the exact-substring duplication
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): a SPAN is an n-token window, and a span
+    * is duplicated when at least `minDf` docs contain it (per-doc
+    * distinct windows via the compiled gram kernel). Returns
+    * `(id, dup_spans, total_spans, dup_fraction)` for every doc with at
+    * least one duplicated span — the signal curation pipelines
+    * threshold on to flag or strip boilerplate-heavy documents (the
+    * line-level filter [[dedupLines]] catches newline-aligned
+    * boilerplate; this catches duplication at ANY token offset).
+    *
+    * Scale shape: grams hash in the compiled kernel and shuffle as
+    * 8-byte keys ONCE for the document-frequency aggregate (map-side
+    * partials collapse repeats); the duplicated-gram set joins back as
+    * a semi-join AQE sizes at runtime — like [[dedupLines]]' hot set,
+    * it is bounded only by corpus redundancy, so it is deliberately
+    * unhinted. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 8, minDf: Int = 2): DataFrame = {
+    val posted = ngramSignatures(df, idCol, textCol, n)
+      .select(col("id"), size(col("sig")).cast("long").alias("total_spans"),
+        explode(col("sig")).alias("sh"))
+    val dup = posted.groupBy(col("sh")).agg(count(lit(1)).alias("__df"))
+      .filter(col("__df") >= minDf).select(col("sh"))
+    posted.join(dup, Seq("sh"), "left_semi")
+      .groupBy(col("id"), col("total_spans"))
+      .agg(count(lit(1)).alias("dup_spans"))
+      .select(col("id"), col("dup_spans"), col("total_spans"),
+        round(col("dup_spans").cast("double") / col("total_spans"), 4)
+          .alias("dup_fraction"))
+  }
+
   /** 7. Corpus-wide line-level dedup (the C4 boilerplate filter): drop
     * every line whose total occurrence count across the corpus exceeds
     * `maxOccurrences` (navigation chrome, cookie banners, license

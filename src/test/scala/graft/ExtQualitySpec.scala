@@ -44,6 +44,29 @@ class ExtQualitySpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") === 1.0)
   }
 
+  test("duplicatedSpans flags cross-doc n-token windows with exact counts") {
+    val s = spark; import s.implicits._
+    // docs 1/2 share the window "the quick brown" (and "quick brown fox"
+    // only in 1/3); doc 4 shares nothing
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "said the quick brown dog"),
+      (3L, "a quick brown fox appears"),
+      (4L, "completely unrelated text here")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("dup_spans"), r.getAs[Long]("total_spans"))).toMap
+    // doc 1: windows {the quick brown, quick brown fox} duplicated (3 total)
+    assert(out(1L) === (2L, 3L))
+    // doc 2: {the quick brown} of its 3 windows
+    assert(out(2L) === (1L, 3L))
+    // doc 3: {quick brown fox}
+    assert(out(3L) === (1L, 3L))
+    // doc 4: clean — absent from the output
+    assert(!out.contains(4L))
+  }
+
   test("lshTopK finds genuinely-near neighbors (perturbed twins, recall >= 0.7)") {
     // random vectors have no angularly-close neighbors, so recall there is
     // meaningless for hyperplane LSH; inject twins at cosine ~0.995 instead
