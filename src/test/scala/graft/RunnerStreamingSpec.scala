@@ -562,6 +562,36 @@ class RunnerStreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(0L))
   }
 
+  test("StreamingBuilder.dedupStream: a restarted query resumes against the same index") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val tgt = new MemoryStore(spark, "rstgt", key = "doc_id", lastUpdatedField = "lu")
+    val idx = new MemoryStore(spark, "rsidx", key = "id", lastUpdatedField = "cluster")
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    // first query lifetime: one batch
+    val stream1 = MemoryStream[(Long, String, Timestamp)]
+    val q1 = StreamingBuilder.dedupStream(
+      stream1.toDF().toDF("doc_id", "text", "lu"), "doc_id", "text",
+      tgt, idx, threshold = 0.5)
+    stream1.addData((1L, dupText, t0), (2L, dupText, t0))
+    q1.processAllAvailable(); q1.stop()
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // "restart": a NEW query over a NEW stream, same target + index —
+    // state lives in the stores, so the cross-batch dup is still caught
+    val stream2 = MemoryStream[(Long, String, Timestamp)]
+    val q2 = StreamingBuilder.dedupStream(
+      stream2.toDF().toDF("doc_id", "text", "lu"), "doc_id", "text",
+      tgt, idx, threshold = 0.5)
+    stream2.addData((3L, dupText, t0))
+    q2.processAllAvailable(); q2.stop()
+    assert(idx.df.count() === 3)
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(idx.df.filter(col("id") === 3L).select("cluster")
+      .collect()(0).getLong(0) === 1L)
+  }
+
   test("StreamingBuilder.dedupWithinWatermark: first occurrence wins, bounded state") {
     val s = spark
     import s.implicits._
