@@ -352,14 +352,14 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to mix index layouts"))
   }
 
-  test("DedupBuilder incremental with STRING ids: simhash and ngram ride the join fallback") {
+  test("DedupBuilder incremental with STRING ids: all four methods ride the join/window fallbacks") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder
     import graft.store.MemoryStore
     val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
     val dupText = "alpha beta gamma delta epsilon zeta eta theta"
     val uniqText = "totally different words entirely here now for sure"
-    for (method <- Seq("simhash", "ngram")) {
+    for (method <- Seq("minhash", "simhash", "ngram")) {
       val src = new MemoryStore(spark, s"ssrc_$method", key = "doc_id", lastUpdatedField = "lu")
       src.load(Seq(("d1", dupText, t0), ("d2", dupText, t0), ("d3", uniqText, t0))
         .toDF("doc_id", "text", "lu"))
@@ -378,6 +378,23 @@ class RunnerStreamingSpec extends SparkSpec {
         === Array("d0", "d3"), s"method=$method after batch 2")
       assert(builder().run().processed === 0, s"method=$method no-op")
     }
+    // semantic with string ids rides the window-fallback cell assignment
+    def vec(i: Int): Seq[Double] = Seq(1.0, 0.001 * i, 0.0)
+    val esrc = new MemoryStore(spark, "ssrc_sem", key = "vec_id", lastUpdatedField = "lu")
+    esrc.load(Seq(("e1", vec(0), t0), ("e2", vec(0), t0), ("e3", Seq(0.0, 1.0, 0.0), t0))
+      .toDF("vec_id", "embedding", "lu"))
+    val etgt = new MemoryStore(spark, "stgt_sem", key = "vec_id", lastUpdatedField = "lu")
+    val eidx = new MemoryStore(spark, "sidx_sem", key = "id", lastUpdatedField = "cluster")
+    def sem() = new DedupBuilder(esrc, etgt, "embedding", "semantic",
+      threshold = 0.9999, indexStore = Some(eidx), nCentroids = 2)
+    sem().run()
+    assert(etgt.df.select("vec_id").collect().map(_.getString(0)).sorted
+      === Array("e1", "e3"))
+    esrc.update(Seq(("e0", vec(0), t0)).toDF("vec_id", "embedding", "lu"))
+    val rs = sem().run()
+    assert(rs.processed === 1)
+    assert(etgt.df.select("vec_id").collect().map(_.getString(0)).sorted
+      === Array("e0", "e3"))
   }
 
   test("DedupBuilder incremental SEMANTIC: persisted centroid cells, batch-only repeat work") {
