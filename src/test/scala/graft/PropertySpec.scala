@@ -129,6 +129,34 @@ object PropertySpec extends Properties("graft") {
       incremental == scratch
     }
 
+  property("duplicatedSpans equals the naive window-frequency reference") =
+    forAll(Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(1, 8).flatMap(len => Gen.listOfN(len,
+        Gen.oneOf("red", "blue", "green", "gold"))).map(_.mkString(" "))))) { texts =>
+      val s = spark; import s.implicits._
+      val n = 3
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", n = n)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("dup_spans"), r.getAs[Long]("total_spans"))).toMap
+      // naive reference mirrors the kernel contract: normalized tokens,
+      // per-doc DISTINCT windows, whole text as one window when short
+      def windows(t: String): Set[String] = {
+        val tk = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+          .split("\\s+").filter(_.nonEmpty)
+        if (tk.length < n) Set(tk.mkString(" "))
+        else tk.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val perDoc = texts.zipWithIndex.map { case (t, i) => i.toLong -> windows(t) }
+      val df = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      val want = perDoc.flatMap { case (id, ws) =>
+        val dup = ws.count(w => df(w) >= 2)
+        if (dup > 0) Some(id -> (dup.toLong, ws.size.toLong)) else None
+      }.toMap
+      got == want
+    }
+
   property("MongoFilter range/membership criteria equal the native predicate") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)), Gen.chooseNum(-1000L, 1000L)) {
       (vals, pivot) =>
