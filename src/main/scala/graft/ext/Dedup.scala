@@ -909,17 +909,24 @@ object Dedup {
     * partials collapse repeats); the duplicated-gram set joins back as
     * a semi-join AQE sizes at runtime — like [[dedupLines]]' hot set,
     * it is bounded only by corpus redundancy, so it is deliberately
-    * unhinted. */
+    * unhinted.
+    *
+    * `idCol` is assumed UNIQUE (the keyed-store contract). Both counts
+    * are distinct-based, so an accidentally re-ingested row (same id,
+    * same text, twice) still reports correct per-doc numbers and
+    * `dup_fraction ≤ 1`; distinct ids sharing a gram — not row copies —
+    * are what `minDf` counts. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 8, minDf: Int = 2): DataFrame = {
+                      n: Int = 3, minDf: Int = 2): DataFrame = {
     val posted = ngramSignatures(df, idCol, textCol, n)
       .select(col("id"), size(col("sig")).cast("long").alias("total_spans"),
         explode(col("sig")).alias("sh"))
-    val dup = posted.groupBy(col("sh")).agg(count(lit(1)).alias("__df"))
+    val dup = posted.groupBy(col("sh"))
+      .agg(count_distinct(col("id")).alias("__df"))
       .filter(col("__df") >= minDf).select(col("sh"))
     posted.join(dup, Seq("sh"), "left_semi")
       .groupBy(col("id"), col("total_spans"))
-      .agg(count(lit(1)).alias("dup_spans"))
+      .agg(count_distinct(col("sh")).alias("dup_spans"))
       .select(col("id"), col("dup_spans"), col("total_spans"),
         round(col("dup_spans").cast("double") / col("total_spans"), 4)
           .alias("dup_fraction"))

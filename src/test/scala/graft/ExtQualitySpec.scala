@@ -65,6 +65,12 @@ class ExtQualitySpec extends SparkSpec {
     assert(out(3L) === (1L, 3L))
     // doc 4: clean — absent from the output
     assert(!out.contains(4L))
+    // distinct-based counting: a re-ingested row (same id, same text,
+    // twice) neither marks the doc self-duplicated nor inflates counts
+    val dupRows = docs.filter(col("doc_id") === 4L)
+      .unionByName(docs.filter(col("doc_id") === 4L))
+    assert(graft.ext.Dedup.duplicatedSpans(dupRows, "doc_id", "text", n = 3)
+      .count() === 0)
   }
 
   test("lshTopK finds genuinely-near neighbors (perturbed twins, recall >= 0.7)") {
