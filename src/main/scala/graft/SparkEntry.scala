@@ -874,6 +874,14 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // ...and the removal action: normalized token stream minus every
+    // corpus-duplicated 3-token span, md5'd like the lines filter
+    "dedup_spans_strip" -> ((s, dir) =>
+      Dedup.stripDuplicatedSpans(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"), md5(col("text").cast("binary")).alias("clean_md5"))
+        .orderBy("doc_id")),
+
     // SemDeDup-style semantic near-dup pairs: cell partition by nearest
     // deterministic centroid, within-cell cosine ≥ 0.9. md5 family so the
     // oracle replays the centroid draw; xxh64 twin in benchOverrides.
@@ -1430,6 +1438,21 @@ object SparkEntry {
          "SELECT h.doc_id, h.dup_spans, z.total_spans, " +
          "round(CAST(h.dup_spans AS DOUBLE) / z.total_spans, 4) AS dup_fraction " +
          "FROM hits h JOIN sizes z ON z.doc_id = h.doc_id ORDER BY 1"),
+      // removal replay: position-aware 0-based windows, covered token
+      // positions = union of [s, s+3) over corpus-duplicated windows,
+      // survivors reassembled in order (empty docs keep an empty hash)
+      "dedup_spans_strip" ->
+        ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), " +
+         "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM documents), " +
+         "w AS (SELECT doc_id, u.s AS s, concat_ws(' ', tk[u.s+1], tk[u.s+2], tk[u.s+3]) AS g " +
+         "FROM toks, UNNEST(range(0, greatest(len(tk) - 2, 0))) AS u(s) WHERE len(tk) >= 3), " +
+         "dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM w) GROUP BY g HAVING count(*) >= 2), " +
+         "cov AS (SELECT DISTINCT w.doc_id, u.i AS i FROM w JOIN dup USING (g), " +
+         "UNNEST(range(w.s, w.s + 3)) AS u(i)) " +
+         "SELECT t.doc_id, md5(coalesce((SELECT string_agg(t.tk[u.i + 1], ' ' ORDER BY u.i) " +
+         "FROM UNNEST(range(0, len(t.tk))) AS u(i) WHERE NOT EXISTS " +
+         "(SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.i = u.i)), '')) AS clean_md5 " +
+         "FROM toks t ORDER BY 1"),
       // the md5-family MinHash is byte-replayable: 60-bit md5-prefix
       // hashes, 64 min-aggs, 16 band buckets, hot-bucket cap, sig-match
       // verification — all regenerated as SQL from the same parameters

@@ -932,6 +932,51 @@ object Dedup {
           .alias("dup_fraction"))
   }
 
+  /** The removal action behind [[duplicatedSpans]] (Lee et al. 2022
+    * strip duplicated substrings from the corpus): every token covered
+    * by any corpus-duplicated n-token window (document frequency ≥
+    * `minDf`, cross-doc — a within-doc repeat alone does not mark a
+    * span) is dropped, and the doc's SURVIVING normalized tokens are
+    * reassembled in order. Returns `(id, textCol)` for every doc; docs
+    * shorter than `n` tokens are never stripped. The output is the
+    * normalized token stream (lowercased, punctuation collapsed) minus
+    * duplicated spans — the training-tokenizer view of the text, like
+    * the reference pipelines that strip at the token level.
+    *
+    * Scale shape: window hashes are position-aware, so this spells the
+    * grams as a HOF over the token array instead of the distinct-gram
+    * kernel; the document-frequency aggregate still shuffles 8-byte
+    * hashes once (map-side partials), the duplicated-hash set
+    * semi-joins back, and per-doc covered-window starts return as ONE
+    * narrow array row per affected doc — the rebuild is a pure
+    * projection (`filter(toks, (t, i) => !exists(starts, …))`).
+    * `idCol` unique by the keyed-store contract. */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, minDf: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).alias("id"),
+      TextAnalysis.normTokens(col(textCol)).alias("toks"))
+    val wins = base.withColumn("w",
+      when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          s => struct(s.alias("s"),
+            xxhash64(concat_ws(" ", slice(col("toks"), s + 1, lit(n)))).alias("h"))))
+        .otherwise(array().cast("array<struct<s:int,h:bigint>>")))
+    val posted = wins.select(col("id"), explode(col("w")).alias("x"))
+      .select(col("id"), col("x.s").alias("s"), col("x.h").alias("h"))
+    val dupH = posted.groupBy(col("h"))
+      .agg(count_distinct(col("id")).alias("__df"))
+      .filter(col("__df") >= minDf).select(col("h"))
+    val starts = posted.join(dupH, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(collect_list(col("s")).alias("starts"))
+    wins.join(starts, Seq("id"), "left_outer")
+      .withColumn("__starts", coalesce(col("starts"),
+        array().cast("array<int>")))
+      .select(col("id"),
+        array_join(filter(col("toks"), (_, i) =>
+          !exists(col("__starts"), s => s <= i && i < s + n)), " ")
+          .alias(textCol))
+  }
+
   /** 7. Corpus-wide line-level dedup (the C4 boilerplate filter): drop
     * every line whose total occurrence count across the corpus exceeds
     * `maxOccurrences` (navigation chrome, cookie banners, license

@@ -73,6 +73,23 @@ class ExtQualitySpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("stripDuplicatedSpans removes exactly the covered tokens, keeps short docs whole") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps high"),
+      (2L, "said the QUICK brown dog"),
+      (3L, "tiny doc"),
+      (4L, "the quick brown")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.stripDuplicatedSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getString(1)).toMap
+    // "the quick brown" is shared by docs 1/2/4 (normalization folds case)
+    assert(out(1L) === "fox jumps high")   // tokens 0-2 covered
+    assert(out(2L) === "said dog")         // tokens 1-3 covered
+    assert(out(3L) === "tiny doc")         // shorter than n: never stripped
+    assert(out(4L) === "")                 // fully duplicated -> empty
+  }
+
   test("lshTopK finds genuinely-near neighbors (perturbed twins, recall >= 0.7)") {
     // random vectors have no angularly-close neighbors, so recall there is
     // meaningless for hyperplane LSH; inject twins at cosine ~0.995 instead
