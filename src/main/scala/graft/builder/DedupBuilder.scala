@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *  - `"minhash"` — MinHash+LSH near-dup pairs → connected components →
   *    min-id survivor per cluster ([[Dedup.keepCanonical]])
   *  - `"simhash"` / `"ngram"` — same, over the respective pair producers
+  *  - `"semantic"` — SemDeDup over an embedding column (`textField`
+  *    names the vector column)
+  *  - `"lines"` / `"spans"` — content REWRITES, not row filters:
+  *    corpus-frequent lines ([[Dedup.dedupLines]]) or corpus-duplicated
+  *    token spans ([[Dedup.stripDuplicatedSpans]]) are removed from
+  *    `textField`
   *
   * ==Incremental builds==
   * With an `indexStore` (methods `"minhash"`, `"simhash"`, `"ngram"`
@@ -177,8 +183,15 @@ class DedupBuilder(
         // corpus-frequent drop out (their cleaned text would be empty)
         val cleaned = Dedup.dedupLines(scoped, source.key, textField)
         scoped.drop(textField).join(cleaned, Seq(source.key))
+      case "spans" =>
+        // content REWRITE at token granularity: textField becomes the
+        // normalized token stream minus corpus-duplicated spans (Lee et
+        // al. removal); fully-duplicated docs keep an empty text
+        val cleaned = Dedup.stripDuplicatedSpans(scoped, source.key, textField)
+          .withColumnRenamed("id", source.key)
+        scoped.drop(textField).join(cleaned, Seq(source.key))
       case other => throw new IllegalArgumentException(
-        s"unknown dedup method: $other (exact|fingerprint|minhash|simhash|ngram|semantic|lines)")
+        s"unknown dedup method: $other (exact|fingerprint|minhash|simhash|ngram|semantic|lines|spans)")
     }
     val mat = kept.localCheckpoint(true)
     val processed = mat.count()

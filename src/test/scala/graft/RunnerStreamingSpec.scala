@@ -102,6 +102,15 @@ class RunnerStreamingSpec extends SparkSpec {
     // minhash method wires through pairs -> clusters -> keepCanonical
     val r2 = Runner.run(spark, spec("minhash", "t_mh"))
     assert(r2.builders.head._2.processed === 2)
+    // spans method: the 1/2 copies are fully mutual-duplicated -> empty
+    // text; doc 3's unique text survives normalized
+    val r3 = Runner.run(spark, spec("spans", "t_sp"))
+    assert(r3.builders.head._2.processed === 3)
+    val sp = new graft.store.ParquetStore(spark, s"$base/t_sp", "doc_id", "lu")
+    val byId = sp.df.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(1L) === "" && byId(2L) === "")
+    assert(byId(3L) === "totally different words entirely here now")
   }
 
   test("Runner: lines method rewrites boilerplate out; decontaminate step drops eval overlap") {
