@@ -943,32 +943,43 @@ object Dedup {
     * duplicated spans — the training-tokenizer view of the text, like
     * the reference pipelines that strip at the token level.
     *
-    * Scale shape: window hashes are position-aware, so this spells the
-    * grams as a HOF over the token array instead of the distinct-gram
-    * kernel; the document-frequency aggregate still shuffles 8-byte
-    * hashes once (map-side partials), the duplicated-hash set
-    * semi-joins back, and per-doc covered-window starts return as ONE
-    * narrow array row per affected doc — the rebuild is a pure
-    * projection (`filter(toks, (t, i) => !exists(starts, …))`).
+    * Scale shape: window hashes are position-aware, so the grams are
+    * spelled RELATIONALLY instead of through the distinct-gram kernel:
+    * tokens explode to narrow `(id, pos, token_hash)` rows, one
+    * per-doc sort-shuffle gives each row its n−1 successors (`lead`),
+    * and the window hash is one fixed-arity codegen'd
+    * `xxhash64(h₀…hₙ₋₁)`. (Two HOF spellings were measured and
+    * rejected: per-window `slice`+`concat_ws` in an interpreted lambda
+    * is ~20× slower, and referencing a precomputed token-hash ARRAY
+    * from inside the window lambda trips the repo's documented
+    * CollapseProject O(d²) re-inlining trap — ~50×.) Window equality
+    * is equality of the token-hash tuple — internal to this function,
+    * so the hash-of-hashes family never needs external replay. The
+    * document-frequency aggregate shuffles 8-byte hashes once
+    * (map-side partials), the duplicated-hash set semi-joins back, and
+    * per-doc covered-window starts return as ONE narrow array row per
+    * affected doc — the rebuild is a pure projection
+    * (`filter(toks, (t, i) => !exists(starts, …))`).
     * `idCol` unique by the keyed-store contract. */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, minDf: Int = 2): DataFrame = {
     val base = df.select(col(idCol).alias("id"),
       TextAnalysis.normTokens(col(textCol)).alias("toks"))
-    val wins = base.withColumn("w",
-      when(size(col("toks")) >= n,
-        transform(sequence(lit(0), size(col("toks")) - n),
-          s => struct(s.alias("s"),
-            xxhash64(concat_ws(" ", slice(col("toks"), s + 1, lit(n)))).alias("h"))))
-        .otherwise(array().cast("array<struct<s:int,h:bigint>>")))
-    val posted = wins.select(col("id"), explode(col("w")).alias("x"))
-      .select(col("id"), col("x.s").alias("s"), col("x.h").alias("h"))
+    val toks = base
+      .select(col("id"), posexplode(col("toks")).as(Seq("s", "tok")))
+      .withColumn("__th", xxhash64(col("tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("s"))
+    val withLeads = (1 until n).foldLeft(toks)((d, j) =>
+      d.withColumn(s"__l$j", lead(col("__th"), j).over(w)))
+    val posted = withLeads.filter(col(s"__l${n - 1}").isNotNull)
+      .select(col("id"), col("s"),
+        xxhash64(col("__th") +: (1 until n).map(j => col(s"__l$j")): _*).alias("h"))
     val dupH = posted.groupBy(col("h"))
       .agg(count_distinct(col("id")).alias("__df"))
       .filter(col("__df") >= minDf).select(col("h"))
     val starts = posted.join(dupH, Seq("h"), "left_semi")
       .groupBy(col("id")).agg(collect_list(col("s")).alias("starts"))
-    wins.join(starts, Seq("id"), "left_outer")
+    base.join(starts, Seq("id"), "left_outer")
       .withColumn("__starts", coalesce(col("starts"),
         array().cast("array<int>")))
       .select(col("id"),
