@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   *  - `"simhash"` / `"ngram"` — same, over the respective pair producers
   *  - `"semantic"` — SemDeDup over an embedding column (`textField`
   *    names the vector column)
-  *  - `"lines"` / `"spans"` — content REWRITES, not row filters:
+  *  - `"lines"` / `"spans"` — content REWRITES of `textField`:
   *    corpus-frequent lines ([[Dedup.dedupLines]]) or corpus-duplicated
-  *    token spans ([[Dedup.stripDuplicatedSpans]]) are removed from
-  *    `textField`
+  *    token spans ([[Dedup.stripDuplicatedSpans]]) are removed. `lines`
+  *    DROPS a doc whose every line was boilerplate (its cleaned text
+  *    would be empty); `spans` keeps every row, fully-duplicated docs
+  *    ending up with empty text
   *
   * ==Incremental builds==
   * With an `indexStore` (methods `"minhash"`, `"simhash"`, `"ngram"`

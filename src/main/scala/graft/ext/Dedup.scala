@@ -957,35 +957,46 @@ object Dedup {
     * so the hash-of-hashes family never needs external replay. The
     * document-frequency aggregate shuffles 8-byte hashes once
     * (map-side partials), the duplicated-hash set semi-joins back, and
-    * per-doc covered-window starts return as ONE narrow array row per
-    * affected doc — the rebuild is a pure projection
-    * (`filter(toks, (t, i) => !exists(starts, …))`).
+    * the rebuild is relational too: covered positions explode to
+    * `(id, pos)` rows, survivors anti-join on them and reassemble in
+    * order — LINEAR per doc, where a per-token `exists(starts, …)`
+    * membership scan would be quadratic on exactly the boilerplate-
+    * heavy docs this filter targets. Docs with NULL/empty text come
+    * back with empty text (every doc keeps its row).
     * `idCol` unique by the keyed-store contract. */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, minDf: Int = 2): DataFrame = {
+    require(n >= 1, s"span width must be >= 1, got $n")
     val base = df.select(col(idCol).alias("id"),
       TextAnalysis.normTokens(col(textCol)).alias("toks"))
     val toks = base
       .select(col("id"), posexplode(col("toks")).as(Seq("s", "tok")))
       .withColumn("__th", xxhash64(col("tok")))
-    val w = Window.partitionBy(col("id")).orderBy(col("s"))
-    val withLeads = (1 until n).foldLeft(toks)((d, j) =>
-      d.withColumn(s"__l$j", lead(col("__th"), j).over(w)))
-    val posted = withLeads.filter(col(s"__l${n - 1}").isNotNull)
-      .select(col("id"), col("s"),
-        xxhash64(col("__th") +: (1 until n).map(j => col(s"__l$j")): _*).alias("h"))
+    val posted =
+      if (n == 1) toks.select(col("id"), col("s"), col("__th").alias("h"))
+      else {
+        val w = Window.partitionBy(col("id")).orderBy(col("s"))
+        val withLeads = (1 until n).foldLeft(toks)((d, j) =>
+          d.withColumn(s"__l$j", lead(col("__th"), j).over(w)))
+        withLeads.filter(col(s"__l${n - 1}").isNotNull)
+          .select(col("id"), col("s"),
+            xxhash64(col("__th") +: (1 until n).map(j => col(s"__l$j")): _*).alias("h"))
+      }
     val dupH = posted.groupBy(col("h"))
       .agg(count_distinct(col("id")).alias("__df"))
       .filter(col("__df") >= minDf).select(col("h"))
-    val starts = posted.join(dupH, Seq("h"), "left_semi")
-      .groupBy(col("id")).agg(collect_list(col("s")).alias("starts"))
-    base.join(starts, Seq("id"), "left_outer")
-      .withColumn("__starts", coalesce(col("starts"),
-        array().cast("array<int>")))
+    val covered = posted.join(dupH, Seq("h"), "left_semi")
       .select(col("id"),
-        array_join(filter(col("toks"), (_, i) =>
-          !exists(col("__starts"), s => s <= i && i < s + n)), " ")
-          .alias(textCol))
+        explode(sequence(col("s"), col("s") + (n - 1))).alias("p"))
+      .distinct()
+    val kept = toks.select(col("id"), col("s").alias("p"), col("tok"))
+      .join(covered, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x.getField("tok")), " ").alias(textCol))
+    base.select(col("id")).join(kept, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col(textCol), lit("")).alias(textCol))
   }
 
   /** 7. Corpus-wide line-level dedup (the C4 boilerplate filter): drop
