@@ -848,6 +848,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // domain-level curation signal: URLs planted deterministically (the
+    // pii-scrub convention), extracted + grouped by lowercased host —
+    // the per-domain quota/blocklist aggregation, one codegen'd
+    // projection + one narrow groupBy
+    "text_domains" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" visit http://example.com/page"),
+              col("doc_id").cast("string"), lit(" now")))
+            .when(col("doc_id") % 3 === 1,
+              lit(" see https://Data.Example.org/x?q=1 there"))
+            .otherwise(lit(""))))
+      planted
+        .select(col("doc_id"), explode(TextAnalysis.urls(col("text"))).alias("url"))
+        .groupBy(TextAnalysis.host(col("url")).alias("domain"))
+        .agg(count(lit(1)).alias("n_urls"),
+          count_distinct(col("doc_id")).alias("n_docs"))
+        .orderBy("domain")
+    }),
+
     // benchmark decontamination: eval set = every 37th doc's text; any
     // corpus doc sharing a word 3-gram with it is flagged with its
     // distinct-shared-gram count (broadcast eval grams, map-side join)
@@ -1422,6 +1443,15 @@ object SparkEntry {
          "SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5 " +
          "FROM lines WHERE line NOT IN (SELECT line FROM hot) " +
          "GROUP BY doc_id ORDER BY doc_id"),
+      "text_domains" ->
+        ("WITH planted AS (SELECT doc_id, text || CASE " +
+         "WHEN doc_id % 3 = 0 THEN ' visit http://example.com/page' || CAST(doc_id AS VARCHAR) || ' now' " +
+         "WHEN doc_id % 3 = 1 THEN ' see https://Data.Example.org/x?q=1 there' " +
+         "ELSE '' END AS text FROM documents), " +
+         "u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://\\S+')) AS url FROM planted) " +
+         "SELECT lower(regexp_extract(url, 'https?://([^/\\s:?#]+)', 1)) AS domain, " +
+         "count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs " +
+         "FROM u GROUP BY 1 ORDER BY 1"),
       // duplicated 3-token spans: per-doc DISTINCT windows (kernel
       // semantics, incl. the short-doc whole-text branch), document
       // frequency >= 2 marks a span duplicated

@@ -162,6 +162,17 @@ object TextAnalysis {
     * standard pre-training redaction pass, e.g. Dolma's PII filter).
     * A chain of `regexp_replace` — one codegen'd projection, no UDFs,
     * no shuffle: runs at scan speed over 100 TB. */
+  /** URL extraction — the curation signal behind domain-level filtering
+    * (blocklists, per-domain quotas, provenance mixes). A pure
+    * codegen'd regexp projection; pair with [[host]] for the grouping
+    * key. */
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit("https?://\\S+"), lit(0))
+
+  /** Lowercased host of a URL (the domain-quota/blocklist key). */
+  def host(url: Column): Column =
+    lower(regexp_extract(url, "https?://([^/\\s:?#]+)", 1))
+
   def scrubPii(text: Column): Column =
     piiPatterns.foldLeft(text) { case (acc, (pat, repl)) =>
       regexp_replace(acc, pat, repl)

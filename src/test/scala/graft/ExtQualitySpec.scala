@@ -73,6 +73,16 @@ class ExtQualitySpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("urls/host: extraction, host lowering, query/fragment/port stripped") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "see http://A.Example.COM:8080/x?q=1 and https://b.org/y#f done"),
+      (2L, "no links here")).toDF("doc_id", "text")
+    val hosts = df.select(explode(graft.ext.TextAnalysis.urls(col("text"))).alias("u"))
+      .select(graft.ext.TextAnalysis.host(col("u")).alias("h"))
+      .collect().map(_.getString(0)).sorted
+    assert(hosts.toSeq === Seq("a.example.com", "b.org"))
+  }
+
   test("stripDuplicatedSpans removes exactly the covered tokens, keeps short docs whole") {
     val s = spark; import s.implicits._
     val docs = Seq(
