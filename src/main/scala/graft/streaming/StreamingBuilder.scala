@@ -97,14 +97,18 @@ object StreamingBuilder {
     * that is the point: near-dup dedup at corpus scale needs the full
     * signature history, and a signature is 8-512 bytes/doc in a keyed
     * parquet store, not per-executor streaming state. `method` is
-    * `"minhash"`, `"simhash"` or `"ngram"`. */
+    * `"minhash"`, `"simhash"`, `"ngram"` or `"semantic"` (for semantic,
+    * `textField` names the embedding column and the first batch's
+    * centroid draw is persisted in the index). */
   def dedupStream(stream: DataFrame, key: String, textField: String,
                   target: Store, indexStore: Store,
                   method: String = "minhash", threshold: Double = 0.7,
+                  nCentroids: Int = 16,
                   checkpoint: Option[String] = None): StreamingQuery = {
     require(stream.isStreaming, "dedupStream needs a streaming DataFrame")
-    require(method == "minhash" || method == "simhash" || method == "ngram",
-      s"dedupStream supports minhash|simhash|ngram, got '$method'")
+    require(method == "minhash" || method == "simhash" || method == "ngram" ||
+        method == "semantic",
+      s"dedupStream supports minhash|simhash|ngram|semantic, got '$method'")
     var writer = stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -112,7 +116,8 @@ object StreamingBuilder {
           val src = new graft.store.TableStore(batch.sparkSession, batch,
             "stream-batch", key)
           new graft.builder.DedupBuilder(src, target, textField, method,
-            threshold = threshold, indexStore = Some(indexStore)).run()
+            threshold = threshold, indexStore = Some(indexStore),
+            nCentroids = nCentroids).run()
           ()
         }
       }

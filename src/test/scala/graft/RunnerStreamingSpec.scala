@@ -588,6 +588,31 @@ class RunnerStreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(0L))
   }
 
+  test("StreamingBuilder.dedupStream SEMANTIC: vector twins dedup across triggers via persisted cells") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def vec(i: Int): Seq[Double] = Seq(1.0, 0.0001 * i, 0.0)
+    val other = Seq(0.0, 1.0, 0.0)
+    val stream = MemoryStream[(Long, Seq[Double], Timestamp)]
+    val tgt = new MemoryStore(spark, "semtgt", key = "vec_id", lastUpdatedField = "lu")
+    val idx = new MemoryStore(spark, "semidx", key = "id", lastUpdatedField = "cluster")
+    val q = StreamingBuilder.dedupStream(
+      stream.toDF().toDF("vec_id", "embedding", "lu"), "vec_id", "embedding",
+      tgt, idx, method = "semantic", threshold = 0.99, nCentroids = 1)
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    stream.addData((1L, vec(1), t0), (2L, vec(2), t0), (3L, other, t0))
+    q.processAllAvailable()
+    assert(tgt.df.select("vec_id").collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    // trigger 2: 4 twins the 1/2 cluster (cross-trigger, dropped)
+    stream.addData((4L, vec(4), t0))
+    q.processAllAvailable()
+    q.stop()
+    assert(tgt.df.select("vec_id").collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    assert(idx.df.filter(col("id") === 4L).select("cluster")
+      .collect()(0).getLong(0) === 1L)
+  }
+
   test("StreamingBuilder.dedupStream: a restarted query resumes against the same index") {
     val s = spark
     import s.implicits._
