@@ -830,7 +830,8 @@ object SparkEntry {
         Multimodal.pack(t(s, dir, "documents").filter(length(col("text")) > 0),
           "doc_id", col("text"), "image"))
         .select((col("media_id") +:
-          (0 until 8).map(j => element_at(col("feature"), j + 1).alias(s"f$j"))): _*)
+          (0 until 8).map(j => element_at(col("feature"), j + 1).alias(s"f$j")))
+          :+ col("decode"): _*)
         .orderBy("media_id")),
 
     // PII redaction (the Dolma-style pre-training scrub): synthetic
@@ -1341,7 +1342,7 @@ object SparkEntry {
       // the stub decode kernel is position-residue byte sums — ANSI-
       // expressible over the (all-ASCII) documents corpus
       "mm_features" ->
-        "SELECT doc_id AS media_id, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=0 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f0, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=1 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f1, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=2 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f2, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=3 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f3, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=4 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f4, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=5 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f5, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=6 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f6, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=7 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f7 FROM documents, UNNEST(range(1, length(text)+1)) AS u(n) WHERE length(text) > 0 GROUP BY 1 ORDER BY 1",
+        "SELECT doc_id AS media_id, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=0 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f0, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=1 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f1, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=2 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f2, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=3 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f3, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=4 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f4, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=5 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f5, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=6 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f6, CAST(COALESCE(sum(CASE WHEN (u.n-1)%8=7 THEN ord(substr(text, u.n::INT, 1)) END), 0) AS DOUBLE) AS f7, 'stub' AS decode FROM documents, UNNEST(range(1, length(text)+1)) AS u(n) WHERE length(text) > 0 GROUP BY 1 ORDER BY 1",
       // the hyperplane constants are deterministic (fixed-seed JVM
       // Gaussian) — inline them so the oracle replays the exact LSH:
       // signature bits from sign of list_dot_product, candidates by
@@ -1470,12 +1471,16 @@ object SparkEntry {
          "FROM hits h JOIN sizes z ON z.doc_id = h.doc_id ORDER BY 1"),
       // removal replay: position-aware 0-based windows, covered token
       // positions = union of [s, s+3) over corpus-duplicated windows,
-      // survivors reassembled in order (empty docs keep an empty hash)
+      // survivors reassembled in order (empty docs keep an empty hash);
+      // docs shorter than 3 tokens contribute their whole-text window
+      // (the detect-side short-doc contract — flagged tiny dups strip)
       "dedup_spans_strip" ->
         ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), " +
          "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM documents), " +
          "w AS (SELECT doc_id, u.s AS s, concat_ws(' ', tk[u.s+1], tk[u.s+2], tk[u.s+3]) AS g " +
-         "FROM toks, UNNEST(range(0, greatest(len(tk) - 2, 0))) AS u(s) WHERE len(tk) >= 3), " +
+         "FROM toks, UNNEST(range(0, greatest(len(tk) - 2, 0))) AS u(s) WHERE len(tk) >= 3 " +
+         "UNION ALL SELECT doc_id, 0 AS s, array_to_string(tk, ' ') AS g " +
+         "FROM toks WHERE len(tk) BETWEEN 1 AND 2), " +
          "dup AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM w) GROUP BY g HAVING count(*) >= 2), " +
          "cov AS (SELECT DISTINCT w.doc_id, u.i AS i FROM w JOIN dup USING (g), " +
          "UNNEST(range(w.s, w.s + 3)) AS u(i)) " +

@@ -46,7 +46,7 @@ class ReadResource(
     val defaultCriteria: Option[String] = None,
     val timeoutMs: Long = 0,
     val responseHeaders: Map[String, String] = Map.empty,
-    val countTtlMs: Long = 30000) {
+    val countTtlMs: Long = 0) {
 
   private def withDefault(qp: QueryParams): QueryParams = defaultCriteria match {
     case None => qp
@@ -89,30 +89,34 @@ class ReadResource(
     }
   }
 
-  /** `total_doc` with a short-TTL cache keyed on the (merged) criteria
-    * JSON: the reference recomputes `total_doc` per request
-    * (`read_resource.py`), but at scale a full count per request is a
-    * tail-latency cliff — identical criteria within the TTL reuse the
-    * last count. No-criteria counts still route through
+  /** `total_doc` with an OPT-IN short-TTL cache keyed on the (merged)
+    * criteria JSON. The default (`countTtlMs = 0`) matches the
+    * reference — `total_doc` recomputed per request (`read_resource.py`)
+    * — because a default-on cache silently serves stale totals after a
+    * builder write. At scale a full count per request is a tail-latency
+    * cliff, so deployments may opt in with `countTtlMs > 0`; cached
+    * entries are additionally keyed on the store's [[Store.contentToken]]
+    * freshness signal, so a committed write (ParquetStore version flip,
+    * MemoryStore generation bump) invalidates them immediately even
+    * inside the TTL. No-criteria counts still route through
     * `store.count(None)`'s ParquetStore footer-metadata fast path on a
-    * miss. `countTtlMs <= 0` disables caching (the live
-    * [[SubmissionResource]] view passes 0 — its totals must reflect
-    * every intake immediately). The map is bounded crudely (clear past
-    * 1024 distinct criteria) — a TTL cache, not an LRU, on purpose:
-    * entries are 16 bytes and the serving tier restarts far more often
-    * than 1024 distinct hot criteria accumulate. */
+    * miss. The map is bounded crudely (clear past 1024 distinct
+    * criteria) — a TTL cache, not an LRU, on purpose: entries are tiny
+    * and the serving tier restarts far more often than 1024 distinct hot
+    * criteria accumulate. */
   private val countCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String, Long)]()
   private def cachedCount(criteria: Option[String]): Long = {
     if (countTtlMs <= 0) return store.count(criteria)
     val k = criteria.getOrElse("")
     val now = System.nanoTime()
+    val token = store.contentToken
     val hit = countCache.get(k)
-    if (hit != null && hit._1 > now) hit._2
+    if (hit != null && hit._1 > now && hit._2 == token) hit._3
     else {
       val v = store.count(criteria)
       if (countCache.size > 1024) countCache.clear()
-      countCache.put(k, (now + countTtlMs * 1000000L, v))
+      countCache.put(k, (now + countTtlMs * 1000000L, token, v))
       v
     }
   }

@@ -915,7 +915,13 @@ object Dedup {
     * are distinct-based, so an accidentally re-ingested row (same id,
     * same text, twice) still reports correct per-doc numbers and
     * `dup_fraction ≤ 1`; distinct ids sharing a gram — not row copies —
-    * are what `minDf` counts. */
+    * are what `minDf` counts.
+    *
+    * Short-doc contract (shared with [[stripDuplicatedSpans]]): a doc
+    * with fewer than `n` tokens counts ONE whole-text window (the gram
+    * kernel's `len < n` fallback), so two identical tiny docs report
+    * `dup_fraction = 1.0` — and the removal pass strips them via the
+    * same whole-text window, keeping detect and act in agreement. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, minDf: Int = 2): DataFrame = {
     val posted = ngramSignatures(df, idCol, textCol, n)
@@ -937,63 +943,80 @@ object Dedup {
     * by any corpus-duplicated n-token window (document frequency ≥
     * `minDf`, cross-doc — a within-doc repeat alone does not mark a
     * span) is dropped, and the doc's SURVIVING normalized tokens are
-    * reassembled in order. Returns `(id, textCol)` for every doc; docs
-    * shorter than `n` tokens are never stripped. The output is the
+    * reassembled in order. Returns `(id, textCol)` for every doc. Docs
+    * shorter than `n` tokens strip via their WHOLE-TEXT window — the
+    * same short-doc contract as [[duplicatedSpans]] / the gram kernel's
+    * `len < n` fallback, so a doc the detector reports as fully
+    * duplicated (`dup_fraction = 1.0`) is actually emptied by the
+    * removal pass instead of surviving unchanged. The output is the
     * normalized token stream (lowercased, punctuation collapsed) minus
     * duplicated spans — the training-tokenizer view of the text, like
     * the reference pipelines that strip at the token level.
     *
-    * Scale shape: window hashes are position-aware, so the grams are
-    * spelled RELATIONALLY instead of through the distinct-gram kernel:
-    * tokens explode to narrow `(id, pos, token_hash)` rows, one
-    * per-doc sort-shuffle gives each row its n−1 successors (`lead`),
-    * and the window hash is one fixed-arity codegen'd
-    * `xxhash64(h₀…hₙ₋₁)`. (Two HOF spellings were measured and
-    * rejected: per-window `slice`+`concat_ws` in an interpreted lambda
-    * is ~20× slower, and referencing a precomputed token-hash ARRAY
-    * from inside the window lambda trips the repo's documented
-    * CollapseProject O(d²) re-inlining trap — ~50×.) Window equality
-    * is equality of the token-hash tuple — internal to this function,
-    * so the hash-of-hashes family never needs external replay. The
-    * document-frequency aggregate shuffles 8-byte hashes once
-    * (map-side partials), the duplicated-hash set semi-joins back, and
-    * the rebuild is relational too: covered positions explode to
-    * `(id, pos)` rows, survivors anti-join on them and reassemble in
-    * order — LINEAR per doc, where a per-token `exists(starts, …)`
-    * membership scan would be quadratic on exactly the boilerplate-
-    * heavy docs this filter targets. Docs with NULL/empty text come
-    * back with empty text (every doc keeps its row).
-    * `idCol` unique by the keyed-store contract. */
+    * Scale shape — ONE window pass, no position explode: tokens become
+    * narrow `(id, pos, token_hash)` rows, one per-doc sort-shuffle
+    * gives each row its n−1 successors (`lead`), and the window hash is
+    * one fixed-arity codegen'd `xxhash64(h₀…hₙ₋₁)` (`xxhash64` skips
+    * null children, which is exactly the short-doc whole-text fallback:
+    * a `len < n` doc's `s = 0` row hashes over just its real tokens —
+    * structurally distinct from complete windows, whose strings differ
+    * in token count). (Two HOF spellings were measured and rejected:
+    * per-window `slice`+`concat_ws` in an interpreted lambda is ~20×
+    * slower, and referencing a precomputed token-hash ARRAY from inside
+    * the window lambda trips the repo's documented CollapseProject
+    * O(d²) re-inlining trap — ~50×.) Window equality is equality of the
+    * token-hash tuple — internal to this function, so the hash-of-
+    * hashes family never needs external replay. The document-frequency
+    * aggregate shuffles 8-byte hashes once (map-side partials); the
+    * duplicated-hash set joins back UNHINTED (AQE broadcasts the
+    * usually-small set; a boilerplate-heavy corpus degrades gracefully
+    * to a shuffle join) to flag duplicated STARTS, and coverage is a
+    * second window aggregate over the SAME per-doc sort — `max(flag)`
+    * over the trailing `n−1` rows (positions are dense by construction,
+    * so the row frame IS the position range): when the flag join
+    * broadcasts, the sort from the `lead` pass is still live, and the
+    * coverage window, the survivor filter, and the per-doc reassembly
+    * aggregate all reuse that one id-clustered exchange — the
+    * explode-to-positions + `.distinct()` + anti-join pipeline this
+    * replaces paid three more shuffles for the same answer. Docs with
+    * NULL/empty text come back with empty text (every doc keeps its
+    * row). `idCol` unique by the keyed-store contract. */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, minDf: Int = 2): DataFrame = {
     require(n >= 1, s"span width must be >= 1, got $n")
     val base = df.select(col(idCol).alias("id"),
       TextAnalysis.normTokens(col(textCol)).alias("toks"))
     val toks = base
-      .select(col("id"), posexplode(col("toks")).as(Seq("s", "tok")))
+      .select(col("id"), size(col("toks")).alias("__len"),
+        posexplode(col("toks")).as(Seq("s", "tok")))
       .withColumn("__th", xxhash64(col("tok")))
-    val posted =
-      if (n == 1) toks.select(col("id"), col("s"), col("__th").alias("h"))
+    val w = Window.partitionBy(col("id")).orderBy(col("s"))
+    val windowed =
+      if (n == 1) toks.withColumn("h", col("__th"))
       else {
-        val w = Window.partitionBy(col("id")).orderBy(col("s"))
         val withLeads = (1 until n).foldLeft(toks)((d, j) =>
           d.withColumn(s"__l$j", lead(col("__th"), j).over(w)))
-        withLeads.filter(col(s"__l${n - 1}").isNotNull)
-          .select(col("id"), col("s"),
-            xxhash64(col("__th") +: (1 until n).map(j => col(s"__l$j")): _*).alias("h"))
+        // h is defined for complete windows AND the whole-text window of
+        // a short doc (s = 0, len < n); elsewhere null (no span starts)
+        withLeads.withColumn("h",
+          when(col(s"__l${n - 1}").isNotNull ||
+               (col("s") === 0 && col("__len") < n),
+            xxhash64(col("__th") +: (1 until n).map(j => col(s"__l$j")): _*)))
       }
-    val dupH = posted.groupBy(col("h"))
+    val dupH = windowed.select(col("id"), col("h")).filter(col("h").isNotNull)
+      .groupBy(col("h"))
       .agg(count_distinct(col("id")).alias("__df"))
-      .filter(col("__df") >= minDf).select(col("h"))
-    val covered = posted.join(dupH, Seq("h"), "left_semi")
-      .select(col("id"),
-        explode(sequence(col("s"), col("s") + (n - 1))).alias("p"))
-      .distinct()
-    val kept = toks.select(col("id"), col("s").alias("p"), col("tok"))
-      .join(covered, Seq("id", "p"), "left_anti")
+      .filter(col("__df") >= minDf)
+      .select(col("h"), lit(1).alias("__dup"))
+    val cover = Window.partitionBy(col("id")).orderBy(col("s"))
+      .rowsBetween(-(n - 1), 0)
+    val kept = windowed.join(dupH, Seq("h"), "left_outer")
+      .withColumn("__start", when(col("__dup").isNotNull, 1).otherwise(0))
+      .withColumn("__cov", max(col("__start")).over(cover))
+      .filter(col("__cov") === 0)
       .groupBy(col("id"))
       .agg(array_join(transform(
-        array_sort(collect_list(struct(col("p"), col("tok")))),
+        array_sort(collect_list(struct(col("s"), col("tok")))),
         x => x.getField("tok")), " ").alias(textCol))
     base.select(col("id")).join(kept, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col(textCol), lit("")).alias(textCol))

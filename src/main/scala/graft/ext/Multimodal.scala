@@ -51,12 +51,29 @@ object Multimodal {
     * stddev_luma]` (BT.601 luma) — deterministic pixel statistics, the
     * shape a quality filter or near-dup pre-pass consumes. Returns None
     * when the payload is not a parseable image (caller falls back to
-    * [[stubDecode]]). Pixel access uses `getRGB` per pixel — fine for
-    * thumbnail/fixture scale; a production kernel on large images would
-    * read the raster's data buffer directly, same feature math. */
+    * [[stubDecode]]). Decompression-bomb guard: the header-declared
+    * `width*height` is checked BEFORE the raster is materialized (a
+    * tiny PNG can declare a multi-GiB raster; `ImageIO.read` would
+    * allocate it all) — oversized images reject cheaply instead of
+    * OOMing the executor. Pixel access uses `getRGB` per pixel — fine
+    * for thumbnail/fixture scale; a production kernel on large images
+    * would read the raster's data buffer directly, same feature math. */
+  val maxImagePixels: Long = 64L * 1024 * 1024 // 64 MP ≈ 256 MiB ARGB raster
   def decodeImage(bytes: Array[Byte]): Option[Array[Double]] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val img =
+        try {
+          reader.setInput(iis)
+          // dimensions come from the header — no raster allocated yet
+          val (w0, h0) = (reader.getWidth(0), reader.getHeight(0))
+          if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > maxImagePixels) null
+          else reader.read(0)
+        } finally { reader.dispose(); iis.close() }
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
         val w = img.getWidth; val h = img.getHeight
@@ -79,7 +96,9 @@ object Multimodal {
           sr / n, sg / n, sb / n, meanL,
           math.sqrt(math.max(0.0, sl2 / n - meanL * meanL))))
       }
-    } catch { case _: Throwable => None }
+      // NonFatal only: malformed payloads degrade to the stub fallback,
+      // but fatal JVM errors (OOM, stack overflow) must fail the task
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL audio decode via `javax.sound.sampled` (JDK built-in readers:
     * WAV/AIFF/AU, PCM). Feature vector ([[featureWidth]] wide):
@@ -136,7 +155,9 @@ object Multimodal {
             math.sqrt(sum2 / n), peak, zc.toDouble / n))
         }
       }
-    } catch { case _: Throwable => None }
+      // NonFatal only (see decodeImage): parse failures → None, JVM
+      // errors propagate and fail the task
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decode kernel for modalities whose codecs are not in this
     * container (video, compressed audio). Derives a deterministic
@@ -159,14 +180,22 @@ object Multimodal {
     * `meta.modality` (a union of packed frames can mix modalities):
     * `"image"` → [[decodeImage]], falling back to [[stubDecode]] when
     * the payload is not a parseable image; everything else →
-    * [[stubDecode]]. Output: (media_id, feature array). */
+    * [[stubDecode]]. Output: (media_id, feature array, decode).
+    *
+    * The `decode` column FENCES the stub: `"image"`/`"audio"` mark a
+    * real codec decode, `"stub"` marks the deterministic fake (video /
+    * compressed audio / unparseable payload). Downstream curation must
+    * filter `decode != 'stub'` before trusting features as perceptual —
+    * silent fake features in a quality-filter pipeline would be a
+    * correctness bug at 100 TB, not a convenience. */
   def extractFeatures(packed: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = packed.sparkSession
     // the id column keeps its INPUT type: pack() accepts any id, and a
     // cast("long") on string ids would null them and NPE in the kernel
     val outSchema = StructType(Seq(
       StructField("media_id", packed.schema("media_id").dataType),
-      StructField("feature", ArrayType(DoubleType))))
+      StructField("feature", ArrayType(DoubleType)),
+      StructField("decode", StringType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     packed.select(col("media_id"), col("content"), col("meta.modality"))
       .mapPartitions { rows =>
@@ -174,12 +203,14 @@ object Multimodal {
           // per-batch setup would happen here (codec init, model load)
           batch.iterator.map { r =>
             val bytes = r.getAs[Array[Byte]](1)
-            val feats = r.getString(2) match {
-              case "image" => decodeImage(bytes).getOrElse(stubDecode(bytes))
-              case "audio" => decodeAudio(bytes).getOrElse(stubDecode(bytes))
-              case _ => stubDecode(bytes)
+            val (feats, how) = r.getString(2) match {
+              case "image" => decodeImage(bytes).map((_, "image"))
+                .getOrElse((stubDecode(bytes), "stub"))
+              case "audio" => decodeAudio(bytes).map((_, "audio"))
+                .getOrElse((stubDecode(bytes), "stub"))
+              case _ => (stubDecode(bytes), "stub")
             }
-            Row(r.get(0), feats.toSeq)
+            Row(r.get(0), feats.toSeq, how)
           }
         }
       }(enc)

@@ -20,13 +20,18 @@ class MemoryStore(
   extends Store {
 
   private var current: Option[DataFrame] = None
+  private val generation = new java.util.concurrent.atomic.AtomicLong(0)
 
   def df: DataFrame = current.getOrElse(spark.emptyDataFrame)
+
+  override private[graft] def contentToken: String =
+    generation.get().toString
 
   def isEmpty: Boolean = current.isEmpty
 
   /** Replace contents wholesale (connect-time load). */
-  def load(data: DataFrame): this.type = { current = Some(data); this }
+  def load(data: DataFrame): this.type =
+    { current = Some(data); generation.incrementAndGet(); this }
 
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {
     val next = current match {
@@ -37,15 +42,18 @@ class MemoryStore(
     // and must not grow an unbounded lazy plan across many updates
     val materialized = next.localCheckpoint(true)
     current = Some(materialized)
+    generation.incrementAndGet()
   }
 
   override def removeDocs(criteria: String): Unit = current.foreach { t =>
     current = Some(t.filter(!coalesce(MongoFilter.compile(criteria, Some(t.schema)),
                                       lit(false))).localCheckpoint(true))
+    generation.incrementAndGet()
   }
 
   override def removeKeys(keys: DataFrame): Unit = current.foreach { t =>
     current = Some(t.join(keys.select(col(keys.columns.head).alias(key)),
       Seq(key), "left_anti").localCheckpoint(true))
+    generation.incrementAndGet()
   }
 }

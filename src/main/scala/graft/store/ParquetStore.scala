@@ -42,6 +42,10 @@ class ParquetStore(
 
   def isEmpty: Boolean = dataPath.isEmpty
 
+  // every committed write flips `_current` to a fresh version id, so the
+  // version string IS the content token (one small file read, no action)
+  override private[graft] def contentToken: String = currentVersion.getOrElse("")
+
   def df: DataFrame = dataPath match {
     case Some(p) => spark.read.parquet(p)
     case None    => spark.emptyDataFrame

@@ -26,6 +26,14 @@ trait Store {
   /** Current contents as a DataFrame (the "collection"). */
   def df: DataFrame
 
+  /** Cheap driver-side freshness token: changes whenever the store's
+    * contents change, WITHOUT running a Spark action. Serving-tier
+    * caches (e.g. [[graft.api.ReadResource]]'s `total_doc` cache) key on
+    * it so a builder write invalidates cached derived values immediately
+    * instead of waiting out a TTL. Stores with no cheap signal return
+    * `""` (token never changes — TTL alone governs). */
+  private[graft] def contentToken: String = ""
+
   // -------------------------------------------------------------------
   // read surface (S1-S5, S9, S10)
   // -------------------------------------------------------------------

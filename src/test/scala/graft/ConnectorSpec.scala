@@ -313,9 +313,11 @@ class ConnectorSpec extends SparkSpec {
     val textBytes = "not an image".getBytes("UTF-8")
     val df = Seq((1L, png), (2L, textBytes)).toDF("doc_id", "payload")
     val packed = graft.ext.Multimodal.pack(df, "doc_id", col("payload"), "image")
-    val feats = graft.ext.Multimodal.extractFeatures(packed)
-      .collect().map(r => r.getAs[Long]("media_id") ->
-        r.getSeq[Double](1).toArray).toMap
+    val rows = graft.ext.Multimodal.extractFeatures(packed).collect()
+    val feats = rows.map(r => r.getAs[Long]("media_id") ->
+      r.getSeq[Double](1).toArray).toMap
+    val how = rows.map(r => r.getAs[Long]("media_id") ->
+      r.getAs[String]("decode")).toMap
     // real decode: [w, h, bands, mean_r, mean_g, mean_b, mean_luma, std_luma]
     val f = feats(1L)
     assert(f(0) === 4.0 && f(1) === 2.0 && f(2) === 3.0)
@@ -323,14 +325,18 @@ class ConnectorSpec extends SparkSpec {
     val lumaR = 0.299 * 255; val lumaB = 0.114 * 255
     assert(math.abs(f(6) - (lumaR + lumaB) / 2) < 1e-9)
     assert(math.abs(f(7) - math.abs(lumaR - lumaB) / 2) < 1e-9)
-    // an image-modality payload ImageIO cannot parse falls back to the stub
+    // an image-modality payload ImageIO cannot parse falls back to the
+    // stub AND is fenced as such in the decode column
     assert(feats(2L).toSeq === graft.ext.Multimodal.stubDecode(textBytes).toSeq)
-    // video modality rides the stub even for decodable payloads
+    assert(how(1L) === "image" && how(2L) === "stub")
+    // video modality rides the stub even for decodable payloads — and the
+    // decode fence marks it, so curation can filter fake features out
     val video = graft.ext.Multimodal.extractFeatures(
       graft.ext.Multimodal.pack(df.filter(col("doc_id") === 1L), "doc_id",
         col("payload"), "video")).collect()(0)
     assert(video.getSeq[Double](1).toSeq ===
       graft.ext.Multimodal.stubDecode(png).toSeq)
+    assert(video.getAs[String]("decode") === "stub")
   }
 
   test("Multimodal audio decode: javax.sound.sampled round-trip on a generated WAV") {
@@ -351,10 +357,11 @@ class ConnectorSpec extends SparkSpec {
     val wav = baos.toByteArray
     val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
       .toDF("doc_id", "payload")
-    val feats = graft.ext.Multimodal.extractFeatures(
+    val rows = graft.ext.Multimodal.extractFeatures(
       graft.ext.Multimodal.pack(df, "doc_id", col("payload"), "audio"))
-      .collect().map(r => r.getAs[Long]("media_id") ->
-        r.getSeq[Double](1).toArray).toMap
+      .collect()
+    val feats = rows.map(r => r.getAs[Long]("media_id") ->
+      r.getSeq[Double](1).toArray).toMap
     // [sample_rate, channels, frames, bits, mean, rms, peak, zcr]
     val f = feats(1L)
     assert(f(0) === 8000.0 && f(1) === 1.0 && f(2) === 800.0 && f(3) === 16.0)
@@ -362,8 +369,12 @@ class ConnectorSpec extends SparkSpec {
     assert(math.abs(f(5) - amp / math.sqrt(2)) < 1e-3)    // rms = A/sqrt(2)
     assert(math.abs(f(6) - amp) < 1e-3)                   // peak = A
     assert(math.abs(f(7) - 2 * freq / rate) < 0.01)       // zcr = 2f/rate
-    // unparseable payload under audio modality falls back to the stub
+    // unparseable payload under audio modality falls back to the stub;
+    // decode fence distinguishes real decode from fake features
     assert(feats(2L).toSeq ===
       graft.ext.Multimodal.stubDecode("not audio".getBytes("UTF-8")).toSeq)
+    val how = rows.map(r => r.getAs[Long]("media_id") ->
+      r.getAs[String]("decode")).toMap
+    assert(how(1L) === "audio" && how(2L) === "stub")
   }
 }

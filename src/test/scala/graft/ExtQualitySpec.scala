@@ -83,21 +83,28 @@ class ExtQualitySpec extends SparkSpec {
     assert(hosts.toSeq === Seq("a.example.com", "b.org"))
   }
 
-  test("stripDuplicatedSpans removes exactly the covered tokens, keeps short docs whole") {
+  test("stripDuplicatedSpans removes covered tokens; short docs share the detect contract") {
     val s = spark; import s.implicits._
     val docs = Seq(
       (1L, "The quick brown fox jumps high"),
       (2L, "said the QUICK brown dog"),
       (3L, "tiny doc"),
-      (4L, "the quick brown")
+      (4L, "the quick brown"),
+      (5L, "wee!"),
+      (6L, "WEE")
     ).toDF("doc_id", "text")
     val out = graft.ext.Dedup.stripDuplicatedSpans(docs, "doc_id", "text", n = 3)
       .collect().map(r => r.getAs[Long]("id") -> r.getString(1)).toMap
     // "the quick brown" is shared by docs 1/2/4 (normalization folds case)
     assert(out(1L) === "fox jumps high")   // tokens 0-2 covered
     assert(out(2L) === "said dog")         // tokens 1-3 covered
-    assert(out(3L) === "tiny doc")         // shorter than n: never stripped
+    // a UNIQUE short doc survives whole — its whole-text window has df=1
+    assert(out(3L) === "tiny doc")
     assert(out(4L) === "")                 // fully duplicated -> empty
+    // duplicated tiny docs strip via the whole-text window — the same
+    // contract duplicatedSpans reports them under (dup_fraction = 1.0),
+    // so detect and act agree on short docs
+    assert(out(5L) === "" && out(6L) === "")
   }
 
   test("lshTopK finds genuinely-near neighbors (perturbed twins, recall >= 0.7)") {

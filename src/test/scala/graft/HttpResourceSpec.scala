@@ -278,9 +278,11 @@ class HttpResourceSpec extends SparkSpec {
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // no PaginationQuery → the 1000-row safety cap is injected and must
-    // be visible in meta; criteria via defaultCriteria → real count job
+    // be visible in meta; criteria via defaultCriteria → real count job.
+    // Caching is opt-in (countTtlMs defaults to 0, matching the
+    // reference's per-request recompute), so this resource opts in.
     val res = new ReadResource(store, Seq(),
-      defaultCriteria = Some("""{"o_orderstatus": "O"}"""))
+      defaultCriteria = Some("""{"o_orderstatus": "O"}"""), countTtlMs = 30000)
     spark.sparkContext.addSparkListener(listener)
     try {
       counter.set(0)
@@ -298,15 +300,35 @@ class HttpResourceSpec extends SparkSpec {
       val total = first.get("meta").get("total_doc").asLong()
       assert(first.get("meta").get("truncated").asBoolean() ===
         (total > first.get("data").size()))
-      // countTtlMs = 0 disables the cache: both searches pay the count
+      // default countTtlMs = 0 → no cache: both searches pay the count
       val live = new ReadResource(store, Seq(),
-        defaultCriteria = Some("""{"o_orderstatus": "O"}"""), countTtlMs = 0)
+        defaultCriteria = Some("""{"o_orderstatus": "O"}"""))
       live.search(Map.empty)
       counter.set(0)
       live.search(Map.empty)
       val jLive = settled()
       assert(jLive > j2, s"uncached resource must still fire the count job ($jLive vs $j2)")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("opt-in count cache is invalidated by a store write (contentToken)") {
+    import org.apache.spark.sql.functions._
+    val mem = new graft.store.MemoryStore(spark, "cachemem", "o_orderkey", "o_orderdate")
+    mem.load(sf("orders").limit(10).localCheckpoint(true))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // long TTL: without token invalidation the stale count would persist
+    val res = new ReadResource(mem, Seq(new PaginationQuery(5, 100)),
+      countTtlMs = 600000)
+    val before = mapper.readTree(res.search(Map.empty))
+      .get("meta").get("total_doc").asLong()
+    assert(before === 10L)
+    // builder-style write: 5 fresh keys land in the store
+    mem.update(sf("orders").orderBy(desc("o_orderkey")).limit(5)
+      .localCheckpoint(true))
+    val after = mapper.readTree(res.search(Map.empty))
+      .get("meta").get("total_doc").asLong()
+    assert(after === 15L,
+      s"total_doc must reflect the write inside the TTL window, got $after")
   }
 
   test("defaultCriteria is $and-merged into every search and key lookup") {
