@@ -66,19 +66,33 @@ object Dedup {
       transform(sequence(lit(0), size(tk) - n),
         i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", tk)))
-    val exploded = tokd.select(col("id"), explode(grams).alias("shingle"))
+    // explode_outer: see hashedShingles — keeps the gram lambda tower a
+    // single projection instead of re-inlining it into an inferred filter
+    val exploded = tokd.select(col("id"), explode_outer(grams).alias("shingle"))
+      .filter(col("shingle").isNotNull)
     if (distinct) exploded.distinct() else exploded
   }
 
   /** Hashed-shingle postings via the native [[graft.functions.NgramHashes]]
     * kernel: `(id, sh)` with `sh` a 64-bit gram hash — one compiled loop
-    * per row, no HOF lambda tower (see TextShingles.scala). */
+    * per row, no HOF lambda tower (see TextShingles.scala).
+    *
+    * `explode_outer` + post-explode null filter, NOT plain `explode`:
+    * Catalyst's `InferFiltersFromGenerate` turns an inner explode into a
+    * `size(e) > 0 AND isnotnull(e)` filter that predicate-pushdown then
+    * re-inlines through the alias — the regex-normalize + shingle-hash
+    * kernel would run THREE times per document (filter twice + project
+    * once; measured 2.2 s → 1.6 s at sf0.1 on the jaccard pipeline).
+    * The rule skips outer generates, so the kernel stays a single
+    * projection and the null filter costs one attribute comparison.
+    * Same pattern at every explode-over-computed-kernel site below. */
   private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
                              n: Int, distinct: Boolean): DataFrame =
     df.select(col(idCol).alias("id"),
-      explode(graft.functions.GraftFunctions.ngramHashes(
+      explode_outer(graft.functions.GraftFunctions.ngramHashes(
         df.sparkSession, TextAnalysis.normTokens(col(textCol)), n, distinct))
         .alias("sh"))
+      .filter(col("sh").isNotNull)
 
   /** 1. Exact duplicates: groups of identical content. Returns one row
     * per duplicated hash: `(h, n, keep, ids)` — `keep` = min id (the
@@ -277,7 +291,8 @@ object Dedup {
           TextAnalysis.tokens(col(textCol))).alias("simhash"))
     }
     val toks = df.select(col(idCol).alias("id"),
-        explode(TextAnalysis.tokens(col(textCol))).alias("tok"))
+        explode_outer(TextAnalysis.tokens(col(textCol))).alias("tok"))
+      .filter(col("tok").isNotNull) // see hashedShingles
       .withColumn("h", seededHash(family, 0, col("tok")))
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, lit(1L))
@@ -719,7 +734,10 @@ object Dedup {
       else col("id")
     val posted = sigs.select(idExpr, col("sig"))
       .select(col("id"), size(col("sig")).cast("long").alias("sz"),
-        explode(col("sig")).alias("sh"))
+        // explode_outer: see hashedShingles — when `sigs` is the lazy
+        // kernel projection, inner explode re-inlines the kernel 3×
+        explode_outer(col("sig")).alias("sh"))
+      .filter(col("sh").isNotNull)
     val common = if (integralId(sigs, "id")) {
       val lists = posted.groupBy(col("sh"))
         .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
@@ -792,7 +810,8 @@ object Dedup {
     def post(df: DataFrame, tag: Int) = {
       val idExpr = if (integral) col("id").cast("long").alias("id") else col("id")
       df.select(idExpr, size(col("sig")).cast("long").alias("sz"),
-          explode(col("sig")).alias("sh"))
+          explode_outer(col("sig")).alias("sh")) // see hashedShingles
+        .filter(col("sh").isNotNull)
         .withColumn("__new", lit(tag.toLong))
     }
     val newPosted = post(newSigs, 1)
@@ -868,11 +887,13 @@ object Dedup {
   def contamination(corpus: DataFrame, evalDf: DataFrame,
                     idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
-    def grams(df: DataFrame) =
-      explode(graft.functions.GraftFunctions.ngramHashes(spark,
-        TextAnalysis.normTokens(col(textCol)), n)).alias("sh")
-    val evalGrams = evalDf.select(grams(evalDf)).distinct()
-    corpus.select(col(idCol), grams(corpus))
+    def grams(df: DataFrame) = df.select(col(idCol),
+      // explode_outer: see hashedShingles — single kernel eval per row
+      explode_outer(graft.functions.GraftFunctions.ngramHashes(spark,
+        TextAnalysis.normTokens(col(textCol)), n)).alias("sh"))
+      .filter(col("sh").isNotNull)
+    val evalGrams = grams(evalDf).select(col("sh")).distinct()
+    grams(corpus)
       .join(broadcast(evalGrams), Seq("sh"))
       // per-doc grams are already distinct (kernel contract), so the
       // count IS the distinct shared-gram count — no countDistinct state
@@ -926,7 +947,8 @@ object Dedup {
                       n: Int = 3, minDf: Int = 2): DataFrame = {
     val posted = ngramSignatures(df, idCol, textCol, n)
       .select(col("id"), size(col("sig")).cast("long").alias("total_spans"),
-        explode(col("sig")).alias("sh"))
+        explode_outer(col("sig")).alias("sh")) // see hashedShingles
+      .filter(col("sh").isNotNull)
     val dup = posted.groupBy(col("sh"))
       .agg(count_distinct(col("id")).alias("__df"))
       .filter(col("__df") >= minDf).select(col("sh"))
@@ -988,7 +1010,10 @@ object Dedup {
       TextAnalysis.normTokens(col(textCol)).alias("toks"))
     val toks = base
       .select(col("id"), size(col("toks")).alias("__len"),
-        posexplode(col("toks")).as(Seq("s", "tok")))
+        // posexplode_outer: see hashedShingles — inner posexplode would
+        // re-inline the normTokens regex kernel into an inferred filter
+        posexplode_outer(col("toks")).as(Seq("s", "tok")))
+      .filter(col("tok").isNotNull)
       .withColumn("__th", xxhash64(col("tok")))
     val w = Window.partitionBy(col("id")).orderBy(col("s"))
     val windowed =
@@ -1041,8 +1066,9 @@ object Dedup {
                  maxOccurrences: Int = 10,
                  family: String = "xxh64"): DataFrame = {
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n"))
-        .as(Seq("pos", "line")))
+      .select(col(idCol), posexplode_outer(split(col(textCol), "\n"))
+        .as(Seq("pos", "line"))) // outer: see hashedShingles (split ×3)
+      .filter(col("line").isNotNull)
       .withColumn("lh", seededHash(family, 0, col("line")))
     val hot = lines.groupBy(col("lh"))
       .agg(count(lit(1)).alias("n")).filter(col("n") > maxOccurrences)

@@ -223,7 +223,11 @@ object Multimodal {
     val nFrames = greatest(ceil(col("meta.byte_len") / lit(strideBytes.toDouble)), lit(1L))
     packed
       .select(col("media_id"), col("content"),
-        posexplode(sequence(lit(0L), nFrames.cast("long") - 1)))
+        // posexplode_outer: an inner posexplode makes Catalyst infer a
+        // size>0 filter that re-materializes the sequence() array twice
+        // per row just to check non-emptiness (see Dedup.hashedShingles)
+        posexplode_outer(sequence(lit(0L), nFrames.cast("long") - 1)))
+      .filter(col("col").isNotNull)
       .withColumnRenamed("col", "frame_idx")
       .select(col("media_id"), col("frame_idx"),
         md5(col("content").substr((col("frame_idx") * strideBytes + 1).cast("int"),

@@ -57,6 +57,7 @@ case class BoundedCollectAgg(
   override def merge(a: BoundedCollectAgg.Buf, b: BoundedCollectAgg.Buf): BoundedCollectAgg.Buf = {
     a.total += b.total
     if (a.total <= cap) { // both sides under cap → all entries are stored
+      a.ensure(a.size + b.size)
       var j = 0
       while (j < b.size) { a.ids(a.size) = b.ids(j); a.auxs(a.size) = b.auxs(j); a.size += 1; j += 1 }
     }
@@ -89,6 +90,7 @@ case class BoundedCollectAgg(
     val buf = new BoundedCollectAgg.Buf(cap)
     buf.total = bb.getLong()
     val n = bb.getInt()
+    buf.ensure(n)
     var j = 0
     while (j < n) { buf.ids(j) = bb.getLong(); buf.auxs(j) = bb.getLong(); j += 1 }
     buf.size = n
@@ -106,16 +108,32 @@ case class BoundedCollectAgg(
 object BoundedCollectAgg {
 
   /** `total` counts every offer; entries are stored only while
-    * `total ≤ cap`, so state is O(cap) regardless of group size. */
+    * `total ≤ cap`, so state is O(cap) regardless of group size.
+    *
+    * Storage grows geometrically from 8 slots instead of pre-allocating
+    * `cap`: with ~10⁵-10⁶ concurrent groups per partition (one per
+    * distinct gram) and typical posting lists of 2-10 entries, eager
+    * `cap`-sized arrays were ~16 KB of allocation churn PER GROUP
+    * (~0.5 s of the jaccard pipeline at sf0.1 was this allocator
+    * traffic; at 100 TB it's partial-aggregate heap pressure). */
   final class Buf(capacity: Int) {
-    val ids = new Array[Long](capacity)
-    val auxs = new Array[Long](capacity)
+    var ids = new Array[Long](math.min(capacity, 8))
+    var auxs = new Array[Long](math.min(capacity, 8))
     var size = 0
     var total = 0L
 
+    def ensure(n: Int): Unit = if (n > ids.length) {
+      val next = math.min(capacity, math.max(n, ids.length * 2))
+      ids = java.util.Arrays.copyOf(ids, next)
+      auxs = java.util.Arrays.copyOf(auxs, next)
+    }
+
     def add(id: Long, aux: Long): Unit = {
       total += 1
-      if (total <= capacity) { ids(size) = id; auxs(size) = aux; size += 1 }
+      if (total <= capacity) {
+        ensure(size + 1)
+        ids(size) = id; auxs(size) = aux; size += 1
+      }
     }
   }
 

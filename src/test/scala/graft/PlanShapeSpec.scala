@@ -170,6 +170,33 @@ class PlanShapeSpec extends SparkSpec {
       s"expected AQE broadcast conversion at this scale:\n$p")
   }
 
+  test("text kernels never re-inline into a Filter (InferFiltersFromGenerate guard)") {
+    import org.apache.spark.sql.functions._
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    // the explode_outer spelling keeps Catalyst's inferred size>0 filter
+    // from re-inlining the regex+shingle kernel into a Filter condition
+    // (pre-fix: THREE kernel evals per row — filter twice, project once).
+    // A kernel may appear once per plan BRANCH (self-join shapes scan
+    // their posting projection twice), but never inside a Filter.
+    def kernelInFilter(p: String, kernel: String): Boolean =
+      p.linesIterator.exists(l =>
+        l.trim.startsWith("+- Filter") && l.contains(kernel)) ||
+      p.linesIterator.exists(l =>
+        l.trim.startsWith("Filter") && l.contains(kernel))
+    val jp = graft.ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(jp.split("graft_ngram_hashes").length - 1 === 1,
+      s"jaccard kernel evaluated more than once:\n$jp")
+    val sp = graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!kernelInFilter(sp, "graft_ngram_hashes"),
+      s"span-detect kernel re-inlined into a Filter:\n$sp")
+    val st = graft.ext.Dedup.stripDuplicatedSpans(docs, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!kernelInFilter(st, "regexp_replace"),
+      s"strip normTokens re-inlined into a Filter:\n$st")
+  }
+
   test("semanticDupPairs corpus assignment stays the inlined-argmax projection") {
     import org.apache.spark.sql.functions._
     val emb = sf("embeddings").select(col("vec_id"),
