@@ -642,6 +642,15 @@ object SparkEntry {
         .orderBy("facet", "value")
     }),
 
+    // A10 compound semantics: quoted phrase (contiguous containment) in
+    // the must clause, $mustNot exclusion — the reference's Atlas
+    // compound {must, mustNot} operator (api/resource/utils.py:80-82)
+    "a10_text_mustnot" -> ((s, dir) =>
+      MongoFilter(t(s, dir, "documents"),
+        """{"$text": {"$search": "\"table value\"", "$mustNot": "slow"}}""")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")),
+
     "json_scalar_extract" -> ((s, dir) => {
       events(s, dir)
         .select((get_json_object(col("props"), "$.k").cast("long") % 10).alias("kb"))
@@ -1209,6 +1218,10 @@ object SparkEntry {
          "UNION ALL SELECT 'lang', lang, count(*) FROM documents " +
          "WHERE contains(lower(text), 'spark') AND contains(lower(text), 'data') GROUP BY 2 " +
          "ORDER BY 1, 2"),
+      "a10_text_mustnot" ->
+        ("SELECT doc_id, source, lang FROM documents " +
+         "WHERE contains(lower(text), 'table value') " +
+         "AND NOT contains(lower(text), 'slow') ORDER BY doc_id"),
       "json_scalar_extract" ->
         ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb, " +
          "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"),

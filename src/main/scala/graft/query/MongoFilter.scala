@@ -258,15 +258,38 @@ object MongoFilter {
     }
   }
 
-  /** `$text: {$search: "...", $field: "col"}` baseline: case-insensitive
-    * token containment over the named text column (default `text`) —
-    * A10 `generate_atlas_search_pipeline` analogue. */
+  /** `$text: {$search: "...", $field: "col", $mustNot: "..."}` —
+    * case-insensitive containment over the named text column (default
+    * `text`), the A10 `generate_atlas_search_pipeline` analogue
+    * (reference `api/resource/utils.py:69-97` builds a compound
+    * `{must: [...], mustNot: [...]}` `$search` operator).
+    *
+    * Clause dialect, applied to both `$search` (must) and `$mustNot`:
+    * double-quoted segments are PHRASES (the whole quoted string must
+    * appear contiguously — Atlas `phrase` operator analogue); bare
+    * words are independent token-containment clauses (Atlas `text`).
+    * `$mustNot` takes one clause string or an array of them; a doc
+    * matches when every must clause holds AND no mustNot clause does.
+    * A null/missing text field fails must clauses (nothing contained)
+    * and SATISFIES mustNot clauses (nothing to prohibit) — compound
+    * filter semantics, not three-valued SQL null. */
   private def compileText(n: JsonNode): Column = {
-    val search = n.get("$search").asText()
     val field = if (n.has("$field")) n.get("$field").asText() else "text"
-    val tokens = search.split("\\s+").filter(_.nonEmpty)
-    tokens.map(t => lower(col(field)).contains(t.toLowerCase))
-      .reduceOption(_ && _).getOrElse(lit(true))
+    val phraseRe = "\"([^\"]*)\"".r
+    def clauses(s: String): Seq[Column] = {
+      val phrases = phraseRe.findAllMatchIn(s).map(_.group(1).trim).toSeq
+      val tokens = phraseRe.replaceAllIn(s, " ").split("\\s+").filter(_.nonEmpty).toSeq
+      (phrases.filter(_.nonEmpty) ++ tokens)
+        .map(t => lower(col(field)).contains(t.toLowerCase))
+    }
+    val must = clauses(n.get("$search").asText())
+    val mustNot: Seq[Column] = Option(n.get("$mustNot")).toSeq.flatMap { mn =>
+      val texts =
+        if (mn.isArray) mn.elements().asScala.map(_.asText()).toSeq
+        else Seq(mn.asText())
+      texts.flatMap(clauses)
+    }.map(c => !coalesce(c, lit(false)))
+    (must ++ mustNot).reduceOption(_ && _).getOrElse(lit(true))
   }
 
   // ---------------------------------------------------------------------

@@ -168,6 +168,30 @@ class SessionSkewSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("$text compound: phrase containment, $mustNot exclusion, null-field semantics") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick and brown but not adjacent fox"),
+      (3L, "the quick brown dog barks"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    def ids(crit: String): Set[Long] =
+      graft.query.MongoFilter(df, crit).collect().map(_.getLong(0)).toSet
+    // quoted phrase = contiguous containment: doc 2 has both tokens but
+    // not the phrase
+    assert(ids("""{"$text": {"$search": "\"quick brown\""}}""") === Set(1L, 3L))
+    // mustNot excludes; a null text field satisfies mustNot but fails must
+    assert(ids("""{"$text": {"$search": "\"quick brown\"", "$mustNot": "barks"}}""")
+      === Set(1L))
+    // array form: any listed clause excludes
+    assert(ids("""{"$text": {"$search": "quick", "$mustNot": ["barks", "fox"]}}""")
+      === Set.empty[Long])
+    // mustNot alone never matches null-text docs via must (empty must =
+    // true), so doc 4 DOES match a pure-exclusion search
+    assert(ids("""{"$text": {"$search": "", "$mustNot": "quick"}}""") === Set(4L))
+  }
+
   test("semanticDupPairs hot-cell cap: star emits O(cell) pairs and keeps the cluster connected") {
     val s = spark; import s.implicits._
     // 22 near-identical vectors -> one degenerate cell far above the cap.
