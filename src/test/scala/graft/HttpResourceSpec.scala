@@ -331,6 +331,60 @@ class HttpResourceSpec extends SparkSpec {
       s"total_doc must reflect the write inside the TTL window, got $after")
   }
 
+  test("GET /{key} on an indexed ParquetStore reads one row group, not the store") {
+    val s = spark; import s.implicits._
+    // serving-path proof of the S8 key-clustered layout: the /{key}
+    // criteria compiles to an equality the parquet reader prunes on, so
+    // a point lookup's input is ONE row group's rows — compared against
+    // an unindexed (hash-layout) twin, where footer min/max can't prune
+    // and every group is scanned. 4 shuffle partitions x 2500 rows each.
+    def mkStore(indexed: Boolean): graft.store.ParquetStore = {
+      val root = java.nio.file.Files.createTempDirectory(
+        s"pq_serve_$indexed").toString
+      val st = new graft.store.ParquetStore(spark, root, key = "k",
+        lastUpdatedField = "lu")
+      if (indexed) st.ensureIndex("k")
+      st.update((1L to 10000L).map(k => (k, 1L)).toDF("k", "lu"))
+      st
+    }
+    val records = new java.util.concurrent.atomic.AtomicLong(0)
+    val tasksDone = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        if (te.taskMetrics != null)
+          records.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+        tasksDone.incrementAndGet()
+      }
+    }
+    def settledRecords(): Long = { // listener events are async
+      var last = -1L; var spins = 0
+      while (records.get() != last && spins < 40) {
+        last = records.get(); Thread.sleep(200); spins += 1
+      }
+      records.get()
+    }
+    def lookupRecords(st: graft.store.ParquetStore): Long = {
+      val res = new ReadResource(st, Seq(new PaginationQuery(5, 100)))
+      records.set(0)
+      assert(res.byKey("7777").isDefined)
+      settledRecords()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val indexed = lookupRecords(mkStore(indexed = true))
+      val unindexed = lookupRecords(mkStore(indexed = false))
+      // clustered: only the one candidate group contributes rows
+      // (~10000/4, with slack for repartitionByRange's sampled splits)
+      assert(indexed <= 3500,
+        s"indexed lookup read $indexed records — pruning not effective")
+      // the unindexed twin demonstrates the counterfactual: every group's
+      // range covers the key, so (modulo reader batch granularity and the
+      // limit-1 short-circuit) it reads a multiple of the pruned input
+      assert(unindexed >= 2 * indexed,
+        s"unindexed lookup read $unindexed vs indexed $indexed — not probative")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("defaultCriteria is $and-merged into every search and key lookup") {
     val guarded = new ReadResource(store, Seq(new PaginationQuery(5, 100)),
       defaultCriteria = Some("""{"o_orderstatus": "O"}"""))
