@@ -51,9 +51,28 @@ import org.apache.spark.sql.functions._
   * cells with the inlined-argmax projection and compares only against
   * its cell's stored members. In both, `cluster` = min id of the
   * component (self for singletons); stored membership re-enters each
-  * resolution as `(cluster → id)` edges, so a new doc chaining into an
-  * old cluster through any old member converges to the same labels a
-  * from-scratch build would.
+  * resolution as `(cluster → id)` edges — RESTRICTED to the clusters of
+  * stored ids this round's pairs touch (min-label monotonicity: no
+  * other component's labels can change), so label resolution stays
+  * batch-proportional instead of iterating corpus-scale edges every
+  * batch — and a new doc chaining into an old cluster through any old
+  * member converges to the same labels a from-scratch build would.
+  *
+  * ==Index scale layout==
+  * The semantic index is CELL-CLUSTERED: the builder calls
+  * `ensureIndex("cell")`, so a ParquetStore-backed index lays rows out
+  * range-partitioned + sorted by cell (S8), and each incremental run
+  * reads the stored side through a static `cell IN (batch cells)`
+  * predicate (bounded ≤ nCentroids, so it collects) that parquet
+  * row-group stats prune on — pairing AND label repair both touch only
+  * the row groups of cells the batch lands in (pairs are intra-cell by
+  * construction, so components never span cells). The sketch tiers
+  * (minhash/simhash/ngram) join on hash VALUES, which no static
+  * predicate can pre-select — their stored side is read through the
+  * narrow (id, sig|grams) projection and filtered by the broadcast
+  * batch band/gram set map-side; the full-scan-per-batch there is
+  * inherent to value-keyed sketches, documented, and bounded by column
+  * pruning (labels and payloads are not read for pairing).
   *
   * The write follows the standard builder shape: the output plan is
   * materialized once (localCheckpoint), the report count reads the
@@ -266,6 +285,12 @@ class DedupBuilder(
   private def runSemanticIndexed(idx: Store): BuildReport = {
     import graft.ext.Similarity
     val k = source.key
+    // cell-clustered index layout (S8): ParquetStore-backed indexes lay
+    // rows out range-partitioned + sorted on `cell`, so the batch-cell
+    // IN-filter below prunes the stored-member scan to the row groups
+    // of cells this batch actually touches (stores without a clustered
+    // layout still get the pushed filter, just without group pruning)
+    idx.ensureIndex("cell")
     val hasIndex = hasCompatibleIndex(idx)
     val (batch, examined) = indexedBatch(idx, hasIndex) match {
       case None => return BuildReport(0, 0)
@@ -281,6 +306,14 @@ class DedupBuilder(
     val newCells = Similarity.assignToCells(batch, cents, k, textField, keep = 1)
       .select(col("__rid").alias("id"), col("__rvec").alias("vec"), col("cell"))
       .localCheckpoint(true)
+    // the batch's distinct cell set is ≤ nCentroids BY CONSTRUCTION
+    // (argmax over the persisted draw) — a bounded collect, and the
+    // static IN-predicate is what parquet row-group stats can prune on
+    // (a join/semi-join against the same set could not). `get`, not
+    // `getLong`: string-id corpora have string cell ids (the fallback
+    // cell assignment keys cells by the centroid doc's id)
+    val batchCells = newCells.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq
     val spark = newCells.sparkSession
     def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.GraftFunctions.cosine(spark, a, b)
@@ -293,8 +326,13 @@ class DedupBuilder(
     // re-pair against it once — O(cell) pairs on the dethroning round
     // only — so the over-cap cluster stays connected through the new
     // representative (rounds with a stable rep stay batch-proportional).
+    // stored members are only PAIR candidates inside a batch cell —
+    // the IN-filter keeps every other cell's (wide, vec-carrying) rows
+    // out of the scan entirely; label repair reads the narrow
+    // (id, cluster) projection separately below
     val storedCells =
-      if (hasIndex) Some(idx.df.select(col("cell"), col("id"), col("vec")))
+      if (hasIndex) Some(idx.df.select(col("cell"), col("id"), col("vec"))
+        .filter(col("cell").isin(batchCells: _*)))
       else None
     val allCells = storedCells.foldLeft(
       newCells.select(col("cell"), col("id"), col("vec")))(_ unionByName _)
@@ -341,10 +379,15 @@ class DedupBuilder(
         }
         starOld.foldLeft(underCap.unionByName(starNew))(_ unionByName _)
       }
+    // pairs only ever form WITHIN a cell, so every component — and hence
+    // every row whose label can change this round — lives in a batch
+    // cell: label repair reads the same cell-pruned slice, never the
+    // full corpus-scale index
     val known =
       if (hasIndex)
         Some(idx.df.select(col("id"), col("vec"), col("cell"),
-          col("centroid"), col("cluster")))
+          col("centroid"), col("cluster"))
+          .filter(col("cell").isin(batchCells: _*)))
       else None
     val oldEdges = known.map(_.filter(col("cluster") =!= col("id"))
       .select(col("cluster").alias("a"), col("id").alias("b")))
@@ -373,7 +416,26 @@ class DedupBuilder(
       examined: Long, newRows0: DataFrame, pairs: DataFrame,
       oldEdges: Option[DataFrame], known: Option[DataFrame]): BuildReport = {
     val k = source.key
-    val edgeSet = oldEdges.foldLeft(pairs.select(col("a"), col("b")))(_ unionByName _)
+    // pairs feed BOTH the edge set and the affected-cluster restriction —
+    // materialize once (they are the bounded post-threshold candidate
+    // set; clusters() would persist them anyway)
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    // min-label monotonicity: only components a new pair touches can
+    // change labels, so stored edges are restricted to the clusters of
+    // stored ids appearing in this round's pairs. Without this the
+    // label-propagation rounds iterate over CORPUS-scale edges every
+    // batch — the restriction keeps resolution batch-proportional.
+    val restrictedOld = (known, oldEdges) match {
+      case (Some(kn), Some(oe)) =>
+        val pairIds = p.select(col("a").alias("id"))
+          .unionByName(p.select(col("b").alias("id"))).distinct()
+        val affected = kn.select(col("id"), col("cluster"))
+          .join(pairIds, Seq("id"), "left_semi")
+          .select(col("cluster").alias("a")).distinct()
+        Some(oe.join(affected, Seq("a"), "left_semi"))
+      case _ => oldEdges
+    }
+    val edgeSet = restrictedOld.foldLeft(p)(_ unionByName _)
     val labels = Dedup.clusters(edgeSet) // (id, cluster), checkpointed
     val newRows = newRows0.join(labels, Seq("id"), "left_outer")
       .withColumn("cluster", coalesce(col("cluster"), col("id")))
@@ -389,6 +451,7 @@ class DedupBuilder(
     val mat = batch.join(losers, Seq(k), "left_anti").localCheckpoint(true)
     if (mat.count() > 0) target.update(mat, Seq(target.key))
     mat.unpersist(); losers.unpersist(); delta.unpersist(); batch.unpersist()
+    p.unpersist()
     BuildReport(examined, 0)
   }
 }

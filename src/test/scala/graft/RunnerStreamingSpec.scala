@@ -461,6 +461,67 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to mix index layouts"))
   }
 
+  test("semantic index on ParquetStore: cell-clustered layout, pruned incremental reads") {
+    val s = spark; import s.implicits._
+    import graft.builder.DedupBuilder
+    import graft.store.MemoryStore
+    import scala.jdk.CollectionConverters._
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    def vec(i: Int): Seq[Double] =
+      Seq.tabulate(8)(d =>
+        if (d == i % 4) 1.0 else if (d == 4 + i % 4) 0.02 * i else 0.0)
+    val src = new MemoryStore(spark, "psrc", key = "vec_id", lastUpdatedField = "lu")
+    src.load(((1 to 20).map(i => (i.toLong, vec(i), t0)) :+ ((21L, vec(1), t0)))
+      .toDF("vec_id", "embedding", "lu"))
+    val tgt = new MemoryStore(spark, "ptgt", key = "vec_id", lastUpdatedField = "lu")
+    val root = java.nio.file.Files.createTempDirectory("sem_idx").toString
+    val idx = new graft.store.ParquetStore(spark, root, key = "id",
+      lastUpdatedField = "cluster")
+    def builder() = new DedupBuilder(src, tgt, "embedding", "semantic",
+      threshold = 0.9999, indexStore = Some(idx))
+    builder().run()
+    src.update(Seq((0L, vec(1), t0), (22L, vec(2), t0))
+      .toDF("vec_id", "embedding", "lu"))
+    builder().run()
+    // converges exactly like the MemoryStore variant (dethroned canonical)
+    assert(idx.df.filter(col("id").isin(0L, 1L, 21L)).select("cluster")
+      .collect().map(_.getLong(0)).toSet === Set(0L))
+    // 1) the builder installed the S8 cell-clustered layout: row groups
+    // hold DISJOINT cell ranges, so a batch-cell IN-filter prunes to the
+    // groups of touched cells only
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_current")).trim
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$cur")
+    val fs = dir.getFileSystem(conf)
+    val ranges = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .flatMap { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try r.getFooter.getBlocks.asScala.map { b =>
+          val st = b.getColumns.asScala
+            .find(_.getPath.toDotString == "cell").get.getStatistics
+          (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+           st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+        }.toSeq finally r.close()
+      }.sortBy(_._1)
+    assert(ranges.length > 1, "index should span multiple row groups")
+    ranges.sliding(2).foreach { case Array((_, mxA), (mnB, _)) =>
+      assert(mxA < mnB, s"overlapping cell ranges: $ranges")
+    }
+    // 2) the stored-side incremental read (static IN over batch cells, as
+    // runSemanticIndexed spells it) reaches the scan as a pushed filter —
+    // with the disjoint layout above, that IS row-group pruning
+    val someCells = idx.df.select("cell").distinct().limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    val prunedScan = idx.df.select(col("cell"), col("id"), col("vec"))
+      .filter(col("cell").isin(someCells: _*))
+      .queryExecution.executedPlan.toString
+    assert(prunedScan.contains("PushedFilters") && prunedScan.contains("In(cell"),
+      s"cell IN-filter not pushed to the parquet scan:\n$prunedScan")
+  }
+
   test("DedupBuilder incremental SEMANTIC star: hot cell stays connected across a dethroning") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder
