@@ -70,7 +70,13 @@ object Runner {
     val lu = str(n, "last_updated", "last_updated")
     n.get("type").asText() match {
       case "memory" => new MemoryStore(spark, str(n, "name", "memory"), key, lu)
-      case "parquet" => new ParquetStore(spark, n.get("root").asText(), key, lu)
+      // "delta_writes": true opts the store into merge-on-read delta
+      // upserts (batch-proportional index writes + compaction; see
+      // ParquetStore) — the layout an incremental dedup "index" ref wants
+      case "parquet" => new ParquetStore(spark, n.get("root").asText(), key, lu,
+        numPartitions = 0,
+        deltaWrites = opt(n, "delta_writes").exists(_.asBoolean()),
+        compactAfter = opt(n, "compact_after").map(_.asInt()).getOrElse(8))
       case "parquet_table" =>
         TableStore.parquet(spark, n.get("path").asText(), key, lu)
       case "json" =>

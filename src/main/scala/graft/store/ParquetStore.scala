@@ -19,36 +19,81 @@ import java.util.Comparator
   * Scale notes: the upsert is a key anti-join (shuffles on the key — at
   * cluster scale bucketing the table by key makes it shuffle-free); reads
   * are plain parquet scans so filter/column pushdown apply.
+  *
+  * ==Delta writes (merge-on-read)==
+  * The default upsert REWRITES the table (read + anti-join + new
+  * version): right for build targets, wrong for an append-heavy index a
+  * 100 TB incremental pipeline updates every batch — each batch would
+  * pay an O(corpus) write. With `deltaWrites=true` an upsert instead
+  * writes ONLY the batch as a delta dir (`root/v_n.d_k`) and flips the
+  * manifest (`_current` = `v_n;d_1,…,d_k`) — O(batch) I/O. Readers
+  * resolve last-write-wins per key across base ∪ deltas with ONE
+  * hash aggregate (`max_by` on delta generation — map-side partials, no
+  * sort; the Hudi merge-on-read snapshot-query trade). Once
+  * `compactAfter` deltas accumulate the store COMPACTS: one merged
+  * base (re-clustered by any [[ensureIndex]] keys, restoring row-group
+  * pruning and shuffle-free reads), deltas deleted. Delete paths and
+  * compound-key upserts always compact first — only the single-key
+  * upsert (the index-build write shape) takes the delta path.
   */
 class ParquetStore(
     val spark: SparkSession,
     val root: String,
     val key: String = "task_id",
     override val lastUpdatedField: String = "last_updated",
-    val numPartitions: Int = 0)
+    val numPartitions: Int = 0,
+    val deltaWrites: Boolean = false,
+    val compactAfter: Int = 8)
   extends Store {
+
+  require(compactAfter >= 1, s"compactAfter must be >= 1, got $compactAfter")
 
   val name: String = s"parquet:$root"
   Files.createDirectories(Paths.get(root))
 
   private def currentFile: Path = Paths.get(root, "_current")
 
+  /** Raw manifest: `v_n` or (delta mode) `v_n;d_1,d_2,…`. */
   private def currentVersion: Option[String] =
     if (Files.exists(currentFile)) Some(Files.readString(currentFile).trim).filter(_.nonEmpty)
     else None
 
+  /** Base version dir name + delta suffixes, parsed from the manifest. */
+  private def parsed: Option[(String, Seq[String])] = currentVersion.map { m =>
+    val halves = m.split(";", 2)
+    val deltas =
+      if (halves.length < 2 || halves(1).isEmpty) Nil
+      else halves(1).split(",").toSeq
+    (halves(0), deltas)
+  }
+
   private def dataPath: Option[String] =
-    currentVersion.map(v => s"$root/$v").filter(p => Files.exists(Paths.get(p)))
+    parsed.map { case (b, _) => s"$root/$b" }.filter(p => Files.exists(Paths.get(p)))
 
   def isEmpty: Boolean = dataPath.isEmpty
 
-  // every committed write flips `_current` to a fresh version id, so the
-  // version string IS the content token (one small file read, no action)
+  // every committed write flips `_current` to a fresh version id (or
+  // extends the delta manifest), so the manifest string IS the content
+  // token (one small file read, no action)
   override private[graft] def contentToken: String = currentVersion.getOrElse("")
 
-  def df: DataFrame = dataPath match {
-    case Some(p) => spark.read.parquet(p)
-    case None    => spark.emptyDataFrame
+  def df: DataFrame = (dataPath, parsed) match {
+    case (Some(p), Some((base, deltas))) if deltas.nonEmpty =>
+      // merge-on-read: later generations win per key. One hash aggregate
+      // (max_by partials run map-side) — not a sort-window — and only
+      // while deltas exist; compaction returns reads to a plain scan.
+      val gens = (p, 0) +: deltas.zipWithIndex.map {
+        case (d, i) => (s"$root/$base.$d", i + 1)
+      }
+      val all = gens.map { case (path, g) =>
+        spark.read.parquet(path).withColumn("__gen", lit(g))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      val cols = all.columns.filter(_ != "__gen")
+      all.groupBy(col(key))
+        .agg(max_by(struct(cols.map(col): _*), col("__gen")).alias("__doc"))
+        .select(col("__doc.*"))
+    case (Some(p), _) => spark.read.parquet(p)
+    case _            => spark.emptyDataFrame
   }
 
   /** Fields from [[ensureIndex]]: writes lay data out range-partitioned +
@@ -68,7 +113,7 @@ class ParquetStore(
   }
 
   private def writeVersion(data: DataFrame): Unit = {
-    val next = "v_" + (currentVersion.map(_.drop(2).toLong + 1).getOrElse(0L))
+    val next = "v_" + (parsed.map(_._1.drop(2).toLong + 1).getOrElse(0L))
     val out =
       if (indexKeys.nonEmpty) {
         // disjoint sorted ranges: one file/row-group holds any given key
@@ -81,21 +126,23 @@ class ParquetStore(
       else if (numPartitions > 0) data.repartition(numPartitions, col(key))
       else data
     out.write.mode(SaveMode.Overwrite).parquet(s"$root/$next")
-    val old = currentVersion
+    val old = parsed
     Files.writeString(currentFile, next)
-    // GC: keep the immediately-previous version so plans captured before
-    // this write (and concurrent readers of it) stay scannable; only the
-    // grandparent generation is deleted. A long-lived plan two writes
-    // behind can still fail — snapshot with localCheckpoint for that.
+    // GC: keep the immediately-previous generation (base AND its deltas)
+    // so plans captured before this write (and concurrent readers of it)
+    // stay scannable; only the grandparent generation is deleted. A
+    // long-lived plan two writes behind can still fail — snapshot with
+    // localCheckpoint for that.
     // Files.list/walk return open directory streams — close them or every
     // versioned write leaks a descriptor (fatal for long-running drivers
     // doing many incremental builds)
-    old.foreach { v =>
-      val keep = Set(next, v)
+    old.foreach { case (oldBase, _) =>
       val ls = Files.list(Paths.get(root))
       try ls.forEach { p =>
         val name = p.getFileName.toString
-        if (name.startsWith("v_") && !keep.contains(name)) {
+        val keep = name == next || name == oldBase ||
+          name.startsWith(oldBase + ".")
+        if (name.startsWith("v_") && !keep) {
           val walk = Files.walk(p)
           try walk.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
           finally walk.close()
@@ -114,6 +161,9 @@ class ParquetStore(
     * warrants it). */
   override def count(criteria: Option[String] = None): Long = criteria match {
     case Some(_) => super.count(criteria)
+    // pending deltas may re-state existing keys — footer row counts would
+    // double-count them, so the fast path applies to a compacted base only
+    case None if parsed.exists(_._2.nonEmpty) => super.count(None)
     case None => dataPath match {
       case None => 0L
       case Some(p) =>
@@ -131,11 +181,27 @@ class ParquetStore(
   }
 
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {
-    val next =
-      if (isEmpty) Store.dedupLastWins(docs, keyFields)
-      else Store.upsertPlan(df, docs, keyFields)
-    writeVersion(next)
+    if (deltaWrites && !isEmpty && keyFields == Seq(key)) {
+      val (base, deltas) = parsed.get
+      val d = "d_" + (deltas.size + 1)
+      // Overwrite: a crash-orphaned dir from an unflipped write is replaced
+      Store.dedupLastWins(docs, keyFields)
+        .write.mode(SaveMode.Overwrite).parquet(s"$root/$base.$d")
+      Files.writeString(currentFile, s"$base;${(deltas :+ d).mkString(",")}")
+      if (deltas.size + 1 >= compactAfter) compact()
+    } else {
+      val next =
+        if (isEmpty) Store.dedupLastWins(docs, keyFields)
+        else Store.upsertPlan(df, docs, keyFields)
+      writeVersion(next)
+    }
   }
+
+  /** Fold pending deltas into one merged base (re-clustered on any
+    * [[ensureIndex]] keys) and reset the manifest — restores shuffle-free
+    * reads, row-group pruning and the footer count fast path. No-op
+    * without deltas. */
+  def compact(): Unit = if (parsed.exists(_._2.nonEmpty)) writeVersion(df)
 
   override def removeDocs(criteria: String): Unit = if (!isEmpty) {
     val t = df

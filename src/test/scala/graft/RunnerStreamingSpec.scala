@@ -254,6 +254,60 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(builder().run().processed === 0)
   }
 
+  test("DedupBuilder incremental on a delta-write ParquetStore index: O(batch) index I/O + compaction") {
+    val s = spark; import s.implicits._
+    import graft.builder.DedupBuilder
+    import graft.store.{MemoryStore, ParquetStore}
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val uniqText = "totally different words entirely here now for sure"
+    val root = java.nio.file.Files.createTempDirectory("graft-dmor").toString
+    def idxDirs() = new java.io.File(root).listFiles.map(_.getName)
+      .filter(_.startsWith("v_")).sorted.toSeq
+    val src = new MemoryStore(spark, "src", key = "doc_id", lastUpdatedField = "lu")
+    src.load(Seq(
+      (1L, dupText, t0), (2L, dupText, t0), (3L, uniqText, t0)
+    ).toDF("doc_id", "text", "lu"))
+    val tgt = new MemoryStore(spark, "tgt", key = "doc_id", lastUpdatedField = "lu")
+    // the 100 TB index shape: delta upserts, periodic compaction — a
+    // repeat batch writes O(batch) rows, never the corpus-scale index
+    val idx = new ParquetStore(spark, root, key = "id", lastUpdatedField = "cluster",
+      deltaWrites = true, compactAfter = 2)
+    def builder() = new DedupBuilder(src, tgt, "text", "minhash",
+      threshold = 0.5, indexStore = Some(idx))
+
+    assert(builder().run().processed === 3)
+    assert(idxDirs() === Seq("v_0")) // first build: plain base, 3 sigs
+    // batch 2: doc 4 dups 3, doc 0 dethrones the 1/2 cluster's canonical
+    src.update(Seq((4L, uniqText, t0), (0L, dupText, t0)).toDF("doc_id", "text", "lu"))
+    assert(builder().run().processed === 2)
+    // the index write was a DELTA: new rows (0,4) + relabeled old rows
+    // (1,2 now cluster 0) — 4 rows, not the 5-row corpus
+    assert(idxDirs() === Seq("v_0", "v_0.d_1"))
+    assert(spark.read.parquet(s"$root/v_0.d_1").count() === 4)
+    assert(spark.read.parquet(s"$root/v_0").count() === 3) // base untouched
+    // merge-on-read resolves the dethroning for every reader
+    assert(idx.df.count() === 5)
+    assert(idx.df.filter(col("id").isin(0L, 1L, 2L)).select("cluster")
+      .collect().map(_.getLong(0)).toSet === Set(0L))
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === Array(0L, 3L))
+    // unchanged corpus → no examined docs AND no index write at all
+    val tokenBefore = idx.contentToken
+    assert(builder().run().processed === 0)
+    assert(idx.contentToken === tokenBefore)
+    // batch 3 trips compactAfter=2: deltas fold into one fresh base
+    src.update(Seq((9L, "nine unique tokens that match nothing else at all", t0))
+      .toDF("doc_id", "text", "lu"))
+    assert(builder().run().processed === 1)
+    assert(idx.contentToken === "v_1") // compacted manifest, no deltas
+    assert(idx.df.count() === 6)
+    // convergence contract: identical to a from-scratch build
+    val fromScratch = graft.ext.Dedup.keepCanonical(src.df,
+      graft.ext.Dedup.minhashLsh(src.df, "doc_id", "text", threshold = 0.5), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === fromScratch)
+  }
+
   test("DedupBuilder incremental SIMHASH: one-long signature index, batch-only repeat work") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder

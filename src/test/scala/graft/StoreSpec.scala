@@ -148,6 +148,42 @@ class StoreSpec extends SparkSpec {
     assert(st2.count() === 1)
   }
 
+  test("ParquetStore deltaWrites: O(batch) upserts, merge-on-read last-wins, compaction") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mor").toString
+    def dirs() = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("v_")).sorted.toSeq
+    val st = new ParquetStore(spark, dir, key = "k", lastUpdatedField = "lu",
+      deltaWrites = true, compactAfter = 2)
+    st.update(Seq((1L, "a"), (2L, "b")).toDF("k", "d"))
+    assert(dirs() === Seq("v_0")) // first write is a plain base
+    // delta 1: restate key 2, add key 3 — base dir untouched, only the
+    // batch is written
+    st.update(Seq((2L, "b2"), (3L, "c")).toDF("k", "d"))
+    assert(dirs() === Seq("v_0", "v_0.d_1"))
+    assert(spark.read.parquet(s"$dir/v_0.d_1").count() === 2) // O(batch)
+    assert(spark.read.parquet(s"$dir/v_0").count() === 2)     // base as-was
+    // merge-on-read: later generation wins per key
+    val rows = st.df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(st.count() === 3) // delta-aware count (footer path would say 4)
+    // a fresh handle reads the same manifest
+    assert(new ParquetStore(spark, dir, key = "k", deltaWrites = true)
+      .count() === 3)
+    // delta 2 hits compactAfter=2 → fold to one base
+    st.update(Seq((1L, "a3")).toDF("k", "d"))
+    assert(dirs() === Seq("v_0", "v_0.d_1", "v_0.d_2", "v_1") || dirs() === Seq("v_1"),
+      s"unexpected layout ${dirs()}")
+    assert(st.contentToken === "v_1") // manifest reset, no pending deltas
+    val after = st.df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === Map(1L -> "a3", 2L -> "b2", 3L -> "c"))
+    // delete paths compact-first (full rewrite semantics preserved)
+    st.update(Seq((4L, "d")).toDF("k", "d")) // v_1.d_1
+    st.removeKeys(Seq(2L).toDF("k"))
+    assert(st.contentToken === "v_2")
+    assert(st.df.select("k").collect().map(_.getLong(0)).sorted === Array(1L, 3L, 4L))
+  }
+
   test("TableStore over TESTDATA parquet") {
     val st = TableStore.parquet(spark, "/root/testdata/sf0.001/orders.parquet",
       key = "o_orderkey", lastUpdated = "o_orderdate")
