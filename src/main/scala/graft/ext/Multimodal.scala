@@ -59,8 +59,33 @@ object Multimodal {
     * for thumbnail/fixture scale; a production kernel on large images
     * would read the raster's data buffer directly, same feature math. */
   val maxImagePixels: Long = 64L * 1024 * 1024 // 64 MP ≈ 256 MiB ARGB raster
+
+  /** Container-signature sniff: the JDK image readers only parse
+    * payloads opening with one of these magics, so anything else can
+    * skip reader probing entirely (`createImageInputStream` + the
+    * service-registry scan cost ~0.4 ms/row — at corpus scale the
+    * overwhelmingly common case is "not an image", and it must cost a
+    * few byte compares, not a codec probe). */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M') ||
+      (b(0) == 'I' && b(1) == 'I' && b(2) == 0x2A && b(3) == 0) || // TIFF LE
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 0x2A))   // TIFF BE
+
+  /** WAV (`RIFF`), AIFF (`FORM`), AU (`.snd`) — the
+    * `javax.sound.sampled` container set. */
+  private def looksLikeAudio(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||
+      (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
+
   def decodeImage(bytes: Array[Byte]): Option[Array[Double]] =
     try {
+      if (!looksLikeImage(bytes)) return None
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -110,6 +135,7 @@ object Multimodal {
     * endianness) PCM are handled — the formats the JDK writers emit. */
   def decodeAudio(bytes: Array[Byte]): Option[Array[Double]] =
     try {
+      if (!looksLikeAudio(bytes)) return None
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fmt = in.getFormat

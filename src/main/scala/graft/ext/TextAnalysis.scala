@@ -179,16 +179,20 @@ object TextAnalysis {
     }
 
   /** Per-document PII hit counts `(emails, ips, phones)` — the audit
-    * signal next to [[scrubPii]]'s redaction. Counted on the same
-    * progressively-scrubbed text the replacement chain sees, so counts
-    * sum to the number of `<...>` markers emitted. */
+    * signal next to [[scrubPii]]'s redaction. Counts the `<...>` markers
+    * in the SCRUBBED text with literal string ops, so counts equal the
+    * markers emitted BY CONSTRUCTION — and the expensive part is the one
+    * scrub chain, which subexpression elimination shares with a
+    * co-projected [[scrubPii]] instead of re-running per-pattern
+    * `regexp_extract_all` passes over the full text (8 regex scans/row
+    * → 3). Caveat: a source document already containing a literal
+    * marker token counts as a hit — acceptable for an audit signal. */
   def piiCounts(text: Column): Column = {
-    val (counts, _) = piiPatterns.foldLeft((List.empty[Column], text)) {
-      case ((acc, t), (pat, repl)) =>
-        (size(regexp_extract_all(t, lit(pat), lit(0))) :: acc,
-          regexp_replace(t, pat, repl))
-    }
-    struct(counts.reverse.head.alias("emails"),
-      counts.reverse(1).alias("ips"), counts.reverse(2).alias("phones"))
+    val scrubbed = scrubPii(text)
+    def markers(m: String): Column =
+      ((length(scrubbed) - length(replace(scrubbed, lit(m), lit("")))) /
+        lit(m.length)).cast("int")
+    struct(markers("<EMAIL>").alias("emails"), markers("<IP>").alias("ips"),
+      markers("<PHONE>").alias("phones"))
   }
 }
