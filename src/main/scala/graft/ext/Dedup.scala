@@ -975,67 +975,66 @@ object Dedup {
     * duplicated spans — the training-tokenizer view of the text, like
     * the reference pipelines that strip at the token level.
     *
-    * Scale shape — ONE window pass, no position explode: tokens become
-    * narrow `(id, pos, token_hash)` rows, one per-doc sort-shuffle
-    * gives each row its n−1 successors (`lead`), and the window hash is
-    * one fixed-arity codegen'd `xxhash64(h₀…hₙ₋₁)` (`xxhash64` skips
-    * null children, which is exactly the short-doc whole-text fallback:
-    * a `len < n` doc's `s = 0` row hashes over just its real tokens —
-    * structurally distinct from complete windows, whose strings differ
-    * in token count). (Two HOF spellings were measured and rejected:
-    * per-window `slice`+`concat_ws` in an interpreted lambda is ~20×
-    * slower, and referencing a precomputed token-hash ARRAY from inside
-    * the window lambda trips the repo's documented CollapseProject
-    * O(d²) re-inlining trap — ~50×.) Window equality is equality of the
-    * token-hash tuple — internal to this function, so the hash-of-
-    * hashes family never needs external replay. The document-frequency
-    * aggregate shuffles 8-byte hashes once (map-side partials); the
+    * Scale shape — window hashes are computed MAP-SIDE by the compiled
+    * gram kernel ([[graft.functions.NgramHashes]] with `distinct=false`
+    * emits one hash per window START in document order; a `len < n` doc
+    * gets its ONE whole-text window at `s = 0`), zipped to the token
+    * array (null-padded to token length) and exploded ONCE into narrow
+    * `(id, s, tok, h)` rows — no lead-window pass, so nothing needs a
+    * per-doc sort just to BUILD windows. The document-frequency side
+    * re-runs the kernel in distinct mode over bare hashes (no token
+    * strings) and shuffles 8-byte hashes once (map-side partials;
+    * per-doc distinct inside the kernel makes `count(1)` the df). The
     * duplicated-hash set joins back UNHINTED (AQE broadcasts the
     * usually-small set; a boilerplate-heavy corpus degrades gracefully
-    * to a shuffle join) to flag duplicated STARTS, and coverage is a
-    * second window aggregate over the SAME per-doc sort — `max(flag)`
-    * over the trailing `n−1` rows (positions are dense by construction,
-    * so the row frame IS the position range): when the flag join
-    * broadcasts, the sort from the `lead` pass is still live, and the
-    * coverage window, the survivor filter, and the per-doc reassembly
-    * aggregate all reuse that one id-clustered exchange — the
-    * explode-to-positions + `.distinct()` + anti-join pipeline this
-    * replaces paid three more shuffles for the same answer. Docs with
-    * NULL/empty text come back with empty text (every doc keeps its
-    * row). `idCol` unique by the keyed-store contract. */
+    * to a shuffle join) to flag duplicated STARTS, and coverage is the
+    * ONE per-doc sort of the query — `max(flag)` over the trailing
+    * `n−1` rows (positions are dense by construction, so the row frame
+    * IS the position range); the survivor filter and the per-doc
+    * reassembly aggregate reuse that id-clustered exchange. (Rejected
+    * spellings, measured: lead-window token-hash tuples pay an extra
+    * per-doc sort evaluated once per consumer — 2× at small SF;
+    * per-window `slice`+`concat_ws` in an interpreted lambda ~20×;
+    * referencing a precomputed hash ARRAY inside a window lambda trips
+    * the repo's documented CollapseProject O(d²) re-inlining trap
+    * ~50×.) Window equality is gram-string equality — the same family
+    * the detector uses, never externally replayed. Docs with NULL/empty
+    * text come back with empty text (every doc keeps its row). `idCol`
+    * unique by the keyed-store contract. */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, minDf: Int = 2): DataFrame = {
     require(n >= 1, s"span width must be >= 1, got $n")
+    val spark = df.sparkSession
     val base = df.select(col(idCol).alias("id"),
       TextAnalysis.normTokens(col(textCol)).alias("toks"))
-    val toks = base
-      .select(col("id"), size(col("toks")).alias("__len"),
-        // posexplode_outer: see hashedShingles — inner posexplode would
-        // re-inline the normTokens regex kernel into an inferred filter
-        posexplode_outer(col("toks")).as(Seq("s", "tok")))
-      .filter(col("tok").isNotNull)
-      .withColumn("__th", xxhash64(col("tok")))
-    val w = Window.partitionBy(col("id")).orderBy(col("s"))
-    val windowed =
-      if (n == 1) toks.withColumn("h", col("__th"))
-      else {
-        val withLeads = (1 until n).foldLeft(toks)((d, j) =>
-          d.withColumn(s"__l$j", lead(col("__th"), j).over(w)))
-        // h is defined for complete windows AND the whole-text window of
-        // a short doc (s = 0, len < n); elsewhere null (no span starts)
-        withLeads.withColumn("h",
-          when(col(s"__l${n - 1}").isNotNull ||
-               (col("s") === 0 && col("__len") < n),
-            xxhash64(col("__th") +: (1 until n).map(j => col(s"__l$j")): _*)))
-      }
-    val dupH = windowed.select(col("id"), col("h")).filter(col("h").isNotNull)
-      .groupBy(col("h"))
-      .agg(count_distinct(col("id")).alias("__df"))
+    val hs = graft.functions.GraftFunctions.ngramHashes(spark, col("toks"), n,
+      distinct = false)
+    // window-start hashes padded with nulls to token length: one zip +
+    // posexplode_outer (see hashedShingles) carries (s, tok, h) without
+    // duplicating either array per row; s past the last window start
+    // (and every s > 0 of a short doc) rides with h = null
+    val padded = concat(hs, array_repeat(lit(null).cast("long"),
+      greatest(size(col("toks")) - size(hs), lit(0))))
+    val rows = base
+      .select(col("id"),
+        posexplode_outer(arrays_zip(col("toks").alias("tok"),
+          padded.alias("h"))).as(Seq("s", "z")))
+      .filter(col("z").isNotNull)
+      .select(col("id"), col("s"), col("z.tok").alias("tok"),
+        col("z.h").alias("h"))
+    val dupH = base
+      .select(col("id"), explode_outer(
+        graft.functions.GraftFunctions.ngramHashes(spark, col("toks"), n))
+        .alias("h"))
+      .filter(col("h").isNotNull)
+      // distinct-mode kernel: each (id, h) appears once, so count(1) is
+      // the cross-doc document frequency
+      .groupBy(col("h")).agg(count(lit(1)).alias("__df"))
       .filter(col("__df") >= minDf)
       .select(col("h"), lit(1).alias("__dup"))
     val cover = Window.partitionBy(col("id")).orderBy(col("s"))
       .rowsBetween(-(n - 1), 0)
-    val kept = windowed.join(dupH, Seq("h"), "left_outer")
+    val kept = rows.join(dupH, Seq("h"), "left_outer")
       .withColumn("__start", when(col("__dup").isNotNull, 1).otherwise(0))
       .withColumn("__cov", max(col("__start")).over(cover))
       .filter(col("__cov") === 0)
