@@ -932,11 +932,12 @@ object Dedup {
     * it is bounded only by corpus redundancy, so it is deliberately
     * unhinted.
     *
-    * `idCol` is assumed UNIQUE (the keyed-store contract). Both counts
-    * are distinct-based, so an accidentally re-ingested row (same id,
-    * same text, twice) still reports correct per-doc numbers and
-    * `dup_fraction ≤ 1`; distinct ids sharing a gram — not row copies —
-    * are what `minDf` counts.
+    * `idCol` must be UNIQUE (the keyed-store contract) — with the
+    * kernel emitting per-doc DISTINCT grams, (id, gram) rows are then
+    * unique and both aggregates run as plain `count(1)` instead of
+    * distinct aggregates (which would pay a second expand/shuffle
+    * phase). A re-ingested duplicate id row inflates both counts;
+    * dedup by key upstream first.
     *
     * Short-doc contract (shared with [[stripDuplicatedSpans]]): a doc
     * with fewer than `n` tokens counts ONE whole-text window (the gram
@@ -949,12 +950,15 @@ object Dedup {
       .select(col("id"), size(col("sig")).cast("long").alias("total_spans"),
         explode_outer(col("sig")).alias("sh")) // see hashedShingles
       .filter(col("sh").isNotNull)
+    // the kernel emits each doc's grams DEDUPLICATED, so (id, sh) rows
+    // are unique and plain count(1) IS the distinct count — a distinct
+    // aggregate here would pay a second expand/shuffle phase for nothing
     val dup = posted.groupBy(col("sh"))
-      .agg(count_distinct(col("id")).alias("__df"))
+      .agg(count(lit(1)).alias("__df"))
       .filter(col("__df") >= minDf).select(col("sh"))
     posted.join(dup, Seq("sh"), "left_semi")
       .groupBy(col("id"), col("total_spans"))
-      .agg(count_distinct(col("sh")).alias("dup_spans"))
+      .agg(count(lit(1)).alias("dup_spans"))
       .select(col("id"), col("dup_spans"), col("total_spans"),
         round(col("dup_spans").cast("double") / col("total_spans"), 4)
           .alias("dup_fraction"))

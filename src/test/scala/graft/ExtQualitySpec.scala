@@ -65,12 +65,15 @@ class ExtQualitySpec extends SparkSpec {
     assert(out(3L) === (1L, 3L))
     // doc 4: clean — absent from the output
     assert(!out.contains(4L))
-    // distinct-based counting: a re-ingested row (same id, same text,
-    // twice) neither marks the doc self-duplicated nor inflates counts
+    // keyed-store contract (unique ids) is REQUIRED: with it, the
+    // kernel's per-doc distinct grams make plain count(1) the df and
+    // both aggregates skip the distinct-aggregate expand phase. A
+    // re-ingested duplicate row therefore self-duplicates — pin the
+    // documented failure mode so the contract change is visible
     val dupRows = docs.filter(col("doc_id") === 4L)
       .unionByName(docs.filter(col("doc_id") === 4L))
     assert(graft.ext.Dedup.duplicatedSpans(dupRows, "doc_id", "text", n = 3)
-      .count() === 0)
+      .count() === 1)
   }
 
   test("urls/host: extraction, host lowering, query/fragment/port stripped") {
