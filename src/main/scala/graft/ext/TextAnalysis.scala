@@ -174,6 +174,15 @@ object TextAnalysis {
     lower(regexp_extract(url, "https?://([^/\\s:?#]+)", 1))
 
   def scrubPii(text: Column): Column =
+    graft.functions.GraftFunctions.scrubPii(
+      org.apache.spark.sql.SparkSession.active, text)
+
+  /** The original `regexp_replace` chain over [[piiPatterns]] — kept as
+    * the executable specification of [[scrubPii]]'s compiled scanner
+    * ([[graft.functions.PiiScrubber]]); `PiiScrubberSpec` pins their
+    * byte equality property-style, and the DuckDB oracle replays this
+    * exact chain. */
+  private[graft] def scrubPiiRegex(text: Column): Column =
     piiPatterns.foldLeft(text) { case (acc, (pat, repl)) =>
       regexp_replace(acc, pat, repl)
     }

@@ -230,7 +230,8 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Boolean])),
     "graft_hyperplane_sig" -> (es => HyperplaneSig(es(0), es(1))),
-    "graft_simhash64" -> (es => SimHash64(es(0))))
+    "graft_simhash64" -> (es => SimHash64(es(0))),
+    "graft_scrub_pii" -> (es => ScrubPii(es(0))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -256,6 +257,11 @@ object GraftFunctions {
   def simhash64(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_simhash64", tokens)
+  }
+  /** Compiled PII scrub chain — [[ScrubPii]]. */
+  def scrubPii(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_scrub_pii", text)
   }
   /** Hashed (optionally distinct) word n-gram shingles — [[NgramHashes]]. */
   def ngramHashes(spark: SparkSession, tokens: Column, n: Int,

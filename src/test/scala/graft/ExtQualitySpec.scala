@@ -415,6 +415,28 @@ class ExtQualitySpec extends SparkSpec {
     assert(out(3).getStruct(2).getAs[Int]("phones") === 0)
   }
 
+  test("compiled PII scanner equals the regexp_replace chain on the corpus") {
+    // the scanner projection and the executable regex specification must
+    // agree on every real document (with the oracle's planted PII mixed
+    // in) — the DuckDB gate replays the regex chain, so this equality IS
+    // the correctness contract at corpus scale
+    val planted = docs.withColumn("text",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".1"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" call +1 555-014-2222"))
+          .otherwise(lit(""))))
+    val diff = planted.select(
+        graft.ext.TextAnalysis.scrubPii(col("text")).alias("fast"),
+        graft.ext.TextAnalysis.scrubPiiRegex(col("text")).alias("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(diff === 0L)
+  }
+
   test("contamination flags n-gram overlap with the eval set; decontaminate drops it") {
     val s = spark; import s.implicits._
     val corpus = Seq(
