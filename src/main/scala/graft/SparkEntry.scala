@@ -101,6 +101,36 @@ object SparkEntry {
         .otherwise(concat(lit("\nunique line "), col("doc_id").cast("string"))))
       .alias("text"))
 
+  /** documents with boilerplate PARAGRAPHS planted (\n\n-separated): one
+    * universal share-block, plus a copyright block on every 3rd doc or a
+    * per-doc unique paragraph otherwise — the paragraph-dedup corpus. */
+  private def paraCorpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"), concat(col("text"),
+      lit("\n\nShare this article on social media."),
+      when(col("doc_id") % 3 === 0,
+        lit("\n\nAll content copyright the original authors."))
+        .otherwise(concat(lit("\n\npara unique "),
+          col("doc_id").cast("string"))))
+      .alias("text"))
+
+  /** documents rebuilt as multi-line pages for the C4 rules: a clean
+    * sentence line, the original text as a line, plus planted offender
+    * lines (short/no-punctuation, javascript) and page-level poisons
+    * (lorem ipsum on every 17th doc, curly brace on every 13th). */
+  private def c4Corpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"), concat(
+      lit("This is well formed sentence number "),
+      col("doc_id").cast("string"), lit(" of the corpus."),
+      lit("\n"), col("text"),
+      when(col("doc_id") % 4 === 0, lit("\nclick here")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit("\nPlease enable javascript to continue.")).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        lit("\nGenerated from lorem ipsum filler text.")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit("\nfunction f() { return 1; }")).otherwise(lit("")))
+      .alias("text"))
+
   /** embeddings ∪ nudged twins of every 10th vector (first component
     * +0.1), all math in doubles — the embedding near-dup corpus shared by
     * `dedup_embedding` and `dedup_semantic`. */
@@ -898,6 +928,29 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text").cast("binary")).alias("clean_md5"))
         .orderBy("doc_id")),
 
+    // paragraph-level corpus dedup: the planted boilerplate paragraphs
+    // (one universal, one on every 3rd doc) exceed the occurrence cap
+    // and vanish; the original text (paragraph 1) and per-doc unique
+    // paragraphs survive with order and \n\n joining preserved
+    "dedup_paragraphs" -> ((s, dir) =>
+      Dedup.dedupParagraphs(paraCorpus(s, dir), "doc_id", "text",
+          maxOccurrences = 10)
+        .select(col("doc_id"), md5(col("text").cast("binary")).alias("clean_md5"))
+        .orderBy("doc_id")),
+
+    // C4 cleaning rules as one shuffle-free projection: line retention
+    // (terminal punctuation, >= 3 words, no "javascript") + page gates
+    // (no lorem ipsum, no curly brace, >= 1 surviving line)
+    "text_c4_filters" -> ((s, dir) => {
+      val c = TextAnalysis.c4Filters(col("text"))
+      c4Corpus(s, dir).select(col("doc_id"),
+          c.getField("n_lines").cast("long").alias("n_lines"),
+          c.getField("n_kept").cast("long").alias("n_kept"),
+          c.getField("keep").alias("keep"),
+          md5(c.getField("clean").cast("binary")).alias("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Lee et al. 2022 exact-substring duplication signal: docs holding
     // >= 1 corpus-duplicated 3-token span, with the duplicated fraction
     "dedup_spans" -> ((s, dir) =>
@@ -1457,6 +1510,31 @@ object SparkEntry {
          "SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5 " +
          "FROM lines WHERE line NOT IN (SELECT line FROM hot) " +
          "GROUP BY doc_id ORDER BY doc_id"),
+      "dedup_paragraphs" ->
+        ("WITH corpus AS (SELECT doc_id, text || chr(10) || chr(10) || 'Share this article on social media.' || " +
+         "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || 'All content copyright the original authors.' " +
+         "ELSE chr(10) || chr(10) || 'para unique ' || CAST(doc_id AS VARCHAR) END) AS text FROM documents), " +
+         "pa AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM corpus), " +
+         "paras AS (SELECT doc_id, u.n AS pos, ps[u.n] AS para FROM pa, UNNEST(range(1, len(ps) + 1)) AS u(n)), " +
+         "hot AS (SELECT para FROM paras GROUP BY 1 HAVING count(*) > 10) " +
+         "SELECT doc_id, md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS clean_md5 " +
+         "FROM paras WHERE para NOT IN (SELECT para FROM hot) " +
+         "GROUP BY doc_id ORDER BY doc_id"),
+      "text_c4_filters" ->
+        ("WITH corpus AS (SELECT doc_id, 'This is well formed sentence number ' || CAST(doc_id AS VARCHAR) || ' of the corpus.' || " +
+         "chr(10) || text || " +
+         "(CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'click here' ELSE '' END) || " +
+         "(CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Please enable javascript to continue.' ELSE '' END) || " +
+         "(CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'Generated from lorem ipsum filler text.' ELSE '' END) || " +
+         "(CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END) AS text FROM documents), " +
+         "k AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls, " +
+         "list_filter(string_split(text, chr(10)), x -> regexp_matches(x, '[.!?\"]$') " +
+         "AND len(string_split_regex(trim(x), '\\s+')) >= 3 " +
+         "AND NOT contains(lower(x), 'javascript')) AS kept FROM corpus) " +
+         "SELECT doc_id, len(ls) AS n_lines, len(kept) AS n_kept, " +
+         "(NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{') AND len(kept) >= 1) AS keep, " +
+         "md5(array_to_string(kept, chr(10))) AS clean_md5 " +
+         "FROM k ORDER BY doc_id"),
       "text_domains" ->
         ("WITH planted AS (SELECT doc_id, text || CASE " +
          "WHEN doc_id % 3 = 0 THEN ' visit http://example.com/page' || CAST(doc_id AS VARCHAR) || ' now' " +

@@ -1067,9 +1067,29 @@ object Dedup {
     * case the join degrades gracefully to a shuffle. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
                  maxOccurrences: Int = 10,
-                 family: String = "xxh64"): DataFrame = {
+                 family: String = "xxh64"): DataFrame =
+    dedupSegments(df, idCol, textCol, "\n", maxOccurrences, family)
+
+  /** Paragraph-level corpus dedup — [[dedupLines]] at blank-line
+    * granularity (`\n\n` separators): drops whole paragraphs repeated
+    * more than `maxOccurrences` times corpus-wide (boilerplate blocks,
+    * repeated disclaimers, templated intros) and reassembles surviving
+    * paragraphs in order. The segment tier between line-level and
+    * document-level dedup in a standard curation stack. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      maxOccurrences: Int = 10,
+                      family: String = "xxh64"): DataFrame =
+    dedupSegments(df, idCol, textCol, "\n\n", maxOccurrences, family)
+
+  /** Shared segment-level dedup kernel: split on the literal separator
+    * `sep`, drop segments whose corpus-wide occurrence count exceeds
+    * `maxOccurrences`, reassemble with the same separator. */
+  private def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+                            sep: String, maxOccurrences: Int,
+                            family: String): DataFrame = {
     val lines = df
-      .select(col(idCol), posexplode_outer(split(col(textCol), "\n"))
+      .select(col(idCol), posexplode_outer(
+          split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line"))) // outer: see hashedShingles (split ×3)
       .filter(col("line").isNotNull)
       .withColumn("lh", seededHash(family, 0, col("line")))
@@ -1084,6 +1104,6 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("pos"), col("line")))),
-        x => x.getField("line")), "\n").alias(textCol))
+        x => x.getField("line")), sep).alias(textCol))
   }
 }

@@ -124,6 +124,40 @@ object TextAnalysis {
       (wordCountOk && meanLenOk && symbolOk && alphaOk).alias("passes"))
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2, the deterministic
+    * subset): line-level retention plus page-level gates, as ONE
+    * shuffle-free projection — at 100 TB this runs at scan speed with
+    * nothing exchanged.
+    *
+    * Line rules (a line survives iff all hold):
+    *  - ends in a terminal punctuation mark (`.` `!` `?` `"`);
+    *  - contains at least `minLineWords` whitespace words;
+    *  - does not mention "javascript" (case-insensitive).
+    *
+    * Page rules (the struct's `keep` gate; C4 drops the page):
+    *  - no "lorem ipsum" (case-insensitive), no curly brace `{`;
+    *  - at least one surviving line.
+    *
+    * Returns a struct `(clean, n_lines, n_kept, keep)` — `clean` is the
+    * surviving lines re-joined with `\n`. The bad-words list and the
+    * 5-sentence minimum of the paper are deliberately out of scope
+    * (locale-specific wordlists; sentence segmentation is not
+    * deterministic across engines) — documented deviation. */
+  def c4Filters(text: Column, minLineWords: Int = 3): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, line =>
+      line.rlike("[.!?\"]$") &&
+        size(split(trim(line), "\\s+")) >= minLineWords &&
+        !lower(line).contains("javascript"))
+    val pageOk = !lower(text).contains("lorem ipsum") &&
+      !text.contains("{") && size(kept) >= 1
+    struct(
+      array_join(kept, "\n").alias("clean"),
+      size(lines).alias("n_lines"),
+      size(kept).alias("n_kept"),
+      pageOk.alias("keep"))
+  }
+
   /** Composite quality score in [0,1]: penalize extreme length, high
     * punctuation density, missing stopwords — the shape of a C4/Gopher
     * style filter, deterministic and codegen'd. */

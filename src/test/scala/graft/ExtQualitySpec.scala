@@ -415,6 +415,45 @@ class ExtQualitySpec extends SparkSpec {
     assert(out(3).getStruct(2).getAs[Int]("phones") === 0)
   }
 
+  test("c4Filters keeps punctuated 3-word lines and gates poisoned pages") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "A good first sentence.\nclick here\nAnother proper line!"),
+      (2L, "Enable javascript to proceed.\nShort.\nnope"),
+      (3L, "Fine sentence here.\nBut lorem ipsum poisons the page."),
+      (4L, "Uses a brace { in code.\nOtherwise a fine sentence."),
+      (5L, "no terminal punctuation at all")).toDF("doc_id", "text")
+    val c = graft.ext.TextAnalysis.c4Filters(col("text"))
+    val out = df.select(col("doc_id"), c.getField("clean").alias("clean"),
+        c.getField("n_kept").alias("nk"), c.getField("keep").alias("keep"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean") ===
+      "A good first sentence.\nAnother proper line!")
+    assert(out(0).getAs[Boolean]("keep"))
+    // javascript line and <3-word lines dropped -> nothing kept -> page gated
+    assert(out(1).getAs[Int]("nk") === 0 && !out(1).getAs[Boolean]("keep"))
+    assert(out(2).getAs[Int]("nk") === 2 && !out(2).getAs[Boolean]("keep")) // lorem ipsum
+    assert(!out(3).getAs[Boolean]("keep")) // curly brace
+    assert(out(4).getAs[Int]("nk") === 0 && !out(4).getAs[Boolean]("keep"))
+  }
+
+  test("dedupParagraphs drops corpus-hot paragraphs, keeps order and separator") {
+    val s = spark; import s.implicits._
+    val boiler = "Subscribe now."
+    val rows = (1 to 30).map { i =>
+      (i.toLong, s"unique opener $i\n\n$boiler\n\nunique closer $i")
+    }
+    val df = rows.toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text", maxOccurrences = 10)
+      .orderBy("doc_id").collect()
+    assert(out.length === 30)
+    assert(out(0).getAs[String]("text") === "unique opener 1\n\nunique closer 1")
+    // under the cap nothing is dropped
+    val out2 = Dedup.dedupParagraphs(df, "doc_id", "text", maxOccurrences = 50)
+      .orderBy("doc_id").collect()
+    assert(out2(0).getAs[String]("text") === rows.head._2)
+  }
+
   test("compiled PII scanner equals the regexp_replace chain on the corpus") {
     // the scanner projection and the executable regex specification must
     // agree on every real document (with the oracle's planted PII mixed
