@@ -8,17 +8,20 @@ import org.apache.spark.sql.types._
   * as opaque `BinaryType` columns + a typed metadata struct, with
   * decode / feature-extract / frame-sample stages.
   *
-  * IMAGE and AUDIO decode are REAL, on JDK built-ins with no native
-  * deps: `javax.imageio` (PNG, JPEG, BMP, GIF → pixel statistics,
-  * [[decodeImage]]) and `javax.sound.sampled` (WAV/AIFF/AU PCM →
-  * amplitude statistics, [[decodeAudio]]). Video (and compressed-audio)
-  * codecs are not in this container, so that modality — and payloads
-  * the JDK readers cannot parse — rides the clearly-marked
-  * deterministic STUB ([[stubDecode]]). Everything Spark-side is real
-  * and tested either way: schema, binary packing, batched per-partition
-  * processing shape (`mapPartitions` over row batches — the JVM
-  * analogue of `mapInPandas` batch processing), and the 1→N
-  * frame-sampling generator (`posexplode` over a computed frame index).
+  * IMAGE, AUDIO and VIDEO decode are REAL, on JDK built-ins with no
+  * native deps: `javax.imageio` (PNG, JPEG, BMP, GIF → pixel
+  * statistics, [[decodeImage]]), `javax.sound.sampled` (WAV/AIFF/AU
+  * PCM → amplitude statistics, [[decodeAudio]]), and for video an
+  * animated-GIF multi-frame read plus an MJPEG-in-AVI RIFF walk
+  * ([[decodeVideo]] → frame-count/luma-motion statistics). Codecs the
+  * JVM genuinely lacks (H.264-class video, compressed audio) — and any
+  * payload the readers cannot parse — ride the clearly-marked
+  * deterministic STUB ([[stubDecode]]), fenced by `decode = "stub"` in
+  * the output. Everything Spark-side is real and tested either way:
+  * schema, binary packing, batched per-partition processing shape
+  * (`mapPartitions` over row batches — the JVM analogue of
+  * `mapInPandas` batch processing), and the 1→N frame-sampling
+  * generator (`posexplode` over a computed frame index).
   *
   * Scale notes: binary payloads ride normal parquet pages; metadata-only
   * queries never touch the blob column (column pruning); frame sampling
@@ -185,13 +188,156 @@ object Multimodal {
       // errors propagate and fail the task
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** STUB decode kernel for modalities whose codecs are not in this
-    * container (video, compressed audio). Derives a deterministic
-    * fixed-width "feature" from the payload bytes so the distributed
-    * plumbing (batching, schema, shuffle) is fully exercised. Swap the
-    * body for a real codec on a cluster with native libs. */
+  /** Cap on frames DECODED per video payload: frames beyond the cap are
+    * sampled evenly, never all materialized (a pathological million-
+    * frame GIF costs 32 raster decodes, not a million). */
+  val maxVideoFramesDecoded: Int = 32
+
+  /** Animated GIF (`GIF87a`/`GIF89a`) or AVI (`RIFF....AVI `) — the
+    * containers [[decodeVideo]] parses with JDK built-ins only. */
+  private def looksLikeVideo(b: Array[Byte]): Boolean =
+    b.length >= 12 && (
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '))
+
+  /** Mean luma (BT.601) of one frame — the per-frame statistic the
+    * video features aggregate. */
+  private def frameLuma(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth; val h = img.getHeight
+    var sl = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sl += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    sl / (w.toLong * h).toDouble
+  }
+
+  /** Evenly-spaced sample of `k` indices from `[0, n)` (all of them when
+    * `n <= k`), first and last always included. */
+  private def sampleIdx(n: Int, k: Int): Array[Int] =
+    if (n <= k) Array.range(0, n)
+    else Array.tabulate(k)(i => ((i.toLong * (n - 1)) / (k - 1)).toInt)
+
+  /** Shared tail of both video decoders: frame-count + per-frame luma
+    * statistics → the 8-wide feature vector `[n_frames, width, height,
+    * n_decoded, mean_luma, stddev_luma, mean_abs_frame_delta,
+    * container_tag]` (tag 1 = GIF, 2 = AVI). */
+  private def videoFeatures(nTotal: Int, w: Int, h: Int,
+                            lumas: Array[Double], tag: Double)
+      : Option[Array[Double]] =
+    if (lumas.isEmpty) None
+    else {
+      val n = lumas.length
+      val mean = lumas.sum / n
+      val variance = lumas.map(l => (l - mean) * (l - mean)).sum / n
+      val delta =
+        if (n < 2) 0.0
+        else lumas.sliding(2).map(p => math.abs(p(1) - p(0))).sum / (n - 1)
+      Some(Array(nTotal.toDouble, w.toDouble, h.toDouble, n.toDouble,
+        mean, math.sqrt(math.max(0.0, variance)), delta, tag))
+    }
+
+  /** Animated-GIF decode: the JDK GIF reader exposes every frame via
+    * `getNumImages(true)` + `read(i)`. Frames are raw coded rasters
+    * (no disposal compositing — deterministic and cheap, which is what
+    * a curation signal needs). */
+  private def decodeGifVideo(bytes: Array[Byte]): Option[Array[Double]] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) return None
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val (w0, h0) = (reader.getWidth(0), reader.getHeight(0))
+      if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > maxImagePixels) return None
+      val n = reader.getNumImages(true)
+      if (n < 1) return None
+      val lumas = sampleIdx(n, maxVideoFramesDecoded)
+        .map(i => frameLuma(reader.read(i)))
+      videoFeatures(n, w0, h0, lumas, tag = 1.0)
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** MJPEG-in-AVI decode via a pure-JVM RIFF walk: AVI is `RIFF` chunks
+    * (fourcc + LE32 size, even-padded); frames live in the `movi` LIST
+    * as `##dc`/`##db` chunks (optionally nested in `rec ` LISTs), each
+    * holding one JPEG the JDK reader decodes. Chunk offsets are indexed
+    * first, then [[maxVideoFramesDecoded]] frames are sampled evenly —
+    * the scan is O(payload), the decode is O(cap). */
+  private def decodeAviVideo(bytes: Array[Byte]): Option[Array[Double]] = {
+    def le32(o: Int): Long =
+      (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def isFrameChunk(o: Int): Boolean =
+      bytes(o) >= '0' && bytes(o) <= '9' && bytes(o + 1) >= '0' &&
+        bytes(o + 1) <= '9' && bytes(o + 2) == 'd' &&
+        (bytes(o + 3) == 'c' || bytes(o + 3) == 'b')
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val size = le32(p + 4)
+        val body = p + 8
+        if (size < 0 || body + size > end) return // malformed: stop scan
+        val isList = bytes(p) == 'L' && bytes(p + 1) == 'I' &&
+          bytes(p + 2) == 'S' && bytes(p + 3) == 'T'
+        if (isList && size >= 4) {
+          val lt = new String(bytes, body, 4, "US-ASCII")
+          walk(body + 4, body + size.toInt, inMovi || lt == "movi")
+        } else if (inMovi && isFrameChunk(p) && size > 0) {
+          frames += ((body, size.toInt))
+        }
+        p = body + size.toInt + (size.toInt & 1) // chunks are even-padded
+      }
+    }
+    walk(12, bytes.length, inMovi = false)
+    if (frames.isEmpty) return None
+    var w0 = 0; var h0 = 0
+    val lumas = sampleIdx(frames.length, maxVideoFramesDecoded).flatMap { i =>
+      val (off, len) = frames(i)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, off, len))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
+          img.getWidth.toLong * img.getHeight > maxImagePixels) None
+      else {
+        if (w0 == 0) { w0 = img.getWidth; h0 = img.getHeight }
+        Some(frameLuma(img))
+      }
+    }
+    videoFeatures(frames.length, w0, h0, lumas, tag = 2.0)
+  }
+
+  /** REAL video decode on JDK built-ins: animated GIF (multi-frame
+    * `javax.imageio`) and MJPEG-in-AVI (RIFF container walk + per-frame
+    * JPEG decode). Returns None for containers the JVM cannot parse
+    * (H.264/VP9/compressed audio — no JDK codec exists; those payloads
+    * ride [[stubDecode]] and are FENCED by `decode = "stub"`). */
+  def decodeVideo(bytes: Array[Byte]): Option[Array[Double]] =
+    try {
+      if (!looksLikeVideo(bytes)) None
+      else if (bytes(0) == 'G') decodeGifVideo(bytes)
+      else decodeAviVideo(bytes)
+      // NonFatal only (see decodeImage): parse failures → None, JVM
+      // errors propagate and fail the task
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB decode kernel for payloads with no JVM codec (H.264-class
+    * video, compressed audio). Derives a deterministic fixed-width
+    * "feature" from the payload bytes so the distributed plumbing
+    * (batching, schema, shuffle) is fully exercised; downstream output
+    * carries `decode = "stub"` so curation never mistakes these for
+    * perceptual features. Swap the body for a native codec on a cluster
+    * with the libs installed. */
   def stubDecode(bytes: Array[Byte]): Array[Double] = {
-    // ??? <- real video/compressed-audio codec goes here; deterministic fake below
     val w = featureWidth
     val out = new Array[Double](w)
     var i = 0
@@ -204,13 +350,14 @@ object Multimodal {
     * buffer of `batchSize` rows decoded per iteration, amortizing any
     * per-batch codec setup). Kernel routing is per ROW on
     * `meta.modality` (a union of packed frames can mix modalities):
-    * `"image"` → [[decodeImage]], falling back to [[stubDecode]] when
-    * the payload is not a parseable image; everything else →
+    * `"image"` → [[decodeImage]], `"audio"` → [[decodeAudio]],
+    * `"video"` → [[decodeVideo]], each falling back to [[stubDecode]]
+    * when the payload is not parseable; any other modality →
     * [[stubDecode]]. Output: (media_id, feature array, decode).
     *
-    * The `decode` column FENCES the stub: `"image"`/`"audio"` mark a
-    * real codec decode, `"stub"` marks the deterministic fake (video /
-    * compressed audio / unparseable payload). Downstream curation must
+    * The `decode` column FENCES the stub: `"image"`/`"audio"`/`"video"`
+    * mark a real codec decode, `"stub"` marks the deterministic fake
+    * (no-JVM-codec container / unparseable payload). Downstream curation must
     * filter `decode != 'stub'` before trusting features as perceptual —
     * silent fake features in a quality-filter pipeline would be a
     * correctness bug at 100 TB, not a convenience. */
@@ -233,6 +380,8 @@ object Multimodal {
               case "image" => decodeImage(bytes).map((_, "image"))
                 .getOrElse((stubDecode(bytes), "stub"))
               case "audio" => decodeAudio(bytes).map((_, "audio"))
+                .getOrElse((stubDecode(bytes), "stub"))
+              case "video" => decodeVideo(bytes).map((_, "video"))
                 .getOrElse((stubDecode(bytes), "stub"))
               case _ => (stubDecode(bytes), "stub")
             }

@@ -377,4 +377,70 @@ class ConnectorSpec extends SparkSpec {
       r.getAs[String]("decode")).toMap
     assert(how(1L) === "audio" && how(2L) === "stub")
   }
+
+  test("Multimodal video decode: animated GIF frames + MJPEG-in-AVI RIFF walk") {
+    val s = spark; import s.implicits._
+    def flat(w: Int, h: Int, rgb: Int) = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      img
+    }
+    // 3-frame animated GIF: black -> mid gray -> white (lumas 0/128/255)
+    val gifOut = new java.io.ByteArrayOutputStream()
+    val gw = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(gifOut)
+    gw.setOutput(ios)
+    gw.prepareWriteSequence(null)
+    Seq(0x000000, 0x808080, 0xFFFFFF).foreach { c =>
+      gw.writeToSequence(new javax.imageio.IIOImage(flat(4, 2, c), null, null), null)
+    }
+    gw.endWriteSequence(); gw.dispose(); ios.close()
+    val gif = gifOut.toByteArray
+    // 2-frame MJPEG AVI: RIFF(AVI ) > LIST(movi) > 00dc jpeg chunks
+    def jpeg(rgb: Int) = {
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(flat(4, 2, rgb), "jpg", b)
+      b.toByteArray
+    }
+    val (j0, j1) = (jpeg(0x808080), jpeg(0xFFFFFF))
+    def chunk(id: String, body: Array[Byte]) = {
+      val pad = body.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    val moviBody = "movi".getBytes("US-ASCII") ++ chunk("00dc", j0) ++ chunk("00dc", j1)
+    val listChunk = chunk("LIST", moviBody)
+    val avi = {
+      val bb = java.nio.ByteBuffer.allocate(12 + listChunk.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + listChunk.length)
+        .put("AVI ".getBytes("US-ASCII")).put(listChunk)
+      bb.array()
+    }
+    val h264ish = Array[Byte](0, 0, 0, 1, 0x67, 0x42, 0, 30) ++
+      Array.fill[Byte](64)(0x5A)
+    val df = Seq((1L, gif), (2L, avi), (3L, h264ish)).toDF("doc_id", "payload")
+    val rows = graft.ext.Multimodal.extractFeatures(
+      graft.ext.Multimodal.pack(df, "doc_id", col("payload"), "video")).collect()
+    val feats = rows.map(r => r.getAs[Long]("media_id") ->
+      r.getSeq[Double](1).toArray).toMap
+    val how = rows.map(r => r.getAs[Long]("media_id") ->
+      r.getAs[String]("decode")).toMap
+    // [n_frames, w, h, n_decoded, mean_luma, std_luma, mean_delta, tag]
+    val g = feats(1L)
+    assert(g(0) === 3.0 && g(1) === 4.0 && g(2) === 2.0 && g(3) === 3.0)
+    assert(math.abs(g(4) - (0.0 + 128.0 + 255.0) / 3) < 1.0)
+    assert(math.abs(g(6) - 127.5) < 1.0) // |128-0|, |255-128| averaged
+    assert(g(7) === 1.0 && how(1L) === "video")
+    val a = feats(2L)
+    assert(a(0) === 2.0 && a(1) === 4.0 && a(2) === 2.0 && a(3) === 2.0)
+    assert(math.abs(a(4) - (128.0 + 255.0) / 2) < 8.0) // JPEG is lossy
+    assert(a(6) > 100.0 && a(7) === 2.0 && how(2L) === "video")
+    // no JVM codec for H.264-class payloads: stub features, fenced
+    assert(feats(3L).toSeq === graft.ext.Multimodal.stubDecode(h264ish).toSeq)
+    assert(how(3L) === "stub")
+  }
 }
