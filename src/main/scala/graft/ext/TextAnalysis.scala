@@ -14,6 +14,21 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("\\S+"), lit(0))
 
+  /** Compiled raw-text counts `(n_tokens, n_punct, n_symbols)` —
+    * [[graft.functions.TextCounts]]; one scan replaces three
+    * `regexp_extract_all` passes. Deterministic, so common-subexpression
+    * elimination shares one evaluation across a projection's fields. */
+  private def countsKernel(text: Column): Column =
+    graft.functions.GraftFunctions.textCounts(
+      org.apache.spark.sql.SparkSession.active, text)
+
+  /** Compiled lowered-text profile `(n_tokens, n_nonws, n_alpha,
+    * sw_en, sw_de, sw_fr, sw_es)` — [[graft.functions.TextProfileLower]]
+    * over `lower(text)` (Spark's own `lower` keeps lowercasing exact). */
+  private def profileKernel(text: Column): Column =
+    graft.functions.GraftFunctions.textProfile(
+      org.apache.spark.sql.SparkSession.active, lower(text))
+
   /** Normalized word tokens (lowercase alnum runs) — the SHARED spelling
     * behind the shingle/dedup/repetition operators and their oracle SQL:
     * fully codegen'd (no filter HOF; collapsing runs to single spaces +
@@ -26,6 +41,11 @@ object TextAnalysis {
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
+    countsKernel(text).getField("n_tokens").cast("int")
+
+  /** Regex twin of [[tokenCount]] — the executable specification the
+    * kernel must match (TextProfileSpec pins equality). */
+  private[graft] def tokenCountRegex(text: Column): Column =
     size(regexp_extract_all(text, lit("\\S+"), lit(0)))
 
   /** BPE-ish subword count estimate: words + intra-word transitions
@@ -37,6 +57,10 @@ object TextAnalysis {
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
+    countsKernel(text).getField("n_punct").cast("int")
+
+  /** Regex twin of [[punctCount]] (see [[tokenCountRegex]]). */
+  private[graft] def punctCountRegex(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
 
   /** Gopher-style n-gram repetition ratio: the fraction of word n-grams
@@ -55,13 +79,18 @@ object TextAnalysis {
     round(lit(1.0) - size(uniq).cast("double") / size(all).cast("double"), 4)
   }
 
-  private val stopwords: Seq[(String, Seq[String])] = Seq(
+  private[graft] val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"),
     "fr" -> Seq("le", "les", "et", "est", "une", "dans", "que", "pour", "qui", "pas"),
     "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "se", "por", "con"))
 
-  private def hits(text: Column, words: Seq[String]): Column =
+  /** The word lists in registry order (en, de, fr, es) — the fixed
+    * parameter of the compiled profile kernel. */
+  private[graft] def stopwordLists: Seq[Seq[String]] = stopwords.map(_._2)
+
+  /** Regex twin of the kernel's per-language stopword hit counts. */
+  private[graft] def hitsRegex(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(lower(text),
       lit(words.mkString("\\b(", "|", ")\\b")), lit(0)))
 
@@ -69,7 +98,8 @@ object TextAnalysis {
     * counts, argmax with a fixed tie-break order (en > de > fr > es).
     * Returns a language code column. */
   def langId(text: Column): Column = {
-    val Seq(en, de, fr, es) = stopwords.map { case (_, ws) => hits(text, ws) }
+    val p = profileKernel(text)
+    val Seq(en, de, fr, es) = stopwords.indices.map(i => p.getField(s"sw_$i"))
     when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
@@ -79,12 +109,22 @@ object TextAnalysis {
   /** English stopword ratio (quality signal). */
   def stopwordRatio(text: Column): Column = {
     val n = tokenCount(text)
-    when(n > 0, hits(text, stopwords.head._2).cast("double") / n.cast("double"))
+    when(n > 0, profileKernel(text).getField("sw_0").cast("double") / n.cast("double"))
       .otherwise(lit(0.0))
   }
 
-  /** Mean token length. */
+  /** Mean token length (over the lowered whitespace tokens). */
   def meanTokenLen(text: Column): Column = {
+    val p = profileKernel(text)
+    val n = p.getField("n_tokens")
+    when(n > 0,
+      p.getField("n_nonws").cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Regex/HOF twin of [[meanTokenLen]] — the CodegenFallback fold the
+    * kernel replaced (every HOF lambda frame interpreted per token). */
+  private[graft] def meanTokenLenRegex(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks)
     when(n > 0,
@@ -104,12 +144,11 @@ object TextAnalysis {
     * words containing an alphabetic character ≥ 0.8. */
   def gopherRules(text: Column, minWords: Int = 50,
                   maxWords: Int = 100000): Column = {
-    val n = size(tokens(text)).cast("double")
+    val p = profileKernel(text)
+    val n = p.getField("n_tokens").cast("double")
     val meanLen = meanTokenLen(text)
-    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0)))
-      .cast("double")
-    val alphaWords = size(regexp_extract_all(lower(text),
-      lit("\\S*[a-z]\\S*"), lit(0))).cast("double")
+    val symbols = countsKernel(text).getField("n_symbols").cast("double")
+    val alphaWords = p.getField("n_alpha").cast("double")
     val wordCountOk = n >= minWords && n <= maxWords
     val meanLenOk = meanLen >= 3.0 && meanLen <= 10.0
     val symbolOk = when(n > 0, symbols / n <= 0.1).otherwise(lit(false))

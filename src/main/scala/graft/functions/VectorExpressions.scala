@@ -231,7 +231,10 @@ object GraftFunctions {
       es(2).eval().asInstanceOf[Boolean])),
     "graft_hyperplane_sig" -> (es => HyperplaneSig(es(0), es(1))),
     "graft_simhash64" -> (es => SimHash64(es(0))),
-    "graft_scrub_pii" -> (es => ScrubPii(es(0))))
+    "graft_scrub_pii" -> (es => ScrubPii(es(0))),
+    "graft_text_counts" -> (es => TextCounts(es(0))),
+    "graft_text_profile" -> (es =>
+      TextProfileLower(es(0), graft.ext.TextAnalysis.stopwordLists)))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -262,6 +265,17 @@ object GraftFunctions {
   def scrubPii(spark: SparkSession, text: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_scrub_pii", text)
+  }
+  /** Compiled raw-text counts — [[TextCounts]]. */
+  def textCounts(spark: SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_text_counts", text)
+  }
+  /** Compiled lowered-text profile over the canonical stopword lists —
+    * [[TextProfileLower]]. Callers pass `lower(text)`. */
+  def textProfile(spark: SparkSession, loweredText: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_text_profile", loweredText)
   }
   /** Hashed (optionally distinct) word n-gram shingles — [[NgramHashes]]. */
   def ngramHashes(spark: SparkSession, tokens: Column, n: Int,

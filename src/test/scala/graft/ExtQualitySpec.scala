@@ -454,6 +454,27 @@ class ExtQualitySpec extends SparkSpec {
     assert(out2(0).getAs[String]("text") === rows.head._2)
   }
 
+  test("compiled text-profile kernels equal the regex twins on the corpus") {
+    import graft.ext.TextAnalysis._
+    val diff = docs.select(
+        tokenCount(col("text")).alias("k_tok"),
+        tokenCountRegex(col("text")).alias("r_tok"),
+        punctCount(col("text")).alias("k_punct"),
+        punctCountRegex(col("text")).alias("r_punct"),
+        round(meanTokenLen(col("text")), 6).alias("k_mean"),
+        round(meanTokenLenRegex(col("text")), 6).alias("r_mean"),
+        round(stopwordRatio(col("text")), 6).alias("k_sw"),
+        round(when(tokenCountRegex(col("text")) > 0,
+          hitsRegex(col("text"), stopwords.head._2).cast("double") /
+            tokenCountRegex(col("text")).cast("double"))
+          .otherwise(lit(0.0)), 6).alias("r_sw"))
+      .filter(col("k_tok") =!= col("r_tok") ||
+        col("k_punct") =!= col("r_punct") ||
+        col("k_mean") =!= col("r_mean") || col("k_sw") =!= col("r_sw"))
+      .count()
+    assert(diff === 0L)
+  }
+
   test("compiled PII scanner equals the regexp_replace chain on the corpus") {
     // the scanner projection and the executable regex specification must
     // agree on every real document (with the oracle's planted PII mixed
