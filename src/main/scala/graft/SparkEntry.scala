@@ -938,6 +938,14 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text").cast("binary")).alias("clean_md5"))
         .orderBy("doc_id")),
 
+    // per-doc TF-IDF top-5 keywords: shared normTokens tokenization,
+    // smoothed idf, lexicographic tie-break — fully deterministic
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .select(col("id").alias("doc_id"), col("rank").cast("long").alias("rank"),
+          col("term"), col("score"))
+        .orderBy("doc_id", "rank")),
+
     // C4 cleaning rules as one shuffle-free projection: line retention
     // (terminal punctuation, >= 3 words, no "javascript") + page gates
     // (no lorem ipsum, no curly brace, >= 1 surviving line)
@@ -1510,6 +1518,16 @@ object SparkEntry {
          "SELECT doc_id, md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5 " +
          "FROM lines WHERE line NOT IN (SELECT line FROM hot) " +
          "GROUP BY doc_id ORDER BY doc_id"),
+      "text_tfidf_topk" ->
+        ("WITH toks AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM documents), " +
+         "terms AS (SELECT doc_id, unnest(tk) AS term FROM toks), " +
+         "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2), " +
+         "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+         "nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), " +
+         "scored AS (SELECT doc_id, term, round(tf * (ln((nd.n + 1) / (df + 1.0)) + 1.0), 4) AS score " +
+         "FROM tf JOIN dfreq USING (term) CROSS JOIN nd), " +
+         "ranked AS (SELECT doc_id, term, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) " +
+         "SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"),
       "dedup_paragraphs" ->
         ("WITH corpus AS (SELECT doc_id, text || chr(10) || chr(10) || 'Share this article on social media.' || " +
          "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || 'All content copyright the original authors.' " +

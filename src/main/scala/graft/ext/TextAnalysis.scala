@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
@@ -208,6 +209,46 @@ object TextAnalysis {
     val sw = stopwordRatio(text)
     val swOk = when(sw >= 0.01, lit(1.0)).otherwise(lit(0.0))
     round((lenOk + punctOk + swOk) / lit(3.0), 4)
+  }
+
+  /** Per-document TF-IDF top-k keyword extraction — the standard
+    * corpus-level salience signal (topic tagging, quota keys, query
+    * expansion). Tokenization is the shared [[normTokens]] spelling, so
+    * terms line up with every other text operator and the oracle SQL.
+    *
+    * Scoring: `tf * (ln((N + 1) / (df + 1)) + 1)` (smoothed idf),
+    * rounded to 4 places; ties break lexicographically on the term so
+    * the output is fully deterministic.
+    *
+    * Scale shape: term frequencies are one `(id, term)` aggregation;
+    * document frequencies aggregate the SAME rows by term (vocabulary-
+    * sized output, Zipf-bounded); the corpus size is a one-row broadcast
+    * cross join, and idf joins back on the term key — broadcast-able
+    * when the vocabulary fits, shuffle otherwise (unhinted: AQE decides
+    * from the measured size). The final top-k is a per-doc
+    * `row_number` window over tf rows — per-doc cardinality is the
+    * doc's distinct-term count, bounded by document length, so no
+    * partition exceeds the largest document. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 5): DataFrame = {
+    val terms = df
+      .select(col(idCol).alias("id"),
+        explode_outer(normTokens(col(textCol))).alias("term"))
+      .filter(col("term").isNotNull && col("term") =!= "")
+    val tf = terms.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).alias("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).alias("df"))
+    val nDocs = broadcast(df.agg(
+      count(lit(1)).cast("double").alias("__n")))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(nDocs)
+      .withColumn("score", round(col("tf").cast("double") *
+        (log((col("__n") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0), 4))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("score"))
   }
 
   /** Document fingerprint: md5 of case/punctuation-normalized content —

@@ -454,6 +454,25 @@ class ExtQualitySpec extends SparkSpec {
     assert(out2(0).getAs[String]("text") === rows.head._2)
   }
 
+  test("tfidfTopK ranks corpus-rare terms above ubiquitous ones, ties on term") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "alpha alpha alpha common"),
+      (2L, "beta common common"),
+      (3L, "gamma delta common")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.tfidfTopK(df, "doc_id", "text", k = 2)
+      .orderBy("id", "rank").collect()
+    // doc 1: 'alpha' (tf=3, df=1) far above 'common' (df=3, idf=1)
+    assert(out(0).getAs[String]("term") === "alpha" && out(0).getAs[Int]("rank") === 1)
+    assert(out(1).getAs[String]("term") === "common")
+    // doc 3: gamma and delta tie on score -> lexicographic: delta first
+    val d3 = out.filter(_.getAs[Long]("id") == 3L).map(_.getAs[String]("term"))
+    assert(d3.toSeq === Seq("delta", "gamma"))
+    // scores are deterministic and rounded
+    assert(out.forall(r => r.getAs[Double]("score") ==
+      math.rint(r.getAs[Double]("score") * 10000) / 10000))
+  }
+
   test("compiled text-profile kernels equal the regex twins on the corpus") {
     import graft.ext.TextAnalysis._
     val diff = docs.select(
