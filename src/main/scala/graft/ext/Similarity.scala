@@ -38,6 +38,22 @@ object Similarity {
   private def nativeCosine(df: DataFrame, a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine(df.sparkSession, a, b)
 
+  /** Per-row vector norm `sqrt(v·v)` via the dot kernel — accumulates
+    * squares in the same ascending order as [[nativeCosine]]'s norm
+    * fold, so `dot/(nrm_a*nrm_b)` is BIT-IDENTICAL to the fused cosine
+    * (same doubles, same null-on-zero-norm) while the O(dim) norm
+    * reduction runs once per ROW instead of once per PAIR — 3× fewer
+    * FLOPs in every bucketed self-join. */
+  private def nativeNorm(df: DataFrame, v: Column): Column =
+    sqrt(graft.functions.GraftFunctions.dot(df.sparkSession, v, v))
+
+  /** Pair cosine from a precomputed dot and per-side norms (see
+    * [[nativeNorm]]): replicates the fused kernel's null-on-zero-norm
+    * contract (a null vector nulls the dot, which nulls the division). */
+  private def pairSim(dot: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(dot / (na * nb))
+
   /** Per-query top-k over scored `(q_id, n_id, sim)` rows via the
     * bounded-heap aggregate ([[graft.functions.TopKAgg]]): map-side
     * partials cut the shuffle to k·|queries| rows — a `row_number`
@@ -343,26 +359,34 @@ object Similarity {
     val hot = sigs.groupBy(col("sig")).agg(count(lit(1)).alias("__bn"))
       .filter(col("__bn") > maxBucketSize).select(col("sig"))
     val capped = sigs.join(broadcast(hot), Seq("sig"), "left_anti")
-    val a = capped.select(col("sig"), col("id").alias("a"), col("vec").alias("va"))
-    val b = capped.select(col("sig"), col("id").alias("b"), col("vec").alias("vb"))
+      .withColumn("nrm", nativeNorm(corpus, col("vec")))
+    val a = capped.select(col("sig"), col("id").alias("a"),
+      col("vec").alias("va"), col("nrm").alias("na"))
+    val b = capped.select(col("sig"), col("id").alias("b"),
+      col("vec").alias("vb"), col("nrm").alias("nb"))
     val pairs = a.join(b, Seq("sig")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("va"), col("vb"))
+      .select(col("a"), col("b"), col("va"), col("vb"), col("na"), col("nb"))
     val all =
       if (overCap == "drop") pairs
       else {
         val overs = sigs.join(broadcast(hot), Seq("sig"), "left_semi")
+          .withColumn("nrm", nativeNorm(corpus, col("vec")))
         val reps = overs.groupBy(col("sig"))
-          .agg(min_by(struct(col("id"), col("vec")), col("id")).alias("__r"))
-          .select(col("sig"), col("__r.id").alias("a"), col("__r.vec").alias("va"))
+          .agg(min_by(struct(col("id"), col("vec"), col("nrm")), col("id")).alias("__r"))
+          .select(col("sig"), col("__r.id").alias("a"),
+            col("__r.vec").alias("va"), col("__r.nrm").alias("na"))
         val star = overs.join(broadcast(reps), Seq("sig"))
           .filter(col("id") =!= col("a"))
-          .select(col("a"), col("id").alias("b"), col("va"), col("vec").alias("vb"))
+          .select(col("a"), col("id").alias("b"), col("va"),
+            col("vec").alias("vb"), col("na"), col("nrm").alias("nb"))
         pairs.unionByName(star)
       }
     // no pair dedup needed: each doc lives in exactly one signature
     // bucket, and over-cap buckets are disjoint from capped ones
     all
-      .withColumn("sim", nativeCosine(corpus, col("va"), col("vb")))
+      .withColumn("sim", pairSim(
+        graft.functions.GraftFunctions.dot(corpus.sparkSession,
+          col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).alias("sim"))
   }
@@ -423,28 +447,38 @@ object Similarity {
       s"overCap must be 'drop' or 'star', got '$overCap'")
     val hot = cells.groupBy(col("cell")).agg(count(lit(1)).alias("__cn"))
       .filter(col("__cn") > maxCellSize).select(col("cell"))
+    val spark = cells.sparkSession
     val capped = cells.join(broadcast(hot), Seq("cell"), "left_anti")
-    val a = capped.select(col("cell"), col("id").alias("a"), col("vec").alias("va"))
-    val b = capped.select(col("cell"), col("id").alias("b"), col("vec").alias("vb"))
+      .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(spark,
+        col("vec"), col("vec"))))
+    val a = capped.select(col("cell"), col("id").alias("a"),
+      col("vec").alias("va"), col("nrm").alias("na"))
+    val b = capped.select(col("cell"), col("id").alias("b"),
+      col("vec").alias("vb"), col("nrm").alias("nb"))
     val pairs = a.join(b, Seq("cell")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("va"), col("vb"))
+      .select(col("a"), col("b"), col("va"), col("vb"), col("na"), col("nb"))
     val all =
       if (overCap == "drop") pairs
       else {
         val overs = cells.join(broadcast(hot), Seq("cell"), "left_semi")
+          .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(spark,
+            col("vec"), col("vec"))))
         val reps = overs.groupBy(col("cell"))
-          .agg(min_by(struct(col("id"), col("vec")), col("id")).alias("__r"))
-          .select(col("cell"), col("__r.id").alias("a"), col("__r.vec").alias("va"))
+          .agg(min_by(struct(col("id"), col("vec"), col("nrm")), col("id")).alias("__r"))
+          .select(col("cell"), col("__r.id").alias("a"),
+            col("__r.vec").alias("va"), col("__r.nrm").alias("na"))
         val star = overs.join(broadcast(reps), Seq("cell"))
           .filter(col("id") =!= col("a"))
-          .select(col("a"), col("id").alias("b"), col("va"), col("vec").alias("vb"))
+          .select(col("a"), col("id").alias("b"), col("va"),
+            col("vec").alias("vb"), col("na"), col("nrm").alias("nb"))
         pairs.unionByName(star)
       }
     // no pair dedup needed: each doc lives in exactly one cell, and
     // over-cap cells are disjoint from capped ones
     all
-      .withColumn("sim",
-        graft.functions.GraftFunctions.cosine(cells.sparkSession, col("va"), col("vb")))
+      .withColumn("sim", pairSim(
+        graft.functions.GraftFunctions.dot(spark, col("va"), col("vb")),
+        col("na"), col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).alias("sim"))
   }
