@@ -207,5 +207,34 @@ class PlanShapeSpec extends SparkSpec {
     // centroid vectors were collected (bounded by contract) and inlined:
     // assignment is the literal-argmax projection, not a join
     assert(p.contains("greatest(struct"), s"assignment not the inlined argmax:\n$p")
+    // round 7: pair scoring is dot/(na*nb) with norms computed once per
+    // row BELOW the self-join — the fused cosine stays in the centroid
+    // argmax (per row) but must never run per PAIR (va/vb operands)
+    assert(p.contains("graft_dot(va"), s"pair scoring not on the dot kernel:\n$p")
+    assert(!p.contains("graft_cosine(va"), s"per-pair cosine resurfaced:\n$p")
+  }
+
+  test("rangeJoinCount pre-aggregates the right side below the band join") {
+    val p = plan("join_range")
+    // the per-timestamp count aggregate must sit under the join: two
+    // aggregates total (pre-count + final sum), and the join's streamed
+    // side reads the aggregated (ts, count) rows, not raw lineitem rows
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx > 0, s"expected a join:\n$p")
+    assert(p.indexOf("HashAggregate", joinIdx) > 0 &&
+      p.substring(joinIdx).contains("partial_count"),
+      s"right side not pre-aggregated below the join:\n$p")
+    assert(p.contains("sum"), s"final aggregate must SUM pre-counts:\n$p")
+  }
+
+  test("text-profile queries ride the compiled kernels, not regex scans") {
+    val g = plan("text_gopher_rules")
+    assert(g.contains("graft_text_profile") || g.contains("profileLower"),
+      s"gopher rules not on the compiled kernel:\n$g")
+    assert(!g.contains("aggregate(") && !g.contains("regexp_extract_all"),
+      s"gopher rules still carry HOF/regex passes:\n$g")
+    val st = plan("text_stats")
+    assert(st.contains("graft_text_counts"),
+      s"text_stats not on the compiled counts kernel:\n$st")
   }
 }
