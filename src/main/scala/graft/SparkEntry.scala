@@ -946,6 +946,20 @@ object SparkEntry {
           col("term"), col("score"))
         .orderBy("doc_id", "rank")),
 
+    // corpus bigram frequency table: shared normTokens spelling,
+    // NON-distinct grams (counts, not dedup shingles), count-desc +
+    // lexicographic tie-break top-40
+    "text_ngram_counts" -> ((s, dir) =>
+      TextAnalysis.ngramCounts(t(s, dir, "documents"), "text", n = 2, topN = 40)
+        .orderBy(col("count").desc, col("ngram").asc)),
+
+    // PMI bigram collocations: minCount=5 floor, ln((c12/T2)/((c1/T1)^2
+    // shape)) rounded to 4, pmi-desc + (w1, w2) tie-break top-40
+    "text_pmi_bigrams" -> ((s, dir) =>
+      TextAnalysis.pmiBigrams(t(s, dir, "documents"), "text",
+          minCount = 5, topN = 40)
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)),
+
     // C4 cleaning rules as one shuffle-free projection: line retention
     // (terminal punctuation, >= 3 words, no "javascript") + page gates
     // (no lorem ipsum, no curly brace, >= 1 surviving line)
@@ -1528,6 +1542,27 @@ object SparkEntry {
          "FROM tf JOIN dfreq USING (term) CROSS JOIN nd), " +
          "ranked AS (SELECT doc_id, term, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) " +
          "SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"),
+      "text_ngram_counts" ->
+        ("WITH toks AS (SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM documents), " +
+         "grams AS (SELECT concat_ws(' ', tk[n], tk[n+1]) AS ngram " +
+         "FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(n) WHERE len(tk) >= 2) " +
+         "SELECT ngram, count(*) AS count FROM grams GROUP BY 1 " +
+         "ORDER BY count DESC, ngram ASC LIMIT 40"),
+      "text_pmi_bigrams" ->
+        ("WITH toks AS (SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM documents), " +
+         "terms AS (SELECT unnest(tk) AS term FROM toks), " +
+         "uni AS (SELECT term, count(*) AS c1 FROM terms GROUP BY 1), " +
+         "bi_all AS (SELECT concat_ws(' ', tk[n], tk[n+1]) AS bigram " +
+         "FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 0) + 1)) AS u(n) WHERE len(tk) >= 2), " +
+         "biagg AS (SELECT bigram, count(*) AS c12 FROM bi_all GROUP BY 1), " +
+         "tot AS (SELECT (SELECT CAST(sum(c1) AS DOUBLE) FROM uni) AS t1, " +
+         "(SELECT CAST(sum(c12) AS DOUBLE) FROM biagg) AS t2), " +
+         "bi AS (SELECT bigram, c12, string_split(bigram, ' ')[1] AS w1, " +
+         "string_split(bigram, ' ')[2] AS w2 FROM biagg WHERE c12 >= 5) " +
+         "SELECT w1, w2, c12 AS count, " +
+         "round(ln((c12 / t2) / ((ca.c1 / t1) * (cb.c1 / t1))), 4) AS pmi " +
+         "FROM bi CROSS JOIN tot JOIN uni ca ON ca.term = bi.w1 JOIN uni cb ON cb.term = bi.w2 " +
+         "ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 40"),
       "dedup_paragraphs" ->
         ("WITH corpus AS (SELECT doc_id, text || chr(10) || chr(10) || 'Share this article on social media.' || " +
          "(CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || 'All content copyright the original authors.' " +

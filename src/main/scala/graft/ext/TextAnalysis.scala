@@ -251,6 +251,80 @@ object TextAnalysis {
       .select(col("id"), col("rank"), col("term"), col("score"))
   }
 
+  /** Contiguous word n-grams of [[normTokens]] as space-joined strings —
+    * the corpus-statistics spelling (NON-distinct, unlike the dedup
+    * shingles: counts need every occurrence). Docs with fewer than `n`
+    * tokens contribute nothing; the `size >= n` guard matters because
+    * Spark's `sequence(1, 0)` counts DOWN (yielding `[1, 0]`), it is not
+    * empty like a half-open range. Empty text contributes nothing
+    * either: [[normTokens]] yields `[""]` (size 1 < 2 ≤ n). */
+  private[graft] def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 2, s"wordNgrams is for n >= 2, got $n")
+    val tk = normTokens(text)
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Corpus-level n-gram frequency table — vocabulary statistics for
+    * tokenizer training, boilerplate discovery, and contamination
+    * screening. Returns the `topN` most frequent n-grams as
+    * `(ngram, count)`, ties broken lexicographically.
+    *
+    * Scale shape: one codegen'd gram projection + explode, one hash
+    * aggregation on the gram key (map-side partial combine does the
+    * heavy lifting — the shuffle carries the Zipf-bounded vocabulary,
+    * not the corpus), and the global top-N is a `TakeOrdered` over the
+    * agg output (no full sort, no single-partition window). */
+  def ngramCounts(df: DataFrame, textCol: String, n: Int = 2,
+                  topN: Int = 50): DataFrame =
+    df.select(explode(wordNgrams(col(textCol), n)).alias("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).alias("count"))
+      .orderBy(col("count").desc, col("ngram").asc)
+      .limit(topN)
+
+  /** Top PMI bigram collocations — `ln((c12/T2) / ((c1/T1)·(c2/T1)))`
+    * over [[normTokens]] unigram/bigram counts, the classic collocation
+    * score (Church & Hanks 1990) behind multi-word-expression vocab
+    * entries and quota keys. `minCount` floors the bigram count (PMI is
+    * noise below it); output is `(w1, w2, count, pmi)`, top `topN` by
+    * PMI with a `(w1, w2)` lexicographic tie-break.
+    *
+    * Scale shape: unigram and bigram counts are independent hash aggs
+    * over the same scan (vocab-sized outputs); the two unigram joins key
+    * on the bigram's split words — AQE picks broadcast when the
+    * (minCount-filtered) side fits, shuffle-hash otherwise, deliberately
+    * unhinted; corpus totals ride a one-row broadcast cross join. The
+    * final top-N is a `TakeOrdered`. */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Int = 5,
+                 topN: Int = 50): DataFrame = {
+    val terms = df
+      .select(explode(normTokens(col(textCol))).alias("term"))
+      .filter(col("term") =!= "")
+    val uni = terms.groupBy(col("term")).agg(count(lit(1)).alias("c1"))
+    val biAll = df.select(explode(wordNgrams(col(textCol), 2)).alias("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).alias("c12"))
+    val bi = biAll.filter(col("c12") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    // totals BEFORE the minCount filter: T2 is the corpus bigram count,
+    // not the frequent-bigram count — the filter only prunes candidates
+    val totals = broadcast(
+      uni.agg(sum(col("c1")).cast("double").alias("__t1"))
+        .crossJoin(biAll.agg(sum(col("c12")).cast("double").alias("__t2"))))
+    bi.join(uni.select(col("term").alias("w1"), col("c1").alias("ca")), Seq("w1"))
+      .join(uni.select(col("term").alias("w2"), col("c1").alias("cb")), Seq("w2"))
+      .crossJoin(totals)
+      .withColumn("pmi", round(log(
+        (col("c12").cast("double") / col("__t2")) /
+          ((col("ca") / col("__t1")) * (col("cb") / col("__t1")))), 4))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(topN)
+      .select(col("w1"), col("w2"), col("c12").alias("count"), col("pmi"))
+  }
+
   /** Document fingerprint: md5 of case/punctuation-normalized content —
     * the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =

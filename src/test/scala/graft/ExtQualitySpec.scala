@@ -473,6 +473,37 @@ class ExtQualitySpec extends SparkSpec {
       math.rint(r.getAs[Double]("score") * 10000) / 10000))
   }
 
+  test("ngramCounts: non-distinct bigrams; short and empty docs contribute nothing") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "the cat sat"), // "the cat", "cat sat"
+      (2L, "The  cat!"),   // normalizes to "the cat"
+      (3L, "solo"),        // < 2 tokens
+      (4L, "")             // normTokens -> [""], size 1
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.ngramCounts(df, "text", n = 2, topN = 10)
+      .collect().map(r => (r.getAs[String]("ngram"), r.getAs[Long]("count")))
+    assert(out.toSeq === Seq("the cat" -> 2L, "cat sat" -> 1L))
+  }
+
+  test("pmiBigrams ranks exclusive collocations above promiscuous ones") {
+    val s = spark; import s.implicits._
+    // "zig zag" is exclusive; "the" spreads over two partners
+    val df = (1 to 5).flatMap(i => Seq(
+      (i * 3 + 0, "zig zag"), (i * 3 + 1, "the cat"), (i * 3 + 2, "the end")))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.pmiBigrams(df, "text", minCount = 2, topN = 10)
+      .collect()
+    // T1=30 tokens, T2=15 bigrams: pmi(zig zag)=ln(12), pmi(the *)=ln(6)
+    assert((out(0).getAs[String]("w1"), out(0).getAs[String]("w2")) === ("zig", "zag"))
+    assert(out(0).getAs[Double]("pmi") === math.rint(math.log(12.0) * 10000) / 10000)
+    assert(out.length === 3 && out(0).getAs[Long]("count") === 5L)
+    assert(out.drop(1).forall(r =>
+      r.getAs[Double]("pmi") === math.rint(math.log(6.0) * 10000) / 10000))
+    // tie between the two "the" bigrams breaks on w2: cat before end
+    assert(out.map(_.getAs[String]("w2")).toSeq === Seq("zag", "cat", "end"))
+  }
+
   test("compiled text-profile kernels equal the regex twins on the corpus") {
     import graft.ext.TextAnalysis._
     val diff = docs.select(
