@@ -157,5 +157,8 @@ object Bench {
     val omittedOracle = omitted.flatMap { case (n, _) => oracleSec.get(n) }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","engine_sec":$engineMatched%.3f,"oracle_sec":$oracleTotal%.3f,"ratio":$ratio%.3f$failedField,"per_query_eng_orc_ratio":${entries.mkString("{", ",", "}")},"omitted":{"n":${omitted.length},"engine_sec":$omittedEngine%.2f,"oracle_sec":$omittedOracle%.2f},"full":"BENCH_FULL.json"}""")
     spark.stop()
+    // exit non-zero on any query failure AFTER both JSON lines are out —
+    // rc:0 with 11 failures (round 8) read as success to the driver
+    if (failed.nonEmpty) sys.exit(2)
   }
 }

@@ -48,14 +48,24 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    * read natively: read it as long and truncate to µs (integer division
-    * — never float, ns epochs exceed 2^53). DuckDB keeps ns; every query
-    * over events is designed so µs truncation cannot change results. */
+  /** events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP_MICROS
+    * across testdata generations, so branch on the loaded type rather
+    * than assuming either. NANOS (which Spark 4 refuses to read
+    * natively) arrives as LONG under `nanosAsLong` and is truncated to
+    * µs with integer division (never float — ns epochs exceed 2^53);
+    * MICROS reads natively as a timestamp and is used as-is, matching
+    * the DuckDB oracle. Every query over events is designed so µs
+    * truncation cannot change results. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** documents ∪ exact copies of every 10th doc (id+1000000) — the dedup

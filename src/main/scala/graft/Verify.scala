@@ -22,17 +22,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Enumerate EVERY query and record failures explicitly: a query that
+    // errors must surface as an `errors.json` entry and a non-zero exit,
+    // never as a silently-missing output dir (round-8's 11 events-query
+    // failures shrank the correctness artifact from 90 to 79 entries
+    // without any red signal — ADVICE r8).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg.linesIterator.take(3).mkString(" | ").take(500)
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       SparkEntry.oracleSqlJson)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }.mkString("{", ",", "}"))
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size} quer(ies) FAILED: " +
+        errors.keys.mkString(", "))
+      sys.exit(1)
+    }
   }
 }
