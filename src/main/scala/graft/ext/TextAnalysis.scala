@@ -31,13 +31,22 @@ object TextAnalysis {
       org.apache.spark.sql.SparkSession.active, lower(text))
 
   /** Normalized word tokens (lowercase alnum runs) — the SHARED spelling
-    * behind the shingle/dedup/repetition operators and their oracle SQL:
-    * fully codegen'd (no filter HOF; collapsing runs to single spaces +
-    * trim makes a plain split sufficient). Empty/punct-only text yields
-    * `[""]`, which grams to the single empty shingle exactly like the
-    * oracle's empty token list. Keep the one definition — the DuckDB
-    * replays byte-match this tokenization. */
+    * behind the shingle/dedup/repetition operators and their oracle SQL.
+    * Compiled: Spark's own `lower` (byte-identical case mapping) feeds
+    * the single-pass [[graft.functions.TokenizeRuns]] kernel, removing
+    * the `regexp_replace` scan from every text-plane query.
+    * Empty/punct-only text yields `[""]`, which grams to the single
+    * empty shingle exactly like the oracle's empty token list. The
+    * DuckDB replays byte-match this tokenization; byte-equality vs the
+    * regex spelling [[normTokensRegex]] is property-pinned in
+    * TextShinglesSpec. */
   private[graft] def normTokens(text: Column): Column =
+    graft.functions.GraftFunctions.tokenizeRuns(
+      org.apache.spark.sql.SparkSession.active, lower(text))
+
+  /** Regex twin of [[normTokens]] — the executable specification the
+    * kernel must match (see [[tokenCountRegex]] for the pattern). */
+  private[graft] def normTokensRegex(text: Column): Column =
     split(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")), " ")
 
   /** Whitespace token count. */
@@ -257,14 +266,18 @@ object TextAnalysis {
     * tokens contribute nothing; the `size >= n` guard matters because
     * Spark's `sequence(1, 0)` counts DOWN (yielding `[1, 0]`), it is not
     * empty like a half-open range. Empty text contributes nothing
-    * either: [[normTokens]] yields `[""]` (size 1 < 2 ≤ n). */
+    * either: [[normTokens]] yields `[""]` (size 1 < 2 ≤ n).
+    *
+    * Compiled as [[graft.functions.NgramStrings]] over one materialized
+    * tokenization. The previous HOF spelling
+    * (`transform(sequence..., i -> concat_ws(element_at(tk, i+j)...))`)
+    * was the round-7 scale-killer: HOFs are CodegenFallback with no
+    * subexpression elimination, so every `element_at(tk, ·)` re-ran the
+    * whole tokenization — O(tokens²) regex work per document. */
   private[graft] def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 2, s"wordNgrams is for n >= 2, got $n")
-    val tk = normTokens(text)
-    when(size(tk) >= n,
-      transform(sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.GraftFunctions.ngramStrings(
+      org.apache.spark.sql.SparkSession.active, normTokens(text), n)
   }
 
   /** Corpus-level n-gram frequency table — vocabulary statistics for
@@ -292,20 +305,32 @@ object TextAnalysis {
     * noise below it); output is `(w1, w2, count, pmi)`, top `topN` by
     * PMI with a `(w1, w2)` lexicographic tie-break.
     *
-    * Scale shape: unigram and bigram counts are independent hash aggs
-    * over the same scan (vocab-sized outputs); the two unigram joins key
-    * on the bigram's split words — AQE picks broadcast when the
+    * Scale shape: ONE corpus scan — the [[graft.functions.UniBigramTagged]]
+    * kernel emits prefix-tagged unigrams and bigrams in a single explode,
+    * so one hash aggregation (vocab-sized output, map-side partial
+    * combine) produces both count tables. That table is PERSISTED
+    * (memory-and-disk): the five consumers (two unigram joins, the
+    * bigram candidates, both corpus totals) read the Zipf-bounded cache,
+    * never the corpus — without it Catalyst pushes each branch's kind
+    * filter below the aggregation, the branch exchanges stop being
+    * identical, exchange reuse is off the table, and the corpus is
+    * re-scanned and re-tokenized per branch (the round-7 double-scan,
+    * measured; pinned in TextShinglesSpec). The two unigram joins key on
+    * the bigram's split words — AQE picks broadcast when the
     * (minCount-filtered) side fits, shuffle-hash otherwise, deliberately
     * unhinted; corpus totals ride a one-row broadcast cross join. The
     * final top-N is a `TakeOrdered`. */
   def pmiBigrams(df: DataFrame, textCol: String, minCount: Int = 5,
                  topN: Int = 50): DataFrame = {
-    val terms = df
-      .select(explode(normTokens(col(textCol))).alias("term"))
-      .filter(col("term") =!= "")
-    val uni = terms.groupBy(col("term")).agg(count(lit(1)).alias("c1"))
-    val biAll = df.select(explode(wordNgrams(col(textCol), 2)).alias("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).alias("c12"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val tagged = df.select(explode(graft.functions.GraftFunctions
+        .uniBigramTagged(spark, normTokens(col(textCol)))).alias("t"))
+    val counts = tagged.groupBy(col("t")).agg(count(lit(1)).alias("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = counts.filter(col("t").startsWith("u "))
+      .select(expr("substring(t, 3)").alias("term"), col("c").alias("c1"))
+    val biAll = counts.filter(col("t").startsWith("b "))
+      .select(expr("substring(t, 3)").alias("bigram"), col("c").alias("c12"))
     val bi = biAll.filter(col("c12") >= minCount)
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))

@@ -232,6 +232,10 @@ object GraftFunctions {
     "graft_hyperplane_sig" -> (es => HyperplaneSig(es(0), es(1))),
     "graft_simhash64" -> (es => SimHash64(es(0))),
     "graft_scrub_pii" -> (es => ScrubPii(es(0))),
+    "graft_tokenize_runs" -> (es => TokenizeRuns(es(0))),
+    "graft_ngram_strings" -> (es => NgramStrings(es(0),
+      es(1).eval().asInstanceOf[Number].intValue())),
+    "graft_uni_bigram_tagged" -> (es => UniBigramTagged(es(0))),
     "graft_text_counts" -> (es => TextCounts(es(0))),
     "graft_text_profile" -> (es =>
       TextProfileLower(es(0), graft.ext.TextAnalysis.stopwordLists)))
@@ -284,6 +288,24 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_ngram_hashes",
       tokens, org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(distinct))
+  }
+  /** Single-pass alnum-run tokenizer over a LOWERED string —
+    * [[TokenizeRuns]]. Callers pass `lower(text)`. */
+  def tokenizeRuns(spark: SparkSession, loweredText: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_tokenize_runs", loweredText)
+  }
+  /** Non-distinct string n-grams of a token array — [[NgramStrings]]. */
+  def ngramStrings(spark: SparkSession, tokens: Column, n: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_ngram_strings",
+      tokens, org.apache.spark.sql.functions.lit(n))
+  }
+  /** Tagged unigram+bigram stream for one-scan collocation counts —
+    * [[UniBigramTagged]]. */
+  def uniBigramTagged(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_uni_bigram_tagged", tokens)
   }
 }
 
