@@ -1033,8 +1033,13 @@ object SparkEntry {
         nCentroids = 16, nprobe = 4)
         .orderBy("q_id", "rank")
     }),
+    // the engine twin also rides AUTO quantizer sizing (nCentroids = 0:
+    // one cell per 256 docs) — the 100 TB path, where a FIXED k would
+    // make within-cell pairing quadratic in corpus size. The md5
+    // original keeps k=16 so the external oracle can replay the draw
+    // without running the corpus count.
     "dedup_semantic" -> ((s, dir) =>
-      Similarity.semanticDupPairs(embDupCorpus(s, dir), nCentroids = 16,
+      Similarity.semanticDupPairs(embDupCorpus(s, dir), nCentroids = 0,
         threshold = 0.9)
         .orderBy("a", "b")))
 

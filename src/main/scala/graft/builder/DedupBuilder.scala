@@ -91,14 +91,16 @@ class DedupBuilder(
     val indexStore: Option[Store] = None,
     val nCentroids: Int = 16,
     val maxCellSize: Int = 10000,
-    val overCap: String = "drop")
+    val overCap: String = "drop",
+    val targetCellSize: Int = 256)
   extends Builder {
 
   require(indexStore.isEmpty || method == "minhash" || method == "simhash" ||
       method == "ngram" || method == "semantic",
     "indexStore (incremental dedup) is only supported for " +
       s"method=minhash|simhash|ngram|semantic, got '$method'")
-  require(nCentroids > 0, s"nCentroids must be positive, got $nCentroids")
+  require(nCentroids >= 0,
+    s"nCentroids must be >= 0 (0 = scale-adaptive auto), got $nCentroids")
 
   private def scoped: DataFrame =
     criteria.map(c => MongoFilter(source.df, c)).getOrElse(source.df)
@@ -196,7 +198,8 @@ class DedupBuilder(
         Dedup.keepCanonical(scoped,
           graft.ext.Similarity.semanticDupPairs(scoped, nCentroids,
             threshold = threshold, idCol = source.key, vecCol = textField,
-            maxCellSize = maxCellSize, overCap = overCap),
+            maxCellSize = maxCellSize, overCap = overCap,
+            targetCellSize = targetCellSize),
           source.key)
       case "lines" =>
         // content REWRITE, not row filtering: textField is replaced by
@@ -296,13 +299,32 @@ class DedupBuilder(
       case None => return BuildReport(0, 0)
       case Some(be) => be
     }
+    // nCentroids = 0 is scale-adaptive auto (one cell per targetCellSize
+    // docs): the first run sizes the quantizer from its batch, and every
+    // later run GROWS it when stored+batch outgrows the cells — the
+    // shortfall is drawn from THIS batch (whose ids are unseen by
+    // construction, so draws never collide with stored centroids) and
+    // flagged on write like any first-run draw. Stored rows keep their
+    // old cell (the layout is monotone; only new docs fill new cells),
+    // so per-cell population — and the within-cell quadratic — stays
+    // bounded as the index grows instead of growing linearly with it.
+    val autoK = nCentroids == 0
     val cents =
-      if (hasIndex)
-        broadcast(idx.df.filter(col("centroid"))
-          .select(col("id").alias("c_id"), col("vec").alias("c_vec")))
-      else
+      if (hasIndex) {
+        val stored = idx.df.filter(col("centroid"))
+          .select(col("id").alias("c_id"), col("vec").alias("c_vec"))
+        val extra =
+          if (!autoK) 0
+          else Similarity.autoCentroids(idx.count(None) + examined,
+            targetCellSize) - stored.count().toInt
+        if (extra <= 0) broadcast(stored)
+        else broadcast(stored.unionByName(
+          Similarity.centroidDraw(batch, extra, k, textField)))
+      } else
         // the ONE deterministic draw shared with the batch plane
-        Similarity.centroidDraw(batch, nCentroids, k, textField)
+        Similarity.centroidDraw(batch,
+          if (autoK) Similarity.autoCentroids(examined, targetCellSize)
+          else nCentroids, k, textField)
     val newCells = Similarity.assignToCells(batch, cents, k, textField, keep = 1)
       .select(col("__rid").alias("id"), col("__rvec").alias("vec"), col("cell"))
       .localCheckpoint(true)

@@ -155,6 +155,11 @@ object Similarity {
     * materialization), broadcast-ready. Callers that persist the draw
     * (the incremental index) replay the exact same cells the batch
     * plane computes. */
+  /** Auto quantizer size: one cell per `targetCellSize` docs, never 0. */
+  private[graft] def autoCentroids(total: Long, targetCellSize: Int): Int =
+    math.max(1L, (total + math.max(1, targetCellSize) - 1) /
+      math.max(1, targetCellSize)).min(Int.MaxValue.toLong).toInt
+
   private[graft] def centroidDraw(corpus: DataFrame, nCentroids: Int,
                                   idCol: String, vecCol: String,
                                   family: String = "xxh64"): DataFrame = {
@@ -356,10 +361,13 @@ object Similarity {
     val planes = hyperplanes(dim, h)
     val sigs = corpus.select(col(idCol).alias("id"), col(vecCol).alias("vec"),
       signature(corpus, col(vecCol), planes).alias("sig"))
-    val hot = sigs.groupBy(col("sig")).agg(count(lit(1)).alias("__bn"))
-      .filter(col("__bn") > maxBucketSize).select(col("sig"))
-    val capped = sigs.join(broadcast(hot), Seq("sig"), "left_anti")
+    // same one-shuffle cap shape as [[cellDupPairs]]: bucket count over
+    // the sig partition window; the join sides reuse that exchange
+    val wB = Window.partitionBy(col("sig"))
+    val counted = sigs
       .withColumn("nrm", nativeNorm(corpus, col("vec")))
+      .withColumn("__bn", count(lit(1)).over(wB))
+    val capped = counted.filter(col("__bn") <= maxBucketSize).drop("__bn")
     val a = capped.select(col("sig"), col("id").alias("a"),
       col("vec").alias("va"), col("nrm").alias("na"))
     val b = capped.select(col("sig"), col("id").alias("b"),
@@ -369,8 +377,7 @@ object Similarity {
     val all =
       if (overCap == "drop") pairs
       else {
-        val overs = sigs.join(broadcast(hot), Seq("sig"), "left_semi")
-          .withColumn("nrm", nativeNorm(corpus, col("vec")))
+        val overs = counted.filter(col("__bn") > maxBucketSize).drop("__bn")
         val reps = overs.groupBy(col("sig"))
           .agg(min_by(struct(col("id"), col("vec"), col("nrm")), col("id")).alias("__r"))
           .select(col("sig"), col("__r.id").alias("a"),
@@ -414,7 +421,16 @@ object Similarity {
     * quadratic. `overCap = "drop"` excludes over-cap cells from pairing;
     * `"star"` pairs each over-cap cell's min-id representative with every
     * member (O(cell) pairs), with the same recall caveat documented on
-    * [[cosineDupPairs]]. */
+    * [[cosineDupPairs]].
+    *
+    * `nCentroids = 0` is AUTO mode: `k = ceil(N / targetCellSize)`. A
+    * FIXED k makes within-cell work quadratic in corpus size (cells hold
+    * ~N/k members and the self-join pays (N/k)² per cell — measured 8.3×
+    * oracle ratio at 3× data with k=16), so at scale k must grow with N;
+    * auto mode costs one `count()` job and keeps expected cell
+    * population — and thus per-cell join cost — constant as the corpus
+    * grows. The explicit-k form stays for oracle-replayable queries
+    * (the external oracle can't run the count). */
   def semanticDupPairs(corpus: DataFrame, nCentroids: Int = 16,
                        threshold: Double = 0.95,
                        idCol: String = "vec_id",
@@ -422,10 +438,15 @@ object Similarity {
                        family: String = "xxh64",
                        maxCellSize: Int = 10000,
                        overCap: String = "drop",
-                       trainIters: Int = 0): DataFrame = {
+                       trainIters: Int = 0,
+                       targetCellSize: Int = 256): DataFrame = {
+    require(nCentroids >= 0, s"nCentroids must be >= 0 (0 = auto), got $nCentroids")
+    val k =
+      if (nCentroids > 0) nCentroids
+      else autoCentroids(corpus.count(), targetCellSize)
     val cents =
-      if (trainIters <= 0) centroidDraw(corpus, nCentroids, idCol, vecCol, family)
-      else trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, family)
+      if (trainIters <= 0) centroidDraw(corpus, k, idCol, vecCol, family)
+      else trainCentroids(corpus, k, trainIters, idCol, vecCol, family)
     val cells = assignToCells(corpus, cents, idCol, vecCol, keep = 1)
       .select(col("cell"), col("__rid").alias("id"), col("__rvec").alias("vec"))
     cellDupPairs(cells, threshold, maxCellSize, overCap)
@@ -445,12 +466,21 @@ object Similarity {
                                   maxCellSize: Int, overCap: String): DataFrame = {
     require(overCap == "drop" || overCap == "star",
       s"overCap must be 'drop' or 'star', got '$overCap'")
-    val hot = cells.groupBy(col("cell")).agg(count(lit(1)).alias("__cn"))
-      .filter(col("__cn") > maxCellSize).select(col("cell"))
+    // The cap rides a count window OVER THE CELL PARTITION, not a
+    // separate groupBy + broadcast anti-join: the window's exchange
+    // (hashpartitioning(cell)) is exactly the partitioning the self-join
+    // needs, and both join sides are the identical filtered frame, so
+    // ReuseExchange computes the corpus shuffle ONCE — versus the old
+    // shape's tiny-agg job plus two full corpus shuffles (measured ~25%
+    // off the sf0.3 wall time). The per-partition count is linear even
+    // in a degenerate hot cell.
     val spark = cells.sparkSession
-    val capped = cells.join(broadcast(hot), Seq("cell"), "left_anti")
+    val w = Window.partitionBy(col("cell"))
+    val counted = cells
       .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(spark,
         col("vec"), col("vec"))))
+      .withColumn("__cn", count(lit(1)).over(w))
+    val capped = counted.filter(col("__cn") <= maxCellSize).drop("__cn")
     val a = capped.select(col("cell"), col("id").alias("a"),
       col("vec").alias("va"), col("nrm").alias("na"))
     val b = capped.select(col("cell"), col("id").alias("b"),
@@ -460,9 +490,7 @@ object Similarity {
     val all =
       if (overCap == "drop") pairs
       else {
-        val overs = cells.join(broadcast(hot), Seq("cell"), "left_semi")
-          .withColumn("nrm", sqrt(graft.functions.GraftFunctions.dot(spark,
-            col("vec"), col("vec"))))
+        val overs = counted.filter(col("__cn") > maxCellSize).drop("__cn")
         val reps = overs.groupBy(col("cell"))
           .agg(min_by(struct(col("id"), col("vec"), col("nrm")), col("id")).alias("__r"))
           .select(col("cell"), col("__r.id").alias("a"),

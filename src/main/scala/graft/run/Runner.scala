@@ -144,9 +144,11 @@ object Runner {
           criteria = criteria(n),
           // optional persisted signature/cell index → incremental repeats
           indexStore = opt(n, "index").map(i => stores(i.asText())),
+          // n_centroids: 0 = scale-adaptive (ceil(N / target_cell_size))
           nCentroids = opt(n, "n_centroids").map(_.asInt()).getOrElse(16),
           maxCellSize = opt(n, "max_cell_size").map(_.asInt()).getOrElse(10000),
-          overCap = str(n, "over_cap", "drop"))
+          overCap = str(n, "over_cap", "drop"),
+          targetCellSize = opt(n, "target_cell_size").map(_.asInt()).getOrElse(256))
       case "decontaminate" =>
         new DecontaminateBuilder(store("source"), store("eval"),
           store("target"),

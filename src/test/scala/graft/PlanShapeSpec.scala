@@ -203,7 +203,19 @@ class PlanShapeSpec extends SparkSpec {
       col("embedding").cast("array<double>").alias("embedding"))
     val p = graft.ext.Similarity.semanticDupPairs(emb, nCentroids = 8,
       threshold = 0.9).queryExecution.executedPlan.toString
-    assert(!p.contains("Window"), s"unexpected window in cell assignment:\n$p")
+    // round 9: the hot-cell cap rides a count window over the cell
+    // partition (its exchange doubles as the join partitioning; the two
+    // identical join-side stages dedup at runtime under AQE) — the old
+    // shape's separate cap aggregation + broadcast anti-join must not
+    // resurface
+    assert(p.contains("Window [count(1)"), s"expected windowed cell cap:\n$p")
+    assert(!p.contains("LeftAnti"), s"cap anti-join resurfaced:\n$p")
+    val exchanges = p.split("\n")
+      .filter(_.contains("Exchange hashpartitioning"))
+      .map(l => l.substring(l.indexOf("Exchange")).replaceAll("#\\d+|plan_id=\\d+", ""))
+      .distinct
+    assert(exchanges.length === 1,
+      s"expected one canonical corpus shuffle, got ${exchanges.length}:\n$p")
     // centroid vectors were collected (bounded by contract) and inlined:
     // assignment is the literal-argmax projection, not a join
     assert(p.contains("greatest(struct"), s"assignment not the inlined argmax:\n$p")

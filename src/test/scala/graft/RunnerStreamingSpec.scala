@@ -515,6 +515,43 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to mix index layouts"))
   }
 
+  test("DedupBuilder semantic AUTO centroids: quantizer grows with the corpus") {
+    val s = spark; import s.implicits._
+    import graft.builder.DedupBuilder
+    import graft.store.MemoryStore
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    // distinct near-orthogonal vectors: no dedup, pure layout mechanics
+    def vec(i: Int): Seq[Double] =
+      Seq.tabulate(8)(d => if (d == i % 8) 1.0 else 0.001 * (i + d))
+    val src = new MemoryStore(spark, "asrc", key = "vec_id", lastUpdatedField = "lu")
+    src.load((1 to 20).map(i => (i.toLong, vec(i), t0)).toDF("vec_id", "embedding", "lu"))
+    val tgt = new MemoryStore(spark, "atgt", key = "vec_id", lastUpdatedField = "lu")
+    val idx = new MemoryStore(spark, "aidx", key = "id", lastUpdatedField = "cluster")
+    def builder() = new DedupBuilder(src, tgt, "embedding", "semantic",
+      threshold = 0.9999, indexStore = Some(idx),
+      nCentroids = 0, targetCellSize = 8)
+
+    // batch 1: 20 docs / cell target 8 -> ceil = 3 centroids
+    builder().run()
+    assert(idx.df.filter(col("centroid")).count() === 3)
+
+    // batch 2: +16 docs -> 36 total -> ceil(36/8) = 5; the 2 extra
+    // centroids are drawn from THIS batch (ids 21-36), stored draws kept
+    src.update((21 to 36).map(i => (i.toLong, vec(i), t0))
+      .toDF("vec_id", "embedding", "lu"))
+    builder().run()
+    val cents = idx.df.filter(col("centroid")).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(cents.length === 5, s"expected grown quantizer, got ${cents.toSeq}")
+    assert(cents.count(_ > 20L) === 2, s"extras must come from the batch: ${cents.toSeq}")
+    // every doc is assigned and the index stays consistent
+    assert(idx.df.count() === 36)
+
+    // unchanged corpus: no growth, zero work
+    assert(builder().run().processed === 0)
+    assert(idx.df.filter(col("centroid")).count() === 5)
+  }
+
   test("semantic index on ParquetStore: cell-clustered layout, pruned incremental reads") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder
