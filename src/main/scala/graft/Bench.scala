@@ -12,6 +12,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // let AQE coalesce tiny post-shuffle stages down to minPartitionSize
+      // instead of padding to core count: a vocab/label-sized shuffle as
+      // 32 near-empty tasks pays 32 scheduler floors per stage (the
+      // default true exists for fat-cluster utilization, which local
+      // micro-stages never benefit from; big shuffles still split by
+      // advisoryPartitionSize)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .config("spark.ui.enabled", "false")

@@ -623,11 +623,20 @@ object Dedup {
       .localCheckpoint(true)
     // pre-partition on dst: every round joins edges on dst, so paying one
     // extra shuffle here lets the cached partitioning be reused by all R
-    // round joins instead of re-exchanging the edge table each round
+    // round joins instead of re-exchanging the edge table each round.
+    // The partition COUNT adapts to the edge count (one cheap count on
+    // the already-materialized pair table): post-LSH edge sets are orders
+    // of magnitude smaller than their corpora, and running every label
+    // round as shuffle.partitions-many near-empty tasks pays R × the
+    // scheduler floor for nothing (measured 2-3× on the full-suite
+    // bench). Large edge sets keep the session's configured parallelism.
+    val defaultPar = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val ccPar = math.max(1L, math.min(defaultPar.toLong,
+      p.count() / 50000L + 1L)).toInt
     val edges = p
       .unionByName(p.select(col("dst").alias("src"), col("src").alias("dst")))
       .distinct()
-      .repartition(col("dst"))
+      .repartition(ccPar, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fused first round: labels after round 1 are exactly
     // min(id, min(neighbor id)) — computed as ONE aggregation over the
