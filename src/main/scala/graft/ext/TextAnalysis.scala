@@ -229,15 +229,19 @@ object TextAnalysis {
     * rounded to 4 places; ties break lexicographically on the term so
     * the output is fully deterministic.
     *
-    * Scale shape: term frequencies are one `(id, term)` aggregation;
-    * document frequencies aggregate the SAME rows by term (vocabulary-
-    * sized output, Zipf-bounded); the corpus size is a one-row broadcast
-    * cross join, and idf joins back on the term key — broadcast-able
-    * when the vocabulary fits, shuffle otherwise (unhinted: AQE decides
-    * from the measured size). The final top-k is a per-doc
-    * `row_number` window over tf rows — per-doc cardinality is the
-    * doc's distinct-term count, bounded by document length, so no
-    * partition exceeds the largest document. */
+    * Scale shape: term frequencies are one `(id, term)` aggregation,
+    * PERSISTED (memory-and-disk) because document frequencies aggregate
+    * the SAME rows by term (vocabulary-sized output, Zipf-bounded) and
+    * the idf join reads them a second time — without the persist each
+    * consumer re-scans and re-tokenizes the corpus (the pmiBigrams
+    * branch-recompute pattern; disk-backed spill keeps the cache safe at
+    * token scale). The corpus size is a one-row broadcast cross join,
+    * and idf joins back on the term key — broadcast-able when the
+    * vocabulary fits, shuffle otherwise (unhinted: AQE decides from the
+    * measured size). The final top-k is a per-doc `row_number` window
+    * over tf rows — per-doc cardinality is the doc's distinct-term
+    * count, bounded by document length, so no partition exceeds the
+    * largest document. */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 5): DataFrame = {
     val terms = df
@@ -246,6 +250,7 @@ object TextAnalysis {
       .filter(col("term").isNotNull && col("term") =!= "")
     val tf = terms.groupBy(col("id"), col("term"))
       .agg(count(lit(1)).alias("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).alias("df"))
     val nDocs = broadcast(df.agg(
