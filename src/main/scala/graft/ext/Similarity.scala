@@ -271,23 +271,25 @@ object Similarity {
     if (keep == 1 && numericCid) {
       val cl = cents.select(col("c_id"), col("c_vec")).collect() // ≤ nCentroids rows by contract
       val base = df.select(col(id).alias("__rid"), col(vec).alias("__rvec"))
-      if (cl.length <= 256) {
-        val scoredStructs = cl.map { r =>
-          val cid = r.getAs[Number]("c_id").longValue()
-          val vecLit = r.getSeq[Any](1) match {
-            case s if s.nonEmpty && s.head.isInstanceOf[Float] =>
-              typedlit(s.asInstanceOf[Seq[Float]])
-            case s => typedlit(s.asInstanceOf[Seq[Double]])
-          }
-          struct(
-            nativeCosine(df, col("__rvec"), vecLit).alias("s"),
-            lit(-cid).alias("negid"))
+      if (cl.length <= 4096) {
+        // one compiled argmax loop over the centroid-matrix literal
+        // ([[graft.functions.NearestCell]]) — the former k-way
+        // greatest(struct(cosine, -id)) tower blew the JVM method limit
+        // past a few dozen centroids and dropped to interpreted eval
+        // (0.77 s -> 10.8 s from k=16 to k=78 on 20k vectors); the
+        // kernel holds the same argmax bit-identically at any literal-
+        // carryable k. ~4 MB matrix at k=4096 x dim 128; larger
+        // quantizers take the broadcast cross-join below.
+        def toD(v: Any): Double = v match {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
         }
-        val best =
-          if (scoredStructs.length == 1) scoredStructs.head
-          else greatest(scoredStructs.toIndexedSeq: _*)
-        base.withColumn("__best", best)
-          .select(col("__rid"), col("__rvec"), (-col("__best.negid")).alias("cell"))
+        val cVecs = cl.map(_.getSeq[Any](1).map(toD).toArray)
+        val cIds = cl.map(_.getAs[Number]("c_id").longValue())
+        base.withColumn("cell", graft.functions.GraftFunctions.nearestCell(
+          df.sparkSession, col("__rvec"), cVecs, cIds))
+          .select(col("__rid"), col("__rvec"), col("cell"))
       } else {
         base.crossJoin(broadcast(cents))
           .withColumn("__csim", nativeCosine(df, col("__rvec"), col("c_vec")))

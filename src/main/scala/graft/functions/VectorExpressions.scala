@@ -2,10 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Native vector kernels for the similarity/dedup extensions.
@@ -213,6 +215,132 @@ object HyperplaneSig {
   }
 }
 
+/** Nearest-centroid argmax over a FOLDABLE centroid matrix in one
+  * compiled loop — the coarse-quantizer assignment kernel behind
+  * `Similarity.assignToCells` (keep = 1).
+  *
+  * The composable spelling — `greatest(struct(cosine(v, lit_i), -id_i)
+  * × k)` — generates k inlined cosine loops inside one expression tree;
+  * past a few dozen centroids the generated method blows the JVM size
+  * limits and the whole tower drops to interpreted evaluation with
+  * per-row literal boxing (measured: 0.77 s at k=16 → 10.8 s at k=78 on
+  * 20k×64 vectors). This expression does the identical argmax in a
+  * single static-call loop that stays inside whole-stage codegen at any
+  * k the matrix literal can carry (the caller caps it; the broadcast
+  * cross-join path covers larger quantizers).
+  *
+  * Semantics are bit-identical to the struct-greatest spelling:
+  * per-centroid cosine folds in ascending index order, skips null
+  * vector elements pairwise, yields no sim on zero norms; the winner is
+  * max by (sim, then SMALLER centroid id); zero-norm/null sims lose to
+  * any real sim; if every sim is null — including a NULL corpus vector,
+  * which nulls every cosine but still wins a cell through the id
+  * tie-break — the smallest centroid id is returned. */
+case class NearestCell(vec: Expression, cVecs: Expression, cIds: Expression)
+  extends TernaryExpression with Serializable {
+  override def prettyName: String = "graft_nearest_cell"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def first: Expression = vec
+  override def second: Expression = cVecs
+  override def third: Expression = cIds
+
+  private def vecElem: Option[DataType] = vec.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (vecElem.isEmpty)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double> vector, got ${vec.dataType.simpleString}")
+    (cVecs.dataType, cIds.dataType) match {
+      case (ArrayType(ArrayType(DoubleType, _), _), ArrayType(LongType, _))
+        if cVecs.foldable && cIds.foldable && ids.nonEmpty =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires non-empty foldable array<array<double>> centroids " +
+          "and array<bigint> ids")
+    }
+  }
+
+  @transient private lazy val mat: Array[Array[Double]] = {
+    val ad = cVecs.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val inner = ad.getArray(i)
+      Array.tabulate(inner.numElements())(inner.getDouble)
+    }
+  }
+  @transient private lazy val ids: Array[Long] =
+    cIds.eval().asInstanceOf[ArrayData].toLongArray()
+  private def isFloat: Boolean = vecElem.contains(FloatType)
+
+  // custom eval/codegen (not nullSafe): a null vector still wins a cell
+  override def eval(input: InternalRow): Any =
+    NearestCell.compute(vec.eval(input).asInstanceOf[ArrayData], mat, ids, isFloat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refM = ctx.addReferenceObj("cents", mat, "double[][]")
+    val refI = ctx.addReferenceObj("cids", ids, "long[]")
+    val v = vec.genCode(ctx)
+    val compute = s"graft.functions.NearestCell.compute(" +
+      s"${v.isNull} ? null : ${v.value}, $refM, $refI, $isFloat)"
+    ev.copy(
+      code = code"""
+        ${v.code}
+        long ${ev.value} = ${org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+          .expression(compute, dataType)};
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(vec = f, cVecs = s, cIds = t)
+}
+
+object NearestCell {
+  /** Static kernel shared by eval and generated code. `v` may be null. */
+  def compute(v: ArrayData, cv: Array[Array[Double]], ids: Array[Long],
+              isFloat: Boolean): Long = {
+    val k = cv.length
+    var bestHas = false
+    var bestSim = 0.0
+    var bestId = Long.MaxValue
+    var nullId = Long.MaxValue // best (= smallest) id among null-sim cells
+    var i = 0
+    while (i < k) {
+      if (v == null) {
+        if (ids(i) < nullId) nullId = ids(i)
+      } else {
+        val c = cv(i)
+        val n = math.min(v.numElements(), c.length)
+        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        var j = 0
+        while (j < n) {
+          if (!v.isNullAt(j)) {
+            val xv = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+            val yv = c(j)
+            dot += xv * yv; nx += xv * xv; ny += yv * yv
+          }
+          j += 1
+        }
+        if (nx == 0.0 || ny == 0.0) {
+          if (ids(i) < nullId) nullId = ids(i)
+        } else {
+          val s = dot / (math.sqrt(nx) * math.sqrt(ny))
+          // java.lang.Double.compare = Spark's double ordering (NaN largest)
+          val cmp = java.lang.Double.compare(s, bestSim)
+          if (!bestHas || cmp > 0 || (cmp == 0 && ids(i) < bestId)) {
+            bestHas = true; bestSim = s; bestId = ids(i)
+          }
+        }
+      }
+      i += 1
+    }
+    if (bestHas) bestId else nullId
+  }
+}
+
 /** Registration: per-session (`GraftFunctions.register(spark)`) or via
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
 object GraftFunctions {
@@ -230,6 +358,7 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue(),
       es(2).eval().asInstanceOf[Boolean])),
     "graft_hyperplane_sig" -> (es => HyperplaneSig(es(0), es(1))),
+    "graft_nearest_cell" -> (es => NearestCell(es(0), es(1), es(2))),
     "graft_simhash64" -> (es => SimHash64(es(0))),
     "graft_scrub_pii" -> (es => ScrubPii(es(0))),
     "graft_tokenize_runs" -> (es => TokenizeRuns(es(0))),
@@ -259,6 +388,15 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_hyperplane_sig",
       vec, org.apache.spark.sql.functions.typedlit(planes.map(_.toSeq).toSeq))
+  }
+  /** Fused nearest-centroid argmax over a centroid-matrix literal —
+    * [[NearestCell]]. */
+  def nearestCell(spark: SparkSession, vec: Column,
+                  cVecs: Array[Array[Double]], cIds: Array[Long]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_nearest_cell",
+      vec, org.apache.spark.sql.functions.typedlit(cVecs.map(_.toSeq).toSeq),
+      org.apache.spark.sql.functions.typedlit(cIds.toSeq))
   }
   /** Per-row 64-bit SimHash of a token array — [[SimHash64]]. */
   def simhash64(spark: SparkSession, tokens: Column): Column = {

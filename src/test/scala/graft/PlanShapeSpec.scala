@@ -217,8 +217,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.length === 1,
       s"expected one canonical corpus shuffle, got ${exchanges.length}:\n$p")
     // centroid vectors were collected (bounded by contract) and inlined:
-    // assignment is the literal-argmax projection, not a join
-    assert(p.contains("greatest(struct"), s"assignment not the inlined argmax:\n$p")
+    // assignment is the compiled argmax kernel over the centroid-matrix
+    // literal (round 9: NearestCell replaced the k-way greatest(struct)
+    // tower, which dropped to interpreted eval past a few dozen cells)
+    assert(p.contains("graft_nearest_cell"), s"assignment not the argmax kernel:\n$p")
     // round 7: pair scoring is dot/(na*nb) with norms computed once per
     // row BELOW the self-join — the fused cosine stays in the centroid
     // argmax (per row) but must never run per PAIR (va/vb operands)
