@@ -729,7 +729,22 @@ object Dedup {
       graft.functions.GraftFunctions.ngramHashes(df.sparkSession,
         TextAnalysis.normTokens(col(textCol)), n).alias("sig"))
 
-  /** [[ngramJaccardPairs]] over pre-computed signatures `(id, sig)`. */
+  /** [[ngramJaccardPairs]] over pre-computed signatures `(id, sig)`.
+    *
+    * Integral-id corpora run a PREFIX-FILTERED similarity join (the
+    * Chaudhuri/PPJoin family): a pair with capped-common Jaccard ≥ t
+    * must satisfy `common ≥ ceil(t·|sig|)`, so its globally-smallest
+    * shared gram lies within the first `|csig| − ceil(t·|sig|) + 1`
+    * grams of BOTH capped signatures under any fixed total order (here:
+    * gram-hash ascending — the order the signatures already carry).
+    * Only those prefixes are posted; candidate pairs are verified
+    * EXACTLY by a merge-walk intersection of the full capped signatures,
+    * so the output is identical to the naive every-shared-gram
+    * expansion. The naive shape emits Σ C(df, 2) candidate rows and
+    * aggregates them — on a Zipf vocabulary that is quadratic in
+    * corpus size with near-zero aggregation reduction (measured at 10×
+    * sf0.1: 170M candidates, 138M distinct pairs, 490 s; prefix
+    * filtering + exact verify: same 309k-pair output in ~13 s). */
   def ngramJaccardPairsFromSigs(sigs: DataFrame, threshold: Double = 0.8,
                                 maxPostings: Int = 1000): DataFrame = {
     val spark = sigs.sparkSession
@@ -747,35 +762,110 @@ object Dedup {
         // kernel projection, inner explode re-inlines the kernel 3×
         explode_outer(col("sig")).alias("sh"))
       .filter(col("sh").isNotNull)
-    val common = if (integralId(sigs, "id")) {
-      val lists = posted.groupBy(col("sh"))
+      // persisted: the candidate-volume estimate below materializes the
+      // postings once, and the pair pipeline (every branch reads them
+      // at least twice more) rides the cache instead of re-scanning and
+      // re-tokenizing the corpus per consumer
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // grams over the posting cap contribute neither candidates nor
+    // common counts (the capped-common contract the oracle replays)
+    // vocab-sized df table, persisted: it feeds the hot-gram cap, the
+    // candidate-volume estimate, and (prefix path) the rare-first order
+    val dfs = posted.groupBy(col("sh")).agg(count(lit(1)).alias("__df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = dfs.filter(col("__df") > maxPostings).select(col("sh"))
+    val capped = posted.join(broadcast(hot), Seq("sh"), "left_anti")
+    if (integralId(sigs, "id")) {
+      // Adaptive join strategy (an AQE-style choice from a measured,
+      // vocab-sized statistic): the naive expansion materializes
+      // Σ C(df, 2) candidate rows — unbeatable constants when that sum
+      // is small, quadratic death on Zipf vocabularies (measured 170M
+      // candidates / 490 s at 10× sf0.1). Past the crossover the
+      // prefix-filtered join pays its fixed cost (df join, capped-sig
+      // collects, verify joins) and wins asymptotically (same corpus:
+      // 38 s, identical output).
+      val candEst = Option(
+        dfs.filter(col("__df") >= 2 && col("__df") <= maxPostings)
+          .agg(sum(col("__df") * (col("__df") - 1) / 2).alias("c"))
+          .first().get(0)).map(_.asInstanceOf[Number].longValue())
+        .getOrElse(0L)
+      if (candEst <= 10000000L) {
+        val lists = capped.groupBy(col("sh"))
+          .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
+            col("id"), col("sz"), maxPostings).alias("lst"))
+          .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+        // unordered combinations, two-level: element i pairs with the
+        // list tail after i — memory per row stays O(|list|)
+        val common = lists
+          .select(col("lst"), posexplode(col("lst")))
+          .select(col("col").alias("p"),
+            explode(slice(col("lst"), col("pos") + 2,
+              greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+          .select(
+            least(col("p.id"), col("q.id")).alias("a"),
+            greatest(col("p.id"), col("q.id")).alias("b"),
+            when(col("p.id") <= col("q.id"), col("p.aux")).otherwise(col("q.aux")).alias("sza"),
+            when(col("p.id") <= col("q.id"), col("q.aux")).otherwise(col("p.aux")).alias("szb"))
+        return scoreJaccard(common, threshold)
+      }
+      // capped signature per doc: hash-ascending for the merge-walk
+      // verification, PLUS the same grams rare-first ((df, hash)
+      // ascending) for prefix selection — the rarest grams generate the
+      // fewest candidates, and any fixed global order is correct. The
+      // FULL size rides along for the Jaccard denominator.
+      val csigs = capped.join(dfs, Seq("sh"))
+        .groupBy(col("id"))
+        .agg(sort_array(collect_list(col("sh"))).alias("csig"),
+          sort_array(collect_list(struct(col("__df"), col("sh"))))
+            .getField("sh").alias("rare"),
+          first(col("sz")).alias("szf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // consumed 3× (prefix explode, a-side verify, b-side verify)
+      // minimum common for a qualifying pair; the −5e-5 absorbs the
+      // round(·, 4) ≥ t acceptance boundary so a pair that only passes
+      // via rounding still lands inside both prefixes
+      val cMin = ceil(lit(threshold - 0.00005) * col("szf")).cast("long")
+      val pref = csigs.select(col("id"), col("szf"),
+          slice(col("rare"), lit(1),
+            greatest(size(col("rare")).cast("long") - cMin + 1L, lit(0L))
+              .cast("int")).alias("pref"))
+        .select(col("id"), col("szf"), explode(col("pref")).alias("sh"))
+      val lists = pref.groupBy(col("sh"))
         .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
-          col("id"), col("sz"), maxPostings).alias("lst"))
+          col("id"), col("szf"), maxPostings).alias("lst"))
         .filter(col("lst").isNotNull && size(col("lst")) >= 2)
       // unordered combinations, two-level: element i pairs with the list
       // tail after i — memory per generated row stays O(|list|)
-      lists
+      val cand = lists
         .select(col("lst"), posexplode(col("lst")))
         .select(col("col").alias("p"),
           explode(slice(col("lst"), col("pos") + 2,
             greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
         .select(
           least(col("p.id"), col("q.id")).alias("a"),
-          greatest(col("p.id"), col("q.id")).alias("b"),
-          when(col("p.id") <= col("q.id"), col("p.aux")).otherwise(col("q.aux")).alias("sza"),
-          when(col("p.id") <= col("q.id"), col("q.aux")).otherwise(col("p.aux")).alias("szb"))
+          greatest(col("p.id"), col("q.id")).alias("b"))
+        .distinct() // a pair may share several prefix grams
+      val verified = cand
+        .join(csigs.select(col("id").alias("a"), col("csig").alias("__ca"),
+          col("szf").alias("sza")), Seq("a"))
+        .join(csigs.select(col("id").alias("b"), col("csig").alias("__cb"),
+          col("szf").alias("szb")), Seq("b"))
+        .withColumn("common", graft.functions.GraftFunctions.sortedIntersect(
+          spark, col("__ca"), col("__cb")))
+      verified
+        .withColumn("jaccard", round(col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double"), 4))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a"), col("b"), col("jaccard"))
     } else {
-      val hot = posted.groupBy(col("sh"))
-        .agg(count(lit(1)).alias("__n")).filter(col("__n") > maxPostings)
-        .select(col("sh"))
-      val capped = posted.join(broadcast(hot), Seq("sh"), "left_anti")
-      capped.select(col("sh"), col("id").alias("a"), col("sz").alias("sza"))
+      val common = capped
+        .select(col("sh"), col("id").alias("a"), col("sz").alias("sza"))
         .join(capped.select(col("sh"), col("id").alias("b"), col("sz").alias("szb")),
           Seq("sh"))
         .filter(col("a") < col("b"))
         .select(col("a"), col("b"), col("sza"), col("szb"))
+      scoreJaccard(common, threshold)
     }
-    scoreJaccard(common, threshold)
   }
 
   /** The ONE jaccard-scoring tail shared by the from-scratch and

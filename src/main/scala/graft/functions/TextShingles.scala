@@ -366,3 +366,53 @@ object UniBigramTagged {
   }
 
 }
+
+/** Count of common elements between two SORTED-ASCENDING distinct long
+  * arrays in one merge walk — the exact-verification kernel of the
+  * prefix-filtered n-gram Jaccard join ([[graft.ext.Dedup
+  * .ngramJaccardPairsFromSigs]]). Both inputs come pre-sorted: the
+  * [[NgramHashes]] signatures sort+dedup in the kernel, and the capped
+  * signatures rebuild through `sort_array`. The composable
+  * `size(array_intersect(a, b))` spelling allocates a hash set per ROW;
+  * this walk allocates nothing. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with Serializable {
+
+  override def prettyName: String = "graft_sorted_intersect"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint>, got $other")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}

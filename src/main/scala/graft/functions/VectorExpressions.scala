@@ -365,6 +365,7 @@ object GraftFunctions {
     "graft_ngram_strings" -> (es => NgramStrings(es(0),
       es(1).eval().asInstanceOf[Number].intValue())),
     "graft_uni_bigram_tagged" -> (es => UniBigramTagged(es(0))),
+    "graft_sorted_intersect" -> (es => SortedIntersectCount(es(0), es(1))),
     "graft_text_counts" -> (es => TextCounts(es(0))),
     "graft_text_profile" -> (es =>
       TextProfileLower(es(0), graft.ext.TextAnalysis.stopwordLists)))
@@ -438,6 +439,12 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_ngram_strings",
       tokens, org.apache.spark.sql.functions.lit(n))
+  }
+  /** Merge-walk common-element count of two sorted long arrays —
+    * [[SortedIntersectCount]]. */
+  def sortedIntersect(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_sorted_intersect", a, b)
   }
   /** Tagged unigram+bigram stream for one-scan collocation counts —
     * [[UniBigramTagged]]. */

@@ -185,8 +185,22 @@ class PlanShapeSpec extends SparkSpec {
         l.trim.startsWith("Filter") && l.contains(kernel))
     val jp = graft.ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .queryExecution.executedPlan.toString
-    assert(jp.split("graft_ngram_hashes").length - 1 === 1,
-      s"jaccard kernel evaluated more than once:\n$jp")
+    // round 9: the postings are persisted, so every consumer reads ONE
+    // cached materialization of the kernel scan — the plan string prints
+    // the cached child once per InMemoryTableScan, but outside that
+    // cache (and outside a Filter) the kernel must not appear
+    assert(!kernelInFilter(jp, "graft_ngram_hashes"),
+      s"jaccard kernel re-inlined into a Filter:\n$jp")
+    assert(jp.contains("InMemoryTableScan"),
+      s"expected cached posting scan:\n$jp")
+    // every kernel occurrence must be the SAME node (the one cached
+    // posting scan, printed once per consumer) — a second distinct
+    // evaluation site is the regression this guards
+    val sites = jp.linesIterator.filter(_.contains("graft_ngram_hashes"))
+      .map(_.replaceAll("^[\\s:+|-]+", "").replaceAll("#\\d+|plan_id=\\d+", ""))
+      .toSet
+    assert(sites.size <= 1,
+      s"jaccard kernel evaluated at ${sites.size} distinct sites:\n$jp")
     val sp = graft.ext.Dedup.duplicatedSpans(docs, "doc_id", "text", 3)
       .queryExecution.executedPlan.toString
     assert(!kernelInFilter(sp, "graft_ngram_hashes"),
