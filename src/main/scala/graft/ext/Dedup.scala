@@ -756,44 +756,57 @@ object Dedup {
     val idExpr =
       if (integralId(sigs, "id")) col("id").cast("long").alias("id")
       else col("id")
-    val posted = sigs.select(idExpr, col("sig"))
+    def posted = sigs.select(idExpr, col("sig"))
       .select(col("id"), size(col("sig")).cast("long").alias("sz"),
         // explode_outer: see hashedShingles — when `sigs` is the lazy
         // kernel projection, inner explode re-inlines the kernel 3×
         explode_outer(col("sig")).alias("sh"))
       .filter(col("sh").isNotNull)
-      // persisted: the candidate-volume estimate below materializes the
-      // postings once, and the pair pipeline (every branch reads them
-      // at least twice more) rides the cache instead of re-scanning and
-      // re-tokenizing the corpus per consumer
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // grams over the posting cap contribute neither candidates nor
-    // common counts (the capped-common contract the oracle replays)
-    // vocab-sized df table, persisted: it feeds the hot-gram cap, the
-    // candidate-volume estimate, and (prefix path) the rare-first order
-    val dfs = posted.groupBy(col("sh")).agg(count(lit(1)).alias("__df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = dfs.filter(col("__df") > maxPostings).select(col("sh"))
-    val capped = posted.join(broadcast(hot), Seq("sh"), "left_anti")
     if (integralId(sigs, "id")) {
+      // ONE corpus scan builds the inverted index (`lists`: gram →
+      // bounded posting list), and EVERYTHING else derives from that
+      // vocab-sized table: the hot-gram cap (boundedCollect nulls
+      // over-cap lists — dropping a gram there is exactly the
+      // capped-common contract the oracle replays), the per-gram df
+      // (= size(lst) for surviving grams), the candidate-volume
+      // statistic (Σ C(size, 2) — a one-action agg over the vocab,
+      // not a second corpus scan), and (prefix path) the capped
+      // postings themselves (explode(lst)). Round-9 lesson: the
+      // previous spelling persisted raw postings and ran a separate
+      // df-table scan before deciding, charging the prefix branch's
+      // fixed cost to the small-corpus naive branch too (2.6 s →
+      // 6.4 s at sf0.1).
+      def lists = posted.groupBy(col("sh"))
+        .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
+          col("id"), col("sz"), maxPostings).alias("lst"))
+        .filter(col("lst").isNotNull && size(col("lst")) >= 2)
       // Adaptive join strategy (an AQE-style choice from a measured,
       // vocab-sized statistic): the naive expansion materializes
       // Σ C(df, 2) candidate rows — unbeatable constants when that sum
       // is small, quadratic death on Zipf vocabularies (measured 170M
       // candidates / 490 s at 10× sf0.1). Past the crossover the
-      // prefix-filtered join pays its fixed cost (df join, capped-sig
-      // collects, verify joins) and wins asymptotically (same corpus:
-      // 38 s, identical output).
+      // prefix-filtered join pays its fixed cost (capped-sig collects,
+      // verify joins) and wins asymptotically (same corpus: 38 s,
+      // identical output).
+      //
+      // The statistic is ONE streaming scan (tokenize → explode →
+      // vocab-sized count agg → driver sum) and NOTHING is persisted
+      // for it. Round-9 lesson, twice over: (a) persisting raw
+      // postings before the decision charged the prefix branch's
+      // fixed cost to the naive branch (2.6 s → 6.4 s at sf0.1);
+      // (b) persisting the array<struct> posting LISTS was no better —
+      // an InMemoryTableScan of fat deserialized arrays re-converts
+      // every element per read and LOSES to recomputing the whole
+      // codegen'd tokenize→collect pipeline. Both branches stream
+      // `lists` (one consumer each — the second scan is cheaper than
+      // the cache); only csigs, read 3×, earns a persist.
       val candEst = Option(
-        dfs.filter(col("__df") >= 2 && col("__df") <= maxPostings)
+        posted.groupBy(col("sh")).agg(count(lit(1)).alias("__df"))
+          .filter(col("__df") >= 2 && col("__df") <= maxPostings)
           .agg(sum(col("__df") * (col("__df") - 1) / 2).alias("c"))
           .first().get(0)).map(_.asInstanceOf[Number].longValue())
         .getOrElse(0L)
       if (candEst <= 10000000L) {
-        val lists = capped.groupBy(col("sh"))
-          .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
-            col("id"), col("sz"), maxPostings).alias("lst"))
-          .filter(col("lst").isNotNull && size(col("lst")) >= 2)
         // unordered combinations, two-level: element i pairs with the
         // list tail after i — memory per row stays O(|list|)
         val common = lists
@@ -808,12 +821,20 @@ object Dedup {
             when(col("p.id") <= col("q.id"), col("q.aux")).otherwise(col("p.aux")).alias("szb"))
         return scoreJaccard(common, threshold)
       }
+      // PREFIX branch: the capped postings + per-gram df unravel from
+      // the inverted index, consumed only once (csigs persists the
+      // doc-side rebuild) — so lists itself stays unpersisted here too
+      val capped = lists
+        .select(size(col("lst")).cast("long").alias("__df"),
+          col("sh"), explode(col("lst")).alias("p"))
+        .select(col("sh"), col("__df"), col("p.id").alias("id"),
+          col("p.aux").alias("sz"))
       // capped signature per doc: hash-ascending for the merge-walk
       // verification, PLUS the same grams rare-first ((df, hash)
       // ascending) for prefix selection — the rarest grams generate the
       // fewest candidates, and any fixed global order is correct. The
       // FULL size rides along for the Jaccard denominator.
-      val csigs = capped.join(dfs, Seq("sh"))
+      val csigs = capped
         .groupBy(col("id"))
         .agg(sort_array(collect_list(col("sh"))).alias("csig"),
           sort_array(collect_list(struct(col("__df"), col("sh"))))
@@ -830,13 +851,13 @@ object Dedup {
             greatest(size(col("rare")).cast("long") - cMin + 1L, lit(0L))
               .cast("int")).alias("pref"))
         .select(col("id"), col("szf"), explode(col("pref")).alias("sh"))
-      val lists = pref.groupBy(col("sh"))
+      val prefLists = pref.groupBy(col("sh"))
         .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
           col("id"), col("szf"), maxPostings).alias("lst"))
         .filter(col("lst").isNotNull && size(col("lst")) >= 2)
       // unordered combinations, two-level: element i pairs with the list
       // tail after i — memory per generated row stays O(|list|)
-      val cand = lists
+      val cand = prefLists
         .select(col("lst"), posexplode(col("lst")))
         .select(col("col").alias("p"),
           explode(slice(col("lst"), col("pos") + 2,
@@ -858,6 +879,15 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select(col("a"), col("b"), col("jaccard"))
     } else {
+      // non-integral ids: join-based inverted index; the hot-gram cap
+      // needs the vocab-sized df table, and the postings feed both join
+      // sides — persist both
+      val postedP = posted
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = postedP.groupBy(col("sh"))
+        .agg(count(lit(1)).alias("__df"))
+        .filter(col("__df") > maxPostings).select(col("sh"))
+      val capped = postedP.join(broadcast(hot), Seq("sh"), "left_anti")
       val common = capped
         .select(col("sh"), col("id").alias("a"), col("sz").alias("sza"))
         .join(capped.select(col("sh"), col("id").alias("b"), col("sz").alias("szb")),
