@@ -420,6 +420,28 @@ object GraftFunctions {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_text_profile", loweredText)
   }
+  /** Exact continuous quantile of an ASCENDING-sorted double array —
+    * linear interpolation at position `q·(n−1)`, reproducing Spark's
+    * `Percentile.getPercentile` bit-for-bit:
+    * `(hi−pos)·v[lo] + (pos−lo)·v[hi]` (NOT the algebraically-equal
+    * `v[lo] + frac·Δ`, which rounds differently in binary64 and
+    * breaks hash-level oracle agreement). Pure Column composition —
+    * pair with `sort_array(collect_list(x))`, whose flat unsafe-array
+    * buffer beats the builtin `percentile` aggregate's per-row boxed
+    * OpenHashMap updates ~4× (measured at sf0.1; property-pinned
+    * against the builtin in PropertySpec). */
+  def quantileCont(sortedArr: Column, q: Double): Column = {
+    import org.apache.spark.sql.functions._
+    val n = size(sortedArr).cast("double")
+    val pos = lit(q) * (n - 1d)
+    val lo = floor(pos)
+    val hi = ceil(pos)
+    when(hi === lo, element_at(sortedArr, lo.cast("int") + 1))
+      .otherwise(
+        (hi - pos) * element_at(sortedArr, lo.cast("int") + 1) +
+          (pos - lo) * element_at(sortedArr, hi.cast("int") + 1))
+  }
+
   /** Hashed (optionally distinct) word n-gram shingles — [[NgramHashes]]. */
   def ngramHashes(spark: SparkSession, tokens: Column, n: Int,
                   distinct: Boolean = true): Column = {

@@ -43,6 +43,21 @@ object PropertySpec extends Properties("graft") {
         in.intersect(out).isEmpty && (in ++ out) == keys.distinct.toSet
     }
 
+  property("quantileCont is bit-identical to the builtin percentile aggregate") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6)),
+      Gen.chooseNum(0.0, 1.0)) { (values, q) =>
+      val s = spark; import s.implicits._
+      val df = values.toDF("v")
+      val row = df.agg(
+        expr(s"percentile(v, $q)").alias("builtin"),
+        graft.functions.GraftFunctions.quantileCont(
+          sort_array(collect_list(col("v"))), q).alias("sorted")).collect()(0)
+      // exact bit agreement, not tolerance — the oracle gate hashes values
+      java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(1))
+    }
+
   property("int8 quantization preserves cosine >= 0.98 for bounded vectors") =
     forAll(Gen.nonEmptyListOf(
       Gen.listOfN(16, Gen.chooseNum(-1.0, 1.0)).suchThat(_.exists(x => math.abs(x) > 0.1)))) {
