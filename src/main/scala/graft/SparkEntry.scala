@@ -411,11 +411,21 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // grouping-set queries pre-aggregate to the base grain BEFORE the
+    // Expand: Spark implements rollup/cube by replicating its INPUT once
+    // per grouping set, so expanding the raw corpus shuffles |corpus|×
+    // |sets| rows while expanding the base-grain pre-aggregate shuffles
+    // |distinct groups|×|sets|. count and the fixed-point sum are
+    // decomposable (long sums re-aggregate exactly), so results are
+    // bit-identical — this is the 100 TB shape for grouping sets.
     "agg_rollup" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).alias("n"),
-          fxSum(col("o_totalprice"), 100L).alias("sum_price"))
+      val pre = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).alias("__n"),
+          sum(round(col("o_totalprice") * 100L).cast("long")).alias("__fx"))
+      pre.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("__n")).alias("n"),
+          (sum(col("__fx")) / 100.0d).alias("sum_price"))
         .select(coalesce(col("o_orderstatus"), lit("ALL")).alias("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).alias("prio"),
           col("n"), col("sum_price"))
@@ -465,11 +475,15 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // pre-aggregate before the cube Expand — see agg_rollup
     "agg_cube" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).alias("n"),
-          fxSum(col("l_quantity"), 100L).alias("sum_qty"))
+      val pre = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).alias("__n"),
+          sum(round(col("l_quantity") * 100L).cast("long")).alias("__fx"))
+      pre.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("__n")).alias("n"),
+          (sum(col("__fx")) / 100.0d).alias("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).alias("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).alias("ls"),
           col("n"), col("sum_qty"))

@@ -55,77 +55,133 @@ class OpenDataStore(
 
   def df: DataFrame =
     if (isEmpty) spark.emptyDataFrame
-    // inferTimestamp: the JSONL round-trip writes timestamps as ISO
-    // strings; without it last_updated re-reads as string and the
-    // watermark machinery (lastUpdated/newerIn) breaks on types
-    else spark.read.option("inferTimestamp", "true").json(dataPath)
+    else readSchemaSidecar() match {
+      // the sidecar (written on every mutation) turns the read into
+      // listing + pruned scan — JSON schema INFERENCE is otherwise a
+      // full parse of every object in the store before the first real
+      // row is read, the classic JSONL-lake scale trap
+      case Some(sch) => spark.read.schema(sch).json(dataPath)
+      // legacy store without a sidecar: infer. inferTimestamp: the
+      // JSONL round-trip writes timestamps as ISO strings; without it
+      // last_updated re-reads as string and the watermark machinery
+      // (lastUpdated/newerIn) breaks on types
+      case None => spark.read.option("inferTimestamp", "true").json(dataPath)
+    }
 
-  override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {
-    val next =
-      if (isEmpty) Store.dedupLastWins(docs, keyFields)
-      else {
-        // merge only the partitions the batch touches: the batch's own
-        // grouping tuples PLUS the current partitions of the batch's
-        // keys — a doc whose grouping value changed must have its OLD
-        // copy rewritten out of its previous partition, or both copies
-        // would survive (key-uniqueness corruption)
-        val d = df
-        val batchTouched = docs.select(objectGrouping.map(col): _*).distinct()
-        val movedFrom = d.join(docs.select(col(key)), Seq(key), "left_semi")
-          .select(objectGrouping.map(col): _*).distinct()
-        val touched = batchTouched.unionByName(movedFrom).distinct()
-        val current = d.join(touched, objectGrouping, "left_semi")
-        // sever lineage: the merged plan reads the files the dynamic
-        // overwrite below replaces
-        Store.upsertPlan(current, docs, keyFields).localCheckpoint(true)
-      }
-    next.write
-      .mode(SaveMode.Overwrite)
-      .partitionBy(objectGrouping: _*)
-      // per-write scope: don't mutate the session-global overwrite mode
-      .option("partitionOverwriteMode", "dynamic")
-      .option("compression", "gzip")
-      .json(dataPath)
-    storeManifest()
-  }
+  override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit =
+    if (isEmpty) {
+      // checkpoint once: the write, the manifest aggregation, and the
+      // schema sidecar all read the materialized dedup instead of each
+      // re-running it (the manifest previously RE-READ the just-written
+      // gzip JSON — a full parse of the store per update)
+      val next = Store.dedupLastWins(docs, keyFields).localCheckpoint(true)
+      writeData(next, "dynamic")
+      writeSchemaSidecar(next.schema)
+      storeManifest(manifestOf(next))
+    } else {
+      // merge only the partitions the batch touches: the batch's own
+      // grouping tuples PLUS the current partitions of the batch's
+      // keys — a doc whose grouping value changed must have its OLD
+      // copy rewritten out of its previous partition, or both copies
+      // would survive (key-uniqueness corruption)
+      val d = df
+      val batchTouched = docs.select(objectGrouping.map(col): _*).distinct()
+      val movedFrom = d.join(docs.select(col(key)), Seq(key), "left_semi")
+        .select(objectGrouping.map(col): _*).distinct()
+      // checkpointed: consumed by the merge below AND by the manifest
+      // patch AFTER the overwrite, when its source files are gone
+      val touched = batchTouched.unionByName(movedFrom).distinct()
+        .localCheckpoint(true)
+      val current = d.join(touched, objectGrouping, "left_semi")
+      // sever lineage: the merged plan reads the files the dynamic
+      // overwrite below replaces
+      val next = Store.upsertPlan(current, docs, keyFields).localCheckpoint(true)
+      writeData(next, "dynamic")
+      writeSchemaSidecar(next.schema)
+      // incremental manifest: fresh rows for the touched partitions,
+      // prior rows for the rest — O(batch partitions), never a re-read
+      // of the whole store
+      val fresh = manifestOf(next)
+      val untouched = spark.read.schema(fresh.schema).json(manifestPath)
+        .join(touched, objectGrouping, "left_anti")
+      storeManifest(fresh.unionByName(untouched))
+    }
 
   override def removeDocs(criteria: String): Unit = if (!isEmpty) {
     val d = df
     val keep = d.filter(!coalesce(MongoFilter.compile(criteria, Some(d.schema)), lit(false)))
       .localCheckpoint(true) // sever lineage from the files being overwritten
-    keep.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "static")
-      .partitionBy(objectGrouping: _*).option("compression", "gzip").json(dataPath)
-    storeManifest()
+    writeData(keep, "static")
+    writeSchemaSidecar(keep.schema)
+    storeManifest(manifestOf(keep))
   }
 
   override def removeKeys(keys: DataFrame): Unit = if (!isEmpty) {
     val keep = df.join(keys.select(col(keys.columns.head).alias(key)), Seq(key), "left_anti")
       .localCheckpoint(true)
-    keep.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "static")
-      .partitionBy(objectGrouping: _*).option("compression", "gzip").json(dataPath)
-    storeManifest()
+    writeData(keep, "static")
+    writeSchemaSidecar(keep.schema)
+    storeManifest(manifestOf(keep))
   }
+
+  private def writeData(d: DataFrame, overwriteMode: String): Unit =
+    d.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(objectGrouping: _*)
+      // per-write scope: don't mutate the session-global overwrite mode
+      .option("partitionOverwriteMode", overwriteMode)
+      .option("compression", "gzip")
+      .json(dataPath)
 
   /** Manifest = one record per partition group: grouping values, doc
     * count, max last_updated (the reference's index docs,
     * `open_data.py:388-426`). */
-  def manifest: DataFrame = {
-    val d = df
+  def manifest: DataFrame = manifestOf(df)
+
+  private def manifestOf(d: DataFrame): DataFrame = {
     val luAgg: org.apache.spark.sql.Column =
       if (d.columns.contains(lastUpdatedField)) max(col(lastUpdatedField))
-      else first(lit(null))
+      // cast: a bare NullType column would poison the incremental-
+      // manifest read-back (file sources reject NullType in a user
+      // schema); toJSON omits null fields either way
+      else first(lit(null).cast("string"))
     d.groupBy(objectGrouping.map(col): _*)
       .agg(org.apache.spark.sql.functions.count(lit(1)).alias("n_docs"), luAgg.alias("last_updated"))
   }
 
-  private def storeManifest(): Unit = {
-    val rows = manifest.toJSON.collect() // one line per partition: small
+  private def storeManifest(m: DataFrame): Unit = {
+    val rows = m.toJSON.collect() // one line per partition: small
     val out = hadoopFs(manifestPath)
       .create(new org.apache.hadoop.fs.Path(manifestPath), true)
     try out.write(rows.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  private def schemaPath = s"$root/_schema.json"
+
+  private def writeSchemaSidecar(schema: org.apache.spark.sql.types.StructType): Unit = {
+    val out = hadoopFs(schemaPath)
+      .create(new org.apache.hadoop.fs.Path(schemaPath), true)
+    try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSchemaSidecar(): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(schemaPath)
+    val fs = hadoopFs(schemaPath)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(bytes.toString("UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } finally in.close()
+    }
   }
 }

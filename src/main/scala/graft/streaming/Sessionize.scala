@@ -112,10 +112,26 @@ object Sessionize {
       }
   }
 
-  /** Batch-mode sessionization (same semantics, pure window algebra):
+  /** Batch-mode sessionization (same semantics as the streaming path):
     * a new session starts when the gap to the previous event exceeds
-    * `gapMs`; summary row per session. Used as the oracle-checkable
+    * `gapMs` (strictly — an event exactly `gapMs` later stays in the
+    * session); summary row per session. Used as the oracle-checkable
     * twin of the streaming path.
+    *
+    * Plan shape: ONE exchange — `session_window` grouping sorts each
+    * user's events once and merges adjacent windows in the same pass
+    * (`MergingSessionsExec`). The previous lag-flag + running-sum +
+    * regroup spelling carried every event through a window exchange AND
+    * an aggregation exchange. Two rewrites make the semantics exact:
+    * the gap contract here is `unix_millis(ts2) − unix_millis(ts1) >
+    * gapMs` (MILLISECOND-truncated difference, strict), while Spark's
+    * session merge rule is half-open on the raw µs timestamps
+    * (`next.ts < prev.ts + gap` merges, equality splits). Feeding the
+    * window an ms-TRUNCATED copy of `ts` (truncation is monotonic, so
+    * per-user event order and therefore session membership is
+    * unchanged) with one extra millisecond of gap gives new-session ⇔
+    * `trunc_diff ≥ gapMs + 1` ⇔ `trunc_diff > gapMs` — the contract
+    * exactly; `start_ts`/`end_ts` still aggregate the raw timestamps.
     *
     * `total` is computed as a fixed-point scaled-LONG sum (exact,
     * order-independent under partial aggregation) divided back to DOUBLE
@@ -123,23 +139,15 @@ object Sessionize {
   def sessionsBatch(events: DataFrame, gapMs: Long,
                     userCol: String = "user_id", tsCol: String = "ts",
                     valueCol: String = "value",
-                    valueScale: Long = 1000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+                    valueScale: Long = 1000000L): DataFrame =
     events
-      .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
-      .withColumn("__new_session",
-        when(col("__prev").isNull ||
-          (unix_millis(col(tsCol)) - unix_millis(col("__prev"))) > gapMs, 1)
-          .otherwise(0))
-      .withColumn("__session_id",
-        sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col(userCol), col("__session_id"))
+      .groupBy(col(userCol),
+        session_window(timestamp_millis(unix_millis(col(tsCol))),
+          s"${gapMs + 1} milliseconds"))
       .agg(count(lit(1)).alias("n_events"),
         (sum(round(col(valueCol) * valueScale).cast("long")) / valueScale.toDouble)
           .alias("total"),
         min(col(tsCol)).alias("start_ts"),
         max(col(tsCol)).alias("end_ts"))
-      .drop("__session_id")
-  }
+      .drop("session_window")
 }
