@@ -258,11 +258,16 @@ object TextAnalysis {
     val scored = tf.join(dfreq, Seq("term")).crossJoin(nDocs)
       .withColumn("score", round(col("tf").cast("double") *
         (log((col("__n") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0), 4))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("score").desc, col("term").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id"), col("rank"), col("term"), col("score"))
+    // per-doc top-k as a bounded-heap aggregate, not a row_number
+    // window: the window re-shuffles and fully SORTS every scored row,
+    // the aggregate's map-side partials bound the exchange at k rows
+    // per document. Ordering contract identical: score desc, term asc.
+    scored.groupBy(col("id"))
+      .agg(graft.functions.TopKStrAgg.topk(df.sparkSession,
+        col("score"), col("term"), k).alias("__top"))
+      .select(col("id"), posexplode(col("__top")))
+      .select(col("id"), (col("pos") + 1).cast("int").alias("rank"),
+        col("col.term").alias("term"), col("col.score").alias("score"))
   }
 
   /** Contiguous word n-grams of [[normTokens]] as space-joined strings —

@@ -353,6 +353,7 @@ object GraftFunctions {
     "gzip_decompress" -> (es => GzipDecompress(es(0))),
     "graft_minhash" -> (es => MinHashAgg.build(es)),
     "graft_topk" -> (es => TopKAgg.build(es)),
+    "graft_topk_str" -> (es => TopKStrAgg.build(es)),
     "graft_bounded_collect" -> (es => BoundedCollectAgg.build(es)),
     "graft_ngram_hashes" -> (es => NgramHashes(es(0),
       es(1).eval().asInstanceOf[Number].intValue(),

@@ -58,6 +58,29 @@ object PropertySpec extends Properties("graft") {
         java.lang.Double.doubleToLongBits(row.getDouble(1))
     }
 
+  property("TopKStrAgg equals the row_number window spelling incl. ties") =
+    forAll(Gen.chooseNum(1, 6), Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0, 5), Gen.oneOf("alpha", "beta", "gamma", "delta", "x"),
+      Gen.chooseNum(0, 3)))) { (k, rows) =>
+      val s = spark; import s.implicits._
+      // coarse score grid + term collisions force tie-break coverage
+      val df = rows.map { case (g, t, sc) => (g, t, sc.toDouble) }
+        .toDF("g", "term", "score").distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+        .orderBy(col("score").desc, col("term").asc)
+      val win = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("g"), col("rank"), col("term"), col("score"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+      val agg = df.groupBy(col("g"))
+        .agg(graft.functions.TopKStrAgg.topk(s, col("score"), col("term"), k).alias("t"))
+        .select(col("g"), posexplode(col("t")))
+        .select(col("g"), (col("pos") + 1).cast("int").alias("rank"),
+          col("col.term"), col("col.score"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+      win == agg
+    }
+
   property("int8 quantization preserves cosine >= 0.98 for bounded vectors") =
     forAll(Gen.nonEmptyListOf(
       Gen.listOfN(16, Gen.chooseNum(-1.0, 1.0)).suchThat(_.exists(x => math.abs(x) > 0.1)))) {
