@@ -800,11 +800,24 @@ object Dedup {
       // codegen'd tokenize→collect pipeline. Both branches stream
       // `lists` (one consumer each — the second scan is cheaper than
       // the cache); only csigs, read 3×, earns a persist.
+      // Round 9: the statistic runs on a DETERMINISTIC 10% document
+      // sample (xxhash64(id) residue — reproducible across runs, no
+      // seed state), scaled by 1/p² — a doc pair sharing a gram
+      // survives sampling with p², so Σ C(df_s, 2)/p² is unbiased for
+      // the full pair mass. This cuts the decision scan ~10× (measured
+      // 4.9 s → 0.6 s at sf1); estimator noise only shifts the BRANCH
+      // choice near the crossover, never the output (both branches are
+      // exact). Over-cap grams that fall under the cap when sampled
+      // inflate the estimate slightly — conservative (prefers the
+      // prefix branch, the asymptotically-safe side). Tiny corpora
+      // sample to zero docs → estimate 0 → naive branch, the right
+      // choice there by construction.
+      val sPosted = posted.filter(pmod(xxhash64(col("id")), lit(10)) === 0)
       val candEst = Option(
-        posted.groupBy(col("sh")).agg(count(lit(1)).alias("__df"))
+        sPosted.groupBy(col("sh")).agg(count(lit(1)).alias("__df"))
           .filter(col("__df") >= 2 && col("__df") <= maxPostings)
           .agg(sum(col("__df") * (col("__df") - 1) / 2).alias("c"))
-          .first().get(0)).map(_.asInstanceOf[Number].longValue())
+          .first().get(0)).map(_.asInstanceOf[Number].longValue() * 100L)
         .getOrElse(0L)
       if (candEst <= 10000000L) {
         // unordered combinations, two-level: element i pairs with the
