@@ -254,6 +254,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("sum"), s"final aggregate must SUM pre-counts:\n$p")
   }
 
+  test("window_sessionize is one session-window aggregation, no row_number/lag window") {
+    val p = plan("window_sessionize")
+    assert(p.contains("session_window") || p.contains("MergingSessions"),
+      s"expected session-window aggregation:\n$p")
+    assert(!p.contains("Window "), s"unexpected window operator (the old " +
+      s"lag+running-sum spelling carried a second exchange):\n$p")
+  }
+
+  test("grouping-set queries expand the pre-aggregate, not the corpus") {
+    for (q <- Seq("agg_cube", "agg_rollup")) {
+      val p = plan(q)
+      // Expand must sit ABOVE a partial aggregation of the base grain:
+      // the scan feeds HashAggregate before any Expand appears
+      val expandIdx = p.indexOf("Expand")
+      val aggBelow = p.indexOf("HashAggregate", expandIdx)
+      assert(expandIdx > 0, s"$q expected a grouping-set Expand:\n$p")
+      assert(aggBelow > 0, s"$q: no aggregate below the Expand — " +
+        s"grouping sets are replicating the corpus:\n$p")
+    }
+  }
+
+  test("tfidf top-k reduces via the bounded string heap, not a row_number window") {
+    val p = plan("text_tfidf_topk")
+    assert(p.contains("graft_topk_str"), s"expected TopKStrAgg:\n$p")
+    assert(!p.contains("row_number"), s"unexpected row_number window:\n$p")
+  }
+
+  test("exact percentile aggregates flat collect_list buffers, not the builtin percentile map") {
+    val p = plan("agg_percentile")
+    assert(p.contains("collect_list"), s"expected collect_list spelling:\n$p")
+    assert(!p.contains("percentile("), s"builtin percentile crept back:\n$p")
+  }
+
   test("text-profile queries ride the compiled kernels, not regex scans") {
     val g = plan("text_gopher_rules")
     assert(g.contains("graft_text_profile") || g.contains("profileLower"),
