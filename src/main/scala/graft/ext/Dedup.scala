@@ -242,12 +242,10 @@ object Dedup {
           col("id"), lit(0L), maxBucketSize).alias("lst"))
         .filter(col("lst").isNotNull && size(col("lst")) >= 2)
       lists
-        .select(col("lst"), posexplode(col("lst")))
-        .select(col("col").alias("p"),
-          explode(slice(col("lst"), col("pos") + 2,
-            greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
-        .select(least(col("p.id"), col("q.id")).alias("a"),
-          greatest(col("p.id"), col("q.id")).alias("b"))
+        .select(explode(graft.functions.GraftFunctions.listPairs(
+          sigs.sparkSession, col("lst"))).alias("pr"))
+        .select(least(col("pr.a"), col("pr.b")).alias("a"),
+          greatest(col("pr.a"), col("pr.b")).alias("b"))
         .distinct()
     } else {
       val (capped, _) = cappedBandedFallback(banded, maxBucketSize)
@@ -372,14 +370,12 @@ object Dedup {
         else lists0
       (lists
         .filter(col("lst").isNotNull && size(col("lst")) >= 2)
-        .select(col("lst"), posexplode(col("lst")))
-        .select(col("col").alias("p"),
-          explode(slice(col("lst"), col("pos") + 2,
-            greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+        .select(explode(graft.functions.GraftFunctions.listPairs(
+          lists0.sparkSession, col("lst"))).alias("pr"))
         .select(
-          least(col("p.id"), col("q.id")).alias("a"),
-          greatest(col("p.id"), col("q.id")).alias("b"),
-          bit_count(col("p.aux").bitwiseXOR(col("q.aux"))).alias("hamming")),
+          least(col("pr.a"), col("pr.b")).alias("a"),
+          greatest(col("pr.a"), col("pr.b")).alias("b"),
+          bit_count(col("pr.sza").bitwiseXOR(col("pr.szb"))).alias("hamming")),
         lists.filter(col("lst").isNull).select(col("band"), col("bucket")))
     } else {
       val (capped, hotKeys) = cappedBandedFallback(banded, maxBucketSize)
@@ -479,18 +475,16 @@ object Dedup {
           col("id"), col("__new"), maxBucketSize).alias("lst"))
         .filter(col("lst").isNotNull && size(col("lst")) >= 2)
       lists
-        .select(col("lst"), posexplode(col("lst")))
-        .select(col("col").alias("p"),
-          explode(slice(col("lst"), col("pos") + 2,
-            greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
-        .filter(col("p.aux") + col("q.aux") >= 1)
+        .select(explode(graft.functions.GraftFunctions.listPairs(
+          newSigs.sparkSession, col("lst"))).alias("pr"))
+        .filter(col("pr.sza") + col("pr.szb") >= 1)
         .select(
-          when(col("p.aux") === 0, col("p.id"))
-            .when(col("q.aux") === 0, col("q.id"))
-            .otherwise(least(col("p.id"), col("q.id"))).alias("a"),
-          when(col("p.aux") === 0, col("q.id"))
-            .when(col("q.aux") === 0, col("p.id"))
-            .otherwise(greatest(col("p.id"), col("q.id"))).alias("b"))
+          when(col("pr.sza") === 0, col("pr.a"))
+            .when(col("pr.szb") === 0, col("pr.b"))
+            .otherwise(least(col("pr.a"), col("pr.b"))).alias("a"),
+          when(col("pr.sza") === 0, col("pr.b"))
+            .when(col("pr.szb") === 0, col("pr.a"))
+            .otherwise(greatest(col("pr.a"), col("pr.b"))).alias("b"))
         .distinct()
     } else {
       val (capped, _) = cappedBandedFallback(tagged, maxBucketSize)
@@ -557,18 +551,16 @@ object Dedup {
           col("id"), col("__new"), maxBucketSize).alias("lst"))
         .filter(col("lst").isNotNull && size(col("lst")) >= 2)
       lists
-        .select(col("lst"), posexplode(col("lst")))
-        .select(col("col").alias("p"),
-          explode(slice(col("lst"), col("pos") + 2,
-            greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
-        .filter(col("p.aux") + col("q.aux") >= 1)
+        .select(explode(graft.functions.GraftFunctions.listPairs(
+          newSigs.sparkSession, col("lst"))).alias("pr"))
+        .filter(col("pr.sza") + col("pr.szb") >= 1)
         .select(
-          when(col("p.aux") === 0, col("p.id"))
-            .when(col("q.aux") === 0, col("q.id"))
-            .otherwise(least(col("p.id"), col("q.id"))).alias("a"),
-          when(col("p.aux") === 0, col("q.id"))
-            .when(col("q.aux") === 0, col("p.id"))
-            .otherwise(greatest(col("p.id"), col("q.id"))).alias("b"))
+          when(col("pr.sza") === 0, col("pr.a"))
+            .when(col("pr.szb") === 0, col("pr.b"))
+            .otherwise(least(col("pr.a"), col("pr.b"))).alias("a"),
+          when(col("pr.sza") === 0, col("pr.b"))
+            .when(col("pr.szb") === 0, col("pr.a"))
+            .otherwise(greatest(col("pr.a"), col("pr.b"))).alias("b"))
         .distinct()
     } else {
       val (capped, _) = cappedBandedFallback(tagged, maxBucketSize)
@@ -716,9 +708,10 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxPostings: Int = 1000): DataFrame =
+                        maxPostings: Int = 1000,
+                        naiveMaxCandidates: Long = 10000000L): DataFrame =
     ngramJaccardPairsFromSigs(ngramSignatures(df, idCol, textCol, n),
-      threshold, maxPostings)
+      threshold, maxPostings, naiveMaxCandidates)
 
   /** Per-doc distinct gram-hash signatures `(id, sig)` — the per-doc
     * state the ngram tier persists for incremental builds (the kernel
@@ -745,8 +738,12 @@ object Dedup {
     * corpus size with near-zero aggregation reduction (measured at 10×
     * sf0.1: 170M candidates, 138M distinct pairs, 490 s; prefix
     * filtering + exact verify: same 309k-pair output in ~13 s). */
+  /** `naiveMaxCandidates`: estimated-candidate-mass crossover below
+    * which the naive every-shared-gram expansion runs instead of the
+    * prefix-filtered join (tests pin branch equivalence by forcing 0). */
   def ngramJaccardPairsFromSigs(sigs: DataFrame, threshold: Double = 0.8,
-                                maxPostings: Int = 1000): DataFrame = {
+                                maxPostings: Int = 1000,
+                                naiveMaxCandidates: Long = 10000000L): DataFrame = {
     val spark = sigs.sparkSession
     // postings keyed by the 64-bit gram hash, not the string — 8-byte
     // keys in the single inverted-index shuffle (collision odds
@@ -813,25 +810,33 @@ object Dedup {
       // sample to zero docs → estimate 0 → naive branch, the right
       // choice there by construction.
       val sPosted = posted.filter(pmod(xxhash64(col("id")), lit(10)) === 0)
-      val candEst = Option(
-        sPosted.groupBy(col("sh")).agg(count(lit(1)).alias("__df"))
-          .filter(col("__df") >= 2 && col("__df") <= maxPostings)
-          .agg(sum(col("__df") * (col("__df") - 1) / 2).alias("c"))
-          .first().get(0)).map(_.asInstanceOf[Number].longValue() * 100L)
-        .getOrElse(0L)
-      if (candEst <= 10000000L) {
-        // unordered combinations, two-level: element i pairs with the
-        // list tail after i — memory per row stays O(|list|)
+      // one row, two statistics off the same sampled vocab table:
+      // candidate pair mass (branch choice) and total posting volume
+      // (the verify-join broadcast decision below — csigs bytes ≈
+      // postings × ~24 B, so the posting count says whether the capped
+      // signatures fit a broadcast)
+      val statRow = sPosted.groupBy(col("sh")).agg(count(lit(1)).alias("__df"))
+        .agg(
+          sum(when(col("__df") >= 2 && col("__df") <= maxPostings,
+            col("__df") * (col("__df") - 1) / 2)).alias("c"),
+          sum(col("__df")).alias("p"))
+        .first()
+      def statVal(i: Int, scale: Long): Long =
+        Option(statRow.get(i)).map(_.asInstanceOf[Number].longValue() * scale)
+          .getOrElse(0L)
+      val candEst = statVal(0, 100L)
+      val postEst = statVal(1, 10L)
+      if (candEst <= naiveMaxCandidates) {
+        // unordered combinations via the compiled pair kernel — memory
+        // per row bounded by C(maxPostings, 2) (the cap contract)
+        val pr = graft.functions.GraftFunctions.listPairs(spark, col("lst"))
         val common = lists
-          .select(col("lst"), posexplode(col("lst")))
-          .select(col("col").alias("p"),
-            explode(slice(col("lst"), col("pos") + 2,
-              greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
+          .select(explode(pr).alias("pr"))
           .select(
-            least(col("p.id"), col("q.id")).alias("a"),
-            greatest(col("p.id"), col("q.id")).alias("b"),
-            when(col("p.id") <= col("q.id"), col("p.aux")).otherwise(col("q.aux")).alias("sza"),
-            when(col("p.id") <= col("q.id"), col("q.aux")).otherwise(col("p.aux")).alias("szb"))
+            least(col("pr.a"), col("pr.b")).alias("a"),
+            greatest(col("pr.a"), col("pr.b")).alias("b"),
+            when(col("pr.a") <= col("pr.b"), col("pr.sza")).otherwise(col("pr.szb")).alias("sza"),
+            when(col("pr.a") <= col("pr.b"), col("pr.szb")).otherwise(col("pr.sza")).alias("szb"))
         return scoreJaccard(common, threshold)
       }
       // PREFIX branch: the capped postings + per-gram df unravel from
@@ -868,22 +873,29 @@ object Dedup {
         .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
           col("id"), col("szf"), maxPostings).alias("lst"))
         .filter(col("lst").isNotNull && size(col("lst")) >= 2)
-      // unordered combinations, two-level: element i pairs with the list
-      // tail after i — memory per generated row stays O(|list|)
+      // unordered combinations via the compiled pair kernel
       val cand = prefLists
-        .select(col("lst"), posexplode(col("lst")))
-        .select(col("col").alias("p"),
-          explode(slice(col("lst"), col("pos") + 2,
-            greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
-        .select(
-          least(col("p.id"), col("q.id")).alias("a"),
-          greatest(col("p.id"), col("q.id")).alias("b"))
+        .select(explode(graft.functions.GraftFunctions.listPairs(spark,
+          col("lst"))).alias("pr"))
+        .select(least(col("pr.a"), col("pr.b")).alias("a"),
+          greatest(col("pr.a"), col("pr.b")).alias("b"))
         .distinct() // a pair may share several prefix grams
+      // verify-join strategy: candidates × fat signature arrays. The
+      // second join's input carries the first join's signature column,
+      // so a shuffle join moves |cand| × |csig| bytes — measured ~20 GB
+      // at sf1 (47M candidates × ~400 B signatures). When the sampled
+      // posting volume says the capped signatures fit a broadcast
+      // (~24 B/posting; cap 4M postings ≈ 100 MB), hint it and
+      // verification becomes a map-side hash lookup over the candidate
+      // stream. At corpus scale the estimate blows the cap and the
+      // joins stay shuffles — the only exact option at that size.
+      val bcastVerify = postEst > 0 && postEst <= 4000000L
+      def vside(d: DataFrame): DataFrame = if (bcastVerify) broadcast(d) else d
       val verified = cand
-        .join(csigs.select(col("id").alias("a"), col("csig").alias("__ca"),
-          col("szf").alias("sza")), Seq("a"))
-        .join(csigs.select(col("id").alias("b"), col("csig").alias("__cb"),
-          col("szf").alias("szb")), Seq("b"))
+        .join(vside(csigs.select(col("id").alias("a"), col("csig").alias("__ca"),
+          col("szf").alias("sza"))), Seq("a"))
+        .join(vside(csigs.select(col("id").alias("b"), col("csig").alias("__cb"),
+          col("szf").alias("szb"))), Seq("b"))
         .withColumn("common", graft.functions.GraftFunctions.sortedIntersect(
           spark, col("__ca"), col("__cb")))
       verified
@@ -973,15 +985,13 @@ object Dedup {
           col("id"), col("aux"), maxPostings).alias("lst"))
         .filter(col("lst").isNotNull && size(col("lst")) >= 2)
       lists
-        .select(col("lst"), posexplode(col("lst")))
-        .select(col("col").alias("p"),
-          explode(slice(col("lst"), col("pos") + 2,
-            greatest(size(col("lst")) - col("pos") - 1, lit(0)))).alias("q"))
-        .select(col("p.id").alias("pi"), col("q.id").alias("qi"),
-          col("p.aux").bitwiseAND(1).alias("pn"),
-          col("q.aux").bitwiseAND(1).alias("qn"),
-          shiftright(col("p.aux"), 1).alias("psz"),
-          shiftright(col("q.aux"), 1).alias("qsz"))
+        .select(explode(graft.functions.GraftFunctions.listPairs(spark,
+          col("lst"))).alias("pr"))
+        .select(col("pr.a").alias("pi"), col("pr.b").alias("qi"),
+          col("pr.sza").bitwiseAND(1).alias("pn"),
+          col("pr.szb").bitwiseAND(1).alias("qn"),
+          shiftright(col("pr.sza"), 1).alias("psz"),
+          shiftright(col("pr.szb"), 1).alias("qsz"))
     } else {
       val hot = posted.groupBy(col("sh")).agg(count(lit(1)).alias("__n"))
         .filter(col("__n") > maxPostings).select(col("sh"))

@@ -229,28 +229,28 @@ object TextAnalysis {
     * rounded to 4 places; ties break lexicographically on the term so
     * the output is fully deterministic.
     *
-    * Scale shape: term frequencies are one `(id, term)` aggregation,
-    * PERSISTED (memory-and-disk) because document frequencies aggregate
-    * the SAME rows by term (vocabulary-sized output, Zipf-bounded) and
-    * the idf join reads them a second time — without the persist each
-    * consumer re-scans and re-tokenizes the corpus (the pmiBigrams
-    * branch-recompute pattern; disk-backed spill keeps the cache safe at
-    * token scale). The corpus size is a one-row broadcast cross join,
-    * and idf joins back on the term key — broadcast-able when the
-    * vocabulary fits, shuffle otherwise (unhinted: AQE decides from the
-    * measured size). The final top-k is a per-doc `row_number` window
-    * over tf rows — per-doc cardinality is the doc's distinct-term
-    * count, bounded by document length, so no partition exceeds the
-    * largest document. */
+    * Scale shape: term frequencies are computed MAP-SIDE by the
+    * [[graft.functions.TermCounts]] kernel (counting within one row's
+    * token array never needed an exchange — the old explode +
+    * `groupBy(id, term)` spelling shuffled the corpus's distinct-
+    * terms-per-doc mass and then PERSISTED it for its two consumers).
+    * Both consumers now recompute the kernel projection instead — the
+    * jaccard/pmi lesson: re-running a codegen'd tokenize scan is cheaper
+    * than serializing an InMemoryTable and converting every element back
+    * per read. The only exchanges left are the vocabulary-sized
+    * document-frequency aggregate (Zipf-bounded, map-side partials), the
+    * idf join back on the term key — broadcast-able when the vocabulary
+    * fits, shuffle otherwise (unhinted: AQE decides from the measured
+    * size) — and the per-doc top-k heap partials (k rows per doc). */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int = 5): DataFrame = {
-    val terms = df
+    val spark = df.sparkSession
+    def tf = df
       .select(col(idCol).alias("id"),
-        explode_outer(normTokens(col(textCol))).alias("term"))
-      .filter(col("term").isNotNull && col("term") =!= "")
-    val tf = terms.groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).alias("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        explode(graft.functions.GraftFunctions.termCounts(spark,
+          normTokens(col(textCol)))).alias("tc"))
+      .select(col("id"), col("tc.term").alias("term"),
+        col("tc.cnt").cast("long").alias("tf"))
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).alias("df"))
     val nDocs = broadcast(df.agg(

@@ -366,6 +366,8 @@ object GraftFunctions {
     "graft_ngram_strings" -> (es => NgramStrings(es(0),
       es(1).eval().asInstanceOf[Number].intValue())),
     "graft_uni_bigram_tagged" -> (es => UniBigramTagged(es(0))),
+    "graft_term_counts" -> (es => TermCounts(es(0))),
+    "graft_list_pairs" -> (es => ListPairs(es(0))),
     "graft_sorted_intersect" -> (es => SortedIntersectCount(es(0), es(1))),
     "graft_text_counts" -> (es => TextCounts(es(0))),
     "graft_text_profile" -> (es =>
@@ -468,6 +470,17 @@ object GraftFunctions {
   def sortedIntersect(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_sorted_intersect", a, b)
+  }
+  /** Unordered `(a, b, sza, szb)` pairs of a bounded posting list —
+    * [[ListPairs]]. */
+  def listPairs(spark: SparkSession, lst: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_list_pairs", lst)
+  }
+  /** Per-doc `(term, cnt)` pairs in one compiled loop — [[TermCounts]]. */
+  def termCounts(spark: SparkSession, tokens: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_term_counts", tokens)
   }
   /** Tagged unigram+bigram stream for one-scan collocation counts —
     * [[UniBigramTagged]]. */

@@ -44,6 +44,31 @@ class ExtQualitySpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jaccard") === 1.0)
   }
 
+  test("ngramJaccard: prefix-filtered branch equals the naive branch pair-for-pair") {
+    val s = spark; import s.implicits._
+    // randomized corpus with heavy gram sharing: small vocab, planted
+    // near-dups (suffix edits) and exact dups — the shape that makes
+    // prefix filtering non-trivial (shared grams across many docs)
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("red", "blue", "green", "gold", "ash", "oak", "elm",
+      "iron", "salt", "mist", "dawn", "dusk")
+    val base = (1L to 120L).map { i =>
+      (i, (0 until (6 + rnd.nextInt(20))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val nearDups = base.filter(_._1 % 4 == 0).map { case (i, t) => (i + 10000L, t + " zz tail edit") }
+    val exactDups = base.filter(_._1 % 7 == 0).map { case (i, t) => (i + 20000L, t) }
+    val corpus = (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+    def run(naiveMax: Long) =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5,
+          naiveMaxCandidates = naiveMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val naive = run(Long.MaxValue)
+    val prefix = run(0L)           // forces the prefix-filtered join
+    assert(naive.nonEmpty, "degenerate test corpus: no pairs at all")
+    assert(prefix === naive,
+      s"branch divergence: only-naive=${naive -- prefix}, only-prefix=${prefix -- naive}")
+  }
+
   test("duplicatedSpans flags cross-doc n-token windows with exact counts") {
     val s = spark; import s.implicits._
     // docs 1/2 share the window "the quick brown" (and "quick brown fox"
