@@ -711,9 +711,13 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy("doc_id")),
 
+    // top-level scalar pull via the compiled single-pass scanner
+    // (property-pinned byte-equal to get_json_object in JsonGetSpec;
+    // the builtin's per-row Jackson parser was a 24x constant at sf1)
     "json_scalar_extract" -> ((s, dir) => {
       events(s, dir)
-        .select((get_json_object(col("props"), "$.k").cast("long") % 10).alias("kb"))
+        .select((graft.functions.GraftFunctions.jsonGetTop(s, col("props"), "k")
+          .cast("long") % 10).alias("kb"))
         .groupBy("kb").agg(count(lit(1)).alias("n"))
         .orderBy("kb")
     }),

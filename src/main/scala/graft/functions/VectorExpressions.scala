@@ -368,6 +368,8 @@ object GraftFunctions {
     "graft_uni_bigram_tagged" -> (es => UniBigramTagged(es(0))),
     "graft_term_counts" -> (es => TermCounts(es(0))),
     "graft_list_pairs" -> (es => ListPairs(es(0))),
+    "graft_json_get_top" -> (es => JsonGetTop(es(0),
+      es(1).eval().toString)),
     "graft_sorted_intersect" -> (es => SortedIntersectCount(es(0), es(1))),
     "graft_text_counts" -> (es => TextCounts(es(0))),
     "graft_text_profile" -> (es =>
@@ -470,6 +472,13 @@ object GraftFunctions {
   def sortedIntersect(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_sorted_intersect", a, b)
+  }
+  /** Top-level JSON scalar extraction (`$.key` fast path) —
+    * [[JsonGetTop]]. */
+  def jsonGetTop(spark: SparkSession, json: Column, key: String): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_json_get_top",
+      json, org.apache.spark.sql.functions.lit(key))
   }
   /** Unordered `(a, b, sza, szb)` pairs of a bounded posting list —
     * [[ListPairs]]. */
