@@ -86,7 +86,9 @@ object Multimodal {
       (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||
       (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
 
-  def decodeImage(bytes: Array[Byte]): Option[Array[Double]] =
+  /** The one guarded ImageIO entry point (sniff → header-dimension bomb
+    * check → raster read); every image kernel routes through it. */
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try {
       if (!looksLikeImage(bytes)) return None
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -103,30 +105,33 @@ object Multimodal {
           else reader.read(0)
         } finally { reader.dispose(); iis.close() }
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
-        var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
-            val l = 0.299 * r + 0.587 * g + 0.114 * b
-            sr += r; sg += g; sb += b; sl += l; sl2 += l * l
-            x += 1
-          }
-          y += 1
-        }
-        val n = (w.toLong * h).toDouble
-        val meanL = sl / n
-        Some(Array(w.toDouble, h.toDouble, img.getRaster.getNumBands.toDouble,
-          sr / n, sg / n, sb / n, meanL,
-          math.sqrt(math.max(0.0, sl2 / n - meanL * meanL))))
-      }
+      else Some(img)
       // NonFatal only: malformed payloads degrade to the stub fallback,
       // but fatal JVM errors (OOM, stack overflow) must fail the task
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  def decodeImage(bytes: Array[Byte]): Option[Array[Double]] =
+    readImage(bytes).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      var sr = 0.0; var sg = 0.0; var sb = 0.0; var sl = 0.0; var sl2 = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+          val l = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += l; sl2 += l * l
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      val meanL = sl / n
+      Array(w.toDouble, h.toDouble, img.getRaster.getNumBands.toDouble,
+        sr / n, sg / n, sb / n, meanL,
+        math.sqrt(math.max(0.0, sl2 / n - meanL * meanL)))
+    }
 
   /** REAL audio decode via `javax.sound.sampled` (JDK built-in readers:
     * WAV/AIFF/AU, PCM). Feature vector ([[featureWidth]] wide):
@@ -386,6 +391,95 @@ object Multimodal {
               case _ => (stubDecode(bytes), "stub")
             }
             Row(r.get(0), feats.toSeq, how)
+          }
+        }
+      }(enc)
+  }
+
+  /** Area-average (box-filter) resample of an image's BT.601 luma plane
+    * to a fixed `tw`×`th` grid, row-major, values in [0, 255]. Each
+    * target cell averages the source pixels whose centers fall in its
+    * footprint — the correct filter for downscale (every source pixel
+    * contributes exactly once, no aliasing); on upscale a cell's
+    * footprint rounds up to ≥1 source pixel, degenerating to nearest
+    * sampling. Deterministic: pure integer box boundaries
+    * (`floor(i·src/dst)`), no AWT rescale ops (whose interpolation is
+    * platform-varying). */
+  def resizeLuma(img: java.awt.image.BufferedImage, tw: Int, th: Int): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Double](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = (ty.toLong * h / th).toInt
+      val y1 = math.max((((ty + 1).toLong * h) / th).toInt, y0 + 1)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = (tx.toLong * w / tw).toInt
+        val x1 = math.max((((tx + 1).toLong * w) / tw).toInt, x0 + 1)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        out(ty * tw + tx) = s / ((y1 - y0).toDouble * (x1 - x0))
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Deterministic stand-in grid for payloads the resize kernel cannot
+    * decode (same role as [[stubDecode]], sized to the target grid). */
+  def stubGrid(bytes: Array[Byte], tw: Int, th: Int): Array[Double] = {
+    val out = new Array[Double](tw * th)
+    var i = 0
+    while (i < bytes.length) { out(i % out.length) += (bytes(i) & 0xFF).toDouble; i += 1 }
+    out
+  }
+
+  /** Batched image RESIZE over the packed binary column — the
+    * thumbnail / fixed-shape-tensor prep step of a multimodal training
+    * pipeline (every image normalized to one `gridW`×`gridH` luma grid
+    * before feature hashing or model ingest). Same `mapPartitions`
+    * batch shape as [[extractFeatures]]; decode routing and the
+    * `decode = "stub"` fence follow the same contract (non-image
+    * modalities and unparseable payloads get a deterministic
+    * byte-derived grid, marked so curation filters them out).
+    * Output: (media_id, width, height, grid: gridH·gridW row-major
+    * luma, decode) — width/height are the SOURCE dimensions, the grid
+    * is the fixed target shape. */
+  def resizeImages(packed: DataFrame, gridW: Int = 8, gridH: Int = 8,
+                   batchSize: Int = 64): DataFrame = {
+    require(gridW > 0 && gridH > 0, s"grid must be positive, got ${gridW}x$gridH")
+    val outSchema = StructType(Seq(
+      StructField("media_id", packed.schema("media_id").dataType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("grid", ArrayType(DoubleType)),
+      StructField("decode", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    packed.select(col("media_id"), col("content"), col("meta.modality"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val bytes = r.getAs[Array[Byte]](1)
+            val decoded =
+              if (r.getString(2) == "image") readImage(bytes) else None
+            decoded match {
+              case Some(img) =>
+                Row(r.get(0), img.getWidth, img.getHeight,
+                  resizeLuma(img, gridW, gridH).toSeq, "image")
+              case None =>
+                Row(r.get(0), 0, 0, stubGrid(bytes, gridW, gridH).toSeq, "stub")
+            }
           }
         }
       }(enc)

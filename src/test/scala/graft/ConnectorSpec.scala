@@ -339,6 +339,54 @@ class ConnectorSpec extends SparkSpec {
     assert(video.getAs[String]("decode") === "stub")
   }
 
+  test("Multimodal resize: area-average luma grid on a generated PNG; stub fenced") {
+    val s = spark; import s.implicits._
+    // 4x4 PNG, top-left 2x2 quadrant white, rest black: resizing to 2x2
+    // must yield exactly [255, 0, 0, 0] (each target cell averages one
+    // uniform source quadrant)
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2 && y < 2) 0xFFFFFF else 0x000000)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val textBytes = "not an image".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, textBytes)).toDF("doc_id", "payload")
+    val packed = graft.ext.Multimodal.pack(df, "doc_id", col("payload"), "image")
+    val rows = graft.ext.Multimodal.resizeImages(packed, gridW = 2, gridH = 2)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val ok = rows(1L)
+    assert(ok.getAs[String]("decode") === "image")
+    assert(ok.getAs[Int]("width") === 4 && ok.getAs[Int]("height") === 4)
+    // white luma = 0.299*255 + 0.587*255 + 0.114*255 = 255
+    assert(ok.getSeq[Double](3).map(v => math.rint(v * 1e9) / 1e9) ===
+      Seq(255.0, 0.0, 0.0, 0.0))
+    val stub = rows(2L)
+    assert(stub.getAs[String]("decode") === "stub")
+    assert(stub.getSeq[Double](3).toArray.toSeq ===
+      graft.ext.Multimodal.stubGrid(textBytes, 2, 2).toSeq)
+    // non-square shrink with uneven box boundaries: 4x4 -> 3x1 splits
+    // columns at floor(i*4/3) into footprints {0}, {1}, {2,3} (a
+    // disjoint cover — every source pixel counted exactly once); over
+    // all rows the top-left-white image averages to 127.5, 127.5, 0
+    val wide = graft.ext.Multimodal.resizeImages(
+      packed.filter(col("media_id") === 1L), gridW = 3, gridH = 1)
+      .collect()(0).getSeq[Double](3)
+    assert(wide.map(v => math.rint(v * 1e6) / 1e6) === Seq(127.5, 127.5, 0.0))
+    // constant-color invariance: any grid over a uniform image is uniform
+    val grey = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5) grey.setRGB(x, y, 0x808080)
+    val gb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grey, "png", gb)
+    val g = graft.ext.Multimodal.resizeImages(
+      graft.ext.Multimodal.pack(Seq((9L, gb.toByteArray)).toDF("doc_id", "payload"),
+        "doc_id", col("payload"), "image"), gridW = 2, gridH = 2)
+      .collect()(0).getSeq[Double](3)
+    assert(g.distinct.size === 1)
+  }
+
   test("Multimodal audio decode: javax.sound.sampled round-trip on a generated WAV") {
     val s = spark; import s.implicits._
     // 16-bit PCM mono 8 kHz, 0.1 s of a 400 Hz half-amplitude sine
