@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 64g default on the 128 GiB bench host: the full suite at sf1 holds
+  // ~90 queries of accumulated JVM state, and the heaviest sketch query
+  // measured 5x in-suite GC inflation under 32g (isolated 37 s -> 196 s
+  // in-suite; heap is not reserved up front, so small runs are unaffected)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

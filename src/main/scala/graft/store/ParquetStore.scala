@@ -125,7 +125,23 @@ class ParquetStore(
       }
       else if (numPartitions > 0) data.repartition(numPartitions, col(key))
       else data
-    out.write.mode(SaveMode.Overwrite).parquet(s"$root/$next")
+    val writer = out.write.mode(SaveMode.Overwrite)
+    // every indexed field also gets a parquet BLOOM filter: range
+    // clustering prunes point lookups on the FIRST sort key via
+    // row-group min/max, but a secondary indexed field is unsorted
+    // within groups and its min/max spans everything — the bloom
+    // filter restores row-group skipping for equality probes on it
+    // (parquet-mr evaluates blooms during row-group filtering, so
+    // Spark's pushed `=` predicates use them with no reader change).
+    // ~1 bit/key-ish footprint at the default NDV, paid once per write.
+    // parquet-mr skips the bloom for fully dictionary-encoded chunks —
+    // the dictionary page already gives exact membership skipping — so
+    // requesting it on every indexed field only materializes where it
+    // adds value (high-cardinality columns that fall back to plain).
+    indexKeys.filter(data.columns.contains).foreach { k =>
+      writer.option(s"parquet.bloom.filter.enabled#$k", "true")
+    }
+    writer.parquet(s"$root/$next")
     val old = parsed
     Files.writeString(currentFile, next)
     // GC: keep the immediately-previous generation (base AND its deltas)

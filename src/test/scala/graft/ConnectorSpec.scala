@@ -279,6 +279,23 @@ class ConnectorSpec extends SparkSpec {
       }
     assert(total > 1)       // genuinely multi-row-group store
     assert(candidates === 1) // clustered layout: one candidate group
+    // bloom filters ride every indexed column (secondary-field point
+    // lookups can't use the min/max clustering — the bloom restores
+    // row-group skipping for them); non-indexed columns carry none
+    var bloomIdx = 0; var bloomOther = 0; var groups = 0
+    fs.listStatus(dir).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        try r.getFooter.getBlocks.asScala.foreach { b =>
+          groups += 1
+          val byCol = b.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+          if (byCol("k").getBloomFilterOffset >= 0) bloomIdx += 1
+          if (byCol("lu").getBloomFilterOffset >= 0) bloomOther += 1
+        } finally r.close()
+      }
+    assert(bloomIdx === groups)  // every row group: bloom on the indexed col
+    assert(bloomOther === 0)     // none on the unindexed col
     // incremental upsert keeps the layout (writeVersion re-sorts)
     st.update(Seq((20000L, 2L)).toDF("k", "lu"))
     assert(st.query(s"""{"k": $target}""").collect().map(_.getLong(0)).toSeq === Seq(target))
