@@ -44,7 +44,13 @@ class BlobStore(
   val name: String = s"blob:$root"
   graft.functions.GraftFunctions.register(spark)
 
-  private val backing = new ParquetStore(spark, root, key, lastUpdatedField)
+  // deltaWrites: a blob plane is append-heavy (GridFS "upload newest
+  // version" traffic) — each put writes O(batch) as a delta instead of
+  // rewriting the corpus, readers resolve newest-per-key with one
+  // map-side-partial hash agg, and compaction folds deltas back into a
+  // plain-scan base (ParquetStore merge-on-read contract)
+  private val backing = new ParquetStore(spark, root, key, lastUpdatedField,
+    deltaWrites = true)
 
   def df: DataFrame = backing.df
   def isEmpty: Boolean = backing.isEmpty

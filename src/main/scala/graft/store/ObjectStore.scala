@@ -79,8 +79,20 @@ class ObjectStore(
   }
 
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {
-    data.update(docs, keyFields)
-    index.update(indexOf(docs), keyFields)
+    // the data and index planes are independent tables in independent
+    // roots — their upsert jobs share no state, so launch them as
+    // CONCURRENT Spark actions: each write alone underutilizes a
+    // cluster (and the slim index write is far shorter than the data
+    // write, so sequencing it adds its full latency). Await BOTH even
+    // on failure — returning while the other plane's write is still
+    // in flight would let callers observe a half-applied update.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dataF = Future(data.update(docs, keyFields))
+    val indexF = Future(index.update(indexOf(docs), keyFields))
+    val results = Seq(dataF, indexF).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    results.collectFirst { case scala.util.Failure(e) => throw e }
   }
 
   override def removeDocs(criteria: String): Unit = {

@@ -68,6 +68,24 @@ class OpenDataStore(
       case None => spark.read.option("inferTimestamp", "true").json(dataPath)
     }
 
+  /** Run the partitioned-data write and the (small) manifest
+    * aggregation as concurrent Spark actions: both consume the same
+    * eagerly-checkpointed blocks, so they share no lineage with each
+    * other or with the files being replaced — and sequencing them adds
+    * the manifest job's full latency to every update. Await both even
+    * on failure (a half-applied update must not be observable). */
+  private def writeDataAndManifest(next: DataFrame, overwriteMode: String,
+                                   manifest: DataFrame): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dataF = Future(writeData(next, overwriteMode))
+    val manifestF = Future(storeManifest(manifest))
+    val results = Seq(dataF, manifestF).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    writeSchemaSidecar(next.schema)
+    results.collectFirst { case scala.util.Failure(e) => throw e }
+  }
+
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit =
     if (isEmpty) {
       // checkpoint once: the write, the manifest aggregation, and the
@@ -75,9 +93,7 @@ class OpenDataStore(
       // re-running it (the manifest previously RE-READ the just-written
       // gzip JSON — a full parse of the store per update)
       val next = Store.dedupLastWins(docs, keyFields).localCheckpoint(true)
-      writeData(next, "dynamic")
-      writeSchemaSidecar(next.schema)
-      storeManifest(manifestOf(next))
+      writeDataAndManifest(next, "dynamic", manifestOf(next))
     } else {
       // merge only the partitions the batch touches: the batch's own
       // grouping tuples PLUS the current partitions of the batch's
@@ -96,32 +112,29 @@ class OpenDataStore(
       // sever lineage: the merged plan reads the files the dynamic
       // overwrite below replaces
       val next = Store.upsertPlan(current, docs, keyFields).localCheckpoint(true)
-      writeData(next, "dynamic")
-      writeSchemaSidecar(next.schema)
       // incremental manifest: fresh rows for the touched partitions,
       // prior rows for the rest — O(batch partitions), never a re-read
-      // of the whole store
+      // of the whole store. The untouched rows come from the PRIOR
+      // manifest file, which storeManifest collects fully before
+      // truncating it — safe to overlap with the data write, which
+      // never touches the manifest path.
       val fresh = manifestOf(next)
       val untouched = spark.read.schema(fresh.schema).json(manifestPath)
         .join(touched, objectGrouping, "left_anti")
-      storeManifest(fresh.unionByName(untouched))
+      writeDataAndManifest(next, "dynamic", fresh.unionByName(untouched))
     }
 
   override def removeDocs(criteria: String): Unit = if (!isEmpty) {
     val d = df
     val keep = d.filter(!coalesce(MongoFilter.compile(criteria, Some(d.schema)), lit(false)))
       .localCheckpoint(true) // sever lineage from the files being overwritten
-    writeData(keep, "static")
-    writeSchemaSidecar(keep.schema)
-    storeManifest(manifestOf(keep))
+    writeDataAndManifest(keep, "static", manifestOf(keep))
   }
 
   override def removeKeys(keys: DataFrame): Unit = if (!isEmpty) {
     val keep = df.join(keys.select(col(keys.columns.head).alias(key)), Seq(key), "left_anti")
       .localCheckpoint(true)
-    writeData(keep, "static")
-    writeSchemaSidecar(keep.schema)
-    storeManifest(manifestOf(keep))
+    writeDataAndManifest(keep, "static", manifestOf(keep))
   }
 
   private def writeData(d: DataFrame, overwriteMode: String): Unit =
