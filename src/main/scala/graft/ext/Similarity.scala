@@ -336,6 +336,120 @@ object Similarity {
   def dequantize(q: Column, scale: Column): Column =
     transform(q, c => c.cast("double") / scale)
 
+  // ------------------------------------------------------------------ PQ
+
+  /** Product-quantization codebooks (Jégou/Douze/Schmid, TPAMI 2011):
+    * the vector splits into `m` contiguous subspaces of `ceil(dim/m)`
+    * dims; each subspace gets its own `ksub`-centroid k-means codebook.
+    * A vector then stores as `m` BYTES ([[graft.functions.PqEncode]]) —
+    * at 100 TB this is what makes embedding search feasible: the ANN
+    * scan reads m bytes instead of 4·dim per vector (64× at dim=128,
+    * m=8) and scores in O(m) table adds instead of O(dim) multiplies.
+    *
+    * Training mirrors [[trainCentroids]]'s scale shape, for ALL m
+    * codebooks at once: init = the deterministic [[centroidDraw]] of
+    * `ksub` corpus vectors sliced into subspaces; each round is ONE
+    * corpus pass (the encode KERNEL assigns all m codes per row in a
+    * projection — no joins) followed by one narrow aggregation whose
+    * shuffle carries ≤ m·ksub·dsub rows regardless of corpus size,
+    * collected driver-side (≤ 256 KB at m=8, ksub=256, dsub=16 — by
+    * contract). Cells emptied by a round keep their previous centroid.
+    * Deterministic up to distributed-mean float ordering, like
+    * [[trainCentroids]] — recall is spec-verified, byte replay is not
+    * claimed. */
+  def trainPq(corpus: DataFrame, m: Int, ksub: Int = 256, iters: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              family: String = "xxh64"): Array[Array[Array[Double]]] = {
+    require(m > 0, s"m must be positive, got $m")
+    require(ksub > 0 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+    val s = corpus.sparkSession
+    val draw = centroidDraw(corpus, ksub, idCol, vecCol, family).collect() // ≤ ksub rows by contract
+    require(draw.nonEmpty, "trainPq requires a non-empty corpus")
+    def toD(v: Seq[Any]): Array[Double] = v.map {
+      case null => 0.0
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }.toArray
+    val seeds = draw.map(r => toD(r.getSeq[Any](1)))
+    val dim = seeds.map(_.length).max
+    val dsub = (dim + m - 1) / m
+    // ragged tails pad with 0.0 — the encode kernel reads past-end dims
+    // as 0.0, so padded codebook dims are exact, not approximate
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      seeds.map { v =>
+        Array.tabulate(dsub)(t => if (j * dsub + t < v.length) v(j * dsub + t) else 0.0)
+      }
+    }
+    for (_ <- 1 to iters) {
+      val codes = graft.functions.GraftFunctions.pqEncode(
+        s, col(vecCol), books, asInts = true)
+      val means = corpus
+        .select(col(vecCol).alias("__v"), codes.alias("__codes"))
+        .select(posexplode(col("__v")).as(Seq("pos", "val")), col("__codes"))
+        .select((col("pos") / dsub).cast("int").alias("j"),
+          element_at(col("__codes"), (col("pos") / dsub).cast("int") + 1).alias("c"),
+          (col("pos") % dsub).alias("sp"), col("val").cast("double").alias("x"))
+        .groupBy(col("j"), col("c"), col("sp"))
+        .agg(avg(col("x")).alias("mean"))
+        .collect() // ≤ m·ksub·dsub rows by contract
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        val j = r.getAs[Number](0).intValue(); val c = r.getAs[Number](1).intValue()
+        val sp = r.getAs[Number](2).intValue()
+        if (!r.isNullAt(3)) next(j)(c)(sp) = r.getDouble(3)
+      }
+      books = next
+    }
+    books
+  }
+
+  /** Flat per-centroid reconstructed-norm² table for [[pqTopKWithBooks]]:
+    * entry `j*ksub + c` = ‖books[j][c]‖². */
+  private def pqNormLut(books: Array[Array[Array[Double]]]): Array[Double] = {
+    val ksub = books.map(_.length).max
+    val out = new Array[Double](books.length * ksub)
+    for (j <- books.indices; c <- books(j).indices)
+      out(j * ksub + c) = books(j)(c).map(x => x * x).sum
+    out
+  }
+
+  /** PQ approximate cosine top-k — the memory-bound scale path next to
+    * [[lshTopK]] (recall-bound) and [[ivfTopK]] (probe-bound): corpus
+    * vectors compress to m-byte codes in one kernel projection, each
+    * query builds its O(ksub·dim) ADC lookup table ONCE
+    * ([[graft.functions.PqLut]]), and scoring the whole corpus is O(m)
+    * adds per pair against the code bytes ([[graft.functions.PqAdc]]).
+    * Same surface contract as [[bruteForceTopK]] (self-matches
+    * excluded, ties toward smaller id, bounded-heap reduction — k·|Q|
+    * rows cross the shuffle, never the scored corpus). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 256, iters: Int = 3,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqTopKWithBooks(corpus, queries, k,
+      trainPq(corpus, m, ksub, iters, idCol, vecCol), idCol, vecCol)
+
+  /** [[pqTopK]] over pre-trained codebooks (the production shape: train
+    * once on a sample, encode/serve many batches). */
+  def pqTopKWithBooks(corpus: DataFrame, queries: DataFrame, k: Int,
+                      books: Array[Array[Array[Double]]],
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val s = corpus.sparkSession
+    val codes = corpus.select(col(idCol).alias("n_id"),
+      graft.functions.GraftFunctions.pqEncode(s, col(vecCol), books).alias("__code"))
+    val ql = broadcast(queries.select(col(idCol).alias("q_id"),
+      graft.functions.GraftFunctions.pqLut(s, col(vecCol), books).alias("__lut"))
+      .filter(col("__lut").isNotNull))
+    val scored = codes.crossJoin(ql)
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", graft.functions.GraftFunctions.pqAdc(
+        s, col("__lut"), col("__code"), pqNormLut(books)))
+      .filter(col("sim").isNotNull)
+      .select(col("q_id"), col("n_id"), col("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH same-bucket candidates,
     * verified `cosine >= threshold`. Returns `(a, b, sim)`, a < b.
     *

@@ -341,6 +341,310 @@ object NearestCell {
   }
 }
 
+/** Product-quantization encode (Jégou/Douze/Schmid, "Product
+  * quantization for nearest neighbor search", TPAMI 2011): the vector
+  * splits into `m` contiguous subspaces of `dsub` dims; each subvector
+  * maps to its nearest (L2) codebook centroid; output is the `m`-byte
+  * code (`asInts = true` → `array<int>`, the training-path spelling that
+  * composes with `element_at`). At 100 TB this is the representation
+  * that makes ANN feasible: the corpus scan carries m bytes per vector
+  * instead of 4·dim, and scoring is O(m) table adds (see [[PqAdc]]).
+  * Codebooks ride the expression as a foldable literal
+  * (`array<array<array<double>>>`, m × ksub × dsub) — driver-small by
+  * contract (≤ 256 KB at m=8, ksub=256, dsub=16). */
+case class PqEncode(vec: Expression, books: Expression, asInts: Boolean)
+  extends BinaryExpression with Serializable {
+  override def prettyName: String = "graft_pq_encode"
+  override def left: Expression = vec
+  override def right: Expression = books
+  override def dataType: DataType =
+    if (asInts) ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+    else org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+
+  private def vecElem: Option[DataType] = vec.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (vecElem.isEmpty)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double> vector, got ${vec.dataType.simpleString}")
+    books.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)
+        if books.foldable && mat.nonEmpty && mat.forall(_.nonEmpty) =>
+        if (mat.forall(_.length <= 256) || asInts) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName byte codes require ksub <= 256 per subspace")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires non-empty foldable array<array<array<double>>> codebooks")
+    }
+  }
+
+  @transient private[functions] lazy val mat: Array[Array[Array[Double]]] = {
+    val outer = books.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements()) { j =>
+      val mid = outer.getArray(j)
+      Array.tabulate(mid.numElements()) { c =>
+        val inner = mid.getArray(c)
+        Array.tabulate(inner.numElements())(inner.getDouble)
+      }
+    }
+  }
+  private def isFloat: Boolean = vecElem.contains(FloatType)
+
+  override def nullSafeEval(v: Any, b: Any): Any = {
+    val codes = PqEncode.compute(v.asInstanceOf[ArrayData], mat, isFloat)
+    if (asInts) new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+    else codes.map(_.toByte)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refB = ctx.addReferenceObj("pqbooks", mat, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val codes = ctx.freshName("codes")
+      val conv =
+        if (asInts)
+          s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+            s"graft.functions.PqEncode.toInts($codes));"
+        else
+          s"${ev.value} = graft.functions.PqEncode.toBytes($codes);"
+      s"""
+        int[] $codes = graft.functions.PqEncode.compute($v, $refB, $isFloat);
+        $conv
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, books = r)
+}
+
+object PqEncode {
+  /** Per-subspace nearest-centroid (L2) codes. Subspace j covers dims
+    * `[j*dsub, (j+1)*dsub)` of the input; a vector shorter than the
+    * codebook's span reads missing/null dims as 0 (consistent with the
+    * other kernels' null-element convention). */
+  def compute(v: ArrayData, books: Array[Array[Array[Double]]],
+              isFloat: Boolean): Array[Int] = {
+    val m = books.length
+    val out = new Array[Int](m)
+    val n = v.numElements()
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val dsub = book(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val i = off + t
+          val xv =
+            if (i >= n || v.isNullAt(i)) 0.0
+            else if (isFloat) v.getFloat(i).toDouble
+            else v.getDouble(i)
+          val diff = xv - cent(t)
+          d += diff * diff
+          t += 1
+        }
+        // strict <: ties keep the SMALLEST code (deterministic)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      off += dsub
+      j += 1
+    }
+    out
+  }
+  def toBytes(codes: Array[Int]): Array[Byte] = codes.map(_.toByte)
+  def toInts(codes: Array[Int]): Array[Int] = codes
+}
+
+/** Per-query ADC lookup table for [[PqAdc]]: entry `j*ksub + c` holds
+  * `dot(q_j, books[j][c]) / |q|` — the query-side half of the cosine,
+  * pre-divided by the query norm so scoring needs no per-pair division
+  * by it. O(ksub·dim) ONCE per query row, amortized over the whole
+  * corpus scan. Null when the query norm is 0 (no meaningful cosine).
+  * All subspaces share one ksub (= max book size; smaller trailing
+  * books would be a training bug, enforced at train time). */
+case class PqLut(vec: Expression, books: Expression)
+  extends BinaryExpression with Serializable {
+  override def prettyName: String = "graft_pq_lut"
+  override def left: Expression = vec
+  override def right: Expression = books
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def vecElem: Option[DataType] = vec.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (vecElem.isEmpty)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double> vector, got ${vec.dataType.simpleString}")
+    books.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)
+        if books.foldable && mat.nonEmpty => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires non-empty foldable array<array<array<double>>> codebooks")
+    }
+  }
+
+  @transient private lazy val mat: Array[Array[Array[Double]]] = {
+    val outer = books.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements()) { j =>
+      val mid = outer.getArray(j)
+      Array.tabulate(mid.numElements()) { c =>
+        val inner = mid.getArray(c)
+        Array.tabulate(inner.numElements())(inner.getDouble)
+      }
+    }
+  }
+  private def isFloat: Boolean = vecElem.contains(FloatType)
+
+  override def nullSafeEval(v: Any, b: Any): Any = {
+    val lut = PqLut.compute(v.asInstanceOf[ArrayData], mat, isFloat)
+    if (lut == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(lut)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refB = ctx.addReferenceObj("pqbooks", mat, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      val lut = ctx.freshName("lut")
+      s"""
+        double[] $lut = graft.functions.PqLut.compute($v, $refB, $isFloat);
+        if ($lut == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut); }
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, books = r)
+}
+
+object PqLut {
+  def compute(v: ArrayData, books: Array[Array[Array[Double]]],
+              isFloat: Boolean): Array[Double] = {
+    val n = v.numElements()
+    var q2 = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val xv = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        q2 += xv * xv
+      }
+      i += 1
+    }
+    if (q2 == 0.0) return null
+    val qn = math.sqrt(q2)
+    val m = books.length
+    val ksub = books.map(_.length).max
+    val out = new Array[Double](m * ksub)
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val dsub = book(0).length
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var dot = 0.0
+        var t = 0
+        while (t < dsub) {
+          val idx = off + t
+          val xv =
+            if (idx >= n || v.isNullAt(idx)) 0.0
+            else if (isFloat) v.getFloat(idx).toDouble
+            else v.getDouble(idx)
+          dot += xv * cent(t)
+          t += 1
+        }
+        out(j * ksub + c) = dot / qn
+        c += 1
+      }
+      off += dsub
+      j += 1
+    }
+    out
+  }
+}
+
+/** ADC cosine score: `Σⱼ lut[j·ksub + code_j] / sqrt(Σⱼ |c_{j,code_j}|²)`
+  * — O(m) adds per (query, corpus-code) pair against the [[PqLut]]
+  * query table and a GLOBAL per-centroid norm² literal (`normLut`,
+  * corpus-side half of the cosine; same for every query, hence
+  * foldable). Null when the reconstructed corpus norm is 0. */
+case class PqAdc(lut: Expression, code: Expression, normLut: Expression)
+  extends TernaryExpression with Serializable {
+  override def prettyName: String = "graft_pq_adc"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def first: Expression = lut
+  override def second: Expression = code
+  override def third: Expression = normLut
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (lut.dataType, code.dataType, normLut.dataType) match {
+      case (ArrayType(DoubleType, _), org.apache.spark.sql.types.BinaryType,
+            ArrayType(DoubleType, _)) if normLut.foldable && norms.nonEmpty =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double> lut, binary code, foldable array<double> normLut)")
+    }
+
+  @transient private lazy val norms: Array[Double] =
+    normLut.eval().asInstanceOf[ArrayData].toDoubleArray()
+
+  override def nullSafeEval(l: Any, c: Any, n: Any): Any = {
+    val r = PqAdc.compute(l.asInstanceOf[ArrayData].toDoubleArray(),
+      c.asInstanceOf[Array[Byte]], norms)
+    if (r.isNaN) null else r
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refN = ctx.addReferenceObj("pqnorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, (l, c, _) => {
+      val r = ctx.freshName("sim")
+      s"""
+        double $r = graft.functions.PqAdc.compute($l.toDoubleArray(), $c, $refN);
+        if (Double.isNaN($r)) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(lut = f, code = s, normLut = t)
+}
+
+object PqAdc {
+  /** NaN encodes "no cosine" (zero reconstructed norm) across the
+    * eval/codegen boundary; callers map it to SQL null. */
+  def compute(lut: Array[Double], code: Array[Byte], norms: Array[Double]): Double = {
+    val m = code.length
+    val ksub = if (m == 0) 0 else norms.length / m
+    var dot = 0.0
+    var n2 = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * ksub + (code(j) & 0xFF)
+      dot += lut(idx)
+      n2 += norms(idx)
+      j += 1
+    }
+    if (n2 == 0.0) Double.NaN else dot / math.sqrt(n2)
+  }
+}
+
 /** Registration: per-session (`GraftFunctions.register(spark)`) or via
   * `spark.sql.extensions=graft.functions.GraftSparkExtensions`. */
 object GraftFunctions {
@@ -373,7 +677,11 @@ object GraftFunctions {
     "graft_sorted_intersect" -> (es => SortedIntersectCount(es(0), es(1))),
     "graft_text_counts" -> (es => TextCounts(es(0))),
     "graft_text_profile" -> (es =>
-      TextProfileLower(es(0), graft.ext.TextAnalysis.stopwordLists)))
+      TextProfileLower(es(0), graft.ext.TextAnalysis.stopwordLists)),
+    "graft_pq_encode" -> (es => PqEncode(es(0), es(1),
+      es(2).eval().asInstanceOf[Boolean])),
+    "graft_pq_lut" -> (es => PqLut(es(0), es(1))),
+    "graft_pq_adc" -> (es => PqAdc(es(0), es(1), es(2))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -403,6 +711,30 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_nearest_cell",
       vec, org.apache.spark.sql.functions.typedlit(cVecs.map(_.toSeq).toSeq),
       org.apache.spark.sql.functions.typedlit(cIds.toSeq))
+  }
+  /** PQ code of a vector against a codebook literal — [[PqEncode]]. */
+  def pqEncode(spark: SparkSession, vec: Column,
+               books: Array[Array[Array[Double]]], asInts: Boolean = false): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_pq_encode",
+      vec, org.apache.spark.sql.functions.typedlit(
+        books.map(_.map(_.toSeq).toSeq).toSeq),
+      org.apache.spark.sql.functions.lit(asInts))
+  }
+  /** Per-query ADC lookup table — [[PqLut]]. */
+  def pqLut(spark: SparkSession, vec: Column,
+            books: Array[Array[Array[Double]]]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_pq_lut",
+      vec, org.apache.spark.sql.functions.typedlit(
+        books.map(_.map(_.toSeq).toSeq).toSeq))
+  }
+  /** O(m) ADC cosine against a per-centroid norm² literal — [[PqAdc]]. */
+  def pqAdc(spark: SparkSession, lut: Column, code: Column,
+            normLut: Array[Double]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_pq_adc",
+      lut, code, org.apache.spark.sql.functions.typedlit(normLut.toSeq))
   }
   /** Per-row 64-bit SimHash of a token array — [[SimHash64]]. */
   def simhash64(spark: SparkSession, tokens: Column): Column = {

@@ -46,6 +46,64 @@ class SubmissionIvfSpec extends SparkSpec {
     ranks.foreach(r => assert(r.getAs[Int]("mr") === r.getAs[Long]("n")))
   }
 
+  test("PQ kernels: exact on codebook-reconstructable vectors; byte codes; determinism") {
+    val s = spark; import s.implicits._
+    // handcrafted books: m=2 subspaces of dsub=2, ksub=2 centroids each.
+    // Vectors that ARE concatenations of centroids must encode to those
+    // exact codes, and the ADC cosine must equal the exact cosine (the
+    // quantization error term is identically zero).
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 2.0)),
+      Array(Array(3.0, 0.0), Array(0.0, 4.0)))
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 3.0f, 0.0f)), // codes (0, 0)
+      (2L, Seq(0.0f, 2.0f, 0.0f, 4.0f)), // codes (1, 1)
+      (3L, Seq(1.0f, 0.0f, 0.0f, 4.0f))  // codes (0, 1)
+    ).toDF("vec_id", "embedding")
+    val enc = corpus.select(col("vec_id"),
+      graft.functions.GraftFunctions.pqEncode(s, col("embedding"), books).alias("code"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("code")).toMap
+    assert(enc(1L).toSeq === Seq[Byte](0, 0))
+    assert(enc(2L).toSeq === Seq[Byte](1, 1))
+    assert(enc(3L).toSeq === Seq[Byte](0, 1))
+    // ADC cosine vs exact cosine for a query against reconstructable rows
+    val queries = Seq((9L, Seq(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val adc = Similarity.pqTopKWithBooks(corpus, queries, k = 3, books)
+      .select(col("n_id"), col("sim")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .select(col("n_id"), col("sim")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(adc.keySet === exact.keySet)
+    adc.foreach { case (id, v) =>
+      assert(math.abs(v - exact(id)) < 1e-9, s"ADC $v vs exact ${exact(id)} for $id")
+    }
+    // determinism: re-encoding yields identical bytes
+    val enc2 = corpus.select(
+      graft.functions.GraftFunctions.pqEncode(s, col("embedding"), books).alias("code"))
+      .collect().map(_.getAs[Array[Byte]]("code").toSeq).toSet
+    assert(enc2 === enc.values.map(_.toSeq).toSet)
+  }
+
+  test("pqTopK finds perturbed twins on the embeddings fixture (recall >= 0.7)") {
+    val emb = sf("embeddings")
+    val twins = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 500000).alias("vec_id"),
+      expr("transform(embedding, (x, i) -> x + float(0.02 * cos(double(i))))")
+        .alias("embedding"), col("label"))
+    val corpus = emb.unionByName(twins)
+    val queries = emb.filter(col("vec_id") < 20)
+    // m=8 byte codes over dim 64 (8x compression vs float32, 32x vs
+    // float64): the 0.02-perturbed twin reconstructs into the same or a
+    // near cell chain, so ADC ranks it at/near the top
+    val res = Similarity.pqTopK(corpus, queries, k = 5, m = 8, ksub = 32, iters = 2)
+    val hits = res.filter(col("n_id") === col("q_id") + 500000).count()
+    assert(hits >= 14, s"PQ found twin for only $hits/20 queries")
+    val ranks = res.groupBy("q_id")
+      .agg(max("rank").alias("mr"), count(lit(1)).alias("n")).collect()
+    ranks.foreach(r => assert(r.getAs[Int]("mr") === r.getAs[Long]("n")))
+  }
+
   test("trainCentroids: Lloyd-trained IVF beats the deterministic draw on clustered data") {
     val s = spark; import s.implicits._
     // 4 tight angular clusters with per-member jitter: the seeded-hash
