@@ -187,6 +187,50 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF-PQ — the composed production ANN shape (the FAISS `IVFx,PQy`
+    * index, Jégou et al. 2011 §V): a coarse quantizer routes each
+    * corpus vector to a cell AND compresses it to an m-byte PQ code in
+    * the same scan, so the serving table is `(cell, n_id, code)` — a
+    * few bytes per vector, clusterable by cell for partition pruning.
+    * A query probes its `nprobe` nearest cells and ADC-scores ONLY the
+    * codes inside them: the touched fraction is ~nprobe/nCentroids of
+    * an already-64×-compressed corpus, the scan reads no float vectors
+    * at all, and each pair costs O(m) adds. Both approximations are
+    * recall-bound, not correctness-bound — exactness claims stay with
+    * [[bruteForceTopK]]. Coarse cells use the same deterministic draw
+    * (or Lloyd training) as [[ivfTopK]]; codebooks train on the corpus
+    * via [[trainPq]]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 256, iters: Int = 3,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                family: String = "xxh64", trainIters: Int = 0)
+      : DataFrame = {
+    val s = corpus.sparkSession
+    val cents =
+      if (trainIters <= 0) centroidDraw(corpus, nCentroids, idCol, vecCol, family)
+      else trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, family)
+    val books = trainPq(corpus, m, ksub, iters, idCol, vecCol, family)
+    // one corpus scan: cell assignment (argmax kernel) + PQ encode
+    // (codes kernel) — the float vector is dropped right here; at
+    // cluster scale this projection writes the serving table, bucketed
+    // by cell
+    val cells = assignToCells(corpus, cents, idCol, vecCol, keep = 1)
+      .select(col("__rid").alias("n_id"), col("cell"),
+        graft.functions.GraftFunctions.pqEncode(s, col("__rvec"), books).alias("__code"))
+    val probes = assignToCells(queries, cents, idCol, vecCol, keep = nprobe)
+      .select(col("__rid").alias("q_id"), col("cell"),
+        graft.functions.GraftFunctions.pqLut(s, col("__rvec"), books).alias("__lut"))
+      .filter(col("__lut").isNotNull)
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", graft.functions.GraftFunctions.pqAdc(
+        s, col("__lut"), col("__code"), pqNormLut(books)))
+      .filter(col("sim").isNotNull)
+      .select(col("q_id"), col("n_id"), col("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Lloyd-trained coarse quantizer: `iters` fixed rounds of
     * assign-to-nearest + per-cell mean, seeded from the SAME
     * deterministic draw [[ivfTopK]]/[[semanticDupPairs]] use untrained —

@@ -104,6 +104,25 @@ class SubmissionIvfSpec extends SparkSpec {
     ranks.foreach(r => assert(r.getAs[Int]("mr") === r.getAs[Long]("n")))
   }
 
+  test("ivfPqTopK: composed cell routing + in-cell ADC still finds perturbed twins") {
+    val emb = sf("embeddings")
+    val twins = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 500000).alias("vec_id"),
+      expr("transform(embedding, (x, i) -> x + float(0.02 * cos(double(i))))")
+        .alias("embedding"), col("label"))
+    val corpus = emb.unionByName(twins)
+    val queries = emb.filter(col("vec_id") < 20)
+    val res = Similarity.ivfPqTopK(corpus, queries, k = 5,
+      nCentroids = 16, nprobe = 4, m = 8, ksub = 32, iters = 2)
+    // two stacked approximations (cell routing AND code quantization):
+    // the twin must still surface for most queries, ranks stay dense
+    val hits = res.filter(col("n_id") === col("q_id") + 500000).count()
+    assert(hits >= 12, s"IVF-PQ found twin for only $hits/20 queries")
+    val ranks = res.groupBy("q_id")
+      .agg(max("rank").alias("mr"), count(lit(1)).alias("n")).collect()
+    ranks.foreach(r => assert(r.getAs[Int]("mr") === r.getAs[Long]("n")))
+  }
+
   test("trainCentroids: Lloyd-trained IVF beats the deterministic draw on clustered data") {
     val s = spark; import s.implicits._
     // 4 tight angular clusters with per-member jitter: the seeded-hash
