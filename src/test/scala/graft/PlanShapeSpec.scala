@@ -45,6 +45,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"unexpected shuffle in assignment:\n$p")
   }
 
+  test("PQ corpus encode is a pure kernel projection; pqTopK scoring joins BROADCAST query LUTs") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val emb = sf("embeddings")
+    val books = graft.ext.Similarity.trainPq(emb, m = 4, ksub = 8, iters = 1)
+    // corpus side: id + m-byte code, one codegen'd projection — no
+    // shuffle, no join; this is the scan that writes the serving table
+    val enc = emb.select(col("vec_id"),
+      graft.functions.GraftFunctions.pqEncode(s, col("embedding"), books).alias("code"))
+      .queryExecution.executedPlan.toString
+    assert(enc.contains("graft_pq_encode"), s"kernel missing from encode plan:\n$enc")
+    assert(!enc.contains("Exchange"), s"unexpected shuffle in encode:\n$enc")
+    // full pqTopK: the only corpus-side join is a BroadcastHashJoin /
+    // BroadcastNestedLoopJoin against the query LUTs, and the top-k
+    // reduction is the bounded-heap aggregate (no full-width window)
+    val p = graft.ext.Similarity.pqTopKWithBooks(
+      emb, emb.filter(col("vec_id") < 3), k = 3, books)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"), s"query side not broadcast:\n$p")
+    assert(p.contains("graft_pq_adc"), s"ADC kernel missing:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in pqTopK:\n$p")
+    assert(p.contains("graft_topk"), s"bounded-heap top-k missing:\n$p")
+  }
+
   test("trained centroids keep the corpus-side assignment a pure projection") {
     import org.apache.spark.sql.functions._
     val emb = sf("embeddings")
