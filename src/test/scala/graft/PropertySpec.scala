@@ -195,6 +195,64 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  property("PQ encode/ADC kernels equal an independent driver-side reference") =
+    forAll(
+      Gen.chooseNum(1, 3),                 // m subspaces
+      Gen.chooseNum(2, 5),                 // ksub centroids per book
+      Gen.chooseNum(1, 3),                 // dsub dims per subspace
+      Gen.nonEmptyListOf(Gen.chooseNum(-10.0, 10.0))) { (m, ksub, dsub, flat) =>
+      val s = spark; import s.implicits._
+      val dim = m * dsub
+      // deterministic codebooks derived from the generated stream
+      val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+        Array.tabulate(ksub) { c =>
+          Array.tabulate(dsub)(t =>
+            flat((j * ksub * dsub + c * dsub + t) % flat.length) + 0.1 * j - 0.2 * c)
+        }
+      }
+      val vecs = flat.indices.take(8).map { i =>
+        i.toLong -> Seq.tabulate(dim)(d => flat((i * 7 + d * 3) % flat.length).toFloat)
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      // reference: nearest-L2 per subspace, then exact ADC cosine from
+      // the reconstructed codes — plain Scala, no kernel code shared
+      def refCode(v: Seq[Float]): Array[Int] = Array.tabulate(m) { j =>
+        (0 until ksub).minBy { c =>
+          val d = (0 until dsub).map { t =>
+            val x = v(j * dsub + t).toDouble - books(j)(c)(t); x * x
+          }.sum
+          (d, c) // ties toward smallest code, like the kernel
+        }
+      }
+      val enc = df.select(col("vec_id"), graft.functions.GraftFunctions
+          .pqEncode(s, col("embedding"), books, asInts = true).alias("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+      val codesOk = vecs.forall { case (id, v) => enc(id).sameElements(refCode(v)) }
+      // ADC property: query q against every encoded row matches the
+      // reference cosine between q and the RECONSTRUCTED vector
+      val q = vecs.head._2.map(x => x + 0.25f)
+      val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+      def refAdc(code: Array[Int]): Option[Double] = {
+        val recon = code.zipWithIndex.flatMap { case (c, j) => books(j)(c) }
+        val rn = math.sqrt(recon.map(x => x * x).sum)
+        if (qn == 0.0 || rn == 0.0) None
+        else Some(recon.zip(q).map { case (r, x) => r * x.toDouble }.sum / (qn * rn))
+      }
+      val queries = Seq((999L, q)).toDF("vec_id", "embedding")
+      val adc = graft.ext.Similarity
+        .pqTopKWithBooks(df, queries, k = vecs.size, books)
+        .select(col("n_id"), col("sim")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val adcOk = vecs.forall { case (id, _) =>
+        refAdc(enc(id)) match {
+          case None => !adc.contains(id)
+          // topKPerQuery rounds sims to 4 decimals on output
+          case Some(ref) => adc.get(id).exists(v => math.abs(v - ref) < 5e-5)
+        }
+      }
+      codesOk && adcOk
+    }
+
   property("MongoFilter range/membership criteria equal the native predicate") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)), Gen.chooseNum(-1000L, 1000L)) {
       (vals, pivot) =>
