@@ -431,6 +431,11 @@ object Similarity {
       val means = corpus
         .select(col(vecCol).alias("__v"), codes.alias("__codes"))
         .select(posexplode(col("__v")).as(Seq("pos", "val")), col("__codes"))
+        // dim derives from the SAMPLED seeds' max length — a corpus
+        // vector longer than every seed would index past the m codes
+        // (ANSI element_at error); over-length dims carry no codebook
+        // and are ignored, matching the encode kernel's span
+        .filter(col("pos") < m * dsub)
         .select((col("pos") / dsub).cast("int").alias("j"),
           element_at(col("__codes"), (col("pos") / dsub).cast("int") + 1).alias("c"),
           (col("pos") % dsub).alias("sp"), col("val").cast("double").alias("x"))

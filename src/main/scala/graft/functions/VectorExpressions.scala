@@ -490,8 +490,11 @@ case class PqLut(vec: Expression, books: Expression)
       return TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires array<float>/array<double> vector, got ${vec.dataType.simpleString}")
     books.dataType match {
+      // same inner-nonEmpty guard as PqEncode: an empty codebook would
+      // pass analysis and then index book(0) at runtime
       case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)
-        if books.foldable && mat.nonEmpty => TypeCheckResult.TypeCheckSuccess
+        if books.foldable && mat.nonEmpty && mat.forall(_.nonEmpty) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires non-empty foldable array<array<array<double>>> codebooks")
     }

@@ -69,21 +69,27 @@ class OpenDataStore(
     }
 
   /** Run the partitioned-data write and the (small) manifest
-    * aggregation as concurrent Spark actions: both consume the same
+    * AGGREGATION as concurrent Spark actions: both consume the same
     * eagerly-checkpointed blocks, so they share no lineage with each
     * other or with the files being replaced — and sequencing them adds
-    * the manifest job's full latency to every update. Await both even
-    * on failure (a half-applied update must not be observable). */
+    * the manifest job's full latency to every update. Only the
+    * aggregation overlaps: the manifest FILE and the schema sidecar
+    * commit strictly AFTER the data write succeeds, so a failed data
+    * write leaves both untouched (a sidecar describing data that never
+    * landed would make later reads silently null-fill columns instead
+    * of failing). */
   private def writeDataAndManifest(next: DataFrame, overwriteMode: String,
                                    manifest: DataFrame): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val dataF = Future(writeData(next, overwriteMode))
-    val manifestF = Future(storeManifest(manifest))
-    val results = Seq(dataF, manifestF).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    val manifestRowsF = Future(manifest.toJSON.collect()) // one line per partition: small
+    val dataR = scala.util.Try(Await.result(dataF, Duration.Inf))
+    val rowsR = scala.util.Try(Await.result(manifestRowsF, Duration.Inf))
+    dataR.get // data failure → abort before any metadata commit
+    storeManifest(rowsR.get)
     writeSchemaSidecar(next.schema)
-    results.collectFirst { case scala.util.Failure(e) => throw e }
   }
 
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit =
@@ -162,8 +168,7 @@ class OpenDataStore(
       .agg(org.apache.spark.sql.functions.count(lit(1)).alias("n_docs"), luAgg.alias("last_updated"))
   }
 
-  private def storeManifest(m: DataFrame): Unit = {
-    val rows = m.toJSON.collect() // one line per partition: small
+  private def storeManifest(rows: Array[String]): Unit = {
     val out = hadoopFs(manifestPath)
       .create(new org.apache.hadoop.fs.Path(manifestPath), true)
     try out.write(rows.mkString("", "\n", "\n")

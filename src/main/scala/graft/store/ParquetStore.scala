@@ -79,19 +79,28 @@ class ParquetStore(
 
   def df: DataFrame = (dataPath, parsed) match {
     case (Some(p), Some((base, deltas))) if deltas.nonEmpty =>
-      // merge-on-read: later generations win per key. One hash aggregate
-      // (max_by partials run map-side) — not a sort-window — and only
-      // while deltas exist; compaction returns reads to a plain scan.
-      val gens = (p, 0) +: deltas.zipWithIndex.map {
-        case (d, i) => (s"$root/$base.$d", i + 1)
-      }
-      val all = gens.map { case (path, g) =>
-        spark.read.parquet(path).withColumn("__gen", lit(g))
+      // merge-on-read: later generations win per key. The base NEVER
+      // shuffles — only the keys the deltas re-state need resolving, so
+      // the read is (base ANTI-JOIN delta keys) ∪ (delta winners). The
+      // anti-join's right side is the key-only projection of the deltas
+      // (O(batch·compactAfter) longs/strings), broadcast explicitly:
+      // auto-broadcast keys off ESTIMATED size and a silent fall-through
+      // to sort-merge would shuffle every base row — for a blob plane
+      // that is the whole payload column crossing the network per read.
+      // Winners resolve with one max_by hash agg over the DELTAS ONLY
+      // (small by the delta-write contract); each generation is already
+      // key-unique (dedupLastWins at write), so max_by on generation is
+      // exact last-write-wins.
+      val baseDf = spark.read.parquet(p)
+      val all = deltas.zipWithIndex.map { case (d, i) =>
+        spark.read.parquet(s"$root/$base.$d").withColumn("__gen", lit(i + 1))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
       val cols = all.columns.filter(_ != "__gen")
-      all.groupBy(col(key))
+      val winners = all.groupBy(col(key))
         .agg(max_by(struct(cols.map(col): _*), col("__gen")).alias("__doc"))
         .select(col("__doc.*"))
+      baseDf.join(broadcast(winners.select(col(key))), Seq(key), "left_anti")
+        .unionByName(winners, allowMissingColumns = true)
     case (Some(p), _) => spark.read.parquet(p)
     case _            => spark.emptyDataFrame
   }

@@ -123,6 +123,33 @@ class SubmissionIvfSpec extends SparkSpec {
     ranks.foreach(r => assert(r.getAs[Int]("mr") === r.getAs[Long]("n")))
   }
 
+  test("trainPq ignores dims beyond the sampled seed span (ragged corpus)") {
+    // dim derives from the SAMPLED seeds' max length — a corpus vector
+    // longer than every seed must not index past the m codes (ANSI
+    // element_at error pre-fix); over-length dims carry no codebook
+    val emb = sf("embeddings")
+    val ragged = emb.withColumn("embedding",
+      when(col("vec_id") === 42, concat(col("embedding"),
+        array((0 until 16).map(_ => lit(0.5f)): _*))).otherwise(col("embedding")))
+    val books = Similarity.trainPq(ragged, m = 8, ksub = 16, iters = 1, family = "md5")
+    assert(books.length === 8)
+    assert(books.forall(_.length === 16))
+  }
+
+  test("PqLut/PqEncode reject an empty inner codebook at analysis, not execution") {
+    val s = spark; import s.implicits._
+    val badBooks: Array[Array[Array[Double]]] = Array(Array(), Array(Array(1.0)))
+    val df = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+    val lutEx = intercept[Exception] {
+      df.select(graft.functions.GraftFunctions.pqLut(s, col("v"), badBooks)).collect()
+    }
+    assert(lutEx.getMessage.contains("graft_pq_lut"))
+    val encEx = intercept[Exception] {
+      df.select(graft.functions.GraftFunctions.pqEncode(s, col("v"), badBooks)).collect()
+    }
+    assert(encEx.getMessage.contains("graft_pq_encode"))
+  }
+
   test("trainCentroids: Lloyd-trained IVF beats the deterministic draw on clustered data") {
     val s = spark; import s.implicits._
     // 4 tight angular clusters with per-member jitter: the seeded-hash
