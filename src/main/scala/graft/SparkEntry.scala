@@ -881,6 +881,28 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // PQ ADC top-k with UNTRAINED codebooks (iters = 0): the books ARE
+    // the md5-ordered seed draw sliced into subspaces, so every stage —
+    // draw, encode argmin, LUT, ADC fold — is byte-replayable by the
+    // oracle (Lloyd rounds would add distributed-mean float-order
+    // nondeterminism; recall under training is spec-verified instead)
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.trainPq(emb, m = 8, ksub = 16, iters = 0, family = "md5")
+      Similarity.pqTopKWithBooks(emb, emb.filter(col("vec_id") < 10), k = 5, books)
+        .orderBy("q_id", "rank")
+    }),
+
+    // composed IVF-PQ serving shape: md5 coarse draw routes cells, the
+    // same seed draw (sliced) quantizes — codes + LUT + ADC replayed in
+    // SQL over the probed cells only
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nCentroids = 16, nprobe = 4, m = 8, ksub = 16, iters = 0, family = "md5")
+        .orderBy("q_id", "rank")
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       // all math in doubles from the start (float->double cast is exact,
       // so the DuckDB twin computes on identical values)
@@ -906,6 +928,27 @@ object SparkEntry {
           (0 until 8).map(j => element_at(col("feature"), j + 1).alias(s"f$j")))
           :+ col("decode"): _*)
         .orderBy("media_id")),
+
+    // REAL image decode + box-filter resize, oracle-replayable: each doc
+    // becomes a deterministic grayscale BMP (side 8/16/24 by doc_id%3)
+    // whose pixel formula the oracle re-derives arithmetically — the
+    // 8x8 luma grid is uniform s x s box averages, bit-identical on
+    // both engines (same IEEE fold order, integer box bounds)
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val side = 8 * (1 + (id % 3).toInt)
+          (id, Multimodal.syntheticBmp(id, side, side))
+        }.toDF("doc_id", "img")
+      Multimodal.resizeImages(Multimodal.pack(imgs, "doc_id", col("img"), "image"))
+        .select(col("media_id"), col("width"), col("height"), col("decode"),
+          posexplode(col("grid")))
+        .select(col("media_id"), col("width"), col("height"),
+          col("pos").alias("cell"), round(col("col"), 4).alias("luma"),
+          col("decode"))
+        .orderBy("media_id", "cell")
+    }),
 
     // PII redaction (the Dolma-style pre-training scrub): synthetic
     // emails / IPs / phone numbers are planted deterministically, then
@@ -1735,7 +1778,86 @@ object SparkEntry {
           "list_cosine_similarity(CAST(p.q_vec AS DOUBLE[]), CAST(cl.n_vec AS DOUBLE[])) DESC, cl.n_id) AS rank " +
           "FROM cells cl JOIN probes p USING (cell) WHERE cl.n_id <> p.q_id) " +
           "WHERE rank <= 5 ORDER BY q_id, rank"
+      },
+      // PQ replayed in SQL (iters = 0 → codebooks ARE the md5-ordered
+      // seed draw sliced into m=8 subspaces of dsub=8): per-subspace
+      // argmin encode, query LUT (subdot / |q|), ADC fold over the code
+      // bytes. Every floating-point sum is spelled in the kernel's
+      // exact left-associated fold order (t ascending within a
+      // subspace, i ascending for |q|, j ascending for the ADC via an
+      // ORDER BY j list) so ties and round-4 boundaries agree.
+      "sim_pq_topk" -> SparkEntry.pqOracleSql(ivf = false),
+      // composed IVF-PQ: the same md5 draw routes coarse cells
+      // (cosine-nearest, the sim_ivf_topk spelling) AND quantizes;
+      // candidates are the probed cells' codes, ADC-scored
+      "sim_ivfpq_topk" -> SparkEntry.pqOracleSql(ivf = true),
+      // box-filter resize replay: each doc's synthetic BMP pixel
+      // formula (gray = (doc_id + y*w + x) mod 256, r=g=b) is
+      // re-derived arithmetically per size class (side 8/16/24 by
+      // doc_id%3 → uniform s x s boxes); cell sums spelled in the
+      // kernel's row-major left-assoc order, luma as 0.299g+0.587g+0.114g
+      "mm_resize" -> {
+        val branches = (0 until 3).map { sc =>
+          val s = sc + 1; val w = 8 * s
+          val terms = (for (dy <- 0 until s; dx <- 0 until s) yield {
+            val g = s"CAST((d.doc_id + (c.ty*$s + $dy)*$w + (c.tx*$s + $dx)) % 256 AS DOUBLE)"
+            s"(0.299*$g + 0.587*$g + 0.114*$g)"
+          }).mkString(" + ")
+          s"SELECT d.doc_id AS media_id, $w AS width, $w AS height, c.cell, " +
+            s"round(($terms) / ${s * s}.0, 4) AS luma, 'image' AS decode " +
+            s"FROM documents d, cells c WHERE d.doc_id % 3 = $sc"
+        }
+        "WITH cells AS (SELECT CAST(ty*8 + tx AS INT) AS cell, ty, tx " +
+          "FROM range(8) a(ty), range(8) b(tx)) " +
+          branches.mkString(" UNION ALL ") + " ORDER BY media_id, cell"
       }
     )
+  }
+
+  /** Shared PQ / IVF-PQ oracle (m=8, dsub=8, ksub=16, k=5, queries
+    * `vec_id < 10`, md5 seed draw, untrained books). `ivf = true` adds
+    * the coarse-cell routing (nCentroids=16, nprobe=4) so only probed
+    * cells' codes are ADC-scored; `false` scores the whole corpus. */
+  private def pqOracleSql(ivf: Boolean): String = {
+    val H = "CAST(('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    // explicit left-assoc sums mirror the kernels' ascending folds
+    val dist = (0 until 8).map(t =>
+      s"(e.v[jd.j*8+${t + 1}] - c.cv[jd.j*8+${t + 1}]) * (e.v[jd.j*8+${t + 1}] - c.cv[jd.j*8+${t + 1}])")
+      .mkString(" + ")
+    val subdot = (0 until 8).map(t =>
+      s"q.v[jd.j*8+${t + 1}] * c.cv[jd.j*8+${t + 1}]").mkString(" + ")
+    val n2 = (0 until 8).map(t =>
+      s"c.cv[jd.j*8+${t + 1}] * c.cv[jd.j*8+${t + 1}]").mkString(" + ")
+    val qnorm = (1 to 64).map(i => s"v[$i]*v[$i]").mkString(" + ")
+    val cs = "list_cosine_similarity(e.v, c.cv)"
+    val candCte =
+      if (ivf)
+        s"cellsA AS (SELECT e.vec_id AS n_id, c.c_id AS cell FROM corp e, cents c " +
+          s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY $cs DESC, c.c_id ASC) = 1), " +
+          s"probes AS (SELECT e.vec_id AS q_id, c.c_id AS cell FROM corp e, cents c WHERE e.vec_id < 10 " +
+          s"QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY $cs DESC, c.c_id ASC) <= 4), " +
+          "cand AS (SELECT p.q_id, cl.n_id FROM cellsA cl JOIN probes p USING (cell) WHERE cl.n_id <> p.q_id), "
+      else
+        "cand AS (SELECT q.q_id, e.vec_id AS n_id FROM corp e, (SELECT vec_id AS q_id FROM corp WHERE vec_id < 10) q " +
+          "WHERE e.vec_id <> q.q_id), "
+    s"WITH cents AS (SELECT CAST(row_number() OVER (ORDER BY $H ASC, vec_id ASC) - 1 AS INT) AS c, " +
+      s"vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings " +
+      s"QUALIFY row_number() OVER (ORDER BY $H ASC, vec_id ASC) <= 16), " +
+      "corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      "jd AS (SELECT CAST(j AS INT) AS j FROM range(8) r(j)), " +
+      s"codes AS (SELECT e.vec_id AS n_id, jd.j, c.c FROM corp e, jd, cents c " +
+      s"QUALIFY row_number() OVER (PARTITION BY e.vec_id, jd.j ORDER BY ($dist) ASC, c.c ASC) = 1), " +
+      s"qn AS (SELECT vec_id AS q_id, v, sqrt($qnorm) AS qn FROM corp WHERE vec_id < 10), " +
+      s"luts AS (SELECT q.q_id, jd.j, c.c, ($subdot) / q.qn AS ld, ($n2) AS n2 " +
+      "FROM (SELECT q_id, v, qn FROM qn WHERE qn <> 0) q, jd, cents c), " +
+      candCte +
+      "adc AS (SELECT ca.q_id, ca.n_id, list_sum(list(l.ld ORDER BY l.j)) AS dot, " +
+      "list_sum(list(l.n2 ORDER BY l.j)) AS rn2 FROM cand ca " +
+      "JOIN codes cd ON cd.n_id = ca.n_id " +
+      "JOIN luts l ON l.q_id = ca.q_id AND l.j = cd.j AND l.c = cd.c " +
+      "GROUP BY 1, 2) " +
+      "SELECT q_id, rank, n_id, sim FROM (SELECT q_id, n_id, round(dot/sqrt(rn2), 4) AS sim, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY dot/sqrt(rn2) DESC, n_id ASC) AS rank " +
+      "FROM adc WHERE rn2 <> 0) WHERE rank <= 5 ORDER BY q_id, rank"
   }
 }

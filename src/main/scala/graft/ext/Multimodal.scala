@@ -485,6 +485,40 @@ object Multimodal {
       }(enc)
   }
 
+  /** Deterministic grayscale 24-bit BMP fixture: pixel (x, y) (top-left
+    * origin) holds gray `g = (id + y·w + x) mod 256` in all three
+    * channels. Uncompressed BMP is the one container whose decode is
+    * pure arithmetic — no entropy coding, no color management — so an
+    * external oracle can replay the decoded pixels (and anything
+    * computed from them, e.g. [[resizeLuma]]'s box averages) from the
+    * formula alone, without parsing bytes. Rows are stored bottom-up
+    * and 4-byte padded per the BMP spec; `javax.imageio`'s BMP reader
+    * returns the planted values exactly. */
+  def syntheticBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"BMP dims must be positive, got ${w}x$h")
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val imageSize = rowSize * h
+    val fileSize = 54 + imageSize
+    val b = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(fileSize).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+      .putInt(imageSize).putInt(0).putInt(0).putInt(0).putInt(0)
+    var y = h - 1 // bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val g = (((id + y.toLong * w + x) % 256 + 256) % 256).toByte
+        b.put(g).put(g).put(g)
+        x += 1
+      }
+      var pad = rowSize - w * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
   /** 1→N frame sampling: every `strideBytes` of payload is one "frame";
     * emits (media_id, frame_idx, frame_md5). Generator-based fan-out —
     * `posexplode` over a computed index sequence, no driver loop. */
