@@ -210,6 +210,44 @@ object Dedup {
       case _ => false
     }
 
+  /** Upper bound on a plan's row count from parquet FOOTER metadata —
+    * zero Spark jobs, driver-side metadata reads only (the same fast
+    * path [[graft.store.ParquetStore.count]] uses). None ("unknown,
+    * assume big") when the plan contains row-multiplying operators
+    * (joins, generators — scan counts no longer bound the output), any
+    * non-parquet / non-local leaf, or more files than worth opening
+    * (many files ⇒ the corpus is past any small-data floor anyway).
+    * Filters/projections only shrink rows, so Σ footer counts is a
+    * true upper bound for the plans this accepts. */
+  private[graft] def planRowUpperBound(df: DataFrame, maxFiles: Int = 32): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LocalRelation}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.optimizedPlan
+    if (plan.collectFirst { case j: Join => j; case g: Generate => g }.nonEmpty)
+      return None
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val perLeaf = plan.collectLeaves().map {
+      case l: LocalRelation => Some(l.data.length.toLong)
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation
+            if h.fileFormat.isInstanceOf[
+              org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+          val files = h.location.inputFiles.filter(_.endsWith(".parquet"))
+          if (files.isEmpty || files.length > maxFiles) None
+          else scala.util.Try(files.map { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(p, conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum).toOption
+        case _ => None
+      }
+      case _ => None
+    }
+    if (perLeaf.forall(_.isDefined)) Some(perLeaf.flatten.sum) else None
+  }
+
   /** Fallback over-cap keys + capped banding for non-integral ids:
     * hot-count aggregate → broadcast anti-join (the pre-kernel shape). */
   private def cappedBandedFallback(banded: DataFrame, maxBucketSize: Int)
@@ -709,9 +747,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxPostings: Int = 1000,
-                        naiveMaxCandidates: Long = 10000000L): DataFrame =
+                        naiveMaxCandidates: Long = 10000000L,
+                        naiveRowFloor: Long = 20000L): DataFrame =
     ngramJaccardPairsFromSigs(ngramSignatures(df, idCol, textCol, n),
-      threshold, maxPostings, naiveMaxCandidates)
+      threshold, maxPostings, naiveMaxCandidates, naiveRowFloor)
 
   /** Per-doc distinct gram-hash signatures `(id, sig)` — the per-doc
     * state the ngram tier persists for incremental builds (the kernel
@@ -741,9 +780,14 @@ object Dedup {
   /** `naiveMaxCandidates`: estimated-candidate-mass crossover below
     * which the naive every-shared-gram expansion runs instead of the
     * prefix-filtered join (tests pin branch equivalence by forcing 0). */
+  /** `naiveRowFloor`: corpus-row upper bound (from parquet footers, no
+    * job — [[planRowUpperBound]]) under which the naive branch is taken
+    * WITHOUT running the sampled candidate-mass estimate; 0 disables
+    * the gate. */
   def ngramJaccardPairsFromSigs(sigs: DataFrame, threshold: Double = 0.8,
                                 maxPostings: Int = 1000,
-                                naiveMaxCandidates: Long = 10000000L): DataFrame = {
+                                naiveMaxCandidates: Long = 10000000L,
+                                naiveRowFloor: Long = 20000L): DataFrame = {
     val spark = sigs.sparkSession
     // postings keyed by the 64-bit gram hash, not the string — 8-byte
     // keys in the single inverted-index shuffle (collision odds
@@ -809,23 +853,38 @@ object Dedup {
       // prefix branch, the asymptotically-safe side). Tiny corpora
       // sample to zero docs → estimate 0 → naive branch, the right
       // choice there by construction.
-      val sPosted = posted.filter(pmod(xxhash64(col("id")), lit(10)) === 0)
-      // one row, two statistics off the same sampled vocab table:
-      // candidate pair mass (branch choice) and total posting volume
-      // (the verify-join broadcast decision below — csigs bytes ≈
-      // postings × ~24 B, so the posting count says whether the capped
-      // signatures fit a broadcast)
-      val statRow = sPosted.groupBy(col("sh")).agg(count(lit(1)).alias("__df"))
-        .agg(
-          sum(when(col("__df") >= 2 && col("__df") <= maxPostings,
-            col("__df") * (col("__df") - 1) / 2)).alias("c"),
-          sum(col("__df")).alias("p"))
-        .first()
-      def statVal(i: Int, scale: Long): Long =
-        Option(statRow.get(i)).map(_.asInstanceOf[Number].longValue() * scale)
-          .getOrElse(0L)
-      val candEst = statVal(0, 100L)
-      val postEst = statVal(1, 10L)
+      // Round-10 floor gate: below ~20k corpus rows the naive branch
+      // ALWAYS wins (the measured crossover sits at ~10M candidate
+      // mass, reached around 16k docs of web text — sf0.3; sf0.1 is
+      // 5.5k), so when parquet footer metadata BOUNDS the corpus under
+      // the floor, the decision scan is skipped entirely — the sampled
+      // statistic was pure overhead at small scale (r9: 2.9 → 3.9 s at
+      // sf0.1). The bound is an over-count (union branches re-count the
+      // whole file), which only ever errs toward running the estimate.
+      // postEst = 0 keeps the prefix branch's broadcast heuristic
+      // untouched on the (impossible under the gate) prefix path.
+      // naiveMaxCandidates == 0 means "force the prefix branch" (the
+      // branch-equivalence tests) — the gate must not override that
+      val underFloor = naiveMaxCandidates > 0 &&
+        planRowUpperBound(sigs).exists(_ <= naiveRowFloor)
+      val (candEst, postEst) = if (underFloor) (0L, 0L) else {
+        val sPosted = posted.filter(pmod(xxhash64(col("id")), lit(10)) === 0)
+        // one row, two statistics off the same sampled vocab table:
+        // candidate pair mass (branch choice) and total posting volume
+        // (the verify-join broadcast decision below — csigs bytes ≈
+        // postings × ~24 B, so the posting count says whether the capped
+        // signatures fit a broadcast)
+        val statRow = sPosted.groupBy(col("sh")).agg(count(lit(1)).alias("__df"))
+          .agg(
+            sum(when(col("__df") >= 2 && col("__df") <= maxPostings,
+              col("__df") * (col("__df") - 1) / 2)).alias("c"),
+            sum(col("__df")).alias("p"))
+          .first()
+        def statVal(i: Int, scale: Long): Long =
+          Option(statRow.get(i)).map(_.asInstanceOf[Number].longValue() * scale)
+            .getOrElse(0L)
+        (statVal(0, 100L), statVal(1, 10L))
+      }
       if (candEst <= naiveMaxCandidates) {
         // unordered combinations via the compiled pair kernel — memory
         // per row bounded by C(maxPostings, 2) (the cap contract)
