@@ -72,7 +72,16 @@ class MapBuilder(
         val want = (projection :+ source.key :+ source.lastUpdatedField).distinct
         scoped.select(want.map(col): _*)
       }
-    cols.join(pendingKeys(), Seq(source.key), "left_semi")
+    // first-build fast path: an uninitialized (schema-on-write) target
+    // has no watermark and no failed rows — EVERYTHING is pending, so
+    // the delta semi-join (newerIn's own short-circuit still builds a
+    // join of the source against its full key set) is an identity that
+    // costs a corpus-wide join per build. Same condition newerIn's
+    // empty-self guard tests.
+    val tgtUninitialized = !target.df.columns.contains(target.key) ||
+      !target.df.columns.contains(target.lastUpdatedField)
+    if (tgtUninitialized && !(retryFailed && target.df.columns.contains("state"))) cols
+    else cols.join(pendingKeys(), Seq(source.key), "left_semi")
   }
 
   /** `prechunk(n)` analogue (reference `core/builder.py:55-72`,

@@ -79,20 +79,26 @@ class ObjectStore(
   }
 
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {
-    // the data and index planes are independent tables in independent
-    // roots — their upsert jobs share no state, so launch them as
-    // CONCURRENT Spark actions: each write alone underutilizes a
-    // cluster (and the slim index write is far shorter than the data
-    // write, so sequencing it adds its full latency). Await BOTH even
-    // on failure — returning while the other plane's write is still
-    // in flight would let callers observe a half-applied update.
+    // dedup the batch ONCE and materialize it; both planes then write
+    // pure projections of the same cached blocks. The old shape ran the
+    // full scan + last-wins shuffle per plane (the index plane's
+    // obj_hash reads every column, so nothing was pruned) — twice the
+    // batch work per update. The planes stay CONCURRENT Spark actions:
+    // independent tables in independent roots, and the slim index write
+    // is far shorter than the data write, so sequencing would add its
+    // full latency. Await BOTH even on failure — returning while the
+    // other plane's write is in flight would let callers observe a
+    // half-applied update.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val dataF = Future(data.update(docs, keyFields))
-    val indexF = Future(index.update(indexOf(docs), keyFields))
-    val results = Seq(dataF, indexF).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
-    results.collectFirst { case scala.util.Failure(e) => throw e }
+    val deduped = Store.dedupLastWins(docs, keyFields).localCheckpoint(true)
+    try {
+      val dataF = Future(data.updateUnique(deduped, keyFields))
+      val indexF = Future(index.updateUnique(indexOf(deduped), keyFields))
+      val results = Seq(dataF, indexF).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      results.collectFirst { case scala.util.Failure(e) => throw e }
+    } finally deduped.unpersist()
   }
 
   override def removeDocs(criteria: String): Unit = {

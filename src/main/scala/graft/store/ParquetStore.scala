@@ -205,19 +205,32 @@ class ParquetStore(
     }
   }
 
-  override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {
+  override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit =
+    updateImpl(docs, keyFields, batchUnique = false)
+
+  /** [[update]] for a batch the CALLER has already made key-unique (and
+    * materialized — e.g. one shared [[Store.dedupLastWins]] feeding
+    * several planes): the per-store dedup shuffle is skipped, so the
+    * write is ONE job over the batch. The uniqueness contract is the
+    * caller's. */
+  private[store] def updateUnique(docs: DataFrame,
+                                  keyFields: Seq[String] = Seq(key)): Unit =
+    updateImpl(docs, keyFields, batchUnique = true)
+
+  private def updateImpl(docs: DataFrame, keyFields: Seq[String],
+                         batchUnique: Boolean): Unit = {
     if (deltaWrites && !isEmpty && keyFields == Seq(key)) {
       val (base, deltas) = parsed.get
       val d = "d_" + (deltas.size + 1)
       // Overwrite: a crash-orphaned dir from an unflipped write is replaced
-      Store.dedupLastWins(docs, keyFields)
+      (if (batchUnique) docs else Store.dedupLastWins(docs, keyFields))
         .write.mode(SaveMode.Overwrite).parquet(s"$root/$base.$d")
       Files.writeString(currentFile, s"$base;${(deltas :+ d).mkString(",")}")
       if (deltas.size + 1 >= compactAfter) compact()
     } else {
       val next =
-        if (isEmpty) Store.dedupLastWins(docs, keyFields)
-        else Store.upsertPlan(df, docs, keyFields)
+        if (isEmpty) { if (batchUnique) docs else Store.dedupLastWins(docs, keyFields) }
+        else Store.upsertPlan(df, docs, keyFields, batchUnique)
       writeVersion(next)
     }
   }

@@ -216,9 +216,13 @@ object Store {
   /** Pure-Spark MERGE emulation: anti-join out matched target rows, union
     * the deduped batch (allowMissingColumns both ways). Shared by every
     * writable store. Batch dedup = last-write-wins by ingestion order. */
+  /** `batchUnique = true` asserts the batch is already key-unique
+    * (e.g. [[dedupLastWins]] ran upstream and was materialized) — the
+    * inner dedup shuffle is skipped; the caller owns the contract. */
   private[graft] def upsertPlan(target: DataFrame, batch: DataFrame,
-                                keyFields: Seq[String]): DataFrame = {
-    val deduped = dedupLastWins(batch, keyFields)
+                                keyFields: Seq[String],
+                                batchUnique: Boolean = false): DataFrame = {
+    val deduped = if (batchUnique) batch else dedupLastWins(batch, keyFields)
     val kept = target.join(
       deduped.select(keyFields.map(col): _*).distinct(),
       keyFields, "left_anti")
