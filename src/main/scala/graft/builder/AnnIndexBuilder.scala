@@ -1,0 +1,157 @@
+package graft.builder
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.ext.Similarity
+import graft.query.MongoFilter
+import graft.store.Store
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental IVF-PQ ANN index build + serving — the 100 TB embedding
+  * serving plane: the persisted index holds `(id, cell, code: binary)`
+  * (m BYTES per vector, NO float arrays) and the trained quantizer
+  * lives in a one-row JSON store, so repeat builds encode only unseen
+  * docs against the FIRST run's quantizer and queries ADC-score the
+  * probed cells' codes without ever touching a float vector column.
+  *
+  * Mirrors the reference's incremental-build contract
+  * (`core/store.py:239-275` — process only what the index hasn't seen)
+  * composed with the Jégou-et-al IVF-PQ serving shape the batch plane
+  * already implements ([[Similarity.ivfPqTopK]]): a SINGLE-batch build
+  * followed by [[topK]] answers identically to the batch operator with
+  * the same parameters (pinned in RunnerStreamingSpec), and a restart
+  * (fresh builder over the same stores) reloads the quantizer and
+  * answers from codes alone.
+  *
+  * Index scale layout: [[run]] calls `ensureIndex("cell")`, so a
+  * ParquetStore-backed index is range-partitioned + sorted by cell and
+  * [[Similarity.ivfPqTopKFromCodes]]'s static probe-cell IN-predicate
+  * prunes row groups before the scan. With `delta_writes` the per-batch
+  * index append is O(batch).
+  *
+  * Quantizer determinism: `iters = 0` (default) keeps the codebooks as
+  * the deterministic seed-draw slices, so a rebuilt quantizer from the
+  * same first batch is bit-identical; Lloyd refinement (`iters > 0`)
+  * trades that for tighter cells — fine for serving, since the
+  * quantizer is trained ONCE and every later batch loads it.
+  */
+class AnnIndexBuilder(
+    val source: Store,
+    val index: Store,
+    val quantizer: Store,
+    val vecField: String = "embedding",
+    val nCentroids: Int = 16,
+    val m: Int = 8,
+    val ksub: Int = 256,
+    val iters: Int = 0,
+    val family: String = "xxh64",
+    val criteria: Option[String] = None)
+  extends Builder {
+
+  require(nCentroids > 0, s"nCentroids must be positive, got $nCentroids")
+
+  private def spark = source.spark
+  private def mapper = AnnIndexBuilder.mapper
+
+  private def scoped: DataFrame =
+    criteria.map(c => MongoFilter(source.df, c)).getOrElse(source.df)
+
+  def pendingItems(): DataFrame =
+    if (!index.df.columns.contains("id")) scoped
+    else scoped.join(index.df.select(col("id").alias(source.key)),
+      Seq(source.key), "left_anti")
+
+  /** Load the persisted quantizer, or None before the first run. */
+  private[graft] def loadQuantizer()
+      : Option[(Array[Array[Array[Double]]], DataFrame)] = {
+    if (!quantizer.df.columns.contains("books") || quantizer.df.isEmpty) return None
+    val row = quantizer.df.select(col("books"), col("cents")).head()
+    val books = {
+      val node = mapper.readTree(row.getString(0))
+      Array.tabulate(node.size()) { j =>
+        val mid = node.get(j)
+        Array.tabulate(mid.size()) { c =>
+          val inner = mid.get(c)
+          Array.tabulate(inner.size())(inner.get(_).asDouble())
+        }
+      }
+    }
+    val centsNode = mapper.readTree(row.getString(1))
+    val entries = (0 until centsNode.size()).map { i =>
+      val e = centsNode.get(i)
+      val vec = e.get("vec")
+      (e.get("id"), Array.tabulate(vec.size())(vec.get(_).asDouble()).toSeq)
+    }
+    val s = spark
+    import s.implicits._
+    val cents =
+      if (entries.forall(_._1.isIntegralNumber))
+        entries.map { case (id, v) => (id.asLong(), v) }.toDF("c_id", "c_vec")
+      else entries.map { case (id, v) => (id.asText(), v) }.toDF("c_id", "c_vec")
+    Some((books, cents))
+  }
+
+  private def saveQuantizer(books: Array[Array[Array[Double]]],
+                            cents: DataFrame): Unit = {
+    val booksJson = mapper.writeValueAsString(books)
+    val centEntries = cents.collect().map { r => // ≤ nCentroids rows by contract
+      val n = mapper.createObjectNode()
+      r.get(0) match {
+        case l: java.lang.Number => n.put("id", l.longValue())
+        case other => n.put("id", String.valueOf(other))
+      }
+      val arr = n.putArray("vec")
+      r.getSeq[Any](1).foreach {
+        case f: Float => arr.add(f.toDouble)
+        case d: Double => arr.add(d)
+        case x: Number => arr.add(x.doubleValue())
+      }
+      n
+    }
+    val centsJson = mapper.writeValueAsString(centEntries)
+    val s = spark
+    import s.implicits._
+    quantizer.update(
+      Seq(("quantizer", booksJson, centsJson)).toDF("qid", "books", "cents"),
+      Seq("qid"))
+  }
+
+  /** Encode this run's unseen docs and append them to the code table;
+    * the first run also trains + persists the quantizer from its batch.
+    * Report = docs examined (the incremental contract's measure). */
+  def run(): BuildReport = {
+    index.ensureIndex("cell")
+    val batch = pendingItems().localCheckpoint(true)
+    val examined = batch.count()
+    if (examined == 0) { batch.unpersist(); return BuildReport(0, 0) }
+    val (books, cents) = loadQuantizer().getOrElse {
+      val b = Similarity.trainPq(batch, m, ksub, iters, source.key, vecField, family)
+      val c = Similarity.centroidDraw(batch, nCentroids, source.key, vecField, family)
+      saveQuantizer(b, c)
+      // re-load, not reuse: the persisted JSON round-trip is what every
+      // later batch (and restart) sees — divergence would surface here
+      loadQuantizer().get
+    }
+    val rows = Similarity.assignToCells(batch, broadcast(cents),
+        source.key, vecField, keep = 1)
+      .select(col("__rid").alias("id"), col("cell"),
+        graft.functions.GraftFunctions.pqEncode(spark, col("__rvec"), books)
+          .alias("code"))
+    index.update(rows, Seq("id"))
+    batch.unpersist()
+    BuildReport(examined, 0)
+  }
+
+  /** ADC top-k over the persisted codes (see
+    * [[Similarity.ivfPqTopKFromCodes]]); requires a completed [[run]]. */
+  def topK(queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val (books, cents) = loadQuantizer().getOrElse(throw new IllegalStateException(
+      "AnnIndexBuilder.topK before any run(): no quantizer persisted"))
+    Similarity.ivfPqTopKFromCodes(index.df, queries, k, books, cents,
+      nprobe, source.key, vecField)
+  }
+}
+
+object AnnIndexBuilder {
+  private[builder] lazy val mapper = new ObjectMapper()
+}

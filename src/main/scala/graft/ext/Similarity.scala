@@ -231,6 +231,42 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF-PQ serving from a PERSISTED code table — the query half of the
+    * incremental ANN plane ([[graft.builder.AnnIndexBuilder]]): `codes`
+    * is the stored `(id, cell, code: binary)` table (m bytes per corpus
+    * vector, cell-clustered on disk), `books`/`cents` the persisted
+    * quantizer. Probe cells are collected from the (broadcast-small by
+    * contract) query side — ≤ nCentroids distinct values — and pushed
+    * as a static IN-predicate so a cell-clustered parquet layout prunes
+    * row groups BEFORE the scan; the scan itself reads no float arrays
+    * at all. Same surface contract as [[ivfPqTopK]] (self-matches
+    * excluded, ties toward smaller id, bounded-heap top-k). */
+  def ivfPqTopKFromCodes(codes: DataFrame, queries: DataFrame, k: Int,
+                         books: Array[Array[Array[Double]]], cents: DataFrame,
+                         nprobe: Int = 4,
+                         idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val s = codes.sparkSession
+    val probes = assignToCells(queries, broadcast(cents), idCol, vecCol,
+        keep = nprobe)
+      .select(col("__rid").alias("q_id"), col("cell"),
+        graft.functions.GraftFunctions.pqLut(s, col("__rvec"), books).alias("__lut"))
+      .filter(col("__lut").isNotNull)
+      .localCheckpoint(true) // consumed twice: cell collect + the join
+    val probeCells = probes.select(col("cell")).distinct()
+      .collect().map(_.get(0)).toSeq // ≤ nCentroids by construction
+    val scored = codes
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("id").alias("n_id"), col("cell"), col("code").alias("__code"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("sim", graft.functions.GraftFunctions.pqAdc(
+        s, col("__lut"), col("__code"), pqNormLut(books)))
+      .filter(col("sim").isNotNull)
+      .select(col("q_id"), col("n_id"), col("sim"))
+    topKPerQuery(scored, k)
+  }
+
   /** Lloyd-trained coarse quantizer: `iters` fixed rounds of
     * assign-to-nearest + per-cell mean, seeded from the SAME
     * deterministic draw [[ivfTopK]]/[[semanticDupPairs]] use untrained —

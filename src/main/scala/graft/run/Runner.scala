@@ -155,6 +155,18 @@ object Runner {
           textField = str(n, "text_field", "text"),
           n = opt(n, "ngram").map(_.asInt()).getOrElse(3),
           criteria = criteria(n))
+      // incremental IVF-PQ ANN index: "index" holds (id, cell, code)
+      // bytes, "quantizer" the one-row trained codebooks+centroids JSON
+      case "ann_index" =>
+        new AnnIndexBuilder(store("source"), store("index"),
+          store("quantizer"),
+          vecField = str(n, "vec_field", "embedding"),
+          nCentroids = opt(n, "n_centroids").map(_.asInt()).getOrElse(16),
+          m = opt(n, "m").map(_.asInt()).getOrElse(8),
+          ksub = opt(n, "ksub").map(_.asInt()).getOrElse(256),
+          iters = opt(n, "iters").map(_.asInt()).getOrElse(0),
+          family = str(n, "family", "xxh64"),
+          criteria = criteria(n))
       case other => throw new IllegalArgumentException(s"unknown builder type: $other")
     }
   }

@@ -817,6 +817,102 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, "first"), (2L, "first"), (3L, "first")))
   }
 
+  test("AnnIndexBuilder: codes-only index serves like the batch IVF-PQ operator") {
+    import graft.builder.AnnIndexBuilder
+    import graft.ext.Similarity
+    import graft.store.{MemoryStore, TableStore}
+    import org.apache.spark.sql.types._
+    val emb = sf("embeddings")
+    val src = new TableStore(spark, emb, "emb", "vec_id", "vec_id")
+    val idx = new MemoryStore(spark, "annidx", key = "id", lastUpdatedField = "cell")
+    val qz = new MemoryStore(spark, "annqz", key = "qid", lastUpdatedField = "qid")
+    def builder() = new AnnIndexBuilder(src, idx, qz, "embedding",
+      nCentroids = 16, m = 8, ksub = 16, iters = 0, family = "md5")
+    assert(builder().run().processed === 500)
+    // the serving table holds NO float arrays anywhere — m-byte codes only
+    def floatArrays(dt: DataType): Boolean = dt match {
+      case ArrayType(el, _) => el == FloatType || el == DoubleType || floatArrays(el)
+      case st: StructType => st.fields.exists(f => floatArrays(f.dataType))
+      case _ => false
+    }
+    assert(!idx.df.schema.fields.exists(f => floatArrays(f.dataType)))
+    assert(idx.df.schema("code").dataType === BinaryType)
+    assert(idx.df.select(max(length(col("code")))).head().getInt(0) === 8)
+    // a single-batch build with the same deterministic quantizer params
+    // must answer EXACTLY like the batch-plane operator (same draw, same
+    // books after the JSON round-trip, same ADC)
+    val queries = emb.filter(col("vec_id") < 10)
+    val served = builder().topK(queries, k = 5).orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val batchPlane = Similarity.ivfPqTopK(emb, queries, k = 5,
+        nCentroids = 16, nprobe = 4, m = 8, ksub = 16, iters = 0, family = "md5")
+      .orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(served.nonEmpty)
+    assert(served === batchPlane)
+  }
+
+  test("AnnIndexBuilder incremental: 2-batch build + restart answer from codes (delta parquet index)") {
+    import graft.builder.AnnIndexBuilder
+    import graft.store.{MemoryStore, ParquetStore}
+    val s = spark; import s.implicits._
+    val emb = sf("embeddings")
+    val src = new MemoryStore(spark, "asrc", key = "vec_id", lastUpdatedField = "lu")
+    src.load(emb.filter(col("vec_id") < 300).withColumn("lu", col("vec_id")))
+    val idxRoot = java.nio.file.Files.createTempDirectory("ann_idx").toString
+    val qzRoot = java.nio.file.Files.createTempDirectory("ann_qz").toString
+    def idxStore() = new ParquetStore(spark, idxRoot, "id", "cell",
+      deltaWrites = true)
+    def qzStore() = new ParquetStore(spark, qzRoot, "qid", "qid")
+    def builder(i: ParquetStore, q: ParquetStore) =
+      new AnnIndexBuilder(src, i, q, "embedding",
+        nCentroids = 16, m = 8, ksub = 16, iters = 0, family = "md5")
+    val (i1, q1) = (idxStore(), qzStore())
+    // batch 1 trains + persists the quantizer, encodes 300 docs
+    assert(builder(i1, q1).run().processed === 300)
+    // batch 2: only the 200 unseen docs are examined (delta append)
+    src.update(emb.filter(col("vec_id") >= 300).withColumn("lu", col("vec_id")))
+    assert(builder(i1, q1).run().processed === 200)
+    assert(i1.count(None) === 500)
+    // unchanged corpus: zero work
+    assert(builder(i1, q1).run().processed === 0)
+    val queries = emb.filter(col("vec_id") < 10)
+    val before = builder(i1, q1).topK(queries, k = 5).orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // RESTART: fresh store objects over the same roots — the quantizer
+    // reloads from its JSON row, answers are identical, no re-encode
+    val (i2, q2) = (idxStore(), qzStore())
+    val b2 = builder(i2, q2)
+    assert(b2.run().processed === 0)
+    val after = b2.topK(queries, k = 5).orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(before.nonEmpty)
+    assert(after === before)
+  }
+
+  test("Runner: ann_index builder from spec") {
+    import graft.run.Runner
+    val srcPath = java.nio.file.Files.createTempDirectory("ann_src").toString + "/emb"
+    sf("embeddings").write.parquet(srcPath)
+    val idxRoot = java.nio.file.Files.createTempDirectory("ann_ridx").toString
+    val qzRoot = java.nio.file.Files.createTempDirectory("ann_rqz").toString
+    val spec = s"""{
+      "stores": {
+        "src": {"type": "parquet_table", "path": "$srcPath", "key": "vec_id", "last_updated": "vec_id"},
+        "idx": {"type": "parquet", "root": "$idxRoot", "key": "id", "delta_writes": true},
+        "qz":  {"type": "parquet", "root": "$qzRoot", "key": "qid"}
+      },
+      "builders": [
+        {"type": "ann_index", "source": "src", "index": "idx", "quantizer": "qz",
+         "vec_field": "embedding", "ksub": 16, "family": "md5"}
+      ]
+    }"""
+    val report = Runner.run(spark, spec)
+    assert(report.builders.head._2.processed === 500)
+    val idx = spark.read.parquet(s"$idxRoot/v_0")
+    assert(idx.columns.toSet === Set("id", "cell", "code"))
+  }
+
   test("StreamingBuilder.windowedCounts: watermarked tumbling-window agg") {
     val s = spark
     import s.implicits._
