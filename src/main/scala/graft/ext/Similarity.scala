@@ -207,10 +207,37 @@ object Similarity {
                 family: String = "xxh64", trainIters: Int = 0)
       : DataFrame = {
     val s = corpus.sparkSession
-    val cents =
-      if (trainIters <= 0) centroidDraw(corpus, nCentroids, idCol, vecCol, family)
-      else trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, family)
-    val books = trainPq(corpus, m, ksub, iters, idCol, vecCol, family)
+    // untrained coarse cells: ONE TakeOrdered draw feeds BOTH quantizers
+    // (the seeded-hash order is total, so draw(n) is a prefix of
+    // draw(max(n, ksub))) — the old shape ran the same corpus-scan draw
+    // once for the cells and again inside trainPq. The collected rows
+    // rebuild the centroid table as a LocalRelation (float→double is
+    // exact; the assignment kernels convert to double either way), so
+    // cell assignment collects no second draw job either.
+    val (cents, books) =
+      if (trainIters <= 0) {
+        val draw = centroidDraw(corpus, math.max(nCentroids, ksub),
+          idCol, vecCol, family).collect() // ≤ max(nCentroids, ksub) rows by contract
+        require(draw.nonEmpty, "ivfPqTopK requires a non-empty corpus")
+        def toD(v: Seq[Any]): Array[Double] = v.map {
+          case null => 0.0
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        }.toArray
+        import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("c_id", corpus.schema(idCol).dataType),
+          StructField("c_vec", ArrayType(DoubleType))))
+        val centRows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(draw.take(nCentroids).map(r =>
+            org.apache.spark.sql.Row(r.get(0), toD(r.getSeq[Any](1)).toSeq)): _*)
+        (broadcast(s.createDataFrame(centRows, schema)),
+          trainPqFromSeeds(corpus, draw.take(ksub).map(r => toD(r.getSeq[Any](1))),
+            m, ksub, iters, vecCol))
+      } else
+        (trainCentroids(corpus, nCentroids, trainIters, idCol, vecCol, family),
+          trainPq(corpus, m, ksub, iters, idCol, vecCol, family))
     // one corpus scan: cell assignment (argmax kernel) + PQ encode
     // (codes kernel) — the float vector is dropped right here; at
     // cluster scale this projection writes the serving table, bucketed
@@ -440,9 +467,6 @@ object Similarity {
   def trainPq(corpus: DataFrame, m: Int, ksub: Int = 256, iters: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
               family: String = "xxh64"): Array[Array[Array[Double]]] = {
-    require(m > 0, s"m must be positive, got $m")
-    require(ksub > 0 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
-    val s = corpus.sparkSession
     val draw = centroidDraw(corpus, ksub, idCol, vecCol, family).collect() // ≤ ksub rows by contract
     require(draw.nonEmpty, "trainPq requires a non-empty corpus")
     def toD(v: Seq[Any]): Array[Double] = v.map {
@@ -451,7 +475,20 @@ object Similarity {
       case d: Double => d
       case n: Number => n.doubleValue()
     }.toArray
-    val seeds = draw.map(r => toD(r.getSeq[Any](1)))
+    trainPqFromSeeds(corpus, draw.map(r => toD(r.getSeq[Any](1))),
+      m, ksub, iters, vecCol)
+  }
+
+  /** [[trainPq]] over pre-collected seed vectors (lets callers that
+    * already ran the deterministic draw — [[ivfPqTopK]] — skip the
+    * second TakeOrdered corpus pass). */
+  private[graft] def trainPqFromSeeds(corpus: DataFrame,
+      seeds: Array[Array[Double]], m: Int, ksub: Int, iters: Int,
+      vecCol: String): Array[Array[Array[Double]]] = {
+    require(m > 0, s"m must be positive, got $m")
+    require(ksub > 0 && ksub <= 256, s"ksub must be in [1, 256], got $ksub")
+    require(seeds.nonEmpty, "trainPq requires non-empty seeds")
+    val s = corpus.sparkSession
     val dim = seeds.map(_.length).max
     val dsub = (dim + m - 1) / m
     // ragged tails pad with 0.0 — the encode kernel reads past-end dims
