@@ -86,16 +86,42 @@ object Multimodal {
       (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||
       (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))
 
+  /** Per-executor-thread reader cache, keyed by container magic: the
+    * `getImageReaders` service-registry scan costs ~0.1-0.4 ms per call
+    * — at corpus scale that's the dominant per-image cost for small
+    * thumbnails (a 24×24 BMP decodes in ~10 µs). JDK `ImageReader`s are
+    * reusable via `setInput`; the cache holds one reader per format per
+    * thread (bounded: 5 formats × pool threads), reset implicitly when
+    * the executor thread dies. A reader that fails on a payload is
+    * evicted so a corrupt-state reader cannot poison later rows. */
+  private val readerCache =
+    new ThreadLocal[scala.collection.mutable.Map[String, javax.imageio.ImageReader]] {
+      override def initialValue() = scala.collection.mutable.Map.empty
+    }
+
+  private def magicKey(b: Array[Byte]): String =
+    if (b(0) == 0x89.toByte) "png"
+    else if (b(0) == 0xFF.toByte) "jpg"
+    else if (b(0) == 'G') "gif"
+    else if (b(0) == 'B') "bmp"
+    else "tif"
+
   /** The one guarded ImageIO entry point (sniff → header-dimension bomb
     * check → raster read); every image kernel routes through it. */
   private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try {
       if (!looksLikeImage(bytes)) return None
+      val key = magicKey(bytes)
+      val cache = readerCache.get()
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
+      val reader = cache.getOrElse(key, {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); return None }
+        val r = readers.next()
+        cache.update(key, r)
+        r
+      })
       val img =
         try {
           reader.setInput(iis)
@@ -103,7 +129,10 @@ object Multimodal {
           val (w0, h0) = (reader.getWidth(0), reader.getHeight(0))
           if (w0 <= 0 || h0 <= 0 || w0.toLong * h0 > maxImagePixels) null
           else reader.read(0)
-        } finally { reader.dispose(); iis.close() }
+        } catch { case scala.util.control.NonFatal(e) =>
+          // failed mid-decode: evict and dispose — reader state unknown
+          cache.remove(key); reader.dispose(); throw e
+        } finally iis.close()
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else Some(img)
       // NonFatal only: malformed payloads degrade to the stub fallback,
