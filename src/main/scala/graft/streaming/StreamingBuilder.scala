@@ -124,4 +124,33 @@ object StreamingBuilder {
     checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
     writer.start()
   }
+
+  /** Streaming IVF-PQ index maintenance: one [[graft.builder
+    * .AnnIndexBuilder]] round per micro-batch — the first batch trains
+    * and persists the quantizer, every later batch (and any restarted
+    * query: state lives in the stores) encodes ONLY its own rows
+    * against it and appends m-byte codes. The serving side
+    * (`AnnIndexBuilder.topK` / [[graft.ext.Similarity
+    * .ivfPqTopKFromCodes]]) reads the same index concurrently — the
+    * streaming half of the incremental ANN plane. */
+  def annIndexStream(stream: DataFrame, key: String, vecField: String,
+                     index: Store, quantizer: Store,
+                     nCentroids: Int = 16, m: Int = 8, ksub: Int = 256,
+                     iters: Int = 0, family: String = "xxh64",
+                     checkpoint: Option[String] = None): StreamingQuery = {
+    require(stream.isStreaming, "annIndexStream needs a streaming DataFrame")
+    var writer = stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val src = new graft.store.TableStore(batch.sparkSession, batch,
+            "stream-batch", key)
+          new graft.builder.AnnIndexBuilder(src, index, quantizer, vecField,
+            nCentroids, m, ksub, iters, family).run()
+          ()
+        }
+      }
+    checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
+    writer.start()
+  }
 }

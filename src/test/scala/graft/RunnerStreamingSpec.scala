@@ -913,6 +913,45 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(idx.columns.toSet === Set("id", "cell", "code"))
   }
 
+  test("StreamingBuilder.annIndexStream: per-trigger encode, quantizer trained once, serves from codes") {
+    import graft.builder.AnnIndexBuilder
+    import graft.store.{MemoryStore, TableStore}
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // 4 angular directions + per-id jitter; id 15 is an exact copy of id 3
+    def vec(i: Int): Seq[Double] =
+      if (i == 15) vec(3)
+      else Seq.tabulate(8)(d => if (d == i % 4) 1.0 else if (d == 4 + i % 4) 0.01 * i else 0.0)
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val idx = new MemoryStore(spark, "saidx", key = "id", lastUpdatedField = "cell")
+    val qz = new MemoryStore(spark, "saqz", key = "qid", lastUpdatedField = "qid")
+    val q = graft.streaming.StreamingBuilder.annIndexStream(
+      stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idx, qz, nCentroids = 4, m = 2, ksub = 4, family = "md5")
+    stream.addData((1L to 10L).map(i => (i, vec(i.toInt))): _*)
+    q.processAllAvailable()
+    assert(idx.df.count() === 10)
+    val booksAfterT1 = qz.df.select("books").head().getString(0)
+    // trigger 2: six more docs encode against the SAME quantizer
+    stream.addData((11L to 16L).map(i => (i, vec(i.toInt))): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(idx.df.count() === 16)
+    assert(qz.df.count() === 1)
+    assert(qz.df.select("books").head().getString(0) === booksAfterT1)
+    // serve from codes: the exact copy of id 3 (streamed in trigger 2)
+    // is its own nearest neighbor at ADC sim 1.0
+    val all = (1 to 16).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val srv = new AnnIndexBuilder(
+      new TableStore(spark, all, "all", "vec_id", "vec_id"), idx, qz,
+      "embedding", nCentroids = 4, m = 2, ksub = 4, family = "md5")
+    val top = srv.topK(all.filter(col("vec_id") === 3L), k = 3, nprobe = 2)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(2) === 15L) // the exact copy ranks first
+    assert(top.head.getDouble(3) === 1.0)
+  }
+
   test("StreamingBuilder.windowedCounts: watermarked tumbling-window agg") {
     val s = spark
     import s.implicits._
