@@ -949,7 +949,9 @@ class RunnerStreamingSpec extends SparkSpec {
     val top = srv.topK(all.filter(col("vec_id") === 3L), k = 3, nprobe = 2)
       .orderBy("rank").collect()
     assert(top.head.getLong(2) === 15L) // the exact copy ranks first
-    assert(top.head.getDouble(3) === 1.0)
+    // ADC scores against the code-RECONSTRUCTED vector: identical codes
+    // rank the copy first, but the sim carries the quantization error
+    assert(top.head.getDouble(3) >= 0.99)
   }
 
   test("StreamingBuilder.windowedCounts: watermarked tumbling-window agg") {
