@@ -724,6 +724,29 @@ class ExtQualitySpec extends SparkSpec {
       inc(0).getString(0) === "doc-a" && inc(0).getString(1) === "doc-b")
   }
 
+  test("planRowUpperBound: footer bound on parquet plans, None on row-multiplying or unknown plans") {
+    val s = spark; import s.implicits._
+    val docs = sf("documents")
+    // plain scan: bound = footer rows, a true upper bound
+    val exact = docs.count()
+    assert(Dedup.planRowUpperBound(docs) === Some(exact))
+    // filters/projections only shrink — the bound stays the footer count
+    assert(Dedup.planRowUpperBound(
+      docs.filter(col("doc_id") % 7 === 0).select("doc_id")) === Some(exact))
+    // a union counts both branches (over-counts the filtered one: safe side)
+    assert(Dedup.planRowUpperBound(
+      docs.unionByName(docs.filter(col("doc_id") < 5))) === Some(2 * exact))
+    // generators multiply rows — scan counts no longer bound the output
+    assert(Dedup.planRowUpperBound(
+      docs.select(explode(split(col("text"), " ")))) === None)
+    // joins likewise
+    assert(Dedup.planRowUpperBound(
+      docs.join(docs.select(col("doc_id")), Seq("doc_id"))) === None)
+    // local relations are exactly sized
+    assert(Dedup.planRowUpperBound(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      === Some(2L))
+  }
+
   test("graft_topk bounded heap matches sort-based top-k with ties toward smaller id") {
     val s = spark; import s.implicits._
     val rows = (1L to 500L).map(i => (1L, i, ((i * 37) % 97).toDouble / 97.0)) ++

@@ -253,6 +253,32 @@ object PropertySpec extends Properties("graft") {
       codesOk && adcOk
     }
 
+  property("codes-served IVF-PQ equals the batch operator on arbitrary corpora") =
+    forAll(Gen.chooseNum(8, 40), Gen.chooseNum(1, 6), Gen.chooseNum(0L, 1000L)) {
+      (n, dimQuarter, salt) =>
+        val s = spark; import s.implicits._
+        val dim = dimQuarter * 4
+        // deterministic pseudo-random vectors from (id, salt) — varied
+        // but replayable inputs without driver RNG state
+        def vec(i: Long): Seq[Double] =
+          Seq.tabulate(dim)(d => math.sin(0.7 * i + 1.3 * d + salt) + 0.01 * (i % 7))
+        val corpus = (1L to n.toLong).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+        val queries = corpus.filter(col("vec_id") <= 3)
+        val batch = graft.ext.Similarity.ivfPqTopK(corpus, queries, k = 3,
+            nCentroids = 4, nprobe = 2, m = 2, ksub = 4, iters = 0, family = "md5")
+          .orderBy("q_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+        val src = new graft.store.TableStore(s, corpus, "pc", "vec_id", "vec_id")
+        val idx = new graft.store.MemoryStore(s, "pcidx", key = "id", lastUpdatedField = "cell")
+        val qz = new graft.store.MemoryStore(s, "pcqz", key = "qid", lastUpdatedField = "qid")
+        val b = new graft.builder.AnnIndexBuilder(src, idx, qz, "embedding",
+          nCentroids = 4, m = 2, ksub = 4, iters = 0, family = "md5")
+        b.run()
+        val served = b.topK(queries, k = 3, nprobe = 2).orderBy("q_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+        served == batch
+    }
+
   property("MongoFilter range/membership criteria equal the native predicate") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)), Gen.chooseNum(-1000L, 1000L)) {
       (vals, pivot) =>
