@@ -56,8 +56,25 @@ class AnnIndexBuilder(
   private def scoped: DataFrame =
     criteria.map(c => MongoFilter(source.df, c)).getOrElse(source.df)
 
+  /** Same refusal contract as DedupBuilder's index check: a populated
+    * index that is not the `(id, cell, code: binary)` layout (e.g. a
+    * semantic-dedup index sharing the store ref) is rejected instead of
+    * silently schema-unioned — later batches would otherwise serve
+    * null codes as "indexed". */
+  private def checkIndexLayout(): Boolean = {
+    val df = index.df
+    val c = df.columns
+    val usable = c.contains("id") && c.contains("cell") && c.contains("code") &&
+      df.schema("code").dataType == org.apache.spark.sql.types.BinaryType
+    if (!usable && c.nonEmpty && !df.isEmpty)
+      throw new IllegalArgumentException(
+        s"index store contains rows but not the (id, cell, code) ANN layout " +
+          s"(columns: ${c.mkString(", ")}) — refusing to mix index layouts")
+    usable
+  }
+
   def pendingItems(): DataFrame =
-    if (!index.df.columns.contains("id")) scoped
+    if (!checkIndexLayout()) scoped
     else scoped.join(index.df.select(col("id").alias(source.key)),
       Seq(source.key), "left_anti")
 

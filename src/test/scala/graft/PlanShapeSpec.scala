@@ -69,6 +69,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("graft_topk"), s"bounded-heap top-k missing:\n$p")
   }
 
+  test("codes-served ANN scans only (id, cell, code) from the persisted index — no float arrays") {
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val emb = sf("embeddings")
+    val root = java.nio.file.Files.createTempDirectory("psidx").toString
+    val idx = new graft.store.ParquetStore(s, root, "id", "cell")
+    val qz = new graft.store.MemoryStore(s, "psqz", key = "qid", lastUpdatedField = "qid")
+    val b = new graft.builder.AnnIndexBuilder(
+      new graft.store.TableStore(s, emb, "pse", "vec_id", "vec_id"), idx, qz,
+      "embedding", nCentroids = 4, m = 4, ksub = 8, iters = 0, family = "md5")
+    b.run()
+    val plan = b.topK(emb.filter(col("vec_id") < 3), k = 3, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // the index scan's ReadSchema carries the code BYTES, never a
+    // float/double array — the whole point of the serving shape
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    val idxSchemas = readSchemas.filter(_.contains("code"))
+    assert(idxSchemas.nonEmpty, s"no index ReadSchema found:\n$plan")
+    idxSchemas.foreach(rs =>
+      assert(!rs.contains("array<float") && !rs.contains("array<double"),
+        s"float vectors leaked into the codes scan: $rs"))
+    // probe-cell pruning reaches the scan as a pushed IN filter
+    assert(plan.contains("PushedFilters: [In(cell"),
+      s"probe-cell IN not pushed to the index scan:\n$plan")
+    // broadcast LUT join + bounded-heap reduction, like the batch plane
+    assert(plan.contains("Broadcast"), s"query side not broadcast:\n$plan")
+    assert(plan.contains("graft_pq_adc"), s"ADC kernel missing:\n$plan")
+    assert(plan.contains("graft_topk"), s"bounded-heap top-k missing:\n$plan")
+  }
+
+  test("AnnIndexBuilder refuses a populated foreign index layout") {
+    val s = spark; import s.implicits._
+    val idx = new graft.store.MemoryStore(s, "psfidx", key = "id", lastUpdatedField = "cluster")
+    idx.load(Seq((1L, Seq(1.0), 1L, false, 1L)).toDF("id", "vec", "cell", "centroid", "cluster"))
+    val qz = new graft.store.MemoryStore(s, "psfqz", key = "qid", lastUpdatedField = "qid")
+    val b = new graft.builder.AnnIndexBuilder(
+      new graft.store.TableStore(s, sf("embeddings"), "psf", "vec_id", "vec_id"),
+      idx, qz, "embedding", nCentroids = 4, m = 2, ksub = 4)
+    val e = intercept[IllegalArgumentException] { b.run() }
+    assert(e.getMessage.contains("refusing to mix index layouts"))
+  }
+
   test("trained centroids keep the corpus-side assignment a pure projection") {
     import org.apache.spark.sql.functions._
     val emb = sf("embeddings")
