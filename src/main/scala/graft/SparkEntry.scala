@@ -903,6 +903,26 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // the INCREMENTAL serving plane end-to-end: build the codes-only
+    // index (delta parquet + JSON quantizer) through AnnIndexBuilder,
+    // then answer from persisted codes — the oracle is the same IVF-PQ
+    // replay, because a single-batch build with the deterministic
+    // quantizer answers EXACTLY like the batch operator
+    "ann_index_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_ann").toString
+      val idx = new graft.store.ParquetStore(s, s"$base/idx", "id", "cell",
+        deltaWrites = true)
+      val qz = new graft.store.ParquetStore(s, s"$base/qz", "qid", "qid")
+      val b = new graft.builder.AnnIndexBuilder(
+        new TableStore(s, emb, "annsrc", "vec_id", "vec_id"), idx, qz,
+        "embedding", nCentroids = 16, m = 8, ksub = 16, iters = 0,
+        family = "md5")
+      b.run()
+      b.topK(emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       // all math in doubles from the start (float->double cast is exact,
       // so the DuckDB twin computes on identical values)
@@ -1791,6 +1811,10 @@ object SparkEntry {
       // (cosine-nearest, the sim_ivf_topk spelling) AND quantizes;
       // candidates are the probed cells' codes, ADC-scored
       "sim_ivfpq_topk" -> SparkEntry.pqOracleSql(ivf = true),
+      // the incremental builder's single-batch build + serve is pinned
+      // (PropertySpec/RunnerStreamingSpec) to answer exactly like the
+      // batch operator, so it shares the IVF-PQ oracle
+      "ann_index_topk" -> SparkEntry.pqOracleSql(ivf = true),
       // box-filter resize replay: each doc's synthetic BMP pixel
       // formula (gray = (doc_id + y*w + x) mod 256, r=g=b) is
       // re-derived arithmetically per size class (side 8/16/24 by
