@@ -45,7 +45,8 @@ class AnnIndexBuilder(
     val ksub: Int = 256,
     val iters: Int = 0,
     val family: String = "xxh64",
-    val criteria: Option[String] = None)
+    val criteria: Option[String] = None,
+    val deleteOrphans: Boolean = false)
   extends Builder {
 
   require(nCentroids > 0, s"nCentroids must be positive, got $nCentroids")
@@ -140,23 +141,38 @@ class AnnIndexBuilder(
     index.ensureIndex("cell")
     val batch = pendingItems().localCheckpoint(true)
     val examined = batch.count()
-    if (examined == 0) { batch.unpersist(); return BuildReport(0, 0) }
-    val (books, cents) = loadQuantizer().getOrElse {
-      val b = Similarity.trainPq(batch, m, ksub, iters, source.key, vecField, family)
-      val c = Similarity.centroidDraw(batch, nCentroids, source.key, vecField, family)
-      saveQuantizer(b, c)
-      // re-load, not reuse: the persisted JSON round-trip is what every
-      // later batch (and restart) sees — divergence would surface here
-      loadQuantizer().get
+    if (examined > 0) {
+      val (books, cents) = loadQuantizer().getOrElse {
+        val b = Similarity.trainPq(batch, m, ksub, iters, source.key, vecField, family)
+        val c = Similarity.centroidDraw(batch, nCentroids, source.key, vecField, family)
+        saveQuantizer(b, c)
+        // re-load, not reuse: the persisted JSON round-trip is what every
+        // later batch (and restart) sees — divergence would surface here
+        loadQuantizer().get
+      }
+      val rows = Similarity.assignToCells(batch, broadcast(cents),
+          source.key, vecField, keep = 1)
+        .select(col("__rid").alias("id"), col("cell"),
+          graft.functions.GraftFunctions.pqEncode(spark, col("__rvec"), books)
+            .alias("code"))
+      index.update(rows, Seq("id"))
     }
-    val rows = Similarity.assignToCells(batch, broadcast(cents),
-        source.key, vecField, keep = 1)
-      .select(col("__rid").alias("id"), col("cell"),
-        graft.functions.GraftFunctions.pqEncode(spark, col("__rvec"), books)
-          .alias("code"))
-    index.update(rows, Seq("id"))
     batch.unpersist()
-    BuildReport(examined, 0)
+    var orphans = 0L
+    // NOT inside the examined-guard: a delete-only corpus change has an
+    // empty batch but still needs its codes removed
+    if (deleteOrphans && index.df.columns.contains("id")) {
+      // docs gone from the (scoped) corpus leave the index too — the
+      // MapBuilder orphan contract on the codes table (checkpoint:
+      // count + removeKeys are two actions over the same key set)
+      val orphanKeys = index.df.select(col("id"))
+        .join(scoped.select(col(source.key).alias("id")), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      orphans = orphanKeys.count()
+      if (orphans > 0) index.removeKeys(orphanKeys)
+      orphanKeys.unpersist()
+    }
+    BuildReport(examined, 0, orphans)
   }
 
   /** ADC top-k over the persisted codes (see

@@ -166,7 +166,8 @@ object Runner {
           ksub = opt(n, "ksub").map(_.asInt()).getOrElse(256),
           iters = opt(n, "iters").map(_.asInt()).getOrElse(0),
           family = str(n, "family", "xxh64"),
-          criteria = criteria(n))
+          criteria = criteria(n),
+          deleteOrphans = opt(n, "delete_orphans").exists(_.asBoolean()))
       case other => throw new IllegalArgumentException(s"unknown builder type: $other")
     }
   }

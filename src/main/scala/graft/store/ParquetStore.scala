@@ -107,16 +107,29 @@ class ParquetStore(
 
   /** Fields from [[ensureIndex]]: writes lay data out range-partitioned +
     * sorted on these, so parquet row-group min/max statistics prune point
-    * lookups to one group (the Mongo `_id`-index analogue). */
-  @volatile private var indexKeys: Seq[String] = Nil
+    * lookups to one group (the Mongo `_id`-index analogue). Restored
+    * from the `_indexkeys` sidecar so a RESTARTED store (fresh instance
+    * over the same root — every incremental builder run) knows the
+    * on-disk layout without re-creating it. */
+  @volatile private var indexKeys: Seq[String] = {
+    val p = Paths.get(root, "_indexkeys")
+    if (Files.exists(p)) Files.readString(p).split("\n").toSeq.filter(_.nonEmpty)
+    else Nil
+  }
 
   /** S8 on parquet: an "index" = key-clustered layout. Recorded fields
     * re-shape every subsequent write; existing data is re-laid-out once
-    * immediately (like index creation on a populated collection). */
+    * immediately (like index creation on a populated collection). The
+    * field set persists in the `_indexkeys` sidecar, so re-ensuring an
+    * already-recorded field after a restart is a no-op — the old shape
+    * re-laid-out the WHOLE table on every fresh instance's first
+    * ensureIndex (O(corpus) per incremental-builder restart). */
   override def ensureIndex(field: String, unique: Boolean = false): Boolean = {
     if (!indexKeys.contains(field)) {
       indexKeys = indexKeys :+ field
       if (!isEmpty) writeVersion(df)
+      else Files.writeString(Paths.get(root, "_indexkeys"),
+        indexKeys.mkString("\n"))
     }
     true
   }
@@ -153,6 +166,9 @@ class ParquetStore(
     writer.parquet(s"$root/$next")
     val old = parsed
     Files.writeString(currentFile, next)
+    // record the layout keys AFTER the write commits: the sidecar only
+    // ever describes data that is actually clustered this way
+    Files.writeString(Paths.get(root, "_indexkeys"), indexKeys.mkString("\n"))
     // GC: keep the immediately-previous generation (base AND its deltas)
     // so plans captured before this write (and concurrent readers of it)
     // stay scannable; only the grandparent generation is deleted. A

@@ -888,6 +888,14 @@ class RunnerStreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(before.nonEmpty)
     assert(after === before)
+    // delete-only corpus change: the batch is empty, orphans still leave
+    src.removeKeys(Seq(400L, 401L).toDF("vec_id"))
+    val orphanRun = new AnnIndexBuilder(src, i2, q2, "embedding",
+      nCentroids = 16, m = 8, ksub = 16, iters = 0, family = "md5",
+      deleteOrphans = true).run()
+    assert(orphanRun.processed === 0)
+    assert(orphanRun.orphansDeleted === 2)
+    assert(i2.count(None) === 498)
   }
 
   test("Runner: ann_index builder from spec") {
