@@ -180,6 +180,11 @@ class AnnIndexBuilder(
   def topK(queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     val (books, cents) = loadQuantizer().getOrElse(throw new IllegalStateException(
       "AnnIndexBuilder.topK before any run(): no quantizer persisted"))
+    // a quantizer without codes (first run's index write failed, or all
+    // docs were orphan-deleted) must fail clearly, not as an
+    // unresolved-column crash on the schemaless empty store
+    if (!index.df.columns.contains("id")) throw new IllegalStateException(
+      "AnnIndexBuilder.topK: the codes index is empty — run() a batch first")
     Similarity.ivfPqTopKFromCodes(index.df, queries, k, books, cents,
       nprobe, source.key, vecField)
   }
