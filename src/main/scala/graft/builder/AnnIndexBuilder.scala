@@ -123,6 +123,10 @@ class AnnIndexBuilder(
         case f: Float => arr.add(f.toDouble)
         case d: Double => arr.add(d)
         case x: Number => arr.add(x.doubleValue())
+        // null elements zero-fill, matching the batch plane (toD in
+        // Similarity) — a MatchError here would crash run() on one
+        // null-element centroid row with an opaque error
+        case null => arr.add(0.0)
       }
       n
     }

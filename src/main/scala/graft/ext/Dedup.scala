@@ -220,11 +220,21 @@ object Dedup {
     * Filters/projections only shrink rows, so Σ footer counts is a
     * true upper bound for the plans this accepts. */
   private[graft] def planRowUpperBound(df: DataFrame, maxFiles: Int = 32): Option[Long] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LocalRelation}
+    import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val plan = df.queryExecution.optimizedPlan
-    if (plan.collectFirst { case j: Join => j; case g: Generate => g }.nonEmpty)
-      return None
+    // ALLOWLIST of provably row-preserving/shrinking operators — anything
+    // else (Join, Generate, but also Expand from grouping-set rewrites,
+    // typed FlatMap/MapPartitions, future nodes) voids the bound. A
+    // denylist here once let Expand through and under-counted, which
+    // would misroute a big corpus onto a quadratic branch.
+    val safe = plan.collect {
+      case n @ (_: Project | _: Filter | _: Aggregate | _: Union |
+                _: GlobalLimit | _: LocalLimit | _: Sort | _: Distinct |
+                _: Deduplicate | _: RepartitionOperation | _: Sample |
+                _: SubqueryAlias | _: LocalRelation | _: LogicalRelation) => n
+    }.size == plan.collect { case n => n }.size
+    if (!safe) return None
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val perLeaf = plan.collectLeaves().map {
       case l: LocalRelation => Some(l.data.length.toLong)

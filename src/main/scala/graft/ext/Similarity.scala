@@ -274,14 +274,21 @@ object Similarity {
                          idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     val s = codes.sparkSession
-    val probes = assignToCells(queries, broadcast(cents), idCol, vecCol,
+    val probePlan = assignToCells(queries, broadcast(cents), idCol, vecCol,
         keep = nprobe)
       .select(col("__rid").alias("q_id"), col("cell"),
         graft.functions.GraftFunctions.pqLut(s, col("__rvec"), books).alias("__lut"))
       .filter(col("__lut").isNotNull)
-      .localCheckpoint(true) // consumed twice: cell collect + the join
-    val probeCells = probes.select(col("cell")).distinct()
-      .collect().map(_.get(0)).toSeq // ≤ nCentroids by construction
+    // ≤ queries × nprobe rows by the broadcast-small query contract:
+    // collect ONCE and re-plan as a local relation. (A localCheckpoint
+    // here would leak executor blocks on every call of a long-lived
+    // serving process — there is no post-action hook to unpersist from
+    // a lazily-returned DataFrame.) The probe-cell set falls out of the
+    // same collect driver-side, saving a distinct job.
+    val probeRows = probePlan.collect()
+    val probes = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
+    val probeCells = probeRows.map(_.get(1)).distinct.toSeq
     val scored = codes
       .filter(col("cell").isin(probeCells: _*))
       .select(col("id").alias("n_id"), col("cell"), col("code").alias("__code"))

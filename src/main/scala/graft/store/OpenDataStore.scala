@@ -88,8 +88,12 @@ class OpenDataStore(
     val dataR = scala.util.Try(Await.result(dataF, Duration.Inf))
     val rowsR = scala.util.Try(Await.result(manifestRowsF, Duration.Inf))
     dataR.get // data failure → abort before any metadata commit
-    storeManifest(rowsR.get)
+    // data is committed: the schema sidecar must commit too, EVEN IF the
+    // manifest aggregation failed — new data + stale sidecar means later
+    // reads silently null-fill the newly added columns (the exact hazard
+    // the ordering comment above guards against in the other direction)
     writeSchemaSidecar(next.schema)
+    storeManifest(rowsR.recover { case _ => manifest.toJSON.collect() }.get)
   }
 
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit =

@@ -36,6 +36,15 @@ import java.util.Comparator
   * compound-key upserts always compact first — only the single-key
   * upsert (the index-build write shape) takes the delta path.
   */
+object ParquetStore {
+  /** Delta-row ceiling for the merge-on-read broadcast (see [[ParquetStore.df]]).
+    * 4M keys ≈ tens of MB broadcast for long/short-string keys — far
+    * inside Spark's broadcast-table and driver-memory comfort zone on
+    * any executor profile; above it one compaction beats a pinned
+    * broadcast on every read. */
+  private[store] val MaxBroadcastDeltaRows: Long = 4000000L
+}
+
 class ParquetStore(
     val spark: SparkSession,
     val root: String,
@@ -87,23 +96,64 @@ class ParquetStore(
       // auto-broadcast keys off ESTIMATED size and a silent fall-through
       // to sort-merge would shuffle every base row — for a blob plane
       // that is the whole payload column crossing the network per read.
-      // Winners resolve with one max_by hash agg over the DELTAS ONLY
-      // (small by the delta-write contract); each generation is already
-      // key-unique (dedupLastWins at write), so max_by on generation is
-      // exact last-write-wins.
-      val baseDf = spark.read.parquet(p)
-      val all = deltas.zipWithIndex.map { case (d, i) =>
-        spark.read.parquet(s"$root/$base.$d").withColumn("__gen", lit(i + 1))
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
-      val cols = all.columns.filter(_ != "__gen")
-      val winners = all.groupBy(col(key))
-        .agg(max_by(struct(cols.map(col): _*), col("__gen")).alias("__doc"))
-        .select(col("__doc.*"))
-      baseDf.join(broadcast(winners.select(col(key))), Seq(key), "left_anti")
-        .unionByName(winners, allowMissingColumns = true)
+      // The broadcast is GUARDED on a footer-stats row bound over the
+      // delta dirs (driver-side metadata, zero jobs): one huge upsert
+      // batch would otherwise pin its full key set in driver + every
+      // executor's memory on every subsequent read. Above the bound the
+      // store compacts instead — one O(corpus) merge restores the plain
+      // base read, strictly better than paying an un-broadcastable join
+      // per read forever. Winners resolve with one max_by hash agg over
+      // the DELTAS ONLY (small by the delta-write contract); each
+      // generation is already key-unique (dedupLastWins at write), so
+      // max_by on generation is exact last-write-wins. The winners
+      // subtree appears twice in the plan (anti-join build + union) —
+      // bounded-small by the same guard, so recompute beats a
+      // persist/unpersist lifecycle on a lazily-returned DataFrame.
+      if (deltaRowBound(base, deltas)
+            .forall(_ > ParquetStore.MaxBroadcastDeltaRows)) {
+        compact()
+        dataPath.map(spark.read.parquet(_)).getOrElse(spark.emptyDataFrame)
+      } else mergedRead(p, base, deltas)
     case (Some(p), _) => spark.read.parquet(p)
     case _            => spark.emptyDataFrame
   }
+
+  /** The base∪deltas last-write-wins merge plan (see [[df]] doc).
+    * `bcast=false` (the over-bound compaction path) drops the broadcast
+    * hint so Catalyst picks a shuffled join for the one-off merge. */
+  private def mergedRead(p: String, base: String, deltas: Seq[String],
+                         bcast: Boolean = true): DataFrame = {
+    val baseDf = spark.read.parquet(p)
+    val all = deltas.zipWithIndex.map { case (d, i) =>
+      spark.read.parquet(s"$root/$base.$d").withColumn("__gen", lit(i + 1))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val cols = all.columns.filter(_ != "__gen")
+    val winners = all.groupBy(col(key))
+      .agg(max_by(struct(cols.map(col): _*), col("__gen")).alias("__doc"))
+      .select(col("__doc.*"))
+    val keys = winners.select(col(key))
+    baseDf.join(if (bcast) broadcast(keys) else keys, Seq(key), "left_anti")
+      .unionByName(winners, allowMissingColumns = true)
+  }
+
+  /** Σ parquet footer record counts under `dir` — driver metadata only. */
+  private def footerRowCount(dir: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(conf)
+    fs.listStatus(path).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+  }
+
+  /** Upper bound on pending-delta rows (≥ distinct delta keys) from
+    * footer stats. None = unreadable, treat as over-bound. */
+  private def deltaRowBound(base: String, deltas: Seq[String]): Option[Long] =
+    scala.util.Try(deltas.map(d => footerRowCount(s"$root/$base.$d")).sum).toOption
 
   /** Fields from [[ensureIndex]]: writes lay data out range-partitioned +
     * sorted on these, so parquet row-group min/max statistics prune point
@@ -205,20 +255,7 @@ class ParquetStore(
     // pending deltas may re-state existing keys — footer row counts would
     // double-count them, so the fast path applies to a compacted base only
     case None if parsed.exists(_._2.nonEmpty) => super.count(None)
-    case None => dataPath match {
-      case None => 0L
-      case Some(p) =>
-        val conf = spark.sessionState.newHadoopConf()
-        val dir = new org.apache.hadoop.fs.Path(p)
-        val fs = dir.getFileSystem(conf)
-        fs.listStatus(dir).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map { f =>
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try r.getRecordCount finally r.close()
-          }.sum
-    }
+    case None => dataPath.map(footerRowCount).getOrElse(0L)
   }
 
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit =
@@ -255,7 +292,14 @@ class ParquetStore(
     * [[ensureIndex]] keys) and reset the manifest — restores shuffle-free
     * reads, row-group pruning and the footer count fast path. No-op
     * without deltas. */
-  def compact(): Unit = if (parsed.exists(_._2.nonEmpty)) writeVersion(df)
+  def compact(): Unit = parsed.foreach { case (base, deltas) =>
+    // builds the merge plan directly (NOT via df — df compacts when the
+    // delta bound is exceeded, which would recurse back here forever)
+    if (deltas.nonEmpty)
+      writeVersion(mergedRead(s"$root/$base", base, deltas,
+        bcast = deltaRowBound(base, deltas)
+          .exists(_ <= ParquetStore.MaxBroadcastDeltaRows)))
+  }
 
   override def removeDocs(criteria: String): Unit = if (!isEmpty) {
     val t = df
