@@ -468,10 +468,15 @@ object SparkEntry {
     // engines' discrete-quantile ranks land mid-plateau, so the returned
     // DATA VALUES agree exactly even though the sketches differ.
     "agg_percentile_approx" -> ((s, dir) => {
+      // both discount quantiles read ONE QuantileSummaries sketch (the
+      // array form) instead of building two identical ones — same values
+      // (same sketch, same accuracy), one-third less aggregation work
       t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_quantity, 0.51, 10000)").alias("med_qty"),
-          expr("approx_percentile(l_discount, 0.30, 10000)").alias("q30_disc"),
-          expr("approx_percentile(l_discount, 0.70, 10000)").alias("q70_disc"))
+          expr("approx_percentile(l_discount, array(0.30D, 0.70D), 10000)")
+            .alias("__qd"))
+        .select(col("l_returnflag"), col("med_qty"),
+          col("__qd")(0).alias("q30_disc"), col("__qd")(1).alias("q70_disc"))
         .orderBy("l_returnflag")
     }),
 
