@@ -780,6 +780,25 @@ object SparkEntry {
         numHashes = 32, bands = 16, threshold = 0.5, family = "md5")
         .orderBy("a", "b")),
 
+    // 2-batch INCREMENTAL LSH — the repeat-build contract (reference
+    // `core/store.py:239-275`: process only the unseen): the signature
+    // index is built from the original corpus (batch A), then the
+    // suffixed near-dup batch (ids >= 1000000) runs through the
+    // incremental operator — pairs against the stored index plus within
+    // the batch, without re-reading batch-A text. md5 family so the
+    // oracle replays batch-B-vs-index banding against the batch-A
+    // signature CTE.
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val sigsA = Dedup.minhashSignatures(
+        corpus.filter(col("doc_id") < 1000000L), "doc_id", "text",
+        numHashes = 32, shingleSize = 3, family = "md5")
+      Dedup.minhashLshIncremental(
+        corpus.filter(col("doc_id") >= 1000000L), sigsA, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5, family = "md5")
+        .orderBy("a", "b")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       // md5 hash family: byte-replayable in the DuckDB oracle
       Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxHamming = 3,
@@ -925,6 +944,29 @@ object SparkEntry {
         family = "md5")
       b.run()
       b.topK(emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    // 2-batch INCREMENTAL ANN serving: batch A (even ids) trains and
+    // persists the quantizer; batch B (odd ids) is then encoded against
+    // batch A's LOADED quantizer — the delta-append path, not the
+    // degenerate single-batch case — and serving reads the persisted
+    // codes across both generations. Replayable because the quantizer
+    // is the deterministic md5 draw over batch A only.
+    "ann_index_incr_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_annincr").toString
+      val src = new graft.store.MemoryStore(s, "annincr_src", "vec_id", "vec_id")
+      val idx = new graft.store.ParquetStore(s, s"$base/idx", "id", "cell",
+        deltaWrites = true)
+      val qz = new graft.store.ParquetStore(s, s"$base/qz", "qid", "qid")
+      def mk() = new graft.builder.AnnIndexBuilder(src, idx, qz, "embedding",
+        nCentroids = 16, m = 8, ksub = 16, iters = 0, family = "md5")
+      src.load(emb.filter(col("vec_id") % 2 === 0))
+      mk().run() // batch A: trains + persists the quantizer, encodes evens
+      src.load(emb)
+      mk().run() // batch B: only the odd ids encode, against A's quantizer
+      mk().topK(emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
         .orderBy("q_id", "rank")
     }),
 
@@ -1110,6 +1152,16 @@ object SparkEntry {
       Dedup.minhashLsh(nearDupCorpus(s, dir), "doc_id", "text",
         numHashes = 32, bands = 16, threshold = 0.5)
         .orderBy("a", "b")),
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val sigsA = Dedup.minhashSignatures(
+        corpus.filter(col("doc_id") < 1000000L), "doc_id", "text",
+        numHashes = 32, shingleSize = 3)
+      Dedup.minhashLshIncremental(
+        corpus.filter(col("doc_id") >= 1000000L), sigsA, "doc_id", "text",
+        numHashes = 32, bands = 16, threshold = 0.5)
+        .orderBy("a", "b")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("a", "b")),
@@ -1139,7 +1191,16 @@ object SparkEntry {
     * SELECT without ORDER BY) so the pair query and the cluster-closure
     * query share one definition: 60-bit md5-prefix hashes, 32 min-aggs,
     * 16 band buckets, hot-bucket cap, sig-match verification. */
-  private lazy val minhashOracleParts: (String, String) = {
+  private lazy val minhashOracleParts: (String, String) = minhashOraclePartsWith("")
+
+  /** [[minhashOracleParts]] with an extra candidate-pair predicate —
+    * the incremental replay restricts pairs to those touching ≥1 new
+    * (batch-B) member. Because batch B's ids carry the +1000000 offset,
+    * the bigger id of any ordered pair is the new one, so the predicate
+    * is just `y.doc_id >= 1000000` and the batch orientation (old id as
+    * `a`, new as `b`; `a < b` within-batch) coincides with the x < y
+    * join order — no CASE re-orientation needed. */
+  private def minhashOraclePartsWith(extraCand: String): (String, String) = {
     val K = 32; val BANDS = 16; val ROWS = K / BANDS
     def H(seed: String, v: String) =
       s"CAST(('0x' || substr(md5($seed || ':' || $v), 1, 15)) AS BIGINT)"
@@ -1164,7 +1225,7 @@ object SparkEntry {
         s"banded AS ($bandSelects), " +
         "capped AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000), " +
         "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x " +
-        "JOIN capped y USING (band, bucket) WHERE x.doc_id < y.doc_id)"
+        s"JOIN capped y USING (band, bucket) WHERE x.doc_id < y.doc_id$extraCand)"
     val pairSel =
       s"SELECT a, b, round(($estSum) / 32.0, 4) AS est_jaccard FROM cand " +
         "JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b " +
@@ -1746,6 +1807,13 @@ object SparkEntry {
         val (ctes, pairSel) = minhashOracleParts
         s"WITH $ctes $pairSel ORDER BY 1, 2"
       },
+      // incremental replay: same signature/banding CTE chain, candidate
+      // pairs restricted to those touching a batch-B member (y is the
+      // new id by the +1000000 offset — see minhashOraclePartsWith)
+      "dedup_minhash_incremental" -> {
+        val (ctes, pairSel) = minhashOraclePartsWith(" AND y.doc_id >= 1000000")
+        s"WITH $ctes $pairSel ORDER BY 1, 2"
+      },
       // cluster resolution replay: the same pair CTE chain, transitive
       // min-label closure via a recursive CTE (the engine's iterative
       // min-label propagation converges to the identical fixpoint)
@@ -1820,6 +1888,11 @@ object SparkEntry {
       // (PropertySpec/RunnerStreamingSpec) to answer exactly like the
       // batch operator, so it shares the IVF-PQ oracle
       "ann_index_topk" -> SparkEntry.pqOracleSql(ivf = true),
+      // 2-batch incremental: quantizer drawn from batch A (even ids)
+      // only, corpus encoded/served in full — certifies the
+      // encode-batch-B-against-A's-persisted-quantizer path
+      "ann_index_incr_topk" -> SparkEntry.pqOracleSql(ivf = true,
+        centsSrc = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
       // box-filter resize replay: each doc's synthetic BMP pixel
       // formula (gray = (doc_id + y*w + x) mod 256, r=g=b) is
       // re-derived arithmetically per size class (side 8/16/24 by
@@ -1847,7 +1920,14 @@ object SparkEntry {
     * `vec_id < 10`, md5 seed draw, untrained books). `ivf = true` adds
     * the coarse-cell routing (nCentroids=16, nprobe=4) so only probed
     * cells' codes are ADC-scored; `false` scores the whole corpus. */
-  private def pqOracleSql(ivf: Boolean): String = {
+  private def pqOracleSql(ivf: Boolean): String = pqOracleSql(ivf, "embeddings")
+
+  /** [[pqOracleSql]] with the quantizer-draw domain as a parameter: the
+    * 2-batch incremental replay draws coarse centroids AND codebooks
+    * from batch A only (`vec_id % 2 = 0`) while encoding/serving the
+    * full corpus — exactly what a second [[graft.builder.AnnIndexBuilder]]
+    * run does against the batch-A-persisted quantizer. */
+  private def pqOracleSql(ivf: Boolean, centsSrc: String): String = {
     val H = "CAST(('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
     // explicit left-assoc sums mirror the kernels' ascending folds
     val dist = (0 until 8).map(t =>
@@ -1870,7 +1950,7 @@ object SparkEntry {
         "cand AS (SELECT q.q_id, e.vec_id AS n_id FROM corp e, (SELECT vec_id AS q_id FROM corp WHERE vec_id < 10) q " +
           "WHERE e.vec_id <> q.q_id), "
     s"WITH cents AS (SELECT CAST(row_number() OVER (ORDER BY $H ASC, vec_id ASC) - 1 AS INT) AS c, " +
-      s"vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings " +
+      s"vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM $centsSrc " +
       s"QUALIFY row_number() OVER (ORDER BY $H ASC, vec_id ASC) <= 16), " +
       "corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
       "jd AS (SELECT CAST(j AS INT) AS j FROM range(8) r(j)), " +
