@@ -92,13 +92,28 @@ class ObjectStore(
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val deduped = Store.dedupLastWins(docs, keyFields).localCheckpoint(true)
-    try {
-      val dataF = Future(data.updateUnique(deduped, keyFields))
-      val indexF = Future(index.updateUnique(indexOf(deduped), keyFields))
+    if (data.isEmpty && index.isEmpty) {
+      // FIRST BUILD: no pending state to merge, so each plane runs
+      // dedup + write as ONE job — no checkpoint write/read on the
+      // update path. The index plane dedups its own slim projection
+      // (obj_hash is row-local, computed map-side BEFORE the shuffle, so
+      // its shuffle carries ~4 columns + 20 hash bytes instead of the
+      // full row). Winners agree across the planes: dedupLastWins keys
+      // on monotonically_increasing_id over identical scan splits —
+      // same files, same partition planning, same ids.
+      val dataF = Future(data.update(docs, keyFields))
+      val indexF = Future(index.update(indexOf(docs), keyFields))
       val results = Seq(dataF, indexF).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
       results.collectFirst { case scala.util.Failure(e) => throw e }
-    } finally deduped.unpersist()
+    } else {
+      val deduped = Store.dedupLastWins(docs, keyFields).localCheckpoint(true)
+      try {
+        val dataF = Future(data.updateUnique(deduped, keyFields))
+        val indexF = Future(index.updateUnique(indexOf(deduped), keyFields))
+        val results = Seq(dataF, indexF).map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+        results.collectFirst { case scala.util.Failure(e) => throw e }
+      } finally deduped.unpersist()
+    }
   }
 
   override def removeDocs(criteria: String): Unit = {

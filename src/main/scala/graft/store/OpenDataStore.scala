@@ -98,11 +98,15 @@ class OpenDataStore(
 
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit =
     if (isEmpty) {
-      // checkpoint once: the write, the manifest aggregation, and the
-      // schema sidecar all read the materialized dedup instead of each
-      // re-running it (the manifest previously RE-READ the just-written
-      // gzip JSON — a full parse of the store per update)
-      val next = Store.dedupLastWins(docs, keyFields).localCheckpoint(true)
+      // FIRST BUILD: nothing on disk is being replaced, so no lineage to
+      // sever — the data write and the (slim) manifest aggregation each
+      // run scan+dedup as ONE concurrent job instead of serializing a
+      // checkpoint write/read before both. Winners agree across the two
+      // consumers: dedupLastWins keys on monotonically_increasing_id
+      // over identical scan splits. (The non-empty branch keeps its
+      // checkpoints — there the merged plan reads files the dynamic
+      // overwrite replaces.)
+      val next = Store.dedupLastWins(docs, keyFields)
       writeDataAndManifest(next, "dynamic", manifestOf(next))
     } else {
       // merge only the partitions the batch touches: the batch's own

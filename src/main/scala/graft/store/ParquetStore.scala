@@ -112,20 +112,32 @@ class ParquetStore(
       if (deltaRowBound(base, deltas)
             .forall(_ > ParquetStore.MaxBroadcastDeltaRows)) {
         compact()
-        dataPath.map(spark.read.parquet(_)).getOrElse(spark.emptyDataFrame)
+        dataPath.map(readCached).getOrElse(spark.emptyDataFrame)
       } else mergedRead(p, base, deltas)
-    case (Some(p), _) => spark.read.parquet(p)
+    case (Some(p), _) => readCached(p)
     case _            => spark.emptyDataFrame
   }
+
+  /** Memoized `spark.read.parquet` per version/delta dir: every fresh
+    * read pays a footer/listing job for schema + file-index creation,
+    * and store call chains read [[df]] several times per operation
+    * (coverage probe + query, merge + manifest, …). Version dirs are
+    * IMMUTABLE once the manifest names them, so the analyzed relation
+    * (schema + file listing) stays valid until the next write, which
+    * clears the cache ([[writeVersion]]/[[updateImpl]]). */
+  private val readCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def readCached(p: String): DataFrame =
+    readCache.computeIfAbsent(p, path => spark.read.parquet(path))
+  private def invalidateReadCache(): Unit = readCache.clear()
 
   /** The base∪deltas last-write-wins merge plan (see [[df]] doc).
     * `bcast=false` (the over-bound compaction path) drops the broadcast
     * hint so Catalyst picks a shuffled join for the one-off merge. */
   private def mergedRead(p: String, base: String, deltas: Seq[String],
                          bcast: Boolean = true): DataFrame = {
-    val baseDf = spark.read.parquet(p)
+    val baseDf = readCached(p)
     val all = deltas.zipWithIndex.map { case (d, i) =>
-      spark.read.parquet(s"$root/$base.$d").withColumn("__gen", lit(i + 1))
+      readCached(s"$root/$base.$d").withColumn("__gen", lit(i + 1))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val cols = all.columns.filter(_ != "__gen")
     val winners = all.groupBy(col(key))
@@ -216,6 +228,7 @@ class ParquetStore(
     writer.parquet(s"$root/$next")
     val old = parsed
     Files.writeString(currentFile, next)
+    invalidateReadCache() // prior version dirs are GC'd below
     // record the layout keys AFTER the write commits: the sidecar only
     // ever describes data that is actually clustered this way
     Files.writeString(Paths.get(root, "_indexkeys"), indexKeys.mkString("\n"))
@@ -279,6 +292,8 @@ class ParquetStore(
       (if (batchUnique) docs else Store.dedupLastWins(docs, keyFields))
         .write.mode(SaveMode.Overwrite).parquet(s"$root/$base.$d")
       Files.writeString(currentFile, s"$base;${(deltas :+ d).mkString(",")}")
+      // a crash-orphaned same-name delta dir may have been cached stale
+      invalidateReadCache()
       if (deltas.size + 1 >= compactAfter) compact()
     } else {
       val next =

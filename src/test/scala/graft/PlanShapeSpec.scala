@@ -353,6 +353,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("percentile("), s"builtin percentile crept back:\n$p")
   }
 
+  test("ObjectStore first build + covered read stay inside the job budget") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions._
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    val base = java.nio.file.Files.createTempDirectory("ps_jobs").toString
+    val os = new graft.store.ObjectStore(spark, s"$base/d", s"$base/i",
+      key = "o_orderkey", searchableFields = Seq("o_orderstatus"),
+      lastUpdatedField = "o_orderdate")
+    val orders = sf("orders")
+    spark.sparkContext.addSparkListener(l)
+    try {
+      os.update(orders)
+      Thread.sleep(300) // let listener events drain (listenerBus is private)
+      // first build = dedup + write fused per plane, no checkpoint. AQE
+      // materializes each plane's dedup shuffle as its own job, so the
+      // budget is 2 jobs/plane × 2 planes = 4; a checkpoint (one extra
+      // up-front action + its AQE stage) pushes this to 5+.
+      val updateJobs = jobs.get()
+      assert(updateJobs <= 4, s"ObjectStore first-build update ran " +
+        s"$updateJobs jobs (budget 4: AQE shuffle + write, per plane)")
+      jobs.set(0)
+      val out = os.query(graft.query.QueryParams(
+        criteria = Some("""{"o_orderstatus": "F"}"""),
+        properties = Seq("o_orderkey", "o_orderstatus"),
+        sort = Seq("o_orderkey" -> 1))).collect()
+      Thread.sleep(300) // let listener events drain (listenerBus is private)
+      // covered read answers from the slim index alone: one first-touch
+      // schema/footer job (memoized per version by ParquetStore — a
+      // REPEAT read pays zero), then range-sampling for the global sort,
+      // the AQE-materialized shuffle, and the result job — 4. More means
+      // the read left the index (data-plane join), grew an extra
+      // exchange, or the read memoization regressed.
+      val readJobs = jobs.get()
+      assert(out.nonEmpty)
+      assert(readJobs <= 4, s"covered read ran $readJobs jobs (budget 4)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("text-profile queries ride the compiled kernels, not regex scans") {
     val g = plan("text_gopher_rules")
     assert(g.contains("graft_text_profile") || g.contains("profileLower"),
