@@ -109,8 +109,30 @@ class AnnIndexBuilder(
     Some((books, cents))
   }
 
+  /** The stored training-batch mean quantization error (drift baseline),
+    * or None for a pre-trainerr quantizer row. */
+  private[graft] def loadTrainError(): Option[Double] = {
+    val df = quantizer.df
+    if (!df.columns.contains("trainerr") || df.isEmpty) None
+    else Option(df.select(col("trainerr")).head().get(0))
+      .map(_.asInstanceOf[Number].doubleValue)
+  }
+
+  /** Mean per-row PQ quantization error of `batch` under `books` — ONE
+    * small aggregation job (map-side partials, a single double out).
+    * None when no row has a usable vector. `books` here is the
+    * PRE-round-trip array on the first run: Jackson serializes doubles
+    * losslessly, and this is a drift heuristic, not an oracle surface. */
+  private def meanQuantError(batch: DataFrame,
+                             books: Array[Array[Array[Double]]]): Option[Double] = {
+    val r = batch.select(avg(graft.functions.GraftFunctions
+      .pqError(spark, col(vecField), books)).alias("e")).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
   private def saveQuantizer(books: Array[Array[Array[Double]]],
-                            cents: DataFrame): Unit = {
+                            cents: DataFrame,
+                            trainErr: Option[Double]): Unit = {
     val booksJson = mapper.writeValueAsString(books)
     val centEntries = cents.collect().map { r => // ≤ nCentroids rows by contract
       val n = mapper.createObjectNode()
@@ -134,7 +156,8 @@ class AnnIndexBuilder(
     val s = spark
     import s.implicits._
     quantizer.update(
-      Seq(("quantizer", booksJson, centsJson)).toDF("qid", "books", "cents"),
+      Seq(("quantizer", booksJson, centsJson, trainErr))
+        .toDF("qid", "books", "cents", "trainerr"),
       Seq("qid"))
   }
 
@@ -145,15 +168,22 @@ class AnnIndexBuilder(
     index.ensureIndex("cell")
     val batch = pendingItems().localCheckpoint(true)
     val examined = batch.count()
+    var batchErr: Option[Double] = None
     if (examined > 0) {
       val (books, cents) = loadQuantizer().getOrElse {
         val b = Similarity.trainPq(batch, m, ksub, iters, source.key, vecField, family)
         val c = Similarity.centroidDraw(batch, nCentroids, source.key, vecField, family)
-        saveQuantizer(b, c)
+        saveQuantizer(b, c, meanQuantError(batch, b))
         // re-load, not reuse: the persisted JSON round-trip is what every
         // later batch (and restart) sees — divergence would surface here
         loadQuantizer().get
       }
+      // drift statistic: how well THIS batch quantizes under the frozen
+      // codebooks, reported against the stored training-batch baseline —
+      // a silently-staling quantizer (drifting corpus at 100 TB) shows
+      // up as adcDrift ≫ 1 in every BuildReport instead of only as
+      // degraded recall much later
+      batchErr = meanQuantError(batch, books)
       val rows = Similarity.assignToCells(batch, broadcast(cents),
           source.key, vecField, keep = 1)
         .select(col("__rid").alias("id"), col("cell"),
@@ -162,21 +192,54 @@ class AnnIndexBuilder(
       index.update(rows, Seq("id"))
     }
     batch.unpersist()
-    var orphans = 0L
     // NOT inside the examined-guard: a delete-only corpus change has an
     // empty batch but still needs its codes removed
-    if (deleteOrphans && index.df.columns.contains("id")) {
-      // docs gone from the (scoped) corpus leave the index too — the
-      // MapBuilder orphan contract on the codes table (checkpoint:
-      // count + removeKeys are two actions over the same key set)
-      val orphanKeys = index.df.select(col("id"))
-        .join(scoped.select(col(source.key).alias("id")), Seq("id"), "left_anti")
-        .localCheckpoint(true)
-      orphans = orphanKeys.count()
-      if (orphans > 0) index.removeKeys(orphanKeys)
-      orphanKeys.unpersist()
-    }
-    BuildReport(examined, 0, orphans)
+    val orphans = if (deleteOrphans) removeOrphans(scoped) else 0L
+    BuildReport(examined, 0, orphans,
+      adcError = batchErr, trainAdcError = loadTrainError())
+  }
+
+  /** Docs gone from the (scoped) corpus leave the index too — the
+    * MapBuilder orphan contract on the codes table (checkpoint: count +
+    * removeKeys are two actions over the same key set). */
+  private def removeOrphans(corpus: DataFrame): Long = {
+    if (!index.df.columns.contains("id")) return 0L
+    val orphanKeys = index.df.select(col("id"))
+      .join(corpus.select(col(source.key).alias("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val orphans = orphanKeys.count()
+    if (orphans > 0) index.removeKeys(orphanKeys)
+    orphanKeys.unpersist()
+    orphans
+  }
+
+  /** Retrain the quantizer from the CURRENT corpus and re-encode every
+    * doc — the staleness escape hatch for a drifted corpus ([[run]]'s
+    * `adcDrift` is the trigger signal). The quantizer row and the code
+    * table flip through their stores' own versioned-write machinery, so
+    * a concurrent [[topK]] reads either the old index or the new one,
+    * never a mix of quantizer generations within one query. Stale ids
+    * (docs deleted since the last build) leave the index as part of the
+    * same rebuild. */
+  def rebuild(): BuildReport = {
+    index.ensureIndex("cell")
+    val corpus = scoped.localCheckpoint(true)
+    val n = corpus.count()
+    if (n == 0) { corpus.unpersist(); return BuildReport(0) }
+    val b = Similarity.trainPq(corpus, m, ksub, iters, source.key, vecField, family)
+    val c = Similarity.centroidDraw(corpus, nCentroids, source.key, vecField, family)
+    val trainErr = meanQuantError(corpus, b)
+    saveQuantizer(b, c, trainErr)
+    val (books, cents) = loadQuantizer().get
+    val rows = Similarity.assignToCells(corpus, broadcast(cents),
+        source.key, vecField, keep = 1)
+      .select(col("__rid").alias("id"), col("cell"),
+        graft.functions.GraftFunctions.pqEncode(spark, col("__rvec"), books)
+          .alias("code"))
+    index.update(rows, Seq("id"))
+    val orphans = removeOrphans(corpus)
+    corpus.unpersist()
+    BuildReport(n, 0, orphans, adcError = trainErr, trainAdcError = trainErr)
   }
 
   /** ADC top-k over the persisted codes (see

@@ -7,8 +7,18 @@ import org.apache.spark.sql.DataFrame
 case class BuildReport(
     processed: Long = 0,
     failed: Long = 0,
-    orphansDeleted: Long = 0) {
+    orphansDeleted: Long = 0,
+    /** Mean PQ quantization error of this run's batch under the frozen
+      * codebooks ([[graft.builder.AnnIndexBuilder]] only). */
+    adcError: Option[Double] = None,
+    /** The stored mean error of the TRAINING batch — the drift baseline. */
+    trainAdcError: Option[Double] = None) {
   def successful: Long = processed - failed
+  /** Codebook-staleness signal: batch error relative to training error.
+    * ≫ 1 means the corpus drifted from the quantizer's training
+    * distribution — time for [[graft.builder.AnnIndexBuilder.rebuild]]. */
+  def adcDrift: Option[Double] =
+    for { a <- adcError; t <- trainAdcError if t > 0 } yield a / t
 }
 
 /** The 3-phase ETL contract of the reference (`core/builder.py:16-151`):

@@ -464,6 +464,101 @@ object PqEncode {
   }
   def toBytes(codes: Array[Int]): Array[Byte] = codes.map(_.toByte)
   def toInts(codes: Array[Int]): Array[Int] = codes
+
+  /** Σ_j min_c ||x_j − books[j][c]||² — the squared quantization error
+    * the [[compute]] argmin minimizes, returned instead of the codes.
+    * Same traversal, same zero-fill convention. */
+  def error(v: ArrayData, books: Array[Array[Array[Double]]],
+            isFloat: Boolean): Double = {
+    val m = books.length
+    val n = v.numElements()
+    var total = 0.0
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val dsub = book(0).length
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val i = off + t
+          val xv =
+            if (i >= n || v.isNullAt(i)) 0.0
+            else if (isFloat) v.getFloat(i).toDouble
+            else v.getDouble(i)
+          val diff = xv - cent(t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) bestD = d
+        c += 1
+      }
+      total += bestD
+      off += dsub
+      j += 1
+    }
+    total
+  }
+}
+
+/** Per-row PQ quantization error (Σ per-subspace min squared L2 to the
+  * codebooks) — the encode argmin's objective value. Aggregated to a
+  * mean, this is the codebook-staleness drift statistic
+  * [[graft.builder.AnnIndexBuilder]] logs per run: a batch whose
+  * distribution drifted from the training batch quantizes measurably
+  * worse under the frozen codebooks. */
+case class PqError(vec: Expression, books: Expression)
+  extends BinaryExpression with Serializable {
+  override def prettyName: String = "graft_pq_error"
+  override def left: Expression = vec
+  override def right: Expression = books
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def vecElem: Option[DataType] = vec.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (vecElem.isEmpty)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>/array<double> vector, got ${vec.dataType.simpleString}")
+    books.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _)
+        if books.foldable && mat.nonEmpty && mat.forall(_.nonEmpty) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires non-empty foldable array<array<array<double>>> codebooks")
+    }
+  }
+
+  @transient private lazy val mat: Array[Array[Array[Double]]] = {
+    val outer = books.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements()) { j =>
+      val mid = outer.getArray(j)
+      Array.tabulate(mid.numElements()) { c =>
+        val inner = mid.getArray(c)
+        Array.tabulate(inner.numElements())(inner.getDouble)
+      }
+    }
+  }
+  private def isFloat: Boolean = vecElem.contains(FloatType)
+
+  override def nullSafeEval(v: Any, b: Any): Any =
+    PqEncode.error(v.asInstanceOf[ArrayData], mat, isFloat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refB = ctx.addReferenceObj("pqbooks", mat, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.functions.PqEncode.error($v, $refB, $isFloat);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, books = r)
 }
 
 /** Per-query ADC lookup table for [[PqAdc]]: entry `j*ksub + c` holds
@@ -683,6 +778,7 @@ object GraftFunctions {
       TextProfileLower(es(0), graft.ext.TextAnalysis.stopwordLists)),
     "graft_pq_encode" -> (es => PqEncode(es(0), es(1),
       es(2).eval().asInstanceOf[Boolean])),
+    "graft_pq_error" -> (es => PqError(es(0), es(1))),
     "graft_pq_lut" -> (es => PqLut(es(0), es(1))),
     "graft_pq_adc" -> (es => PqAdc(es(0), es(1), es(2))))
 
@@ -723,6 +819,15 @@ object GraftFunctions {
       vec, org.apache.spark.sql.functions.typedlit(
         books.map(_.map(_.toSeq).toSeq).toSeq),
       org.apache.spark.sql.functions.lit(asInts))
+  }
+  /** Per-row PQ quantization error against a codebook literal —
+    * [[PqError]]. */
+  def pqError(spark: SparkSession, vec: Column,
+              books: Array[Array[Array[Double]]]): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_pq_error",
+      vec, org.apache.spark.sql.functions.typedlit(
+        books.map(_.map(_.toSeq).toSeq).toSeq))
   }
   /** Per-query ADC lookup table — [[PqLut]]. */
   def pqLut(spark: SparkSession, vec: Column,

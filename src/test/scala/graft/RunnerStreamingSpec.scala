@@ -898,6 +898,50 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(i2.count(None) === 498)
   }
 
+  test("AnnIndexBuilder: drift statistic trips on a shifted batch; rebuild() restores ADC error and re-serves") {
+    import graft.builder.AnnIndexBuilder
+    import graft.store.MemoryStore
+    val emb = sf("embeddings")
+    val batchA = emb.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 300)
+    // a far-shifted second batch: the A-trained codebooks can't represent
+    // this region, so its quantization error explodes
+    val drifted = emb.filter(col("vec_id") >= 300)
+      .select((col("vec_id") + 10000L).alias("vec_id"),
+        transform(col("embedding"), x => x * lit(3.0f) + lit(5.0f)).alias("embedding"))
+    val src = new MemoryStore(spark, "driftsrc", key = "vec_id", lastUpdatedField = "vec_id")
+    val idx = new MemoryStore(spark, "driftidx", key = "id", lastUpdatedField = "cell")
+    val qz = new MemoryStore(spark, "driftqz", key = "qid", lastUpdatedField = "qid")
+    def builder() = new AnnIndexBuilder(src, idx, qz, "embedding",
+      nCentroids = 8, m = 8, ksub = 16, iters = 0, family = "md5")
+    src.load(batchA)
+    val r1 = builder().run()
+    // training batch scored against its own codebooks: drift ratio is 1
+    assert(r1.adcDrift.exists(d => math.abs(d - 1.0) < 1e-9), s"r1=$r1")
+    src.load(batchA.unionByName(drifted))
+    val r2 = builder().run()
+    assert(r2.processed === 200)
+    assert(r2.adcDrift.exists(_ > 2.0),
+      s"drifted batch did not trip the statistic: ${r2.adcDrift}")
+    val q = drifted.filter(col("vec_id") === 10305L)
+    val before = builder().topK(q, k = 5).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    // rebuild retrains from the CURRENT corpus and re-encodes everything
+    val rb = builder().rebuild()
+    assert(rb.processed === 500)
+    // ADC error restored: the new full-corpus baseline sits far below
+    // the drifted batch's error under the stale books
+    assert(rb.adcError.get < r2.adcError.get / 2,
+      s"rebuild did not restore error: ${rb.adcError} vs ${r2.adcError}")
+    val after = builder().topK(q, k = 5).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    assert(before.nonEmpty && after.nonEmpty)
+    // the quantizer generation flip changes what the drifted query sees
+    assert(after !== before)
+    // post-rebuild steady state: nothing pending, fresh drift baseline
+    assert(builder().run().processed === 0)
+  }
+
   test("Runner: ann_index builder from spec") {
     import graft.run.Runner
     val srcPath = java.nio.file.Files.createTempDirectory("ann_src").toString + "/emb"
