@@ -8,6 +8,45 @@ import org.apache.spark.sql.DataFrame
 import java.net.{InetSocketAddress, URLDecoder}
 import java.nio.charset.StandardCharsets.UTF_8
 
+/** Shared 504 machinery for every HTTP resource: run `body` under a
+  * per-request job group with a cancellation deadline. Job groups are
+  * thread-local, so concurrent requests on different server threads
+  * cancel independently. `cancelJobGroupAndFutureJobs` (not plain
+  * cancel) closes the between-actions window: a request that is on the
+  * driver between two Spark actions when the deadline fires still has
+  * its NEXT action killed. The 504 decision keys on the watchdog's
+  * fired flag, not wall clock, so a genuine post-deadline failure still
+  * surfaces as 500 and a marginally-early cancellation still maps to
+  * 504. */
+private[api] trait TimedActions {
+  protected def actionSpark: org.apache.spark.sql.SparkSession
+  def timeoutMs: Long
+
+  protected def timed[T](body: => T): T = {
+    if (timeoutMs <= 0) return body
+    val sc = actionSpark.sparkContext
+    val group = s"graft-http-${Thread.currentThread().getId}-${System.nanoTime()}"
+    sc.setJobGroup(group, "graft http request", interruptOnCancel = true)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val cancel = new java.util.TimerTask {
+      // NEVER let a throw escape: an uncaught exception (e.g. cancelling
+      // on a stopped SparkContext) kills the shared Timer thread, after
+      // which every timed request fails at schedule()
+      def run(): Unit =
+        try { fired.set(true); sc.cancelJobGroupAndFutureJobs(group) }
+        catch { case _: Throwable => () }
+    }
+    ReadResource.watchdog.schedule(cancel, timeoutMs)
+    try body
+    catch {
+      case e: Throwable if fired.get() =>
+        throw ApiError(504, s"query exceeded ${timeoutMs}ms")
+    } finally {
+      cancel.cancel(); sc.clearJobGroup()
+    }
+  }
+}
+
 private[api] object Json {
   def str(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
@@ -46,7 +85,7 @@ class ReadResource(
     val defaultCriteria: Option[String] = None,
     val timeoutMs: Long = 0,
     val responseHeaders: Map[String, String] = Map.empty,
-    val countTtlMs: Long = 0) {
+    val countTtlMs: Long = 0) extends TimedActions {
 
   private def withDefault(qp: QueryParams): QueryParams = defaultCriteria match {
     case None => qp
@@ -56,38 +95,7 @@ class ReadResource(
     })
   }
 
-  /** Run `body` under a per-request job group with a cancellation
-    * deadline. Job groups are thread-local, so concurrent requests on
-    * different server threads cancel independently.
-    * `cancelJobGroupAndFutureJobs` (not plain cancel) closes the
-    * between-actions window: a request that is on the driver between two
-    * Spark actions when the deadline fires still has its NEXT action
-    * killed. The 504 decision keys on the watchdog's fired flag, not
-    * wall clock, so a genuine post-deadline failure still surfaces as
-    * 500 and a marginally-early cancellation still maps to 504. */
-  protected def timed[T](body: => T): T = {
-    if (timeoutMs <= 0) return body
-    val sc = store.spark.sparkContext
-    val group = s"graft-http-${Thread.currentThread().getId}-${System.nanoTime()}"
-    sc.setJobGroup(group, "graft http request", interruptOnCancel = true)
-    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val cancel = new java.util.TimerTask {
-      // NEVER let a throw escape: an uncaught exception (e.g. cancelling
-      // on a stopped SparkContext) kills the shared Timer thread, after
-      // which every timed request fails at schedule()
-      def run(): Unit =
-        try { fired.set(true); sc.cancelJobGroupAndFutureJobs(group) }
-        catch { case _: Throwable => () }
-    }
-    ReadResource.watchdog.schedule(cancel, timeoutMs)
-    try body
-    catch {
-      case e: Throwable if fired.get() =>
-        throw ApiError(504, s"query exceeded ${timeoutMs}ms")
-    } finally {
-      cancel.cancel(); sc.clearJobGroup()
-    }
-  }
+  protected def actionSpark: org.apache.spark.sql.SparkSession = store.spark
 
   /** `total_doc` with an OPT-IN short-TTL cache keyed on the (merged)
     * criteria JSON. The default (`countTtlMs = 0`) matches the
@@ -265,6 +273,78 @@ class BlobResource(val store: graft.store.BlobStore) {
       .collect().headOption
 }
 
+/** ANN serving over HTTP — the A11 analogue for the extension plane
+  * (envelope/timeout semantics per reference
+  * `api/resource/read_resource.py:232-267`): `POST /{name}` with body
+  * `{"vector": [...], "k": 5, "nprobe": 4}` answers the IVF-PQ top-k
+  * from the [[graft.builder.AnnIndexBuilder]]-backed PERSISTED codes
+  * index — the query path never touches a float vector column
+  * ([[graft.ext.Similarity.ivfPqTopKFromCodes]]). Same `{data, meta}`
+  * envelope and 504 watchdog as every read resource; `k` is capped at
+  * `maxK` (the PaginationQuery `max_limit` discipline — driver-side
+  * materialization bounded by contract). */
+class AnnResource(
+    val builder: graft.builder.AnnIndexBuilder,
+    val defaultK: Int = 10,
+    val maxK: Int = 100,
+    val defaultNprobe: Int = 4,
+    val timeoutMs: Long = 0,
+    val responseHeaders: Map[String, String] = Map.empty)
+  extends TimedActions {
+
+  protected def actionSpark: org.apache.spark.sql.SparkSession =
+    builder.source.spark
+
+  /** POST body → response JSON. */
+  def search(body: Array[Byte]): String = timed {
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      catch { case _: Exception => throw ApiError(400, "body is not valid JSON") }
+    if (node == null || !node.isObject || !node.has("vector") ||
+        !node.get("vector").isArray || node.get("vector").isEmpty)
+      throw ApiError(400, """body must be {"vector": [numbers], "k"?, "nprobe"?}""")
+    val vecNode = node.get("vector")
+    val vec = (0 until vecNode.size()).map { i =>
+      val e = vecNode.get(i)
+      if (!e.isNumber) throw ApiError(400, s"vector[$i] is not a number")
+      e.asDouble()
+    }
+    val k = math.min(maxK,
+      if (node.has("k")) node.get("k").asInt(defaultK) else defaultK)
+    if (k <= 0) throw ApiError(400, "k must be positive")
+    val nprobe =
+      if (node.has("nprobe")) node.get("nprobe").asInt(defaultNprobe)
+      else defaultNprobe
+    if (nprobe <= 0) throw ApiError(400, "nprobe must be positive")
+    val spark = actionSpark
+    import spark.implicits._
+    // sentinel query id: topK excludes self-matches by id equality, so
+    // the query row must not collide with a corpus id — and it must
+    // MATCH the corpus id TYPE (a long sentinel against string ids would
+    // null out the comparison and drop every row)
+    val idIsString = scala.util.Try(
+      builder.index.df.schema("id").dataType ==
+        org.apache.spark.sql.types.StringType).getOrElse(false)
+    val q =
+      if (idIsString) Seq((" graft-ann-query ", vec))
+        .toDF(builder.source.key, builder.vecField)
+      else Seq((Long.MinValue, vec)).toDF(builder.source.key, builder.vecField)
+    val rows = builder.topK(q, k, nprobe).orderBy("rank")
+      .select(org.apache.spark.sql.functions.col("rank"),
+        org.apache.spark.sql.functions.col("n_id"),
+        org.apache.spark.sql.functions.col("sim"))
+      .collect() // ≤ k rows by contract
+    val data = rows.map { r =>
+      val id = r.get(1) match {
+        case n: java.lang.Number => n.toString
+        case other => Json.str(String.valueOf(other))
+      }
+      s"""{"rank": ${r.getInt(0)}, "id": $id, "sim": ${r.getDouble(2)}}"""
+    }.mkString("[", ",", "]")
+    s"""{"data": $data, "meta": {"k": $k, "nprobe": $nprobe, "returned": ${rows.length}}}"""
+  }
+}
+
 /** Minimal multi-resource HTTP host. `serve(Map("orders" -> res), 0)`
   * binds an ephemeral port (see `getAddress.getPort`); stop with
   * `.stop(0)`. Resource and blob names must be disjoint (each owns the
@@ -310,11 +390,39 @@ object GraftHttp {
   }
 
   def serve(resources: Map[String, ReadResource], port: Int = 0,
-            blobs: Map[String, BlobResource] = Map.empty): HttpServer = {
-    val shared = resources.keySet.intersect(blobs.keySet)
+            blobs: Map[String, BlobResource] = Map.empty,
+            anns: Map[String, AnnResource] = Map.empty): HttpServer = {
+    val shared = (resources.keySet.intersect(blobs.keySet) ++
+      resources.keySet.intersect(anns.keySet) ++
+      blobs.keySet.intersect(anns.keySet))
     require(shared.isEmpty,
-      s"resource and blob names must be disjoint; shared: ${shared.toSeq.sorted.mkString(", ")}")
+      s"resource, blob and ann names must be disjoint; shared: ${shared.toSeq.sorted.mkString(", ")}")
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    anns.foreach { case (name, res) =>
+      server.createContext(s"/$name", new HttpHandler {
+        private def send(ex: HttpExchange, status: Int, body: String): Unit = {
+          val bytes = body.getBytes(UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          res.responseHeaders.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+          ex.sendResponseHeaders(status, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+        def handle(ex: HttpExchange): Unit = try {
+          (ex.getRequestMethod, subPath(ex, name)) match {
+            case (_, None) => send(ex, 404, """{"error": "not found"}""")
+            case ("POST", Some("") | Some("search")) =>
+              send(ex, 200, res.search(ex.getRequestBody.readAllBytes()))
+            case (m, _) => send(ex, 405, s"""{"error": "method $m not allowed"}""")
+          }
+        } catch {
+          case ApiError(status, msg) =>
+            send(ex, status, s"""{"error": ${Json.str(msg)}}""")
+          case e: Throwable =>
+            send(ex, 500, s"""{"error": ${Json.str(String.valueOf(e.getMessage).take(500))}}""")
+        }
+      })
+    }
     blobs.foreach { case (name, res) =>
       server.createContext(s"/$name", new HttpHandler {
         private def send(ex: HttpExchange, status: Int, body: Array[Byte],

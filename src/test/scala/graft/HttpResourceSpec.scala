@@ -128,6 +128,64 @@ class HttpResourceSpec extends SparkSpec {
     finally srv.stop(0)
   }
 
+  test("AnnResource: POST vector serves top-k from persisted codes; 400s; 405; 504 deadline") {
+    import org.apache.spark.sql.functions._
+    import graft.builder.AnnIndexBuilder
+    import graft.store.MemoryStore
+    val emb = sf("embeddings").select(col("vec_id"), col("embedding"))
+    val src = new MemoryStore(spark, "annrsrc", "vec_id", "vec_id"); src.load(emb)
+    val idx = new MemoryStore(spark, "annridx", "id", "cell")
+    val qz = new MemoryStore(spark, "annrqz", "qid", "qid")
+    val b = new AnnIndexBuilder(src, idx, qz, "embedding",
+      nCentroids = 8, m = 8, ksub = 16, iters = 0, family = "md5")
+    b.run()
+    val res = new AnnResource(b, defaultK = 5, maxK = 10)
+    val srv = GraftHttp.serve(Map.empty, anns = Map("ann" -> res))
+    try {
+      val url = s"http://localhost:${srv.getAddress.getPort}/ann/"
+      val vec = emb.filter(col("vec_id") === 5L).head().getSeq[Float](1)
+      val body = s"""{"vector": [${vec.mkString(",")}], "k": 3}"""
+      val (st, resp) = post(url, body)
+      assert(st === 200, resp)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp)
+      assert(node.get("data").size() === 3)
+      assert(node.get("meta").get("k").asInt() === 3)
+      assert(node.get("meta").get("returned").asInt() === 3)
+      // the sentinel query id means the exact corpus copy is NOT a
+      // self-match — the vector finds itself at rank 1
+      assert(node.get("data").get(0).get("id").asLong() === 5L)
+      assert(node.get("data").get(0).get("rank").asInt() === 1)
+      // k capped at maxK, not trusted from the client
+      val (stBig, respBig) = post(url, s"""{"vector": [${vec.mkString(",")}], "k": 9999}""")
+      assert(stBig === 200)
+      assert(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(respBig).get("meta").get("k").asInt() === 10)
+      // 400 contract
+      assert(post(url, """{"k": 3}""")._1 === 400)
+      assert(post(url, "not json")._1 === 400)
+      assert(post(url, """{"vector": ["a"]}""")._1 === 400)
+      assert(post(url, """{"vector": []}""")._1 === 400)
+      // 405: ANN serving is POST-only
+      assert(this.get(url)._1 === 405)
+      // 504: a deadline-exceeding codes scan is cancelled by the shared
+      // watchdog, same contract as every read resource
+      val sleepy = udf((x: Long) => { Thread.sleep(20); x }).asNondeterministic()
+      val slowIdx = new MemoryStore(spark, "annrslow", "id", "cell")
+      slowIdx.load(idx.df.withColumn("cell", sleepy(col("cell"))))
+      val slowB = new AnnIndexBuilder(src, slowIdx, qz, "embedding",
+        nCentroids = 8, m = 8, ksub = 16, iters = 0, family = "md5")
+      val slowRes = new AnnResource(slowB, timeoutMs = 400)
+      val slowSrv = GraftHttp.serve(Map.empty, anns = Map("slowann" -> slowRes))
+      try {
+        val t0 = System.nanoTime()
+        val (st504, _) = post(
+          s"http://localhost:${slowSrv.getAddress.getPort}/slowann/", body)
+        assert(st504 === 504)
+        assert((System.nanoTime() - t0) / 1e9 < 20.0)
+      } finally slowSrv.stop(0)
+    } finally srv.stop(0)
+  }
+
   test("context matching is exact: /ordersfoo is 404, not a key lookup on /orders") {
     assert(get(s"${base}foo")._1 === 404)
     assert(get(s"${base}foo/42")._1 === 404)
