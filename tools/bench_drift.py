@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Oracle-total drift check for tools/bench_scales.sh.
+
+A contended sweep inflates the DuckDB oracle denominator (observed:
+sf1 oracle 602 s -> 1113 s on identical SQL across boots), which would
+silently distort the round's headline ratios. Compare the candidate
+artifact's oracle total against the previous round's artifact:
+
+  bench_drift.py PREV CAND           -> prints the drift fraction;
+                                        exit 1 when drift > 25%
+  bench_drift.py --stamp PREV CAND   -> prints CAND re-serialized with
+                                        oracle_drift_vs_prev /
+                                        oracle_drift_flag fields added
+
+PREV missing/unreadable (first sweep) -> drift "none", exit 0.
+"""
+import json
+import sys
+
+THRESHOLD = 0.25
+
+
+def oracle_total(d):
+    o = d.get("oracle_sec") or {}
+    return sum(v for v in o.values() if isinstance(v, (int, float)))
+
+
+def main():
+    stamp = "--stamp" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--stamp"]
+    if len(args) != 2:
+        sys.exit("usage: bench_drift.py [--stamp] PREV CAND")
+    prev_path, new_path = args
+    with open(new_path) as f:
+        new = json.load(f)
+    drift = None
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        pt, nt = oracle_total(prev), oracle_total(new)
+        if pt > 0 and nt > 0:
+            drift = abs(nt - pt) / pt
+    except Exception:
+        pass
+    if stamp:
+        new["oracle_drift_vs_prev"] = round(drift, 4) if drift is not None else None
+        new["oracle_drift_flag"] = bool(drift is not None and drift > THRESHOLD)
+        print(json.dumps(new))
+    else:
+        print("none" if drift is None else f"{drift:.4f}")
+        sys.exit(1 if (drift is not None and drift > THRESHOLD) else 0)
+
+
+main()

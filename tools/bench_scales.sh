@@ -3,26 +3,63 @@
 # structure-preserving scaled corpora and run the full Bench suite at
 # sf0.1, sf0.3 and sf1, archiving BENCH_FULL.json (sf0.1, written by
 # Bench itself), BENCH_SF03.json and BENCH_SF1.json at the repo root.
+#
+# Contention guard (VERDICT r10 #6): each SF's ORACLE total is compared
+# against the previous round's artifact; >25% drift means the host was
+# contended during the sweep, so that SF re-runs ONCE, and the final
+# artifact carries oracle_drift_vs_prev / oracle_drift_flag either way —
+# a contended sweep can't silently become the round's headline.
 # Usage: tools/bench_scales.sh [--skip-sf1]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SKIP_SF1="${1:-}"
+
+# previous-round artifacts, captured BEFORE Bench overwrites them
+mkdir -p /tmp/sfscale
+cp BENCH_FULL.json /tmp/prev_sf01.json 2>/dev/null || true
+cp BENCH_SF03.json /tmp/prev_sf03.json 2>/dev/null || true
+cp BENCH_SF1.json /tmp/prev_sf1.json 2>/dev/null || true
+
+# run_sf <sfdir> <log> <candidate-json>: one full Bench run, first
+# metric line (the per-query artifact) extracted to the candidate file
+run_sf() {
+  SPARK_GRAFT_SF_DIR="$1" sbt -batch "runMain graft.Bench" \
+    > "$2" 2>&1 || echo "$1 bench rc=$? (see $2)"
+  grep -E '^\[info\] \{"metric"' "$2" | head -1 | sed 's/^\[info\] //' > "$3"
+  grep -E '^\[info\] \{"metric"' "$2" | tail -1 | sed 's/^\[info\] //'
+}
+
+# guard <prev> <cand> <sfdir> <log>: re-run once on >25% oracle drift
+guard() {
+  if ! python3 tools/bench_drift.py "$1" "$2" > /dev/null 2>&1; then
+    echo "WARN: oracle drift >25% vs previous artifact at $3 — re-running once"
+    run_sf "$3" "$4" "$2"
+    python3 tools/bench_drift.py "$1" "$2" > /dev/null 2>&1 \
+      || echo "WARN: drift persists after re-run at $3 — artifact flagged"
+  fi
+}
+
 python3 tools/scale_testdata.py /root/testdata/sf0.1 /tmp/sfscale/sf0.3 3
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
-  > /tmp/bench_sf01.log 2>&1 || echo "sf0.1 bench rc=$? (see /tmp/bench_sf01.log)"
-grep -E '^\[info\] \{"metric"' /tmp/bench_sf01.log | tail -1 | sed 's/^\[info\] //'
-# Bench rewrites BENCH_FULL.json on every full run regardless of SF —
-# preserve the sf0.1 artifact across the scaled runs below
-cp BENCH_FULL.json /tmp/bench_full_sf01.json
-SPARK_GRAFT_SF_DIR=/tmp/sfscale/sf0.3 sbt -batch "runMain graft.Bench" \
-  > /tmp/bench_sf03.log 2>&1 || echo "sf0.3 bench rc=$? (see /tmp/bench_sf03.log)"
-grep -E '^\[info\] \{"metric"' /tmp/bench_sf03.log | head -1 | sed 's/^\[info\] //' > BENCH_SF03.json
-grep -E '^\[info\] \{"metric"' /tmp/bench_sf03.log | tail -1 | sed 's/^\[info\] //'
+
+run_sf /root/testdata/sf0.1 /tmp/bench_sf01.log /tmp/cand_sf01.json
+guard /tmp/prev_sf01.json /tmp/cand_sf01.json /root/testdata/sf0.1 /tmp/bench_sf01.log
+python3 tools/bench_drift.py --stamp /tmp/prev_sf01.json /tmp/cand_sf01.json > BENCH_FULL.json
+
+run_sf /tmp/sfscale/sf0.3 /tmp/bench_sf03.log /tmp/cand_sf03.json
+guard /tmp/prev_sf03.json /tmp/cand_sf03.json /tmp/sfscale/sf0.3 /tmp/bench_sf03.log
+python3 tools/bench_drift.py --stamp /tmp/prev_sf03.json /tmp/cand_sf03.json > BENCH_SF03.json
+
 if [ "$SKIP_SF1" != "--skip-sf1" ]; then
   python3 tools/scale_testdata.py /root/testdata/sf0.1 /tmp/sfscale/sf1 10
-  SPARK_GRAFT_SF_DIR=/tmp/sfscale/sf1 sbt -batch "runMain graft.Bench" \
-    > /tmp/bench_sf1.log 2>&1 || echo "sf1 bench rc=$? (see /tmp/bench_sf1.log)"
-  grep -E '^\[info\] \{"metric"' /tmp/bench_sf1.log | head -1 | sed 's/^\[info\] //' > BENCH_SF1.json
-  grep -E '^\[info\] \{"metric"' /tmp/bench_sf1.log | tail -1 | sed 's/^\[info\] //'
+  run_sf /tmp/sfscale/sf1 /tmp/bench_sf1.log /tmp/cand_sf1.json
+  guard /tmp/prev_sf1.json /tmp/cand_sf1.json /tmp/sfscale/sf1 /tmp/bench_sf1.log
+  python3 tools/bench_drift.py --stamp /tmp/prev_sf1.json /tmp/cand_sf1.json > BENCH_SF1.json
 fi
-cp /tmp/bench_full_sf01.json BENCH_FULL.json
+
+# Bench rewrote BENCH_FULL.json during the scaled runs — restore the
+# stamped sf0.1 artifact as the repo-root headline
+python3 tools/bench_drift.py --stamp /tmp/prev_sf01.json /tmp/cand_sf01.json > BENCH_FULL.json
+echo "drift stamps:"
+for f in BENCH_FULL.json BENCH_SF03.json BENCH_SF1.json; do
+  [ -f "$f" ] && python3 -c "import json; d=json.load(open('$f')); print('$f', d.get('oracle_drift_vs_prev'), 'flag=', d.get('oracle_drift_flag'))"
+done
