@@ -898,6 +898,49 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(i2.count(None) === 498)
   }
 
+  test("AnnIndexBuilder incremental runs touch O(batch) files: the base never re-clusters before compactAfter") {
+    import graft.builder.AnnIndexBuilder
+    import graft.store.{MemoryStore, ParquetStore}
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val emb = sf("embeddings").select(col("vec_id"), col("embedding"))
+    val src = new MemoryStore(spark, "cmpsrc", key = "vec_id", lastUpdatedField = "vec_id")
+    val idxRoot = java.nio.file.Files.createTempDirectory("cmp_idx").toString
+    val qzRoot = java.nio.file.Files.createTempDirectory("cmp_qz").toString
+    // fresh store instances per run = the restart path: ensureIndex must
+    // learn the layout from the _indexkeys sidecar, not re-cluster
+    def builder() = new AnnIndexBuilder(src,
+      new ParquetStore(spark, idxRoot, "id", "cell", deltaWrites = true, compactAfter = 8),
+      new ParquetStore(spark, qzRoot, "qid", "qid"), "embedding",
+      nCentroids = 8, m = 8, ksub = 16, iters = 0, family = "md5")
+    def snapshot(): Map[String, Long] = {
+      val s = Files.walk(Paths.get(idxRoot))
+      try s.iterator().asScala.filter(p => Files.isRegularFile(p))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    src.load(emb.filter(col("vec_id") < 200))
+    assert(builder().run().processed === 200)
+    val base = snapshot().filter(_._1.contains("/v_0/"))
+    assert(base.nonEmpty)
+    // two incremental batches: each run appends ONE delta dir; every
+    // base file stays byte-for-byte untouched (same path, same mtime) —
+    // a full re-cluster per batch would be O(corpus) I/O every run,
+    // exactly what the delta-index design exists to avoid
+    src.update(emb.filter(col("vec_id") >= 200 && col("vec_id") < 300))
+    assert(builder().run().processed === 100)
+    src.update(emb.filter(col("vec_id") >= 300 && col("vec_id") < 400))
+    assert(builder().run().processed === 100)
+    val after = snapshot()
+    assert(after.filter(_._1.contains("/v_0/")) === base,
+      "base files were rewritten by an incremental run")
+    val manifest = Files.readString(Paths.get(idxRoot, "_current")).trim
+    assert(manifest === "v_0;d_1,d_2", s"manifest: $manifest")
+    // queries still serve across base + deltas
+    assert(builder().topK(emb.filter(col("vec_id") < 3), k = 3)
+      .count() === 9)
+  }
+
   test("AnnIndexBuilder: drift statistic trips on a shifted batch; rebuild() restores ADC error and re-serves") {
     import graft.builder.AnnIndexBuilder
     import graft.store.MemoryStore
