@@ -667,6 +667,92 @@ object SparkEntry {
         .select(col("o_orderkey")).orderBy("o_orderkey")
     }),
 
+    // C4 JSON store end-to-end: documents rendered to JSONL with a BSON
+    // $date-wrapped timestamp, read back through JsonStore ($date →
+    // timestamp unwrap), upserted (write-back overlay + last-wins merge),
+    // then queried with a $date criteria — the oracle replays the merge
+    // arithmetically from the parquet table.
+    "c4_json_store" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_js").toString + "/docs"
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          struct(date_format(timestamp_millis(col("doc_id") * 1000),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("$date")).alias("lu"))
+        .write.json(base)
+      val js = new graft.store.JsonStore(s, Seq(base), key = "doc_id",
+        lastUpdatedField = "lu", multiLine = false, readOnly = false)
+      js.update(t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("xx").alias("lang"), col("source"),
+          timestamp_millis(col("doc_id") * 1000 + 60000).alias("lu")))
+      js.query(QueryParams(
+        criteria = Some("""{"lu": {"$gt": {"$date": "1970-01-01T00:05:00Z"}}}"""),
+        properties = Seq("doc_id", "lang", "source", "lu"),
+        sort = Seq("doc_id" -> 1)))
+    }),
+
+    // C6 FileStore end-to-end: one real file per doc (bounded subset —
+    // each doc must be its OWN file for the binaryFile source, so the
+    // fixture writes driver-side under an explicit doc_id < 500 cap),
+    // sidecar metadata merged by file_id, one orphan metadata row whose
+    // file never existed. Every output column is derivable from the
+    // parquet table (sizes/md5s/paths), so the oracle replays it all.
+    "c6_file_store" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_fsr").toString
+      def md5hex(v: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("text"), col("lang")).collect() // ≤ 500 by the cap
+      docs.foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(root, s"d${r.getLong(0)}.txt"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+      val fs = new graft.store.FileStore(s, root)
+      val sImp = s; import sImp.implicits._
+      val meta = docs.filter(_.getLong(0) % 2 == 0)
+        .map(r => (md5hex(s"d${r.getLong(0)}.txt"), r.getString(2))).toSeq
+        .:+((md5hex("ghost.txt"), "orphan-tag"))
+        .toDF("file_id", "tag")
+      fs.update(meta)
+      fs.df.select(col("file_id"), col("name"), col("path_relative"),
+          col("parent"), col("size"), col("hash"), col("orphan"), col("tag"))
+        .orderBy("file_id")
+    }),
+
+    // STREAMING twin of agg_time_window, oracle-checked end-to-end: the
+    // events parquet replays through Structured Streaming
+    // (Trigger.AvailableNow, memory sink, complete mode) and the
+    // finished table is returned — certifying the streaming aggregation
+    // plane computes exactly what the batch plane and the DuckDB oracle
+    // compute. At scale this is the readStream → window-agg → sink shape
+    // verbatim; AvailableNow is how a backfill runs it over history.
+    "stream_time_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batch = s.read.parquet(s"$dir/events.parquet")
+      // FileStreamSource wants a DIRECTORY: stream the sf dir with a
+      // glob pinned to the events table file
+      val raw = s.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = batch.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
+      val out = ev
+        .groupBy(date_trunc("day", col("ts")).alias("d"), col("event_type"))
+        .agg(count(lit(1)).alias("n"), fxSum(col("value"), 1000000L).alias("sum_val"))
+      val sink = s"stream_tw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(sink).orderBy("d", "event_type")
+    }),
+
     "validator_invalid" -> ((s, dir) => {
       val v = new graft.store.DocValidator(Seq(
         graft.store.FieldRule("o_orderkey", required = true),
@@ -1313,6 +1399,23 @@ object SparkEntry {
          "WHERE o_orderstatus = 'F' ORDER BY 1"),
       "c12_opendata_pruned" ->
         "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O' ORDER BY 1",
+      "c4_json_store" ->
+        ("WITH base AS (SELECT doc_id, lang, source, epoch_ms(doc_id * 1000) AS lu FROM documents), " +
+         "upd AS (SELECT doc_id, 'xx' AS lang, source, epoch_ms(doc_id * 1000 + 60000) AS lu " +
+         "FROM documents WHERE doc_id % 10 = 0), " +
+         "merged AS (SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM upd) " +
+         "UNION ALL SELECT * FROM upd) " +
+         "SELECT doc_id, lang, source, lu FROM merged WHERE lu > epoch_ms(300000) ORDER BY doc_id"),
+      "c6_file_store" ->
+        ("WITH f AS (SELECT doc_id, 'd' || CAST(doc_id AS VARCHAR) || '.txt' AS name, text, lang " +
+         "FROM documents WHERE doc_id < 500), " +
+         "files AS (SELECT md5(name) AS file_id, name, name AS path_relative, '' AS parent, " +
+         "CAST(octet_length(encode(text)) AS BIGINT) AS size, md5(text) AS hash FROM f), " +
+         "meta AS (SELECT md5('d' || CAST(doc_id AS VARCHAR) || '.txt') AS file_id, lang AS tag " +
+         "FROM f WHERE doc_id % 2 = 0 UNION ALL SELECT md5('ghost.txt'), 'orphan-tag') " +
+         "SELECT coalesce(fi.file_id, m.file_id) AS file_id, fi.name, fi.path_relative, " +
+         "fi.parent, fi.size, fi.hash, (fi.file_id IS NULL) AS orphan, m.tag " +
+         "FROM files fi FULL OUTER JOIN meta m ON fi.file_id = m.file_id ORDER BY 1"),
       "c7_blob_latest" ->
         ("WITH base AS (SELECT doc_id, text, source, doc_id * 1000 AS lu_ms, 1 AS ver FROM documents), " +
          "upd AS (SELECT doc_id, text || ' v2' AS text, source, doc_id * 1000 + 3600000 AS lu_ms, 2 AS ver " +
@@ -1411,6 +1514,11 @@ object SparkEntry {
          s"count(*) AS n, ${fxSumSql("l_quantity", 100L)} AS sum_qty " +
          "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2"),
       "agg_time_window" ->
+        ("SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n, " +
+         s"${fxSumSql("value", 1000000L)} AS sum_val FROM events " +
+         "GROUP BY 1, 2 ORDER BY 1, 2"),
+      // the streaming twin computes the identical aggregation
+      "stream_time_window" ->
         ("SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n, " +
          s"${fxSumSql("value", 1000000L)} AS sum_val FROM events " +
          "GROUP BY 1, 2 ORDER BY 1, 2"),
