@@ -761,6 +761,14 @@ object Dedup {
                         naiveRowFloor: Long = 20000L): DataFrame =
     ngramJaccardPairsFromSigs(ngramSignatures(df, idCol, textCol, n),
       threshold, maxPostings, naiveMaxCandidates, naiveRowFloor)
+    // NOTE (round 11): an input-side repartition to spread the shingle
+    // kernel past the 2-task single-row-group scan was tried and
+    // REVERTED — the kernel did spread (0.86 s → 0.42 s), but AQE then
+    // re-coalesced the downstream posting aggregate to 4 partitions
+    // (size-based advisory blind to the object-hash agg's CPU cost) and
+    // the total went 2.26 s → 2.75 s. The sf0.1 residue is scan-split
+    // bound (one row group), not a plan defect; at scale inputs carry
+    // files ≫ cores and the kernel stage parallelizes naturally.
 
   /** Per-doc distinct gram-hash signatures `(id, sig)` — the per-doc
     * state the ngram tier persists for incremental builds (the kernel
