@@ -905,6 +905,13 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // perplexity-proxy quality filter: per-doc mean unigram logprob
+    // under the corpus's own distribution (fixed-point log sum so the
+    // oracle's reassociated float sum can't hash-diverge)
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "text_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.repetitionRatio(s, col("text"), n = 3).alias("rep_ratio"))
@@ -1818,6 +1825,16 @@ object SparkEntry {
          "FROM tf JOIN dfreq USING (term) CROSS JOIN nd), " +
          "ranked AS (SELECT doc_id, term, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM scored) " +
          "SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"),
+      "text_unigram_logprob" ->
+        ("WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
+         "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS tok FROM documents), " +
+         "vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1), " +
+         "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab) " +
+         "SELECT doc_id, count(*) AS n_tokens, " +
+         "round((CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0) " +
+         "/ count(*) - ln(tot.n), 4) AS avg_logprob " +
+         "FROM toks JOIN vocab USING (tok) CROSS JOIN tot " +
+         "GROUP BY doc_id, tot.n ORDER BY doc_id"),
       "text_ngram_counts" ->
         ("WITH toks AS (SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM documents), " +
          "grams AS (SELECT concat_ws(' ', tk[n], tk[n+1]) AS ngram " +

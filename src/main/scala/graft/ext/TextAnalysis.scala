@@ -427,4 +427,40 @@ object TextAnalysis {
     struct(markers("<EMAIL>").alias("emails"), markers("<IP>").alias("ips"),
       markers("<PHONE>").alias("phones"))
   }
+
+  /** Unigram log-probability quality score — the zero-dependency
+    * analogue of the LM-perplexity filter every large training-data
+    * pipeline runs (CCNet/Gopher use a 5-gram KenLM; with no model
+    * artifact available the corpus's OWN unigram distribution is the
+    * standard fallback): per-doc mean `ln p(tok)` with
+    * `p(tok) = corpus_count(tok) / corpus_total`. Low scores = token
+    * sequences improbable under the corpus itself (boilerplate noise,
+    * raw identifiers, foreign-alphabet mojibake) — the removal
+    * candidates.
+    *
+    * Scale shape: ONE token-keyed shuffle builds the vocabulary counts
+    * and one token-keyed join scores the corpus — both sides partition
+    * on the token, NO broadcast assumption (at 100 TB the vocabulary is
+    * billions of rows); the per-doc mean reduces map-side. The log sum
+    * rides a fixed-point long sum (order-independent — a raw double sum
+    * reassociates differently across engines and runs; same discipline
+    * as the suite's fxSum). Docs with zero tokens drop (no
+    * distribution to score them under). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     scale: Long = 1000000L): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(normTokens(col(textCol))).alias("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).alias("__c"))
+    val total = vocab.agg(sum(col("__c")).cast("double").alias("__n"))
+    toks.join(vocab, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_tokens"),
+        (sum(round(log(col("__c").cast("double")) * scale).cast("long")) /
+          scale.toDouble).alias("__sl"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__sl") / col("n_tokens") - log(col("__n")), 4)
+          .alias("avg_logprob"))
+  }
 }
