@@ -448,15 +448,22 @@ object TextAnalysis {
     * distribution to score them under). */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
                      scale: Long = 1000000L): DataFrame = {
-    val toks = df.select(col(idCol),
-        explode(normTokens(col(textCol))).alias("tok"))
-      .filter(length(col("tok")) > 0)
-    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).alias("__c"))
+    // per-doc term frequencies counted MAP-SIDE by the compiled
+    // TermCounts kernel (the tfidf lesson): the exchanges carry one row
+    // per (doc, DISTINCT term) with its tf, not one row per token
+    val spark = df.sparkSession
+    val tf = df.select(col(idCol),
+        explode(graft.functions.GraftFunctions.termCounts(spark,
+          normTokens(col(textCol)))).alias("__tc"))
+      .select(col(idCol), col("__tc.term").alias("tok"),
+        col("__tc.cnt").cast("long").alias("__tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("__tf")).alias("__c"))
     val total = vocab.agg(sum(col("__c")).cast("double").alias("__n"))
-    toks.join(vocab, Seq("tok"))
+    tf.join(vocab, Seq("tok"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).alias("n_tokens"),
-        (sum(round(log(col("__c").cast("double")) * scale).cast("long")) /
+      .agg(sum(col("__tf")).alias("n_tokens"),
+        (sum(col("__tf") *
+            round(log(col("__c").cast("double")) * scale).cast("long")) /
           scale.toDouble).alias("__sl"))
       .crossJoin(broadcast(total))
       .select(col(idCol), col("n_tokens"),
