@@ -885,6 +885,30 @@ object SparkEntry {
         .orderBy("a", "b")
     }),
 
+    // 2-batch incremental build through the BUILDER plane: batch A
+    // (original corpus) trains the signature index + canonical target,
+    // batch B (suffixed near-dups) processes ONLY the unseen docs
+    // against the persisted state and REPAIRS the target (dethroned
+    // canonicals removed). Convergence contract: the repaired target
+    // equals the from-scratch canonical view of the full corpus, which
+    // the oracle computes via the same md5 minhash replay +
+    // recursive-CTE closure + min-id survivors.
+    "dedup_builder_incremental" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val src = new graft.store.MemoryStore(s, "dbi_src", "doc_id", "doc_id")
+      val tgt = new graft.store.MemoryStore(s, "dbi_tgt", "doc_id", "doc_id")
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft_dbi").toString
+      def mk() = new graft.builder.DedupBuilder(src, tgt, "text",
+        method = "minhash", threshold = 0.5,
+        indexStore = Some(new graft.store.ParquetStore(s, idxRoot, "id", "cluster")),
+        numHashes = 32, bands = 16, shingleSize = 3, family = "md5")
+      src.load(corpus.filter(col("doc_id") < 1000000L))
+      mk().run()
+      src.load(corpus)
+      mk().run()
+      tgt.df.select(col("doc_id")).orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       // md5 hash family: byte-replayable in the DuckDB oracle
       Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxHamming = 3,
@@ -1938,6 +1962,19 @@ object SparkEntry {
       "dedup_minhash_incremental" -> {
         val (ctes, pairSel) = minhashOraclePartsWith(" AND y.doc_id >= 1000000")
         s"WITH $ctes $pairSel ORDER BY 1, 2"
+      },
+      // builder-plane convergence: the 2-batch incremental target must
+      // equal the from-scratch canonical view (min-id survivor per
+      // component; unpaired docs survive)
+      "dedup_builder_incremental" -> {
+        val (ctes, pairSel) = minhashOracleParts
+        s"WITH RECURSIVE $ctes, pairs AS ($pairSel), " +
+          "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs), " +
+          "reach AS (SELECT src AS id, src AS r FROM edges " +
+          "UNION SELECT e.src AS id, rc.r AS r FROM edges e JOIN reach rc ON rc.id = e.dst), " +
+          "labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id) " +
+          "SELECT c.doc_id FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id " +
+          "WHERE l.cluster IS NULL OR l.cluster = c.doc_id ORDER BY 1"
       },
       // cluster resolution replay: the same pair CTE chain, transitive
       // min-label closure via a recursive CTE (the engine's iterative

@@ -92,7 +92,15 @@ class DedupBuilder(
     val nCentroids: Int = 16,
     val maxCellSize: Int = 10000,
     val overCap: String = "drop",
-    val targetCellSize: Int = 256)
+    val targetCellSize: Int = 256,
+    /** Sketch parameters (minhash k / LSH bands / shingle length n) and
+      * hash family, threaded to the underlying pair producers. `"md5"`
+      * makes the sketches externally byte-replayable (the correctness-
+      * oracle family); production keeps the `"xxh64"` default. */
+    val numHashes: Int = 64,
+    val bands: Int = 16,
+    val shingleSize: Int = 3,
+    val family: String = "xxh64")
   extends Builder {
 
   require(indexStore.isEmpty || method == "minhash" || method == "simhash" ||
@@ -182,15 +190,17 @@ class DedupBuilder(
         scoped.join(losers, Seq(source.key), "left_anti")
       case "minhash" =>
         Dedup.keepCanonical(scoped,
-          Dedup.minhashLsh(scoped, source.key, textField, threshold = threshold),
+          Dedup.minhashLsh(scoped, source.key, textField, numHashes, bands,
+            shingleSize, threshold = threshold, family = family),
           source.key)
       case "simhash" =>
         Dedup.keepCanonical(scoped,
-          Dedup.simhashPairs(scoped, source.key, textField), source.key)
+          Dedup.simhashPairs(scoped, source.key, textField, family = family),
+          source.key)
       case "ngram" =>
         Dedup.keepCanonical(scoped,
           Dedup.ngramJaccardPairs(scoped, source.key, textField,
-            threshold = threshold),
+            shingleSize, threshold = threshold),
           source.key)
       case "semantic" =>
         // textField names the embedding column here (SemDeDup over
@@ -240,15 +250,17 @@ class DedupBuilder(
     // batch signatures: computed once, consumed by banding, verification
     // and the index write
     val newSigs = (method match {
-      case "minhash" => Dedup.minhashSignatures(batch, k, textField)
-      case "simhash" => Dedup.simhashSignatures(batch, k, textField)
+      case "minhash" => Dedup.minhashSignatures(batch, k, textField,
+        numHashes, shingleSize, family)
+      case "simhash" => Dedup.simhashSignatures(batch, k, textField, family)
         .withColumnRenamed("simhash", "sig")
-      case _ => Dedup.ngramSignatures(batch, k, textField)
+      case _ => Dedup.ngramSignatures(batch, k, textField, shingleSize)
         .withColumnRenamed("sig", "grams")
     }).localCheckpoint(true)
 
     def fromScratch = method match {
-      case "minhash" => Dedup.minhashLshFromSigs(newSigs, threshold = threshold)
+      case "minhash" => Dedup.minhashLshFromSigs(newSigs, numHashes, bands,
+        threshold = threshold, family = family)
       case "simhash" => Dedup.simhashPairsFromSigs(
         newSigs.withColumnRenamed("sig", "simhash"))
       case _ => Dedup.ngramJaccardPairsFromSigs(
@@ -256,7 +268,8 @@ class DedupBuilder(
     }
     def incremental(knownSigs: DataFrame) = method match {
       case "minhash" =>
-        Dedup.minhashLshIncrementalSigs(newSigs, knownSigs, threshold = threshold)
+        Dedup.minhashLshIncrementalSigs(newSigs, knownSigs, numHashes, bands,
+          threshold = threshold, family = family)
       case "simhash" => Dedup.simhashIncrementalSigs(newSigs, knownSigs)
       case _ => Dedup.ngramJaccardIncrementalSigs(
         newSigs.withColumnRenamed("grams", "sig"),
