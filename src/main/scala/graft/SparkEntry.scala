@@ -534,6 +534,39 @@ object SparkEntry {
         .orderBy("user_id", "start_ms")
     }),
 
+    // STREAMING twin of window_sessionize, oracle-checked end-to-end:
+    // the events replay through flatMapGroupsWithState (the stateful
+    // API, not the windowed-agg one stream_time_window certifies). A
+    // far-future flush sentinel per user closes every real session
+    // in-batch (a finite stream's trailing sessions otherwise wait on a
+    // watermark that never advances past end-of-input); the input is
+    // ONE file so a single micro-batch preserves event-time order.
+    "stream_sessionize" -> ((s, dir) => {
+      val prepared = java.nio.file.Files.createTempDirectory("graft_strs")
+        .toString + "/ev"
+      val ev = events(s, dir).select(col("user_id"), col("ts"), col("value"))
+      val sentinelMs = 7258118400000L // 2200-01-01
+      val sentinels = ev.select(col("user_id")).distinct()
+        .select(col("user_id"), timestamp_millis(lit(sentinelMs)).alias("ts"),
+          lit(0.0).alias("value"))
+      ev.unionByName(sentinels).coalesce(1).write.parquet(prepared)
+      val sImp = s; import sImp.implicits._
+      val stream = s.readStream.schema(ev.schema).parquet(prepared)
+        .as[graft.streaming.Sessionize.Event]
+      val sess = graft.streaming.Sessionize.sessions(stream, gapMs = 3600000)
+      val sink = s"stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = sess.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(sink).filter(col("start_millis") < sentinelMs)
+        .select(col("user_id"), col("n_events"), col("total"),
+          col("start_millis").alias("start_ms"),
+          col("end_millis").alias("end_ms"))
+        .orderBy("user_id", "start_ms")
+    }),
+
     "topk" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
@@ -1563,6 +1596,18 @@ object SparkEntry {
          "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY event_id"),
       "window_sessionize" ->
+        ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL " +
+         "OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS nss FROM events " +
+         "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +
+         "s AS (SELECT *, sum(nss) OVER (PARTITION BY user_id ORDER BY ts " +
+         "ROWS UNBOUNDED PRECEDING) AS sid FROM e) " +
+         "SELECT user_id, count(*) AS n_events, " +
+         s"${fxSumSql("value", 1000000L)} AS total, " +
+         "epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms " +
+         "FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms"),
+      // the stateful streaming twin computes the identical sessions
+      // (same ms gap contract, same fixed-point totals)
+      "stream_sessionize" ->
         ("WITH e AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER w IS NULL " +
          "OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS nss FROM events " +
          "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), " +

@@ -18,6 +18,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * The state per key is a fixed-size accumulator (count, sum, bounds) —
   * O(1) memory per active user regardless of event volume, the shape
   * that scales to 10⁸ concurrent keys with the RocksDB state store.
+  *
+  * `total` follows the SAME fixed-point contract as [[sessionsBatch]]
+  * (per-event `round(value·scale)` accumulated exactly, divided back on
+  * emit): the streaming and batch twins — and the external SQL oracle —
+  * produce bit-identical totals regardless of fold/aggregation order.
   */
 object Sessionize {
 
@@ -31,7 +36,8 @@ object Sessionize {
     *   than a gap — those fold into their own earlier session (see the
     *   stray handling below) instead of corrupting the open one. */
   def sessions(events: Dataset[Event], gapMs: Long,
-               watermarkMs: Long = -1L): Dataset[Session] = {
+               watermarkMs: Long = -1L,
+               valueScale: Long = 1000000L): Dataset[Session] = {
     implicit val stateEnc = Encoders.product[SessionState]
     implicit val outEnc = Encoders.product[Session]
     val delay = if (watermarkMs >= 0) watermarkMs else gapMs
@@ -44,7 +50,7 @@ object Sessionize {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(user, s.count, s.sum, s.start, s.last))
+            Iterator(Session(user, s.count, s.sum / valueScale, s.start, s.last))
           } else {
             // fold in event-time order, CLOSING a session whenever the
             // gap to the previous event exceeds gapMs — new data for a
@@ -57,14 +63,15 @@ object Sessionize {
             def fold(evts: Seq[Event], init: Option[SessionState]): Option[SessionState] =
               evts.foldLeft(init) { (acc, e) =>
                 val t = e.ts.getTime
+                val fx = Math.round(e.value * valueScale).toDouble
                 acc match {
                   case Some(s) if t - s.last > gapMs =>
-                    closed += Session(user, s.count, s.sum, s.start, s.last)
-                    Some(SessionState(1L, e.value, t, t))
+                    closed += Session(user, s.count, s.sum / valueScale, s.start, s.last)
+                    Some(SessionState(1L, fx, t, t))
                   case Some(s) =>
-                    Some(SessionState(s.count + 1, s.sum + e.value,
+                    Some(SessionState(s.count + 1, s.sum + fx,
                       math.min(s.start, t), math.max(s.last, t)))
-                  case None => Some(SessionState(1L, e.value, t, t))
+                  case None => Some(SessionState(1L, fx, t, t))
                 }
               }
             // Events BEFORE the open session's start (admissible when the
@@ -99,7 +106,7 @@ object Sessionize {
               case _ => (segments, Vector.empty[Event])
             }
             toClose.foreach(seg => fold(seg, None).foreach(s =>
-              closed += Session(user, s.count, s.sum, s.start, s.last)))
+              closed += Session(user, s.count, s.sum / valueScale, s.start, s.last)))
             val open = fold(toMerge ++ rest, start)
             open match {
               case Some(s) =>
