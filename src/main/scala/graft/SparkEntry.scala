@@ -942,6 +942,65 @@ object SparkEntry {
       tgt.df.select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // STREAMING twin of dedup_builder_incremental, oracle-checked
+    // end-to-end: the same 2-batch corpus replays through
+    // StreamingBuilder.dedupStream as two file-source micro-batches
+    // (maxFilesPerTrigger=1; batch A's part file gets an earlier mtime
+    // so the source's timestamp order replays A-then-B). Each trigger
+    // runs one incremental DedupBuilder round against the persisted
+    // signature index, so the final repaired target must equal the
+    // from-scratch canonical view — the same convergence contract (and
+    // oracle SQL) as the batch-driven builder row.
+    "stream_dedup" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir).select(col("doc_id"), col("text"))
+      val prepared = java.nio.file.Files.createTempDirectory("graft_strd")
+        .toString + "/docs"
+      corpus.filter(col("doc_id") < 1000000L).coalesce(1).write.parquet(prepared)
+      new java.io.File(prepared).listFiles().foreach(f =>
+        f.setLastModified(1000000000000L))
+      corpus.filter(col("doc_id") >= 1000000L).coalesce(1)
+        .write.mode("append").parquet(prepared)
+      val stream = s.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(prepared)
+      val tgt = new graft.store.MemoryStore(s, "strd_tgt", "doc_id", "doc_id")
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft_strdidx").toString
+      val idx = new graft.store.ParquetStore(s, idxRoot, "id", "cluster")
+      val q = graft.streaming.StreamingBuilder.dedupStream(
+        stream, "doc_id", "text", tgt, idx,
+        method = "minhash", threshold = 0.5,
+        numHashes = 32, bands = 16, shingleSize = 3, family = "md5")
+      try {
+        q.processAllAvailable()
+      } finally q.stop()
+      tgt.df.select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // the continuous-rebuild CORE contract (StreamingBuilder §2.7),
+    // oracle-checked: two ordered micro-batches upsert into a durable
+    // ParquetStore — batch B re-ingests every doc_id % 10 == 0 with
+    // amended text, and the merged store must read the amended rows for
+    // those keys and the originals elsewhere (upsert-by-key
+    // last-write-wins across triggers, the foreachBatch → Store.update
+    // path that makes replays idempotent).
+    "stream_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stru").toString
+      val prepared = s"$base/docs"
+      docs.withColumn("lu", lit(1L)).coalesce(1).write.parquet(prepared)
+      new java.io.File(prepared).listFiles().foreach(f =>
+        f.setLastModified(1000000000000L))
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).alias("text"),
+          lit(2L).alias("lu"))
+        .coalesce(1).write.mode("append").parquet(prepared)
+      val schema = s.read.parquet(prepared).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(prepared)
+      val tgt = new graft.store.ParquetStore(s, s"$base/tgt", "doc_id", "lu")
+      new graft.streaming.StreamingBuilder(stream, tgt).runOnce()
+      tgt.df.select(col("doc_id"), col("text")).orderBy("doc_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       // md5 hash family: byte-replayable in the DuckDB oracle
       Dedup.simhashPairs(nearDupCorpus(s, dir), "doc_id", "text", maxHamming = 3,
@@ -1117,6 +1176,40 @@ object SparkEntry {
       src.load(emb)
       mk().run() // batch B: only the odd ids encode, against A's quantizer
       mk().topK(emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    // STREAMING twin of ann_index_incr_topk, oracle-checked end-to-end:
+    // the same even/odd split replays through annIndexStream as two
+    // file-source micro-batches (evens get the earlier mtime, so the
+    // source's timestamp order trains the quantizer on trigger A and
+    // encodes trigger B against it), then serving answers from the
+    // persisted codes across both generations — the same replay as the
+    // batch-driven incremental row, because streaming state lives in
+    // the stores, not in the query.
+    "stream_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val base = java.nio.file.Files.createTempDirectory("graft_strann").toString
+      val prepared = s"$base/vecs"
+      emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(prepared)
+      new java.io.File(prepared).listFiles().foreach(f =>
+        f.setLastModified(1000000000000L))
+      emb.filter(col("vec_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(prepared)
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(prepared)
+      val idx = new graft.store.ParquetStore(s, s"$base/idx", "id", "cell",
+        deltaWrites = true)
+      val qz = new graft.store.ParquetStore(s, s"$base/qz", "qid", "qid")
+      val q = graft.streaming.StreamingBuilder.annIndexStream(
+        stream, "vec_id", "embedding", idx, qz,
+        nCentroids = 16, m = 8, ksub = 16, iters = 0, family = "md5")
+      try q.processAllAvailable() finally q.stop()
+      new graft.builder.AnnIndexBuilder(
+        new TableStore(s, emb, "strann_src", "vec_id", "vec_id"), idx, qz,
+        "embedding", nCentroids = 16, m = 8, ksub = 16, iters = 0,
+        family = "md5")
+        .topK(emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
         .orderBy("q_id", "rank")
     }),
 
@@ -2021,6 +2114,22 @@ object SparkEntry {
           "SELECT c.doc_id FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id " +
           "WHERE l.cluster IS NULL OR l.cluster = c.doc_id ORDER BY 1"
       },
+      // ordered 2-trigger upsert: later generation wins per re-ingested key
+      "stream_upsert" ->
+        ("SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || ' v2' " +
+         "ELSE text END AS text FROM documents ORDER BY 1"),
+      // the streaming twin replays the identical 2-batch build through
+      // dedupStream micro-batches — same convergence target, same replay
+      "stream_dedup" -> {
+        val (ctes, pairSel) = minhashOracleParts
+        s"WITH RECURSIVE $ctes, pairs AS ($pairSel), " +
+          "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs), " +
+          "reach AS (SELECT src AS id, src AS r FROM edges " +
+          "UNION SELECT e.src AS id, rc.r AS r FROM edges e JOIN reach rc ON rc.id = e.dst), " +
+          "labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id) " +
+          "SELECT c.doc_id FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id " +
+          "WHERE l.cluster IS NULL OR l.cluster = c.doc_id ORDER BY 1"
+      },
       // cluster resolution replay: the same pair CTE chain, transitive
       // min-label closure via a recursive CTE (the engine's iterative
       // min-label propagation converges to the identical fixpoint)
@@ -2099,6 +2208,10 @@ object SparkEntry {
       // only, corpus encoded/served in full — certifies the
       // encode-batch-B-against-A's-persisted-quantizer path
       "ann_index_incr_topk" -> SparkEntry.pqOracleSql(ivf = true,
+        centsSrc = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+      // the streaming twin trains on the same even-id first trigger and
+      // serves the same persisted codes — identical replay
+      "stream_ann_topk" -> SparkEntry.pqOracleSql(ivf = true,
         centsSrc = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
       // box-filter resize replay: each doc's synthetic BMP pixel
       // formula (gray = (doc_id + y*w + x) mod 256, r=g=b) is

@@ -104,6 +104,8 @@ object StreamingBuilder {
                   target: Store, indexStore: Store,
                   method: String = "minhash", threshold: Double = 0.7,
                   nCentroids: Int = 16,
+                  numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+                  family: String = "xxh64",
                   checkpoint: Option[String] = None): StreamingQuery = {
     require(stream.isStreaming, "dedupStream needs a streaming DataFrame")
     require(method == "minhash" || method == "simhash" || method == "ngram" ||
@@ -117,7 +119,8 @@ object StreamingBuilder {
             "stream-batch", key)
           new graft.builder.DedupBuilder(src, target, textField, method,
             threshold = threshold, indexStore = Some(indexStore),
-            nCentroids = nCentroids).run()
+            nCentroids = nCentroids, numHashes = numHashes, bands = bands,
+            shingleSize = shingleSize, family = family).run()
           ()
         }
       }
