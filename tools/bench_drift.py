@@ -20,11 +20,6 @@ import sys
 THRESHOLD = 0.25
 
 
-def oracle_total(d):
-    o = d.get("oracle_sec") or {}
-    return sum(v for v in o.values() if isinstance(v, (int, float)))
-
-
 def main():
     stamp = "--stamp" in sys.argv
     args = [a for a in sys.argv[1:] if a != "--stamp"]
@@ -37,7 +32,17 @@ def main():
     try:
         with open(prev_path) as f:
             prev = json.load(f)
-        pt, nt = oracle_total(prev), oracle_total(new)
+        po = prev.get("oracle_sec") or {}
+        no = new.get("oracle_sec") or {}
+        # compare ONLY queries present in both artifacts: the suite grows
+        # across rounds, and new oracle SQL (especially recursive-CTE
+        # replays) would read as "drift" when it is just new coverage —
+        # the guard exists for same-SQL contention swings, nothing else
+        shared = [q for q in no
+                  if q in po and isinstance(po[q], (int, float))
+                  and isinstance(no[q], (int, float))]
+        pt = sum(po[q] for q in shared)
+        nt = sum(no[q] for q in shared)
         if pt > 0 and nt > 0:
             drift = abs(nt - pt) / pt
     except Exception:
