@@ -166,7 +166,9 @@ class AnnIndexBuilder(
     * Report = docs examined (the incremental contract's measure). */
   def run(): BuildReport = {
     index.ensureIndex("cell")
-    val batch = pendingItems().localCheckpoint(true)
+    // spread-checkpointed: the PQ-encode kernel is CPU-bound per vector
+    // and must not inherit a 2-split scan (Builder.spreadCheckpoint)
+    val batch = Builder.spreadCheckpoint(pendingItems())
     val examined = batch.count()
     var batchErr: Option[Double] = None
     if (examined > 0) {
@@ -223,7 +225,7 @@ class AnnIndexBuilder(
     * same rebuild. */
   def rebuild(): BuildReport = {
     index.ensureIndex("cell")
-    val corpus = scoped.localCheckpoint(true)
+    val corpus = Builder.spreadCheckpoint(scoped)
     val n = corpus.count()
     if (n == 0) { corpus.unpersist(); return BuildReport(0) }
     val b = Similarity.trainPq(corpus, m, ksub, iters, source.key, vecField, family)

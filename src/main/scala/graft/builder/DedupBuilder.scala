@@ -166,27 +166,12 @@ class DedupBuilder(
     * its size; `None` means the batch is empty and the run is a no-op. */
   private def indexedBatch(idx: Store, hasIndex: Boolean)
       : Option[(DataFrame, Long)] = {
-    val raw =
-      (if (hasIndex) unseen(scoped, idx) else scoped).localCheckpoint(true)
-    val examined = raw.count()
-    if (examined == 0) { raw.unpersist(); None }
-    else {
-      // The eager checkpoint inherits the source scan's split count (a
-      // single-row-group parquet source checkpoints as 2 partitions at
-      // test SFs), and the signature kernels downstream are CPU-bound
-      // per doc — md5-family minhash over a 2-split batch leaves 30 of
-      // 32 local cores idle (measured 6.8 s → 0.75 s at sf0.1 after the
-      // spread). Re-checkpoint the materialized batch at core count so
-      // the kernels parallelize; at corpus scale the scan already
-      // carries ≥ defaultParallelism splits and this branch is dead.
-      val par = raw.sparkSession.sparkContext.defaultParallelism
-      if (raw.rdd.getNumPartitions >= par) Some((raw, examined))
-      else {
-        val spread = raw.repartition(par).localCheckpoint(true)
-        raw.unpersist()
-        Some((spread, examined))
-      }
-    }
+    // spread-checkpointed so the signature kernels parallelize past the
+    // source scan's split count (see Builder.spreadCheckpoint)
+    val batch =
+      Builder.spreadCheckpoint(if (hasIndex) unseen(scoped, idx) else scoped)
+    val examined = batch.count()
+    if (examined == 0) { batch.unpersist(); None } else Some((batch, examined))
   }
 
   def run(): BuildReport = indexStore match {
