@@ -763,12 +763,15 @@ object Dedup {
       threshold, maxPostings, naiveMaxCandidates, naiveRowFloor)
     // NOTE (round 11): an input-side repartition to spread the shingle
     // kernel past the 2-task single-row-group scan was tried and
-    // REVERTED — the kernel did spread (0.86 s → 0.42 s), but AQE then
-    // re-coalesced the downstream posting aggregate to 4 partitions
-    // (size-based advisory blind to the object-hash agg's CPU cost) and
-    // the total went 2.26 s → 2.75 s. The sf0.1 residue is scan-split
-    // bound (one row group), not a plan defect; at scale inputs carry
-    // files ≫ cores and the kernel stage parallelizes naturally.
+    // REVERTED twice — the kernel does spread (0.86 s → 0.42 s), but
+    // the raw-text shuffle it inserts costs exactly what the kernel
+    // spread saves (measured both with and without the downstream
+    // exchange pin). The fix that DID land is downstream: the naive
+    // branch pins the inverted-index exchange at defaultParallelism
+    // (see the branch body) so the pair expansion + scoreJaccard
+    // partial agg use all cores — 3.47 → 2.2 s at sf0.1. The remaining
+    // kernel residue is scan-split bound (one row group); at scale
+    // inputs carry files ≫ cores and the stage parallelizes naturally.
 
   /** Per-doc distinct gram-hash signatures `(id, sig)` — the per-doc
     * state the ngram tier persists for incremental builds (the kernel
@@ -835,10 +838,11 @@ object Dedup {
       // df-table scan before deciding, charging the prefix branch's
       // fixed cost to the small-corpus naive branch too (2.6 s →
       // 6.4 s at sf0.1).
-      def lists = posted.groupBy(col("sh"))
+      def listsOf(src: DataFrame) = src.groupBy(col("sh"))
         .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
           col("id"), col("sz"), maxPostings).alias("lst"))
         .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+      def lists = listsOf(posted)
       // Adaptive join strategy (an AQE-style choice from a measured,
       // vocab-sized statistic): the naive expansion materializes
       // Σ C(df, 2) candidate rows — unbeatable constants when that sum
@@ -904,10 +908,23 @@ object Dedup {
         (statVal(0, 100L), statVal(1, 10L))
       }
       if (candEst <= naiveMaxCandidates) {
-        // unordered combinations via the compiled pair kernel — memory
-        // per row bounded by C(maxPostings, 2) (the cap contract)
+        // The inverted-index exchange is PINNED at defaultParallelism
+        // (explicit repartition by gram — AQE never re-coalesces a
+        // user-specified repartition), because everything downstream of
+        // it — the pair-kernel explode and scoreJaccard's CPU-heavy
+        // partial aggregation — executes map-side ON the list
+        // partitions. Left adaptive, the byte-small (~20-30 MB at
+        // sf0.1) but CPU-dense list shuffle coalesces to 3-4 tasks and
+        // the 1.8M-row pair aggregation runs on 4/32 cores (measured
+        // 3.47 → 2.2 s from this pin alone). Safe to pin HERE only:
+        // the naive branch is bounded by the row floor / candidate-mass
+        // crossover, so this exchange never carries corpus-scale data;
+        // the prefix branch keeps adaptive sizing. (An input-side
+        // corpus spread was tried on top and REVERTED again — the raw
+        // text shuffle costs exactly what the kernel spread saves.)
         val pr = graft.functions.GraftFunctions.listPairs(spark, col("lst"))
-        val common = lists
+        val common = listsOf(posted.repartition(
+            spark.sparkContext.defaultParallelism, col("sh")))
           .select(explode(pr).alias("pr"))
           .select(
             least(col("pr.a"), col("pr.b")).alias("a"),
@@ -1054,9 +1071,15 @@ object Dedup {
     val oldPosted = post(oldOnly, 0).join(newGrams, Seq("sh"), "left_semi")
     val posted = oldPosted.unionByName(newPosted)
     val expanded = if (integral) {
+      // inverted-index exchange pinned at defaultParallelism — same
+      // rationale as the from-scratch naive branch (the pair kernel +
+      // scoreJaccard partial agg run map-side on these partitions, and
+      // AQE's size-based coalesce starves them of cores); safe because
+      // the posted set here is batch-proportional by contract
       val lists = posted
         .select(col("sh"), col("id"),
           (shiftleft(col("sz"), 1).bitwiseOR(col("__new"))).alias("aux"))
+        .repartition(spark.sparkContext.defaultParallelism, col("sh"))
         .groupBy(col("sh"))
         .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
           col("id"), col("aux"), maxPostings).alias("lst"))
