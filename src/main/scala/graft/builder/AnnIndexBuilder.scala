@@ -79,9 +79,18 @@ class AnnIndexBuilder(
     else scoped.join(index.df.select(col("id").alias(source.key)),
       Seq(source.key), "left_anti")
 
+  /** Per-instance quantizer cache: the quantizer is trained once and
+    * immutable thereafter (the class contract), so after the first
+    * load/save this instance serves [[topK]] without re-reading and
+    * re-parsing the JSON store on every query. [[rebuild]] (the one
+    * mutation path) invalidates it; a RESTART is a fresh instance and
+    * reloads from the store as before. */
+  @volatile private var qzCache: Option[(Array[Array[Array[Double]]], DataFrame)] = None
+
   /** Load the persisted quantizer, or None before the first run. */
   private[graft] def loadQuantizer()
       : Option[(Array[Array[Array[Double]]], DataFrame)] = {
+    if (qzCache.isDefined) return qzCache
     if (!quantizer.df.columns.contains("books") || quantizer.df.isEmpty) return None
     val row = quantizer.df.select(col("books"), col("cents")).head()
     val books = {
@@ -106,7 +115,8 @@ class AnnIndexBuilder(
       if (entries.forall(_._1.isIntegralNumber))
         entries.map { case (id, v) => (id.asLong(), v) }.toDF("c_id", "c_vec")
       else entries.map { case (id, v) => (id.asText(), v) }.toDF("c_id", "c_vec")
-    Some((books, cents))
+    qzCache = Some((books, cents))
+    qzCache
   }
 
   /** The stored training-batch mean quantization error (drift baseline),
@@ -159,6 +169,9 @@ class AnnIndexBuilder(
       Seq(("quantizer", booksJson, centsJson, trainErr))
         .toDF("qid", "books", "cents", "trainerr"),
       Seq("qid"))
+    // the next loadQuantizer must see the freshly-written round-tripped
+    // JSON (first build and rebuild both re-load after saving)
+    qzCache = None
   }
 
   /** Encode this run's unseen docs and append them to the code table;
@@ -172,10 +185,12 @@ class AnnIndexBuilder(
     val examined = batch.count()
     var batchErr: Option[Double] = None
     if (examined > 0) {
+      var trainRunErr: Option[Double] = None
       val (books, cents) = loadQuantizer().getOrElse {
         val b = Similarity.trainPq(batch, m, ksub, iters, source.key, vecField, family)
         val c = Similarity.centroidDraw(batch, nCentroids, source.key, vecField, family)
-        saveQuantizer(b, c, meanQuantError(batch, b))
+        trainRunErr = meanQuantError(batch, b)
+        saveQuantizer(b, c, trainRunErr)
         // re-load, not reuse: the persisted JSON round-trip is what every
         // later batch (and restart) sees — divergence would surface here
         loadQuantizer().get
@@ -184,8 +199,11 @@ class AnnIndexBuilder(
       // codebooks, reported against the stored training-batch baseline —
       // a silently-staling quantizer (drifting corpus at 100 TB) shows
       // up as adcDrift ≫ 1 in every BuildReport instead of only as
-      // degraded recall much later
-      batchErr = meanQuantError(batch, books)
+      // degraded recall much later. On the TRAINING run itself the
+      // statistic was just computed for the baseline (Jackson
+      // round-trips doubles losslessly, so pre/post-persist books give
+      // the same error) — reuse it instead of re-aggregating the batch
+      batchErr = trainRunErr.orElse(meanQuantError(batch, books))
       val rows = Similarity.assignToCells(batch, broadcast(cents),
           source.key, vecField, keep = 1)
         .select(col("__rid").alias("id"), col("cell"),
