@@ -73,6 +73,11 @@ class JsonStore(
 
   private def persist(next: DataFrame): Unit = {
     val snap = next.localCheckpoint(true) // sever lineage from overlayDir
+    // the replaced snapshot's blocks are dead weight: any frame handed
+    // out before this write was already invalid (its overlay files are
+    // about to be overwritten), so free the old checkpoint now instead
+    // of waiting for GC + ContextCleaner
+    overlay.foreach(_.unpersist())
     overlay = Some(snap)
     snap.coalesce(1).write.mode(SaveMode.Overwrite).json(overlayDir)
     java.nio.file.Files.write(

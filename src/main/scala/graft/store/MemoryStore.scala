@@ -41,19 +41,30 @@ class MemoryStore(
     // materialize eagerly: update() must be visible to subsequent reads
     // and must not grow an unbounded lazy plan across many updates
     val materialized = next.localCheckpoint(true)
-    current = Some(materialized)
-    generation.incrementAndGet()
+    replace(materialized)
   }
 
   override def removeDocs(criteria: String): Unit = current.foreach { t =>
-    current = Some(t.filter(!coalesce(MongoFilter.compile(criteria, Some(t.schema)),
-                                      lit(false))).localCheckpoint(true))
-    generation.incrementAndGet()
+    replace(t.filter(!coalesce(MongoFilter.compile(criteria, Some(t.schema)),
+                               lit(false))).localCheckpoint(true))
   }
 
   override def removeKeys(keys: DataFrame): Unit = current.foreach { t =>
-    current = Some(t.join(keys.select(col(keys.columns.head).alias(key)),
+    replace(t.join(keys.select(col(keys.columns.head).alias(key)),
       Seq(key), "left_anti").localCheckpoint(true))
+  }
+
+  /** Swap in the freshly-checkpointed contents and free the replaced
+    * snapshot's blocks — a long foreachBatch loop of update() calls must
+    * hold ONE generation of blocks, not every generation until GC. Like
+    * every durable store whose files rotate on write, a frame handed out
+    * before a mutation is invalid after it (mongomock semantics: cursors
+    * don't span writes); `load`ed external frames are not persisted, so
+    * their unpersist is a no-op. */
+  private def replace(next: DataFrame): Unit = {
+    val old = current
+    current = Some(next)
     generation.incrementAndGet()
+    old.foreach(_.unpersist())
   }
 }

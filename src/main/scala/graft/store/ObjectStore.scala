@@ -122,8 +122,10 @@ class ObjectStore(
     // files that the first delete garbage-collects.
     val doomed = graft.query.MongoFilter(data.df, criteria).select(col(key))
       .localCheckpoint(true)
-    data.removeKeys(doomed)
-    index.removeKeys(doomed)
+    try {
+      data.removeKeys(doomed)
+      index.removeKeys(doomed)
+    } finally doomed.unpersist()
   }
 
   override def removeKeys(keys: DataFrame): Unit = {

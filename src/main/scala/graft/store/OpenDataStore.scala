@@ -135,20 +135,23 @@ class OpenDataStore(
       val fresh = manifestOf(next)
       val untouched = spark.read.schema(fresh.schema).json(manifestPath)
         .join(touched, objectGrouping, "left_anti")
-      writeDataAndManifest(next, "dynamic", fresh.unionByName(untouched))
+      try writeDataAndManifest(next, "dynamic", fresh.unionByName(untouched))
+      finally { next.unpersist(); touched.unpersist() }
     }
 
   override def removeDocs(criteria: String): Unit = if (!isEmpty) {
     val d = df
     val keep = d.filter(!coalesce(MongoFilter.compile(criteria, Some(d.schema)), lit(false)))
       .localCheckpoint(true) // sever lineage from the files being overwritten
-    writeDataAndManifest(keep, "static", manifestOf(keep))
+    try writeDataAndManifest(keep, "static", manifestOf(keep))
+    finally keep.unpersist()
   }
 
   override def removeKeys(keys: DataFrame): Unit = if (!isEmpty) {
     val keep = df.join(keys.select(col(keys.columns.head).alias(key)), Seq(key), "left_anti")
       .localCheckpoint(true)
-    writeDataAndManifest(keep, "static", manifestOf(keep))
+    try writeDataAndManifest(keep, "static", manifestOf(keep))
+    finally keep.unpersist()
   }
 
   private def writeData(d: DataFrame, overwriteMode: String): Unit =
