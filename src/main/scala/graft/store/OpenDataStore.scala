@@ -27,7 +27,8 @@ class OpenDataStore(
     val root: String,
     val objectGrouping: Seq[String],
     val key: String = "task_id",
-    override val lastUpdatedField: String = "last_updated")
+    override val lastUpdatedField: String = "last_updated",
+    val writeShards: Int = 8)
   extends Store {
 
   require(objectGrouping.nonEmpty, "objectGrouping must name partition columns")
@@ -154,14 +155,29 @@ class OpenDataStore(
     finally keep.unpersist()
   }
 
-  private def writeData(d: DataFrame, overwriteMode: String): Unit =
-    d.write
+  /** `writeShards > 1` spreads each partition group over up to that many
+    * objects (`part-*.jsonl.gz` files under the same `field=value/`
+    * prefix): gzip streams are single-threaded, so one-object-per-group
+    * — the AQE-coalesced default shape — serializes the write on the
+    * number of GROUPS, a bottleneck both here (3 statuses = 3 cores)
+    * and at 100 TB (one writer per group). The manifest is per-GROUP,
+    * not per-file, so sharding is invisible to it and to readers
+    * (partition discovery lists the prefix). */
+  private def writeData(d: DataFrame, overwriteMode: String): Unit = {
+    val sharded =
+      if (writeShards > 1 && d.columns.contains(key))
+        d.repartition(spark.sparkContext.defaultParallelism,
+          objectGrouping.map(col) :+
+            pmod(xxhash64(col(key)), lit(writeShards)): _*)
+      else d
+    sharded.write
       .mode(SaveMode.Overwrite)
       .partitionBy(objectGrouping: _*)
       // per-write scope: don't mutate the session-global overwrite mode
       .option("partitionOverwriteMode", overwriteMode)
       .option("compression", "gzip")
       .json(dataPath)
+  }
 
   /** Manifest = one record per partition group: grouping values, doc
     * count, max last_updated (the reference's index docs,
