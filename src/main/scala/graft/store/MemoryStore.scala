@@ -20,6 +20,10 @@ class MemoryStore(
   extends Store {
 
   private var current: Option[DataFrame] = None
+  // true when `current` is a checkpoint THIS store created (mutation
+  // paths) — only those may be unpersisted on replacement; a load()ed
+  // frame belongs to the caller, who may have persisted it themselves
+  private var ownsCurrent: Boolean = false
   private val generation = new java.util.concurrent.atomic.AtomicLong(0)
 
   def df: DataFrame = current.getOrElse(spark.emptyDataFrame)
@@ -30,8 +34,11 @@ class MemoryStore(
   def isEmpty: Boolean = current.isEmpty
 
   /** Replace contents wholesale (connect-time load). */
-  def load(data: DataFrame): this.type =
-    { current = Some(data); generation.incrementAndGet(); this }
+  def load(data: DataFrame): this.type = {
+    if (ownsCurrent) current.foreach(_.unpersist())
+    current = Some(data); ownsCurrent = false
+    generation.incrementAndGet(); this
+  }
 
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit = {
     val next = current match {
@@ -59,11 +66,12 @@ class MemoryStore(
     * hold ONE generation of blocks, not every generation until GC. Like
     * every durable store whose files rotate on write, a frame handed out
     * before a mutation is invalid after it (mongomock semantics: cursors
-    * don't span writes); `load`ed external frames are not persisted, so
-    * their unpersist is a no-op. */
+    * don't span writes). Only store-owned checkpoints are freed: a
+    * `load`ed frame belongs to the caller. */
   private def replace(next: DataFrame): Unit = {
-    val old = current
+    val old = if (ownsCurrent) current else None
     current = Some(next)
+    ownsCurrent = true
     generation.incrementAndGet()
     old.foreach(_.unpersist())
   }
