@@ -931,6 +931,18 @@ object Dedup {
             greatest(col("pr.a"), col("pr.b")).alias("b"),
             when(col("pr.a") <= col("pr.b"), col("pr.sza")).otherwise(col("pr.szb")).alias("sza"),
             when(col("pr.a") <= col("pr.b"), col("pr.szb")).otherwise(col("pr.sza")).alias("szb"))
+          // The PAIR exchange is pinned too, for the same reason: the
+          // candidate mass has near-zero aggregation reduction on Zipf
+          // vocabularies (measured 1.78M shuffle records from 1.78M
+          // candidates at sf0.1), so the map-side partial count only
+          // burned CPU while AQE sized the ~30 MB shuffle down to 4
+          // tasks and the final count ran on 4/32 cores. Partitioning
+          // by (a, b) — a subset of scoreJaccard's group keys, so no
+          // further exchange follows — ships the same bytes, skips the
+          // no-op partial, and spreads the final aggregate (measured
+          // 1.49 → 1.10 s isolated on top of the lists pin).
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("a"), col("b"))
         return scoreJaccard(common, threshold)
       }
       // PREFIX branch: the capped postings + per-gram df unravel from
