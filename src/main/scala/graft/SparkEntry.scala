@@ -93,11 +93,13 @@ object SparkEntry {
     * the final stage — for the sketch pipelines that stage is the
     * candidate-pair aggregate/verify join over millions of rows
     * (measured: dedup_ngram_jaccard's 1.78M-row pair aggregate ran
-    * twice, +0.5 s at sf0.1). Pair outputs are tiny by contract
-    * (threshold-filtered, ≤ tens of k rows at any bench SF), so the
-    * single-partition shuffle is O(output) and the row order is
-    * identical to orderBy(cols). Library operators stay unsorted —
-    * ordering is this harness's presentation concern only. */
+    * twice, +0.5 s at sf0.1; window_sessionize's 100k-event
+    * session_window aggregate likewise). Qualifying outputs are small
+    * against their child's input — threshold-filtered pairs, session
+    * rollups — so the single-partition shuffle+sort is O(output) and
+    * cheaper than re-running the child, and the row order is identical
+    * to orderBy(cols). Library operators stay unsorted — ordering is
+    * this harness's presentation concern only. */
   private def sortedPairs(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
@@ -541,11 +543,12 @@ object SparkEntry {
     }),
 
     "window_sessionize" -> ((s, dir) => {
-      graft.streaming.Sessionize.sessionsBatch(events(s, dir), gapMs = 3600000)
-        .select(col("user_id"), col("n_events"), col("total"),
-          unix_millis(col("start_ts")).alias("start_ms"),
-          unix_millis(col("end_ts")).alias("end_ms"))
-        .orderBy("user_id", "start_ms")
+      sortedPairs(
+        graft.streaming.Sessionize.sessionsBatch(events(s, dir), gapMs = 3600000)
+          .select(col("user_id"), col("n_events"), col("total"),
+            unix_millis(col("start_ts")).alias("start_ms"),
+            unix_millis(col("end_ts")).alias("end_ms")),
+        "user_id", "start_ms")
     }),
 
     // STREAMING twin of window_sessionize, oracle-checked end-to-end:

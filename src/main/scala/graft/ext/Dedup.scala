@@ -129,9 +129,27 @@ object Dedup {
     *    time, so a scoped set/restore around this (lazy) plan would be a
     *    no-op, and a persistent set would leak into unrelated queries.
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+  /** Spread `df` across the session's cores before a CPU-dense
+    * oracle-family hash kernel. The md5 family re-digests every
+    * shingle/token through string md5s (16 per shingle in the minhash
+    * replay) — 10-20× the engine family's hashing cost — and that
+    * evaluation sits map-side of the signature aggregate, bound to the
+    * input's scan splits (one small parquet = 2 tasks; measured 7.6 s
+    * CPU on 2/32 cores in the dedup_clusters replay). The round-robin
+    * shuffle ships O(corpus) text bytes, trivial against that CPU mass.
+    * The engine (xxh64) path keeps the scan partitioning: for its
+    * ~10× lighter kernels the same shuffle was measured a wash (see
+    * the ngramJaccardPairs note), and at scale inputs carry files ≫
+    * cores anyway. The md5 family is never the scale path — it exists
+    * only so DuckDB can replay the sketches byte-for-byte. */
+  private def spreadForFamily(df: DataFrame, family: String): DataFrame =
+    if (family == "xxh64") df
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  def minhashSignatures(df0: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleSize: Int = 3,
                         family: String = "xxh64"): DataFrame = {
+    val df = spreadForFamily(df0, family)
     if (family == "xxh64" && numHashes <= 64) {
       // engine fast path: each shingle hashes ONCE to a 64-bit value in
       // the compiled NgramHashes loop (dedup map-side in the same pass);
@@ -283,8 +301,20 @@ object Dedup {
     // map-side (two-level explode: per-row arrays stay O(|bucket|)).
     // Non-integral ids take the join-based fallback ([[integralId]]).
     val cand = if (integralId(sigs, "id")) {
+      // The bucket exchange is PINNED at core count (the ngram
+      // naive-branch rationale, measured there and re-measured here:
+      // AQE sizes the ~1-2 MB banded shuffle to one task, then the
+      // CPU-dense bucket collect + pair-kernel explode + distinct
+      // partial all run on 1/32 cores — 87k banded rows took 807 ms on
+      // one task in the clusters replay). The banded rows are three
+      // 8-byte columns, so shipping them raw costs the same as the
+      // partial-agg output while the collect and everything map-side
+      // of it spreads. Banded volume is docs × bands — linear, never
+      // corpus-quadratic — so the pin is scale-safe.
       val lists = banded
         .select(col("band"), col("bucket"), col("id").cast("long").alias("id"))
+        .repartition(sigs.sparkSession.sparkContext.defaultParallelism,
+          col("band"), col("bucket"))
         .groupBy(col("band"), col("bucket"))
         .agg(graft.functions.BoundedCollectAgg.boundedCollect(sigs.sparkSession,
           col("id"), lit(0L), maxBucketSize).alias("lst"))
@@ -324,8 +354,9 @@ object Dedup {
     * shuffle is needed — tokens explode map-side, the 64 partial sums
     * combine map-side, and the only shuffle carries one narrow
     * (id, 64×long) row per doc. */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+  def simhashSignatures(df0: DataFrame, idCol: String, textCol: String,
                         family: String = "xxh64"): DataFrame = {
+    val df = spreadForFamily(df0, family) // see [[spreadForFamily]]
     if (family == "xxh64") {
       // engine fast path: the whole signature is ONE compiled loop per
       // row ([[graft.functions.SimHash64]]) — a pure projection, so the
@@ -409,7 +440,14 @@ object Dedup {
     // (hot-count aggregate + both self-join sides). Non-integral ids
     // take the join-based fallback ([[integralId]]).
     val (pairs, hot) = if (integralId(sigs, "id")) {
-      val lists0 = banded.groupBy(col("band"), col("bucket"))
+      // bucket exchange pinned at core count — the minhashLshFromSigs
+      // rationale verbatim (banded volume = docs × 4, linear; the
+      // collect + pair expansion + hamming verify are all map-side of
+      // this exchange and otherwise run on the 1-2 tasks AQE leaves)
+      val lists0 = banded
+        .repartition(sigs.sparkSession.sparkContext.defaultParallelism,
+          col("band"), col("bucket"))
+        .groupBy(col("band"), col("bucket"))
         .agg(graft.functions.BoundedCollectAgg.boundedCollect(sigs.sparkSession,
           col("id"), col("simhash"), maxBucketSize).alias("lst"))
       val lists = // star mode reads it twice (pair expansion + hot keys)
