@@ -141,10 +141,28 @@ object Dedup {
     * ~10× lighter kernels the same shuffle was measured a wash (see
     * the ngramJaccardPairs note), and at scale inputs carry files ≫
     * cores anyway. The md5 family is never the scale path — it exists
-    * only so DuckDB can replay the sketches byte-for-byte. */
-  private def spreadForFamily(df: DataFrame, family: String): DataFrame =
-    if (family == "xxh64") df
-    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * only so DuckDB can replay the sketches byte-for-byte.
+    *
+    * Skipped when the input plan already carries a core-wide
+    * repartition: DedupBuilder/AnnIndexBuilder batches arrive as
+    * `localCheckpoint → repartition(cores)` (the round-11 spread fix),
+    * and a second round-robin exchange on top is pure overhead — worse,
+    * it re-ships the corpus text per signature call inside the
+    * builder's multi-consumer rounds (measured 16 → 33 s on the 2-batch
+    * dedup_builder_incremental lifecycle before this guard). Narrow ops
+    * above the repartition preserve its spread, so plan containment is
+    * the right test. */
+  private def spreadForFamily(df: DataFrame, family: String): DataFrame = {
+    if (family == "xxh64") return df
+    import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val alreadySpread = df.queryExecution.logical.exists {
+      case r: Repartition => r.numPartitions >= p
+      case r: RepartitionByExpression => r.optNumPartitions.forall(_ >= p)
+      case _ => false
+    }
+    if (alreadySpread) df else df.repartition(p)
+  }
 
   def minhashSignatures(df0: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleSize: Int = 3,
