@@ -188,6 +188,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Generate"), s"unexpected explode in signature stage:\n$p")
   }
 
+  test("md5-family spread fires on bare scans, skipped on already-spread batches") {
+    import org.apache.spark.sql.functions.col
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    def roundRobins(p: String): Int =
+      p.split("Exchange RoundRobinPartitioning").length - 1
+    // bare scan: the md5 replay family earns exactly one round-robin
+    // spread past the scan's split count (the kernels are 10-20× the
+    // engine family's hashing cost and otherwise run on 2/32 cores)
+    val bare = graft.ext.Dedup
+      .simhashSignatures(docs, "doc_id", "text", family = "md5")
+      .queryExecution.executedPlan.toString
+    assert(roundRobins(bare) == 1, s"expected the family spread exchange:\n$bare")
+    // builder-shaped input (localCheckpoint → repartition(cores), the
+    // Builder.spreadCheckpoint contract): the guard must NOT stack a
+    // second exchange — that re-shipped the corpus per signature call
+    // and doubled the 2-batch builder lifecycle before round 11's guard
+    val spread = docs.localCheckpoint(true)
+      .repartition(spark.sparkContext.defaultParallelism)
+    try {
+      val p = graft.ext.Dedup
+        .simhashSignatures(spread, "doc_id", "text", family = "md5")
+        .queryExecution.executedPlan.toString
+      assert(roundRobins(p) == 1,
+        s"family spread must reuse the batch's own exchange, found ${roundRobins(p)}:\n$p")
+    } finally spread.unpersist()
+  }
+
   test("sample_hash is a pure filter — no shuffle, no aggregate") {
     val p = plan("sample_hash")
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
