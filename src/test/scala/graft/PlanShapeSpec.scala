@@ -215,6 +215,22 @@ class PlanShapeSpec extends SparkSpec {
     } finally spread.unpersist()
   }
 
+  test("LSH banded-bucket exchange is pinned at core count (not AQE-coalesced)") {
+    import org.apache.spark.sql.functions.col
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    // the bucket collect + pair-kernel explode + verify all execute
+    // map-side ON the list partitions; left adaptive, AQE sizes the
+    // byte-small banded shuffle to 1-2 tasks and the CPU-dense stages
+    // run on 2/32 cores (round 11: 3.47 → 2.2 s on ngram's twin pin)
+    val p = graft.ext.Dedup
+      .minhashLsh(docs, "doc_id", "text", numHashes = 32, bands = 16,
+        threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    val pinned = p.split("\n").exists(l =>
+      l.contains("hashpartitioning(band") && l.contains("REPARTITION_BY_NUM"))
+    assert(pinned, s"banded exchange lost its explicit repartition pin:\n$p")
+  }
+
   test("sample_hash is a pure filter — no shuffle, no aggregate") {
     val p = plan("sample_hash")
     assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
