@@ -168,6 +168,14 @@ class PlanShapeSpec extends SparkSpec {
     // per-doc set dedup happens inside the kernel: no (id, shingle)
     // distinct aggregate may reappear upstream of the posting join
     assert(!p.contains("HashAggregate(keys=[id"), s"unexpected distinct shuffle:\n$p")
+    // naive-branch exchange pins (round 11): both the inverted-index
+    // exchange (by gram hash) and the candidate-pair exchange (by a, b)
+    // carry explicit REPARTITION_BY_NUM — AQE would coalesce the
+    // byte-small shuffles and run the CPU-dense pair stages on 2 cores
+    def pinned(key: String): Boolean = p.split("\n").exists(l =>
+      l.contains(s"hashpartitioning($key") && l.contains("REPARTITION_BY_NUM"))
+    assert(pinned("sh"), s"inverted-index exchange lost its pin:\n$p")
+    assert(pinned("a"), s"pair exchange lost its pin:\n$p")
   }
 
   test("minhash engine family hashes shingles once (kernel), not k string hashes") {
