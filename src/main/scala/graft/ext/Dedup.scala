@@ -143,22 +143,32 @@ object Dedup {
     * cores anyway. The md5 family is never the scale path — it exists
     * only so DuckDB can replay the sketches byte-for-byte.
     *
-    * Skipped when the input plan already carries a core-wide
-    * repartition: DedupBuilder/AnnIndexBuilder batches arrive as
-    * `localCheckpoint → repartition(cores)` (the round-11 spread fix),
-    * and a second round-robin exchange on top is pure overhead — worse,
-    * it re-ships the corpus text per signature call inside the
-    * builder's multi-consumer rounds (measured 16 → 33 s on the 2-batch
-    * dedup_builder_incremental lifecycle before this guard). Narrow ops
-    * above the repartition preserve its spread, so plan containment is
-    * the right test. */
+    * Skipped when the input is already core-wide spread. Two shapes
+    * qualify: a plan that still CARRIES a core-wide repartition node
+    * (narrow ops above it preserve its spread), and a MATERIALIZED
+    * batch — a `LogicalRDD` leaf with ≥ core partitions.
+    * DedupBuilder/AnnIndexBuilder batches are the second shape:
+    * `Builder.spreadCheckpoint` checkpoints AFTER its repartition, so
+    * the Repartition node is gone by the time the signature kernels see
+    * the batch — a plan-containment-only guard never fires there and a
+    * second round-robin exchange re-ships the corpus text per signature
+    * call inside the builder's multi-consumer rounds (measured 16 → 33 s
+    * on the 2-batch dedup_builder_incremental lifecycle). A repartition
+    * WITHOUT an explicit count lands at `spark.sql.shuffle.partitions`,
+    * which only spreads when that conf is ≥ cores — checked, not
+    * assumed. */
   private def spreadForFamily(df: DataFrame, family: String): DataFrame = {
     if (family == "xxh64") return df
     import org.apache.spark.sql.catalyst.plans.logical.{Repartition, RepartitionByExpression}
-    val p = df.sparkSession.sparkContext.defaultParallelism
+    import org.apache.spark.sql.execution.LogicalRDD
+    val sess = df.sparkSession
+    val p = sess.sparkContext.defaultParallelism
+    val shufflePar = sess.sessionState.conf.numShufflePartitions
     val alreadySpread = df.queryExecution.logical.exists {
       case r: Repartition => r.numPartitions >= p
-      case r: RepartitionByExpression => r.optNumPartitions.forall(_ >= p)
+      case r: RepartitionByExpression =>
+        r.optNumPartitions.getOrElse(shufflePar) >= p
+      case l: LogicalRDD => l.rdd.getNumPartitions >= p
       case _ => false
     }
     if (alreadySpread) df else df.repartition(p)

@@ -92,15 +92,20 @@ class ObjectStore(
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    if (data.isEmpty && index.isEmpty) {
-      // FIRST BUILD: no pending state to merge, so each plane runs
+    if (data.isEmpty && index.isEmpty && Store.orderStable(docs)) {
+      // FIRST BUILD over an ORDER-STABLE batch plan: each plane runs
       // dedup + write as ONE job — no checkpoint write/read on the
       // update path. The index plane dedups its own slim projection
       // (obj_hash is row-local, computed map-side BEFORE the shuffle, so
       // its shuffle carries ~4 columns + 20 hash bytes instead of the
-      // full row). Winners agree across the planes: dedupLastWins keys
-      // on monotonically_increasing_id over identical scan splits —
-      // same files, same partition planning, same ids.
+      // full row). Winners agree across the planes ONLY because the
+      // batch plan is a deterministic scan (Store.orderStable):
+      // dedupLastWins keys on monotonically_increasing_id, so identical
+      // files + partition planning → same ids in both evaluations. A
+      // batch carrying a shuffle (repartition/aggregate) loses that
+      // guarantee — duplicate keys could pick different winners per
+      // plane, silently diverging data row vs index obj_hash — so such
+      // batches take the dedup-once-and-share path below instead.
       val dataF = Future(data.update(docs, keyFields))
       val indexF = Future(index.update(indexOf(docs), keyFields))
       val results = Seq(dataF, indexF).map(f => scala.util.Try(Await.result(f, Duration.Inf)))

@@ -100,15 +100,25 @@ class OpenDataStore(
   override def update(docs: DataFrame, keyFields: Seq[String] = Seq(key)): Unit =
     if (isEmpty) {
       // FIRST BUILD: nothing on disk is being replaced, so no lineage to
-      // sever — the data write and the (slim) manifest aggregation each
-      // run scan+dedup as ONE concurrent job instead of serializing a
-      // checkpoint write/read before both. Winners agree across the two
-      // consumers: dedupLastWins keys on monotonically_increasing_id
-      // over identical scan splits. (The non-empty branch keeps its
-      // checkpoints — there the merged plan reads files the dynamic
-      // overwrite replaces.)
-      val next = Store.dedupLastWins(docs, keyFields)
-      writeDataAndManifest(next, "dynamic", manifestOf(next))
+      // sever — when the batch plan is ORDER-STABLE (deterministic scan,
+      // Store.orderStable) the data write and the (slim) manifest
+      // aggregation each run scan+dedup as ONE concurrent job instead of
+      // serializing a checkpoint write/read before both; winners agree
+      // because dedupLastWins keys on monotonically_increasing_id over
+      // identical scan splits. A batch carrying a shuffle loses that
+      // guarantee (duplicate keys could resolve differently between the
+      // data write and the manifest aggregation), so it deduplicates
+      // ONCE and both consumers share the materialized result. (The
+      // non-empty branch keeps its checkpoints — there the merged plan
+      // reads files the dynamic overwrite replaces.)
+      if (Store.orderStable(docs)) {
+        val next = Store.dedupLastWins(docs, keyFields)
+        writeDataAndManifest(next, "dynamic", manifestOf(next))
+      } else {
+        val next = Store.dedupLastWins(docs, keyFields).localCheckpoint(true)
+        try writeDataAndManifest(next, "dynamic", manifestOf(next))
+        finally next.unpersist()
+      }
     } else {
       // merge only the partitions the batch touches: the batch's own
       // grouping tuples PLUS the current partitions of the batch's

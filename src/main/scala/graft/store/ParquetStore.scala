@@ -109,11 +109,20 @@ class ParquetStore(
       // subtree appears twice in the plan (anti-join build + union) —
       // bounded-small by the same guard, so recompute beats a
       // persist/unpersist lifecycle on a lazily-returned DataFrame.
+      // READS NEVER MUTATE: an over-bound delta set reads via the
+      // non-broadcast merge (Catalyst picks a shuffled join — slower,
+      // correct). Compaction happens on the WRITE path only
+      // (updateImpl), under the store's write lock — a read-triggered
+      // compact raced concurrent writers (two writeVersion calls
+      // computing the same next version id from the same manifest) and
+      // concurrent readers (GC deleting dirs a live plan references),
+      // the exact serve-while-streaming-build pattern the class
+      // documents. Over-bound states are transient anyway: the write
+      // that created one compacts in the same update call.
       if (deltaRowBound(base, deltas)
-            .forall(_ > ParquetStore.MaxBroadcastDeltaRows)) {
-        compact()
-        dataPath.map(readCached).getOrElse(spark.emptyDataFrame)
-      } else mergedRead(p, base, deltas)
+            .forall(_ > ParquetStore.MaxBroadcastDeltaRows))
+        mergedRead(p, base, deltas, bcast = false)
+      else mergedRead(p, base, deltas)
     case (Some(p), _) => readCached(p)
     case _            => spark.emptyDataFrame
   }
@@ -186,7 +195,7 @@ class ParquetStore(
     * already-recorded field after a restart is a no-op — the old shape
     * re-laid-out the WHOLE table on every fresh instance's first
     * ensureIndex (O(corpus) per incremental-builder restart). */
-  override def ensureIndex(field: String, unique: Boolean = false): Boolean = {
+  override def ensureIndex(field: String, unique: Boolean = false): Boolean = writeLock.synchronized {
     if (!indexKeys.contains(field)) {
       indexKeys = indexKeys :+ field
       if (!isEmpty) writeVersion(df)
@@ -196,7 +205,17 @@ class ParquetStore(
     true
   }
 
-  private def writeVersion(data: DataFrame): Unit = {
+  /** Serializes every manifest mutation (writeVersion/compact/delta
+    * append) on this instance: two concurrent writers would otherwise
+    * compute the same next version id from the same parsed manifest and
+    * overwrite each other's output (and GC dirs the other still
+    * references). Reads stay lock-free — they only parse the immutable
+    * manifest string and scan immutable version dirs. JVM-local by
+    * design: cross-process coordination is the cluster deployment's
+    * transaction log (Delta Lake, per the class doc). */
+  private val writeLock = new Object
+
+  private def writeVersion(data: DataFrame): Unit = writeLock.synchronized {
     val next = "v_" + (parsed.map(_._1.drop(2).toLong + 1).getOrElse(0L))
     val out =
       if (indexKeys.nonEmpty) {
@@ -284,7 +303,7 @@ class ParquetStore(
     updateImpl(docs, keyFields, batchUnique = true)
 
   private def updateImpl(docs: DataFrame, keyFields: Seq[String],
-                         batchUnique: Boolean): Unit = {
+                         batchUnique: Boolean): Unit = writeLock.synchronized {
     if (deltaWrites && !isEmpty && keyFields == Seq(key)) {
       val (base, deltas) = parsed.get
       val d = "d_" + (deltas.size + 1)
@@ -294,7 +313,13 @@ class ParquetStore(
       Files.writeString(currentFile, s"$base;${(deltas :+ d).mkString(",")}")
       // a crash-orphaned same-name delta dir may have been cached stale
       invalidateReadCache()
-      if (deltas.size + 1 >= compactAfter) compact()
+      // compact on delta COUNT (the steady-state cadence) or on the
+      // broadcast row bound — the write path owns compaction so reads
+      // never mutate (see the df doc); a bound-exceeding batch compacts
+      // here, in the same update call that created it
+      if (deltas.size + 1 >= compactAfter ||
+          deltaRowBound(base, deltas :+ d)
+            .forall(_ > ParquetStore.MaxBroadcastDeltaRows)) compact()
     } else {
       val next =
         if (isEmpty) { if (batchUnique) docs else Store.dedupLastWins(docs, keyFields) }
@@ -307,22 +332,25 @@ class ParquetStore(
     * [[ensureIndex]] keys) and reset the manifest — restores shuffle-free
     * reads, row-group pruning and the footer count fast path. No-op
     * without deltas. */
-  def compact(): Unit = parsed.foreach { case (base, deltas) =>
+  def compact(): Unit = writeLock.synchronized { parsed.foreach { case (base, deltas) =>
     // builds the merge plan directly (NOT via df — df compacts when the
     // delta bound is exceeded, which would recurse back here forever)
     if (deltas.nonEmpty)
       writeVersion(mergedRead(s"$root/$base", base, deltas,
         bcast = deltaRowBound(base, deltas)
           .exists(_ <= ParquetStore.MaxBroadcastDeltaRows)))
+  } }
+
+  override def removeDocs(criteria: String): Unit = writeLock.synchronized {
+    if (!isEmpty) {
+      val t = df
+      writeVersion(t.filter(!coalesce(
+        MongoFilter.compile(criteria, Some(t.schema)), lit(false))))
+    }
   }
 
-  override def removeDocs(criteria: String): Unit = if (!isEmpty) {
-    val t = df
-    writeVersion(t.filter(!coalesce(
-      MongoFilter.compile(criteria, Some(t.schema)), lit(false))))
-  }
-
-  override def removeKeys(keys: DataFrame): Unit = if (!isEmpty) {
-    writeVersion(df.join(keys.select(col(keys.columns.head).alias(key)), Seq(key), "left_anti"))
+  override def removeKeys(keys: DataFrame): Unit = writeLock.synchronized {
+    if (!isEmpty)
+      writeVersion(df.join(keys.select(col(keys.columns.head).alias(key)), Seq(key), "left_anti"))
   }
 }

@@ -239,4 +239,26 @@ object Store {
       .agg(max_by(struct(cols.map(col): _*), col("__ord")).alias("__doc"))
       .select(col("__doc.*"))
   }
+
+  /** True when re-evaluating `df` is guaranteed to enumerate the same
+    * rows in the same order within the same partitions — deterministic
+    * narrow ops (project/filter) over leaf relations only. This is the
+    * precondition for letting TWO independent consumers each run
+    * [[dedupLastWins]] (which keys on `monotonically_increasing_id`,
+    * i.e. partition + intra-partition position) and still pick the same
+    * winners. Any shuffle breaks it: reducers fetch map outputs in
+    * nondeterministic order, so a repartition/aggregate/join upstream
+    * can reorder rows between evaluations and a batch with duplicate
+    * keys would resolve differently per consumer (data/index plane
+    * divergence). Conservative by construction — unrecognized nodes
+    * report unstable and callers fall back to dedup-once-and-share. */
+  private[graft] def orderStable(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, Project}
+    !df.queryExecution.optimizedPlan.exists {
+      case p: Project  => p.projectList.exists(!_.deterministic)
+      case f: Filter   => !f.condition.deterministic
+      case _: LeafNode => false
+      case _           => true
+    }
+  }
 }
