@@ -1043,6 +1043,33 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // 2-batch PERSISTED-LM lifecycle (the train/score split of the
+    // perplexity filter): batch A1 (doc_id%4==0) trains the vocab store,
+    // batch A2 (doc_id%4==2) arrives as a SECOND incremental builder run
+    // — the newer_in watermark (lu) admits only the new docs, and the
+    // count MERGE sums into the persisted rows via an O(batch) delta
+    // write — then batch B (odd ids) is scored against the PERSISTED
+    // counts only. The oracle certifies the whole lifecycle: its vocab
+    // CTE is the count over ALL even docs, so a broken watermark
+    // (double-counted A1) or a broken merge (last-write-wins clobber)
+    // hash-diverges.
+    "text_unigram_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft_ulm").toString
+      val src = new graft.store.MemoryStore(s, "ulm_src", "doc_id", "lu")
+      val vocab = new graft.store.ParquetStore(s, root, "tok",
+        "last_updated", deltaWrites = true)
+      def mk() = new graft.builder.UnigramLmBuilder(src, vocab, "text")
+      src.load(docs.filter(col("doc_id") % 4 === 0).withColumn("lu", lit(1L)))
+      mk().run()
+      src.load(docs.filter(col("doc_id") % 2 === 0).withColumn("lu",
+        when(col("doc_id") % 4 === 0, lit(1L)).otherwise(lit(2L))))
+      mk().run()
+      TextAnalysis.scoreWithVocab(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.repetitionRatio(s, col("text"), n = 3).alias("rep_ratio"))
@@ -1273,6 +1300,26 @@ object SparkEntry {
           col("pos").alias("cell"), round(col("col"), 4).alias("luma"),
           col("decode"))
         .orderBy("media_id", "cell")
+    }),
+
+    // perceptual-hash image dedup (the missing byte-level image
+    // modality next to embedding-space dedup): every doc becomes a
+    // deterministic 8x8-cell block BMP (cell gray = md5-draw mod 256,
+    // exact under the box filter), every 10th doc gets a twin with ONE
+    // cell brightened — REAL imageio decode → resize → dHash → banded
+    // hamming pairs, all integer-replayable by the oracle from the cell
+    // formula alone
+    "dedup_images" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val imgs = ids.map(id => (id, Multimodal.syntheticCellBmp(id)))
+        .union(ids.filter(_ % 10 == 0)
+          .map(id => (id + 1000000L, Multimodal.syntheticCellBmp(id, perturbCell = 0))))
+        .toDF("doc_id", "img")
+      val sigs = Multimodal.imageHash(
+        Multimodal.pack(imgs, "doc_id", col("img"), "image"))
+        .select(col("media_id").alias("id"), col("simhash"))
+      sortedPairs(Dedup.simhashPairsFromSigs(sigs, maxHamming = 2), "a", "b")
     }),
 
     // PII redaction (the Dolma-style pre-training scrub): synthetic
@@ -2008,6 +2055,20 @@ object SparkEntry {
          "/ count(*) - ln(tot.n), 4) AS avg_logprob " +
          "FROM toks JOIN vocab USING (tok) CROSS JOIN tot " +
          "GROUP BY doc_id, tot.n ORDER BY doc_id"),
+      "text_unigram_incr" ->
+        ("WITH tok_a AS (SELECT unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
+         "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS tok FROM documents WHERE doc_id % 2 = 0), " +
+         "vocab AS (SELECT tok, count(*) AS c FROM tok_a GROUP BY 1), " +
+         "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab), " +
+         "tok_b AS (SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
+         "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS tok FROM documents WHERE doc_id % 2 = 1), " +
+         "j AS (SELECT doc_id, c FROM tok_b LEFT JOIN vocab USING (tok)) " +
+         "SELECT doc_id, count(*) AS n_tokens, " +
+         "count(*) FILTER (WHERE c IS NULL) AS n_oov, " +
+         "round((CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) " +
+         "FILTER (WHERE c IS NOT NULL) AS BIGINT) / 1000000.0) " +
+         "/ count(*) FILTER (WHERE c IS NOT NULL) - ln(tot.n), 4) AS avg_logprob " +
+         "FROM j CROSS JOIN tot GROUP BY doc_id, tot.n ORDER BY doc_id"),
       "text_ngram_counts" ->
         ("WITH toks AS (SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM documents), " +
          "grams AS (SELECT concat_ws(' ', tk[n], tk[n+1]) AS ngram " +
@@ -2178,6 +2239,34 @@ object SparkEntry {
           "SELECT a, b, bit_count(xor(sa.sig, sb.sig)) AS hamming FROM cand " +
           "JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b " +
           "WHERE bit_count(xor(sa.sig, sb.sig)) <= 3 ORDER BY 1, 2"
+      },
+      // perceptual-hash image dedup replayed in SQL: the fixture's cell
+      // grays are an md5 draw (constant blocks → box average EXACT), so
+      // the 56-bit dHash packs from integer comparisons; banding +
+      // hamming verify mirror dedup_simhash with maxHamming = 2
+      "dedup_images" -> {
+        val g = "CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || " +
+          "CAST(c.cell AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
+        val bandSelects = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, (sig >> ${16 * b}) & 65535 AS bucket FROM sigs")
+          .mkString(" UNION ALL ")
+        "WITH cells AS (SELECT CAST(cy*8 + cx AS INT) AS cell, cy, cx " +
+          "FROM range(8) a(cy), range(8) b(cx)), " +
+          "corpus AS (SELECT doc_id, doc_id AS seed, FALSE AS pert FROM documents " +
+          "UNION ALL SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 10 = 0), " +
+          s"grid AS (SELECT d.doc_id, c.cy, c.cx, CASE WHEN d.pert AND c.cell = 0 " +
+          s"THEN (($g) + 128) % 256 ELSE $g END AS v FROM corpus d, cells c), " +
+          "sigs AS (SELECT g1.doc_id, CAST(sum(CASE WHEN g2.v > g1.v " +
+          "THEN (CAST(1 AS BIGINT) << (g1.cy*7 + g1.cx)) ELSE 0 END) AS BIGINT) AS sig " +
+          "FROM grid g1 JOIN grid g2 ON g2.doc_id = g1.doc_id AND g2.cy = g1.cy " +
+          "AND g2.cx = g1.cx + 1 WHERE g1.cx < 7 GROUP BY 1), " +
+          s"banded AS ($bandSelects), " +
+          "capped AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000), " +
+          "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x " +
+          "JOIN capped y USING (band, bucket) WHERE x.doc_id < y.doc_id) " +
+          "SELECT a, b, bit_count(xor(sa.sig, sb.sig)) AS hamming FROM cand " +
+          "JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b " +
+          "WHERE bit_count(xor(sa.sig, sb.sig)) <= 2 ORDER BY 1, 2"
       },
       // md5-family IVF replayed in SQL: hash-ordered centroid draw,
       // nearest-centroid cells, nprobe probing, exact cosine rerank

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -514,6 +514,39 @@ object Multimodal {
       }(enc)
   }
 
+  /** Difference-hash (dHash) over a row-major luma grid: bit
+    * `y·(gridW−1)+x` is set when cell (y, x+1) is brighter than cell
+    * (y, x) — the classic perceptual fingerprint (gradient SIGNS survive
+    * resize/re-encode/brightness shifts; absolute values don't). On the
+    * default 8×8 grid that's 56 bits, deliberately ≤ 63 so the hash
+    * stays a non-negative long on every engine (a 64th bit would flip
+    * the sign and make cross-engine integer replay fragile). Pure
+    * codegen'd column arithmetic — 56 `when` terms OR-folded, no UDF. */
+  def dHash(grid: Column, gridW: Int = 8, gridH: Int = 8): Column = {
+    require(gridW >= 2 && gridH >= 1 && gridH * (gridW - 1) <= 63,
+      s"dHash needs 2 <= gridW and gridH*(gridW-1) <= 63 bits, got ${gridW}x$gridH")
+    val bits = for (y <- 0 until gridH; x <- 0 until gridW - 1) yield {
+      val k = y * (gridW - 1) + x
+      when(element_at(grid, y * gridW + x + 2) >
+             element_at(grid, y * gridW + x + 1),
+        lit(1L << k)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Perceptual image fingerprints: decode + box-filter resize
+    * ([[resizeImages]]) then [[dHash]] the luma grid. Output
+    * `(media_id, simhash, decode)` — `simhash` named for direct feed
+    * into [[graft.ext.Dedup.simhashPairsFromSigs]], which bands 64-bit
+    * signatures by hamming distance; BYTE-level near-duplicate image
+    * detection (re-encodes, brightness shifts, small crops) without any
+    * embedding model. The `decode = "stub"` fence carries through —
+    * filter it before trusting hashes as perceptual. */
+  def imageHash(packed: DataFrame, gridW: Int = 8, gridH: Int = 8): DataFrame =
+    resizeImages(packed, gridW, gridH)
+      .select(col("media_id"),
+        dHash(col("grid"), gridW, gridH).alias("simhash"), col("decode"))
+
   /** Deterministic grayscale 24-bit BMP fixture: pixel (x, y) (top-left
     * origin) holds gray `g = (id + y·w + x) mod 256` in all three
     * channels. Uncompressed BMP is the one container whose decode is
@@ -542,6 +575,51 @@ object Multimodal {
         x += 1
       }
       var pad = rowSize - w * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** [[syntheticBmp]]'s near-duplicate sibling: a `cells·block`-square
+    * grayscale BMP whose (cy, cx) cell is a constant `block`×`block`
+    * square of gray `md5_15("seed:cell") mod 256` (the suite's md5
+    * hash-draw convention — first 15 hex digits as a long, exactly
+    * DuckDB's `CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT)`).
+    * Constant cells make the box-average replay EXACT: [[resizeLuma]]
+    * to a `cells`×`cells` grid averages identical pixels, so the oracle
+    * re-derives every grid value (and every [[dHash]] bit) from the
+    * formula without decoding bytes. `perturbCell >= 0` brightens that
+    * one cell by 128 (mod 256) — a planted near-duplicate whose dHash
+    * differs in at most 2 bits (the flipped cell's two horizontal
+    * comparisons). */
+  def syntheticCellBmp(seed: Long, cells: Int = 8, block: Int = 2,
+                       perturbCell: Int = -1): Array[Byte] = {
+    require(cells > 0 && block > 0, s"bad cell geometry: ${cells}x$block")
+    val side = cells * block
+    val rowSize = ((side * 3 + 3) / 4) * 4
+    val b = java.nio.ByteBuffer.allocate(54 + rowSize * side)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * side)
+      .putInt(0).putInt(54)
+    b.putInt(40).putInt(side).putInt(side).putShort(1).putShort(24).putInt(0)
+      .putInt(rowSize * side).putInt(0).putInt(0).putInt(0).putInt(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val gray = Array.tabulate(cells * cells) { cell =>
+      val hex = md.digest(s"$seed:$cell".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      val g = (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256).toInt
+      if (cell == perturbCell) (g + 128) % 256 else g
+    }
+    var y = side - 1 // bottom-up row order
+    while (y >= 0) {
+      var x = 0
+      while (x < side) {
+        val g = gray((y / block) * cells + (x / block)).toByte
+        b.put(g).put(g).put(g)
+        x += 1
+      }
+      var pad = rowSize - side * 3
       while (pad > 0) { b.put(0.toByte); pad -= 1 }
       y -= 1
     }

@@ -470,4 +470,51 @@ object TextAnalysis {
         round(col("__sl") / col("n_tokens") - log(col("__n")), 4)
           .alias("avg_logprob"))
   }
+
+  /** Score a batch against a PERSISTED unigram vocabulary — the serve
+    * half of the train/score split ([[graft.builder.UnigramLmBuilder]]
+    * is the train half). [[unigramLogProb]] rebuilds the corpus
+    * distribution per call; this scores new documents under counts
+    * trained on EARLIER batches — the actual quality-filter deployment
+    * shape (train once on the reference corpus, score every crawl
+    * batch).
+    *
+    * Same scale discipline as [[unigramLogProb]]: one token-keyed join
+    * against the vocab (both sides partition on the token, NO broadcast
+    * assumption — a 100 TB-corpus vocabulary is billions of rows), doc
+    * term frequencies counted map-side by the compiled TermCounts
+    * kernel, fixed-point log sums for cross-engine replay. Unlike the
+    * self-trained variant a scored batch can hold OUT-OF-VOCABULARY
+    * tokens: they are tallied per doc (`n_oov` — itself a quality
+    * signal: high OOV mass = far from the training distribution) and
+    * excluded from the mean (`avg_logprob` = mean ln p over in-vocab
+    * tokens; a doc with zero in-vocab tokens scores null — no
+    * distribution covers it). `n_tokens` counts ALL tokens. */
+  def scoreWithVocab(df: DataFrame, idCol: String, textCol: String,
+                     vocab: graft.store.Store,
+                     scale: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    val v = vocab.df.select(col("tok"), col("c").cast("long").alias("__c"))
+    // Σ counts = one column agg over the vocab — cheap at any scale,
+    // and always consistent with the exact rows being joined below
+    val total = v.agg(sum(col("__c")).cast("double").alias("__n"))
+    val tf = df.select(col(idCol),
+        explode(graft.functions.GraftFunctions.termCounts(spark,
+          normTokens(col(textCol)))).alias("__tc"))
+      .select(col(idCol), col("__tc.term").alias("tok"),
+        col("__tc.cnt").cast("long").alias("__tf"))
+    tf.join(v, Seq("tok"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).alias("n_tokens"),
+        coalesce(sum(when(col("__c").isNull, col("__tf"))), lit(0L))
+          .alias("n_oov"),
+        sum(when(col("__c").isNotNull, col("__tf"))).alias("__nin"),
+        (sum(when(col("__c").isNotNull,
+            col("__tf") * round(log(col("__c").cast("double")) * scale)
+              .cast("long"))) / scale.toDouble).alias("__sl"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("__sl") / col("__nin") - log(col("__n")), 4)
+          .alias("avg_logprob"))
+  }
 }

@@ -404,6 +404,41 @@ class ConnectorSpec extends SparkSpec {
     assert(g.distinct.size === 1)
   }
 
+  test("Multimodal imageHash: dHash bits from the decoded grid; twin within 2 bits") {
+    val s = spark; import s.implicits._
+    import graft.ext.Multimodal
+    // the fixture contract: cell gray = md5_15("seed:cell") mod 256, so
+    // the expected dHash packs from integer comparisons the test
+    // re-derives independently of the decode path
+    def gray(seed: Long, cell: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$seed:$cell".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256).toInt
+    }
+    def expectedHash(g: Int => Int): Long =
+      (for (y <- 0 until 8; x <- 0 until 7) yield
+        if (g(y * 8 + x + 1) > g(y * 8 + x)) 1L << (y * 7 + x) else 0L).sum
+    val df = Seq(
+      (7L, Multimodal.syntheticCellBmp(7L)),
+      (1000007L, Multimodal.syntheticCellBmp(7L, perturbCell = 0)),
+      (8L, Multimodal.syntheticCellBmp(8L))).toDF("doc_id", "img")
+    val got = Multimodal.imageHash(
+      Multimodal.pack(df, "doc_id", col("img"), "image"))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("simhash"), r.getAs[String]("decode"))).toMap
+    assert(got.values.forall(_._2 === "image")) // real decode, no stub
+    assert(got(7L)._1 === expectedHash(gray(7L, _)))
+    assert(got(8L)._1 === expectedHash(gray(8L, _)))
+    assert(got(1000007L)._1 === expectedHash(c =>
+      if (c == 0) (gray(7L, 0) + 128) % 256 else gray(7L, c)))
+    // a one-cell perturbation flips at most that cell's two horizontal
+    // comparisons — the planted twin is always within hamming 2
+    assert(java.lang.Long.bitCount(got(7L)._1 ^ got(1000007L)._1) <= 2)
+    // hashes stay in the non-negative 56-bit range (sign-safe replay)
+    assert(got.values.forall(v => v._1 >= 0L && v._1 < (1L << 56)))
+  }
+
   test("Multimodal audio decode: javax.sound.sampled round-trip on a generated WAV") {
     val s = spark; import s.implicits._
     // 16-bit PCM mono 8 kHz, 0.1 s of a 400 Hz half-amplitude sine

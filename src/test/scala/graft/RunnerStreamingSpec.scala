@@ -308,6 +308,62 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === fromScratch)
   }
 
+  test("UnigramLmBuilder: newer_in watermark, count merge, O(batch) vocab I/O, persisted scoring") {
+    val s = spark; import s.implicits._
+    import graft.builder.UnigramLmBuilder
+    import graft.store.{MemoryStore, ParquetStore}
+    val root = java.nio.file.Files.createTempDirectory("graft-ulm").toString
+    def vDirs() = new java.io.File(root).listFiles.map(_.getName)
+      .filter(_.startsWith("v_")).sorted.toSeq
+    val src = new MemoryStore(spark, "ulmsrc", key = "doc_id", lastUpdatedField = "lu")
+    src.load(Seq(
+      (1L, "alpha beta alpha", 1L), (2L, "beta gamma", 1L)
+    ).toDF("doc_id", "text", "lu"))
+    // the 100 TB vocab shape: delta upserts of only the touched tokens
+    val vocab = new ParquetStore(spark, root, key = "tok",
+      lastUpdatedField = "last_updated", deltaWrites = true, compactAfter = 4)
+    def builder() = new UnigramLmBuilder(src, vocab, "text")
+
+    assert(builder().run().processed === 2)
+    assert(vDirs() === Seq("v_0"))
+    assert(vocab.df.select("tok", "c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+
+    // batch 2 (lu=2): only the NEW doc is counted (newer_in watermark),
+    // and its counts MERGE into the persisted rows — alpha sums 2+1,
+    // delta appears; beta/gamma rows are not touched at all
+    src.update(Seq((3L, "alpha delta", 2L)).toDF("doc_id", "text", "lu"))
+    assert(builder().run().processed === 1)
+    assert(vDirs() === Seq("v_0", "v_0.d_1"))
+    assert(spark.read.parquet(s"$root/v_0.d_1").count() === 2) // alpha + delta only
+    assert(spark.read.parquet(s"$root/v_0").count() === 3)     // base untouched
+    assert(vocab.df.select("tok", "c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("alpha" -> 3L, "beta" -> 2L, "gamma" -> 1L, "delta" -> 1L))
+
+    // unchanged corpus → zero examined docs AND zero vocab writes
+    val tokenBefore = vocab.contentToken
+    assert(builder().run().processed === 0)
+    assert(vocab.contentToken === tokenBefore)
+
+    // persisted scoring: OOV tokens tallied and excluded from the mean;
+    // in-vocab token scores under the PERSISTED distribution
+    // (ln 3 − ln 7 for alpha, fixed-point then 4dp)
+    val scored = graft.ext.TextAnalysis.scoreWithVocab(
+      Seq((9L, "alpha zebra99")).toDF("doc_id", "text"), "doc_id", "text", vocab)
+      .collect().head
+    assert(scored.getLong(1) === 2L)                 // n_tokens
+    assert(scored.getLong(2) === 1L)                 // n_oov
+    assert(scored.getDouble(3) === -0.8473)          // round(fx(ln 3)−ln 7, 4)
+
+    // all-OOV doc: no distribution covers it — null score, counts kept
+    val oov = graft.ext.TextAnalysis.scoreWithVocab(
+      Seq((10L, "zzz999 qqq777")).toDF("doc_id", "text"), "doc_id", "text", vocab)
+      .collect().head
+    assert(oov.getLong(1) === 2L && oov.getLong(2) === 2L && oov.isNullAt(3))
+  }
+
   test("DedupBuilder incremental SIMHASH: one-long signature index, batch-only repeat work") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder
