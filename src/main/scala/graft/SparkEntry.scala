@@ -48,6 +48,35 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Unrolled bounded-round BPE training replay (shared by the bpe
+    * oracle rows): tokenize → word histogram → `numMerges` rounds of
+    * (pair count, deterministic top-merge, replace-apply) as chained
+    * CTEs — the merge SEQUENCE replays exactly because top-pair
+    * selection is (count DESC, a ASC, b ASC) and the double-space
+    * symbol-string replace is the engine's own spelling. Ends at
+    * `enc(word, nsym)` + `wt(doc_id, tok, tf)` for the caller's SELECT. */
+  private def bpeOracleCtes(numMerges: Int): String = {
+    val head =
+      "toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
+        "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS tok FROM documents), " +
+        "wt AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "hist AS (SELECT tok AS word, CAST(sum(tf) AS BIGINT) AS cnt FROM wt GROUP BY 1), " +
+        "r0 AS MATERIALIZED (SELECT word, cnt, ' ' || regexp_replace(word, '(.)', ' \\1 ', 'g') || ' ' AS s FROM hist), "
+    // each round CTE is referenced twice (pair count + next round) —
+    // MATERIALIZED stops the planner from inlining the chain into a
+    // 2^numMerges expression tree
+    val rounds = (0 until numMerges).map { r =>
+      s"f$r AS (SELECT word, cnt, list_filter(string_split(s, '  '), x -> x <> '') AS f FROM r$r), " +
+        s"p$r AS (SELECT f[i] AS a, f[i+1] AS b, sum(cnt) AS n FROM f$r, " +
+        s"UNNEST(range(1, len(f))) AS u$r(i) GROUP BY 1, 2), " +
+        s"m$r AS (SELECT a, b FROM p$r ORDER BY n DESC, a ASC, b ASC LIMIT 1), " +
+        s"r${r + 1} AS MATERIALIZED (SELECT word, cnt, replace(s, ' ' || m.a || '  ' || m.b || ' ', " +
+        s"' ' || m.a || m.b || ' ') AS s FROM r$r, m$r m)"
+    }.mkString(", ")
+    head + rounds +
+      s", enc AS (SELECT word, CAST(len(list_filter(string_split(s, '  '), x -> x <> '')) AS BIGINT) AS nsym FROM r$numMerges)"
+  }
+
   /** events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP_MICROS
     * across testdata generations, so branch on the loaded type rather
     * than assuming either. NANOS (which Spark 4 refuses to read
@@ -1118,6 +1147,31 @@ object SparkEntry {
         .orderBy("pack_id")
     }),
 
+    // trained subword tokenizer: 16 bounded BPE merge rounds over the
+    // word histogram (distributed pair-count agg, ONE collected top row
+    // per round), then per-doc subword counts via distinct-word encode +
+    // token-keyed join. The oracle replays the full merge SEQUENCE as
+    // unrolled CTEs — a drifted round order or replace semantics
+    // hash-diverges immediately.
+    "text_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.train(docs, "text", numMerges = 16)
+      graft.ext.Bpe.bpeTokenCounts(docs, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    }),
+
+    // the packing plane re-run on TRAINED subword counts instead of the
+    // regex heuristic — token budgets a real pipeline actually packs by
+    "sample_pack_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ext.Bpe.train(docs, "text", numMerges = 16)
+      Sampling.packSequences(
+        graft.ext.Bpe.bpeTokenCounts(docs, "doc_id", "text", merges)
+          .select(col("doc_id"), col("n_bpe_tokens").alias("n_tokens")),
+        orderCol = "doc_id", tokensCol = "n_tokens", seqLen = 2048)
+        .orderBy("doc_id")
+    }),
+
     // training-mix dial: per-language sampling rates as one pushdown
     // filter; md5 family so the oracle replays membership exactly
     "sample_weighted_mix" -> ((s, dir) =>
@@ -1888,6 +1942,21 @@ object SparkEntry {
          "SELECT pack_id, count(*) AS n_docs, " +
          "md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS pack_md5 " +
          "FROM p GROUP BY pack_id ORDER BY pack_id"),
+      // bounded-round BPE: the unrolled 16-merge training replay, then
+      // per-doc subword counts via the same distinct-word encode + join
+      "text_bpe_tokens" ->
+        (s"WITH ${bpeOracleCtes(16)} " +
+         "SELECT w.doc_id, CAST(sum(w.tf * e.nsym) AS BIGINT) AS n_bpe_tokens " +
+         "FROM wt w JOIN enc e ON e.word = w.tok GROUP BY 1 ORDER BY 1"),
+      // packing on TRAINED subword counts: same prefix-sum spelling as
+      // sample_pack_sequences over the BPE per-doc totals
+      "sample_pack_bpe" ->
+        (s"WITH ${bpeOracleCtes(16)}, " +
+         "nb AS (SELECT w.doc_id, CAST(sum(w.tf * e.nsym) AS BIGINT) AS n_tokens " +
+         "FROM wt w JOIN enc e ON e.word = w.tok GROUP BY 1), " +
+         "p AS (SELECT doc_id, n_tokens, COALESCE(CAST(sum(n_tokens) OVER " +
+         "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pre FROM nb) " +
+         "SELECT doc_id, n_tokens, pre // 2048 AS pack_id, pre % 2048 AS pack_offset FROM p ORDER BY doc_id"),
       "sample_weighted_mix" -> {
         val h = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
         s"SELECT doc_id, lang, source FROM documents WHERE $h % 10000 < " +

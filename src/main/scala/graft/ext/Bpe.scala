@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-round byte-pair-encoding tokenizer, trained IN-ENGINE — the
+  * subword replacement for the regex token counts every packing/budget
+  * operator rode until now ([[TextAnalysis.tokenCount]]).
+  *
+  * ==Scale shape==
+  * Training never touches the corpus per round. One corpus-scale pass
+  * builds the WORD HISTOGRAM `(word, cnt)` (token-keyed hash agg — the
+  * classic BPE-over-histogram reduction: all further work is
+  * vocabulary-sized, not corpus-sized). Each merge round is then one
+  * small distributed job over the histogram: explode adjacent symbol
+  * pairs, weight by `cnt`, hash-aggregate, and collect exactly ONE row
+  * (the top pair — bounded by contract). The merge applies as a string
+  * `replace` projection; no round ever shuffles the corpus.
+  *
+  * ==Determinism / replayability==
+  * Symbols are plain strings; a word's symbol sequence is kept as ONE
+  * string with double-space separators (`"  a  bc  "`), so applying a
+  * merge is `replace(s, " a  b ", " ab ")` — left-to-right,
+  * non-overlapping, exactly the greedy BPE pass, and exactly what an
+  * external SQL engine's `replace` does. Top-pair selection orders by
+  * (count DESC, a ASC, b ASC) — total and collation-free on the
+  * `[a-z0-9]` symbol alphabet — so the merge SEQUENCE (not just each
+  * round) replays byte-for-byte in DuckDB as unrolled CTEs.
+  *
+  * Merged symbols compare by VALUE (standard BPE: `("a","bc")` and
+  * `("ab","c")` both yield `"abc"` and thereafter count as the same
+  * symbol).
+  *
+  * ==Serving==
+  * Encoding needs no per-row state: the ordered merge list compiles
+  * into a chain of `replace` expressions (codegen'd, broadcast-free —
+  * the merges live in the PLAN, ≤ numMerges of them by contract).
+  * [[bpeTokenCounts]] applies it to DISTINCT words only, then joins
+  * counts back token-keyed — the unigram-plane discipline. */
+object Bpe {
+
+  /** One learned merge: adjacent symbols `a`,`b` → `a+b`. */
+  final case class Merge(a: String, b: String) { def merged: String = a + b }
+
+  /** The double-space symbol-string spelling of a raw word:
+    * `"ab"` → `"  a  b  "`. The regexp spelling is shared verbatim with
+    * the DuckDB replay (`regexp_replace(word, '(.)', ' \1 ', 'g')`). */
+  private[graft] def initialSymbols(word: Column): Column =
+    concat(lit(" "), regexp_replace(word, "(.)", " $1 "), lit(" "))
+
+  /** Apply an ordered merge list to a symbol string — the chained
+    * `replace` encode expression. */
+  private[graft] def applyMerges(s: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(s) { (acc, m) =>
+      replace(acc, lit(s" ${m.a}  ${m.b} "), lit(s" ${m.merged} "))
+    }
+
+  /** Symbol count of a word under `merges` (its BPE token count). */
+  def bpeCount(word: Column, merges: Seq[Merge]): Column =
+    size(filter(split(applyMerges(initialSymbols(word), merges), "  "),
+      x => x =!= ""))
+
+  /** Train `numMerges` merges from a corpus column: histogram pass then
+    * [[trainFromHistogram]]. */
+  def train(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+    val spark = df.sparkSession
+    val hist = df.select(explode(graft.functions.GraftFunctions.termCounts(
+        spark, TextAnalysis.normTokens(col(textCol)))).alias("__tc"))
+      .select(col("__tc.term").alias("word"),
+        col("__tc.cnt").cast("long").alias("cnt"))
+      .groupBy(col("word")).agg(sum(col("cnt")).alias("cnt"))
+    trainFromHistogram(hist, numMerges)
+  }
+
+  /** Train from a `(word, cnt)` histogram. Stops early if the corpus
+    * runs out of adjacent pairs (every word fully merged). */
+  def trainFromHistogram(hist0: DataFrame, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    // materialized once: every round re-reads it (vocabulary-sized)
+    var hist = hist0.select(col("word"), col("cnt").cast("long").alias("cnt"),
+        initialSymbols(col("word")).alias("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val top = hist
+        .select(col("cnt"),
+          filter(split(col("s"), "  "), x => x =!= "").alias("f"))
+        .filter(size(col("f")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(f) - 1), i -> struct(f[i-1] AS a, f[i] AS b))"))
+          .alias("p"))
+        .groupBy(col("p.a").alias("a"), col("p.b").alias("b"))
+        .agg(sum(col("cnt")).alias("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect() // EXACTLY one row by construction
+      if (top.isEmpty) exhausted = true
+      else {
+        val m = Merge(top.head.getString(0), top.head.getString(1))
+        merges += m
+        val applied = hist.withColumn("s",
+          replace(col("s"), lit(s" ${m.a}  ${m.b} "), lit(s" ${m.merged} ")))
+        // re-materialize every few rounds so the pair-count job never
+        // evaluates an unboundedly deep replace chain; between
+        // checkpoints the chain is ≤ 8 string passes per word
+        hist = if ((r + 1) % 8 == 0) {
+          val next = applied.localCheckpoint(true)
+          hist.unpersist()
+          next
+        } else applied
+      }
+      r += 1
+    }
+    hist.unpersist()
+    merges.toSeq
+  }
+
+  /** Per-document BPE token counts `(id, n_bpe_tokens)`: encode each
+    * DISTINCT word once (the encode chain runs over the vocabulary, not
+    * the corpus), then join term frequencies back token-keyed and sum —
+    * no broadcast assumption on the word table. */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[Merge]): DataFrame = {
+    val spark = df.sparkSession
+    val tf = df.select(col(idCol),
+        explode(graft.functions.GraftFunctions.termCounts(spark,
+          TextAnalysis.normTokens(col(textCol)))).alias("__tc"))
+      .select(col(idCol), col("__tc.term").alias("tok"),
+        col("__tc.cnt").cast("long").alias("__tf"))
+    val enc = tf.select(col("tok")).distinct()
+      .select(col("tok"), bpeCount(col("tok"), merges).cast("long").alias("__nsym"))
+    tf.join(enc, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf") * col("__nsym")).alias("n_bpe_tokens"))
+  }
+
+  /** Persist the ordered merge list: one row per merge,
+    * `(rank, a, b)` keyed on rank — the tokenizer ARTIFACT a 100 TB
+    * pipeline trains once and ships to every scoring job. */
+  def saveMerges(store: graft.store.Store, merges: Seq[Merge]): Unit = {
+    val spark = store.spark
+    import spark.implicits._
+    store.update(merges.zipWithIndex
+      .map { case (m, i) => (i.toLong, m.a, m.b) }
+      .toDF("rank", "a", "b"), Seq("rank"))
+  }
+
+  /** Load a persisted merge list in training order. `collect` is
+    * bounded by the numMerges contract. */
+  def loadMerges(store: graft.store.Store): Seq[Merge] =
+    store.df.select(col("rank"), col("a"), col("b")).orderBy(col("rank"))
+      .collect().map(r => Merge(r.getString(1), r.getString(2))).toSeq
+}

@@ -747,6 +747,45 @@ class ExtQualitySpec extends SparkSpec {
       === Some(2L))
   }
 
+  test("Bpe: deterministic merge sequence, greedy encode, persistence round-trip") {
+    val s = spark; import s.implicits._
+    import graft.ext.Bpe
+    // the classic BPE fixture (Sennrich et al.): merge order is fully
+    // hand-derivable — (e,s) wins its 9-count tie with (s,t) on the
+    // lexicographic tiebreak, then (es,t), then the 7-count ties resolve
+    // (l,o) before (lo,w)
+    val hist = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "cnt")
+    val merges = Bpe.trainFromHistogram(hist, 4)
+    assert(merges === Seq(Bpe.Merge("e", "s"), Bpe.Merge("es", "t"),
+      Bpe.Merge("l", "o"), Bpe.Merge("lo", "w")))
+    // greedy left-to-right encode of an UNSEEN word under those merges:
+    // lowest → low + est
+    val n = Seq(Tuple1("lowest")).toDF("word")
+      .select(Bpe.bpeCount(col("word"), merges).alias("n")).head().getInt(0)
+    assert(n === 2)
+    // overlap semantics: merge (e,s) on "esses" must be non-overlapping
+    // left-to-right — e s s e s → es s es → 3 symbols under (e,s) alone
+    val n2 = Seq(Tuple1("esses")).toDF("word")
+      .select(Bpe.bpeCount(col("word"), merges.take(1)).alias("n")).head().getInt(0)
+    assert(n2 === 3)
+    // per-doc counts ride the distinct-word encode + token-keyed join
+    val docs = Seq((1L, "low lower"), (2L, "newest widest lowest")).toDF("doc_id", "text")
+    val counts = Bpe.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // low → [low] = 1, lower → [low,e,r] = 3; newest → [n,e,w,est] = 4,
+    // widest → [w,i,d,est] = 4, lowest → [low,est] = 2
+    assert(counts === Map(1L -> 4L, 2L -> 10L))
+    // persistence: ordered round-trip through a store
+    val st = new graft.store.MemoryStore(spark, "bpem", key = "rank",
+      lastUpdatedField = "rank")
+    Bpe.saveMerges(st, merges)
+    assert(Bpe.loadMerges(st) === merges)
+    // early exhaustion: single-char words yield no pairs, training stops
+    assert(Bpe.trainFromHistogram(Seq(("a", 3L), ("b", 1L)).toDF("word", "cnt"), 5)
+      === Seq.empty)
+  }
+
   test("graft_topk bounded heap matches sort-based top-k with ties toward smaller id") {
     val s = spark; import s.implicits._
     val rows = (1L to 500L).map(i => (1L, i, ((i * 37) % 97).toDouble / 97.0)) ++
