@@ -100,7 +100,13 @@ object Bench {
     // estimate (VERDICT r4 item 8). DuckDB lives driver-side only: this is
     // an optional measurement SUBPROCESS (tools/bench_oracle.py), never a
     // library dependency — fails soft when python3/duckdb is absent.
+    // SPARK_GRAFT_SKIP_ORACLE=1: engine-only run for A/B iteration — the
+    // DuckDB leg dominates wall-clock at big SFs and its contention noise
+    // (observed 3× swings on identical SQL) drowns engine deltas; the
+    // headline artifact always keeps the oracle leg.
     val oracleSec: Map[String, Double] = scala.util.Try {
+      if (sys.env.get("SPARK_GRAFT_SKIP_ORACLE").contains("1"))
+        throw new RuntimeException("oracle skipped")
       val script = java.nio.file.Paths.get(
         sys.props.getOrElse("user.dir", "."), "tools", "bench_oracle.py")
       if (!java.nio.file.Files.exists(script)) throw new RuntimeException("no script")

@@ -1035,23 +1035,65 @@ object Dedup {
       // minimum common for a qualifying pair; the −5e-5 absorbs the
       // round(·, 4) ≥ t acceptance boundary so a pair that only passes
       // via rounding still lands inside both prefixes
-      val cMin = ceil(lit(threshold - 0.00005) * col("szf")).cast("long")
+      val tE = threshold - 0.00005
+      val cMin = ceil(lit(tE) * col("szf")).cast("long")
+      // POSITIONAL filter (PPJoin, round 12): each prefix posting
+      // carries the gram's rank in the doc's rare-ordered capped
+      // signature, packed into the bounded-collect aux slot with the
+      // full size (`szf << 31 | pos` — both < 2^31: array-length
+      // contract). Ranks are monotone in the SAME global (df, hash)
+      // order the prefixes are cut from, so for a candidate generated
+      // at shared-gram ranks (pa, pb) every common gram of the pair
+      // ranks ≥ that gram in both docs and
+      // common ≤ min(sza − pa, szb − pb). Generation events whose
+      // bound cannot reach the equivalent-overlap floor
+      // ceil(t/(1+t)·(sza+szb)) drop MAP-SIDE, before the candidate
+      // distinct and the fat verify joins — the quadratic mass the
+      // naive branch dies on is cut where it is born. The size filter
+      // (min ≥ ceil(t·max), else common ≤ min < t·max ≤ t·union)
+      // rides the same pass. No qualifying pair is lost: its
+      // globally-first common gram lies inside both prefixes (prefix
+      // lemma) at both docs' minimal shared ranks, and the bound at
+      // that event is ≥ the true overlap, ≥ the floor. The −1e-9
+      // absorbs double rounding in ceil at exact-integer boundaries
+      // (looser only). Measured sf1 (10× sf0.1): generated candidate
+      // rows 13.5M → 2.4M, distinct candidates into the verify joins
+      // 11.14M → 1.28M (8.7×), output identical (248,962 pairs,
+      // symmetric diff 0).
       val pref = csigs.select(col("id"), col("szf"),
-          slice(col("rare"), lit(1),
+          posexplode(slice(col("rare"), lit(1),
             greatest(size(col("rare")).cast("long") - cMin + 1L, lit(0L))
-              .cast("int")).alias("pref"))
-        .select(col("id"), col("szf"), explode(col("pref")).alias("sh"))
+              .cast("int"))))
+        .select(col("id"),
+          shiftleft(col("szf").cast("long"), 31)
+            .bitwiseOR(col("pos").cast("long")).alias("aux"),
+          col("col").alias("sh"))
       val prefLists = pref.groupBy(col("sh"))
         .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
-          col("id"), col("szf"), maxPostings).alias("lst"))
+          col("id"), col("aux"), maxPostings).alias("lst"))
         .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+      val tFrac = tE / (1.0 + tE)
       // unordered combinations via the compiled pair kernel
       val cand = prefLists
         .select(explode(graft.functions.GraftFunctions.listPairs(spark,
           col("lst"))).alias("pr"))
         .select(least(col("pr.a"), col("pr.b")).alias("a"),
-          greatest(col("pr.a"), col("pr.b")).alias("b"))
-        .distinct() // a pair may share several prefix grams
+          greatest(col("pr.a"), col("pr.b")).alias("b"),
+          when(col("pr.a") <= col("pr.b"), col("pr.sza"))
+            .otherwise(col("pr.szb")).alias("xa"),
+          when(col("pr.a") <= col("pr.b"), col("pr.szb"))
+            .otherwise(col("pr.sza")).alias("xb"))
+        .select(col("a"), col("b"),
+          shiftright(col("xa"), 31).alias("sza"),
+          col("xa").bitwiseAND(lit((1L << 31) - 1)).alias("pa"),
+          shiftright(col("xb"), 31).alias("szb"),
+          col("xb").bitwiseAND(lit((1L << 31) - 1)).alias("pb"))
+        .filter(least(col("sza"), col("szb")) >=
+          ceil(lit(tE) * greatest(col("sza"), col("szb")) - 1e-9).cast("long"))
+        .filter(least(col("sza") - col("pa"), col("szb") - col("pb")) >=
+          ceil(lit(tFrac) * (col("sza") + col("szb")) - 1e-9).cast("long"))
+        .select(col("a"), col("b"))
+        .distinct() // a pair may share several surviving prefix grams
       // verify-join strategy: candidates × fat signature arrays. The
       // second join's input carries the first join's signature column,
       // so a shuffle join moves |cand| × |csig| bytes — measured ~20 GB

@@ -436,6 +436,13 @@ object Multimodal {
     * platform-varying). */
   def resizeLuma(img: java.awt.image.BufferedImage, tw: Int, th: Int): Array[Double] = {
     val w = img.getWidth; val h = img.getHeight
+    // ONE bulk sRGB fetch: per-pixel getRGB(x, y) routes every sample
+    // through ColorModel.getRGB and the raster's per-call bounds checks
+    // — measured ~4× the whole-kernel cost on the fixture thumbnails.
+    // The bulk overload converts the full plane in one raster pass with
+    // identical values (same ColorModel conversion), so the box-filter
+    // output is bit-identical to the per-pixel spelling.
+    val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
     val out = new Array[Double](tw * th)
     var ty = 0
     while (ty < th) {
@@ -448,9 +455,10 @@ object Multimodal {
         var s = 0.0
         var y = y0
         while (y < y1) {
+          val rowOff = y * w
           var x = x0
           while (x < x1) {
-            val rgb = img.getRGB(x, y)
+            val rgb = rgbs(rowOff + x)
             s += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
               0.114 * (rgb & 0xFF)
             x += 1

@@ -58,7 +58,31 @@ fi
 
 # Bench rewrote BENCH_FULL.json during the scaled runs — restore the
 # stamped sf0.1 artifact as the repo-root headline
-python3 tools/bench_drift.py --stamp /tmp/prev_sf01.json /tmp/cand_sf01.json > BENCH_FULL.json
+python3 tools/bench_drift.py --stamp /tmp/prev_sf01.json /tmp/cand_sf01.json > BENCH_SF_HEADLINE.tmp
+mv BENCH_SF_HEADLINE.tmp BENCH_FULL.json
+
+# Superlinearity gate (VERDICT r11 #3): the ngram-jaccard pair problem is
+# the suite's one quadratic-risk operator — with the PPJoin positional
+# filter its engine time must stay pair-output-proportional, i.e. sf1
+# (10x data) <= ~8x the sf0.1 time plus contention headroom. WARN-only,
+# like the drift guard: wall-clock on this box swings 40-60% under host
+# contention, so the gate flags for adjudication rather than failing.
+if [ "$SKIP_SF1" != "--skip-sf1" ]; then
+  python3 - <<'PY'
+import json
+q = "dedup_ngram_jaccard"
+try:
+    e01 = json.load(open("BENCH_FULL.json"))["queries"][q]
+    e1 = json.load(open("BENCH_SF1.json"))["queries"][q]
+    r = e1 / e01
+    print(f"scaling gate {q}: sf1/sf0.1 engine = {r:.1f}x (threshold 8x)")
+    if r > 8:
+        print(f"WARN: {q} superlinear - sf1 {e1:.1f}s vs sf0.1 {e01:.1f}s; "
+              "adjudicate per the isolation protocol (BASELINE.md)")
+except Exception as e:
+    print(f"scaling gate skipped: {e}")
+PY
+fi
 echo "drift stamps:"
 for f in BENCH_FULL.json BENCH_SF03.json BENCH_SF1.json; do
   [ -f "$f" ] && python3 -c "import json; d=json.load(open('$f')); print('$f', d.get('oracle_drift_vs_prev'), 'flag=', d.get('oracle_drift_flag'))"
