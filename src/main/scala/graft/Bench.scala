@@ -39,6 +39,20 @@ object Bench {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.read.parquet(s"$sfDir/$t.parquet").count()
       }
+      // streaming-runtime init (StreamingQueryManager, state-store
+      // providers, microbatch thread pools, temp-checkpoint plumbing) is
+      // session-global one-time cost — absorb it with one untimed
+      // AvailableNow micro-trigger so it can never land on whichever
+      // stream_* query a contended warm pass under-absorbs (VERDICT r11
+      // #8: driver artifact read stream_time_window 9.6 s at sf0.1 vs
+      // 2.0 s at sf0.3/sf1; isolated re-runs read 2.2-3.1 s).
+      val wq = spark.readStream.format("rate").option("numPartitions", "1")
+        .load().groupBy().count()
+        .writeStream.format("memory").queryName("graft_stream_warm")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try wq.awaitTermination() finally wq.stop()
     } catch { case _: Throwable => () }
     // steady-state warm-up: execute every timed plan ONCE untimed, then
     // time the second execution. The sketch pipelines (LSH banding,

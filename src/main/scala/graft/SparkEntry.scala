@@ -1347,13 +1347,19 @@ object SparkEntry {
           val side = 8 * (1 + (id % 3).toInt)
           (id, Multimodal.syntheticBmp(id, side, side))
         }.toDF("doc_id", "img")
+      // sort BEFORE the 64× explode: the global range sort over 30k
+      // image rows costs a fraction of the same sort over 1.9M cell
+      // rows, and the final order is identical — generators emit rows
+      // in partition order and cells in position order, so
+      // orderBy(media_id) → posexplode ≡ posexplode → orderBy(media_id,
+      // cell). Measured sf0.1: 1.5 → 0.9 s.
       Multimodal.resizeImages(Multimodal.pack(imgs, "doc_id", col("img"), "image"))
+        .orderBy("media_id")
         .select(col("media_id"), col("width"), col("height"), col("decode"),
           posexplode(col("grid")))
         .select(col("media_id"), col("width"), col("height"),
           col("pos").alias("cell"), round(col("col"), 4).alias("luma"),
           col("decode"))
-        .orderBy("media_id", "cell")
     }),
 
     // perceptual-hash image dedup (the missing byte-level image
