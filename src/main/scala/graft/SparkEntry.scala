@@ -48,6 +48,28 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** BM25 replay CTEs shared by the `text_bm25_topk` and
+    * `search_hybrid_rrf` oracles: tokenize → tf/dl/df → one-row corpus
+    * stats → per-term micro-long scores in the ENGINE'S exact double-op
+    * order (see TextAnalysis.bm25TopK) → exact long per-(query, doc)
+    * sums in `bm25agg(q_id, id, sm)`. k1 = 1.2, b = 0.75, queries =
+    * doc_id % 97. */
+  private def bm25OracleCtes: String =
+    "toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
+      "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
+      "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+      "stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n, " +
+      "CAST((SELECT sum(dl) FROM dl) AS DOUBLE) AS sumdl), " +
+      "qt AS (SELECT DISTINCT doc_id AS q_id, term FROM toks WHERE doc_id % 97 = 0), " +
+      "bm25scored AS (SELECT qt.q_id, tf.doc_id AS id, " +
+      "CAST(round(ln(1.0 + (s.n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
+      "(tf + (dl.dl / (s.sumdl / s.n) * 0.75 + (1.0 - 0.75)) * 1.2) * 1000000.0) AS BIGINT) AS sm " +
+      "FROM tf JOIN qt USING (term) JOIN dfreq USING (term) " +
+      "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s WHERE tf.doc_id <> qt.q_id), " +
+      "bm25agg AS (SELECT q_id, id, CAST(sum(sm) AS BIGINT) AS sm FROM bm25scored GROUP BY 1, 2)"
+
   /** Unrolled bounded-round BPE training replay (shared by the bpe
     * oracle rows): tokenize → word histogram → `numMerges` rounds of
     * (pair count, deterministic top-merge, replace-apply) as chained
@@ -1210,6 +1232,35 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // Okapi BM25 retrieval — the LEXICAL leg of hybrid search (more-
+    // like-this curation, decontamination screens, RAG serving):
+    // queries = every 97th document scored against the full corpus;
+    // per-term scores fixed-pointed to micro-longs so the ranking
+    // replays exactly (TextAnalysis.bm25TopK scaladoc)
+    "text_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bm25TopK(docs, docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // hybrid retrieval: BM25 lexical top-10 ∪ exact-cosine vector
+    // top-10 over the SAME query ids, reciprocal-rank-fused
+    // (Σ 1/(60+rank)), per-query top-5 — both retrieval planes composed
+    // into the standard hybrid-search serving shape
+    "search_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = TextAnalysis.bm25TopK(docs,
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 10)
+        .select(col("q_id"), col("doc_id").alias("id"), col("rank"))
+      val vec = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 97 === 0), k = 10)
+        .select(col("q_id"), col("n_id").alias("id"), col("rank"))
+      Similarity.rrfFuse(Seq(lex, vec), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
     // PQ ADC top-k with UNTRAINED codebooks (iters = 0): the books ARE
     // the md5-ordered seed draw sliced into subspaces, so every stage —
     // draw, encode argmin, LUT, ADC fold — is byte-replayable by the
@@ -1976,6 +2027,31 @@ object SparkEntry {
          "ELSE 1.0 END AS scale FROM embeddings), " +
          "d AS (SELECT vec_id, v, list_transform(v, x -> floor(x * scale + 0.5) / scale) AS dq FROM q) " +
          "SELECT vec_id, round(list_cosine_similarity(v, dq), 4) AS qcos FROM d ORDER BY vec_id"),
+      "text_bm25_topk" ->
+        (s"WITH $bm25OracleCtes, " +
+         "ranked AS (SELECT q_id, id, sm, row_number() OVER (PARTITION BY q_id " +
+         "ORDER BY sm DESC, id ASC) AS rank FROM bm25agg) " +
+         "SELECT q_id, rank, id AS doc_id, round(sm / 1000000.0, 4) AS score " +
+         "FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"),
+      // hybrid RRF: the exact BM25 micro-long ranking (lexical leg) and
+      // the raw-cosine ranking (vector leg, sim_cosine_topk spelling)
+      // fused as sum(1.0/(60 + rank)) — ≤ 2 double terms per (q, d),
+      // order-independent, ties toward the smaller id
+      "search_hybrid_rrf" ->
+        (s"WITH $bm25OracleCtes, " +
+         "lex AS (SELECT q_id, id, rank FROM (SELECT q_id, id, row_number() OVER " +
+         "(PARTITION BY q_id ORDER BY sm DESC, id ASC) AS rank FROM bm25agg) WHERE rank <= 10), " +
+         "vec AS (SELECT q_id, id, rank FROM (SELECT q.vec_id AS q_id, c.vec_id AS id, " +
+         "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+         "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, " +
+         "c.vec_id) AS rank FROM embeddings q, embeddings c " +
+         "WHERE q.vec_id % 97 = 0 AND c.vec_id <> q.vec_id) WHERE rank <= 10), " +
+         "u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec), " +
+         "fused AS (SELECT q_id, id, sum(1.0 / (60.0 + rank)) AS rrf FROM u GROUP BY 1, 2), " +
+         "franked AS (SELECT q_id, id, rrf, row_number() OVER (PARTITION BY q_id " +
+         "ORDER BY rrf DESC, id ASC) AS rank FROM fused) " +
+         "SELECT q_id, rank, id, round(rrf, 6) AS rrf FROM franked WHERE rank <= 5 " +
+         "ORDER BY q_id, rank"),
       "sim_cosine_topk" ->
         ("SELECT q_id, rank, n_id, sim FROM (SELECT q.vec_id AS q_id, c.vec_id AS n_id, " +
          "round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim, " +

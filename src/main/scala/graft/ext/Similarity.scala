@@ -755,4 +755,36 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a"), col("b"), round(col("sim"), 4).alias("sim"))
   }
+
+  /** Reciprocal-rank fusion of ranked retrieval lists — the standard
+    * hybrid-search combiner (Cormack/Clarke/Büttcher: score =
+    * Σ_lists 1/(c + rank)). Each input carries `(q_id, id, rank)` with
+    * rank 1 = best (the [[bruteForceTopK]] / `TextAnalysis.bm25TopK`
+    * output shape); returns the fused per-query top-`k` as
+    * `(q_id, rank, id, rrf)`.
+    *
+    * Determinism: a document appears AT MOST ONCE per list, so the
+    * fused sum has ≤ |lists| double terms — with the 1-or-2-term sums
+    * of a lexical+vector stack the result is order-independent
+    * (commutative), and the fused ordering (rrf desc, id asc) is
+    * replayable; equal-rank singletons from different lists tie
+    * EXACTLY (same 1/(c+r) double) and break toward the smaller id.
+    * Scale shape: inputs are already k·|queries| rows by the top-k
+    * contract — everything here is query-scale, never corpus-scale. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 5, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val spark = lists.head.sparkSession
+    val ranked = lists.map(_.select(col("q_id"), col("id").cast("long")
+        .alias("id"), col("rank").cast("int").alias("rank")))
+      .reduce(_ unionByName _)
+    ranked
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(lit(1.0) / (lit(c.toDouble) + col("rank"))).alias("__rrf"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topk(spark,
+        col("__rrf"), col("id"), k).alias("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").alias("rank"),
+        col("col.id").alias("id"), round(col("col.score"), 6).alias("rrf"))
+  }
 }

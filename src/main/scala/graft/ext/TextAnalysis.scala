@@ -270,6 +270,91 @@ object TextAnalysis {
         col("col.term").alias("term"), col("col.score").alias("score"))
   }
 
+  /** BM25 retrieval: for each query row, the `k` best corpus documents
+    * under Okapi BM25 with the Lucene non-negative idf
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`. The lexical leg of a hybrid
+    * retrieval stack (decontamination screens, more-like-this curation,
+    * RAG indexing) next to the vector plane in [[graft.ext.Similarity]].
+    *
+    * Scale shape: `queries` is SMALL BY CONTRACT (the corpus is the
+    * 100 TB side) — its term set and the query-term df slice both
+    * broadcast, so the corpus is scanned ONCE (term counts + doc length
+    * in one codegen'd [[graft.functions.TermCounts]] projection), the
+    * only corpus-scale shuffle is the vocabulary-sized df aggregation,
+    * and the per-(query, doc) score aggregation + bounded-heap top-k
+    * reduce map-side (k·|queries| shuffle rows, the
+    * [[graft.functions.TopKAgg]] contract).
+    *
+    * Determinism: per-term scores are fixed-pointed to micro-units
+    * (round half-away-from-zero agrees between engines, see
+    * SparkEntry.fxSum) and summed as LONGS — exact under any partial-agg
+    * order — so ranking (micro-score desc, doc id asc) is replayable;
+    * self-matches (doc == query id) are excluded like the vector plane.
+    * Output: `(q_id, rank, doc_id, score)` with `score` the micro-sum
+    * at 4 dp. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+               textCol: String, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    // one corpus projection: per-doc (term, tf) plus the token-length dl
+    // summed from the SAME term-count array (no second tokenization, no
+    // per-doc shuffle)
+    def tfdl = docs
+      .select(col(idCol).cast("long").alias("id"),
+        graft.functions.GraftFunctions.termCounts(spark,
+          normTokens(col(textCol))).alias("tc"))
+      .select(col("id"),
+        aggregate(col("tc"), lit(0L),
+          (a, x) => a + x.getField("cnt").cast("long")).alias("dl"),
+        explode(col("tc")).alias("t"))
+      .select(col("id"), col("dl"), col("t.term").alias("term"),
+        col("t.cnt").cast("long").alias("tf"))
+    // corpus statistics: one row (N docs, Σdl) — exact integers, so the
+    // avgdl division is the identical double on both engines
+    val stats = broadcast(docs
+      .select(graft.functions.GraftFunctions.termCounts(spark,
+        normTokens(col(textCol))).alias("tc"))
+      .select(aggregate(col("tc"), lit(0L),
+        (a, x) => a + x.getField("cnt").cast("long")).alias("dl"))
+      .agg(count(lit(1)).cast("double").alias("__n"),
+        sum(col("dl")).alias("__sumdl")))
+    // query terms (termCounts already emits each term once per doc) and
+    // the df slice restricted to them — both broadcast-small by contract
+    val qt = broadcast(queries
+      .select(col(idCol).cast("long").alias("q_id"),
+        explode(graft.functions.GraftFunctions.termCounts(spark,
+          normTokens(col(textCol)))).alias("t"))
+      .select(col("q_id"), col("t.term").alias("term")))
+    val qdf = broadcast(tfdl.groupBy(col("term"))
+      .agg(count(lit(1)).alias("df"))
+      .join(qt.select(col("term")).distinct(), Seq("term"), "left_semi"))
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    // operation ORDER is part of the oracle contract: the SQL twin
+    // spells every double op in this exact shape, so the micro-rounded
+    // per-term scores are bit-identical
+    val lenNorm = col("dl") / avgdl * b + (1.0 - b)
+    val scored = tfdl.join(qt, Seq("term"))
+      .filter(col("id") =!= col("q_id"))
+      .join(qdf, Seq("term"))
+      .crossJoin(stats)
+      .select(col("q_id"), col("id"),
+        round(log(lit(1.0) + (col("__n") - col("df") + 0.5) /
+            (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lenNorm * k1) *
+          1000000.0).cast("long").alias("__sm"))
+    scored.groupBy(col("q_id"), col("id"))
+      .agg(sum(col("__sm")).alias("__sm"))
+      .groupBy(col("q_id"))
+      // ordering key = the exact micro-long (as double: < 2^53 — exact)
+      .agg(graft.functions.TopKAgg.topk(spark,
+        col("__sm").cast("double"), col("id"), k).alias("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").alias("rank"),
+        col("col.id").alias("doc_id"),
+        round(col("col.score") / 1000000.0, 4).alias("score"))
+  }
+
   /** Contiguous word n-grams of [[normTokens]] as space-joined strings —
     * the corpus-statistics spelling (NON-distinct, unlike the dedup
     * shingles: counts need every occurrence). Docs with fewer than `n`

@@ -800,4 +800,35 @@ class ExtQualitySpec extends SparkSpec {
       .map { case (_, id, sc) => (id, sc) }
     assert(got === want)
   }
+
+  test("bm25TopK: hand-computed scores on a 3-doc corpus, self excluded") {
+    import spark.implicits._
+    // corpus: doc 1 = "apple banana", doc 2 = "apple apple cherry",
+    // doc 3 = "durian". query (id 1) = doc 1's text.
+    val docs = Seq((1L, "apple banana"), (2L, "apple apple cherry"),
+      (3L, "durian")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis
+      .bm25TopK(docs, docs.filter(col("doc_id") === 1), "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // hand BM25 (k1=1.2, b=0.75): N=3, dl = 2/3/1, avgdl = 2.0.
+    // only doc 2 shares a term ("apple": df=2, tf=2, dl=3).
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    val den = 2 + (3 / 2.0 * 0.75 + 0.25) * 1.2
+    val sm = math.round(idf * (2 * 2.2) / den * 1000000.0)
+    assert(got.toSeq === Seq((1L, 1, 2L,
+      BigDecimal(sm / 1000000.0).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("rrfFuse: cross-list sums, equal-rank ties toward smaller id") {
+    import spark.implicits._
+    // q1: doc 10 is rank 1 in BOTH lists (fused 2/61); docs 20 and 30
+    // are rank-2 singletons in different lists (identical 1/62 — tie,
+    // id order); doc 40 rank 3 lexical only
+    val lex = Seq((1L, 10L, 1), (1L, 30L, 2), (1L, 40L, 3)).toDF("q_id", "id", "rank")
+    val vec = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("q_id", "id", "rank")
+    val got = graft.ext.Similarity.rrfFuse(Seq(lex, vec), k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1, 10L), (2, 20L), (3, 30L), (4, 40L)))
+  }
 }
