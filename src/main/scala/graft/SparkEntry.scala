@@ -53,8 +53,8 @@ object SparkEntry {
     * stats → per-term micro-long scores in the ENGINE'S exact double-op
     * order (see TextAnalysis.bm25TopK) → exact long per-(query, doc)
     * sums in `bm25agg(q_id, id, sm)`. k1 = 1.2, b = 0.75, queries =
-    * doc_id % 97. */
-  private def bm25OracleCtes: String =
+    * doc_id % `qmod`. */
+  private def bm25OracleCtes(qmod: Int = 97): String =
     "toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
       "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS term FROM documents), " +
       "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
@@ -62,7 +62,7 @@ object SparkEntry {
       "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
       "stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n, " +
       "CAST((SELECT sum(dl) FROM dl) AS DOUBLE) AS sumdl), " +
-      "qt AS (SELECT DISTINCT doc_id AS q_id, term FROM toks WHERE doc_id % 97 = 0), " +
+      s"qt AS (SELECT DISTINCT doc_id AS q_id, term FROM toks WHERE doc_id % $qmod = 0), " +
       "bm25scored AS (SELECT qt.q_id, tf.doc_id AS id, " +
       "CAST(round(ln(1.0 + (s.n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
       "(tf + (dl.dl / (s.sumdl / s.n) * 0.75 + (1.0 - 0.75)) * 1.2) * 1000000.0) AS BIGINT) AS sm " +
@@ -1244,6 +1244,27 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // incremental BM25 index, 2-batch lifecycle oracle: batch A (even
+    // docs) builds postings + stats, batch B adds ONLY the odd docs
+    // (id-based pending), then serving answers from the persisted index
+    // — certified equal to the from-scratch BM25 over the union because
+    // df/tf are per-(term, doc) facts and N/Σdl merge additively
+    "text_bm25_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+      val src = new graft.store.MemoryStore(s, "bm25_src", "doc_id", "doc_id")
+      val idx = new graft.store.ParquetStore(s, s"$base/idx", "id", "term",
+        deltaWrites = true)
+      val st = new graft.store.ParquetStore(s, s"$base/st", "sid", "sid")
+      def mk() = new graft.builder.Bm25IndexBuilder(src, idx, st, "text")
+      src.load(docs.filter(col("doc_id") % 2 === 0))
+      mk().run() // batch A: evens
+      src.load(docs)
+      mk().run() // batch B: only the odd ids index
+      mk().topK(docs.filter(col("doc_id") % 89 === 0), k = 8)
+        .orderBy("q_id", "rank")
+    }),
+
     // hybrid retrieval: BM25 lexical top-10 ∪ exact-cosine vector
     // top-10 over the SAME query ids, reciprocal-rank-fused
     // (Σ 1/(60+rank)), per-query top-5 — both retrieval planes composed
@@ -2027,8 +2048,14 @@ object SparkEntry {
          "ELSE 1.0 END AS scale FROM embeddings), " +
          "d AS (SELECT vec_id, v, list_transform(v, x -> floor(x * scale + 0.5) / scale) AS dq FROM q) " +
          "SELECT vec_id, round(list_cosine_similarity(v, dq), 4) AS qcos FROM d ORDER BY vec_id"),
+      "text_bm25_incr" ->
+        (s"WITH ${bm25OracleCtes(89)}, " +
+         "ranked AS (SELECT q_id, id, sm, row_number() OVER (PARTITION BY q_id " +
+         "ORDER BY sm DESC, id ASC) AS rank FROM bm25agg) " +
+         "SELECT q_id, rank, id AS doc_id, round(sm / 1000000.0, 4) AS score " +
+         "FROM ranked WHERE rank <= 8 ORDER BY q_id, rank"),
       "text_bm25_topk" ->
-        (s"WITH $bm25OracleCtes, " +
+        (s"WITH ${bm25OracleCtes()}, " +
          "ranked AS (SELECT q_id, id, sm, row_number() OVER (PARTITION BY q_id " +
          "ORDER BY sm DESC, id ASC) AS rank FROM bm25agg) " +
          "SELECT q_id, rank, id AS doc_id, round(sm / 1000000.0, 4) AS score " +
@@ -2038,7 +2065,7 @@ object SparkEntry {
       // fused as sum(1.0/(60 + rank)) — ≤ 2 double terms per (q, d),
       // order-independent, ties toward the smaller id
       "search_hybrid_rrf" ->
-        (s"WITH $bm25OracleCtes, " +
+        (s"WITH ${bm25OracleCtes()}, " +
          "lex AS (SELECT q_id, id, rank FROM (SELECT q_id, id, row_number() OVER " +
          "(PARTITION BY q_id ORDER BY sm DESC, id ASC) AS rank FROM bm25agg) WHERE rank <= 10), " +
          "vec AS (SELECT q_id, id, rank FROM (SELECT q.vec_id AS q_id, c.vec_id AS id, " +

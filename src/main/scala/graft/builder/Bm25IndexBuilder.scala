@@ -1,0 +1,220 @@
+package graft.builder
+
+import graft.query.MongoFilter
+import graft.store.Store
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental BM25 inverted index + serving — the LEXICAL twin of
+  * [[AnnIndexBuilder]], giving the round-12 retrieval plane
+  * ([[graft.ext.TextAnalysis.bm25TopK]]) the engine's own
+  * train-once/score-batches discipline (reference incremental-build
+  * contract, `core/store.py:239-275`).
+  *
+  * Persisted state:
+  *  - `index`: one posting per `(term, id)` — `(term, id, tf, dl)` with
+  *    `dl` the doc's token length riding every posting so scoring never
+  *    joins a second per-doc table. [[run]] calls `ensureIndex("term")`,
+  *    so a ParquetStore-backed index is term-clustered and [[topK]]'s
+  *    static query-term IN-predicate prunes row groups before the scan
+  *    (the [[AnnIndexBuilder]] probe-cell shape); with `delta_writes`
+  *    each batch append is O(batch postings).
+  *  - `stats`: one row `(sid, n_docs, sum_dl)` — the only corpus-global
+  *    quantities BM25 needs (idf's N and the length-norm avgdl); batch
+  *    increments MERGE into it, never recount the corpus.
+  *
+  * Zero-token docs write a SENTINEL posting (`term = ""`, tf 0): the
+  * empty term can never match a query term ([[graft.ext.TextAnalysis
+  * .normTokens]] emits non-empty tokens only), but it marks the doc as
+  * indexed so the id-based pending check cannot re-count it into
+  * `n_docs` on every run.
+  *
+  * Convergence contract: after any split of a corpus into batches,
+  * [[topK]] answers EXACTLY what the from-scratch
+  * [[graft.ext.TextAnalysis.bm25TopK]] answers over the union — df and
+  * tf are per-(term, doc) facts, N/Σdl merge additively, and the
+  * micro-long fixed-point scores make ranking order-independent
+  * (pinned in RunnerStreamingSpec; oracle row `text_bm25_incr`). */
+class Bm25IndexBuilder(
+    val source: Store,
+    val index: Store,
+    val stats: Store,
+    val textField: String,
+    val k1: Double = 1.2,
+    val b: Double = 0.75,
+    val criteria: Option[String] = None,
+    val deleteOrphans: Boolean = false)
+  extends Builder {
+
+  private def spark = source.spark
+
+  private def scoped: DataFrame =
+    criteria.map(c => MongoFilter(source.df, c)).getOrElse(source.df)
+
+  /** Same refusal contract as the other index builders: a populated
+    * store that is not the posting layout is rejected, not
+    * schema-unioned. */
+  private def checkIndexLayout(): Boolean = {
+    val df = index.df
+    val c = df.columns
+    val usable = c.contains("term") && c.contains("id") &&
+      c.contains("tf") && c.contains("dl")
+    if (!usable && c.nonEmpty && !df.isEmpty)
+      throw new IllegalArgumentException(
+        s"index store contains rows but not the (term, id, tf, dl) BM25 " +
+          s"posting layout (columns: ${c.mkString(", ")}) — refusing to mix")
+    usable
+  }
+
+  /** Docs the index has not absorbed (id-based, like [[AnnIndexBuilder]]
+    * — the sentinel posting keeps zero-token docs out of here too). */
+  def pendingItems(): DataFrame =
+    if (!checkIndexLayout()) scoped
+    else scoped.join(index.df.select(col("id").alias(source.key)),
+      Seq(source.key), "left_anti")
+
+  private def loadStats(): Option[(Long, Long)] = {
+    val df = stats.df
+    if (!df.columns.contains("n_docs") || df.isEmpty) None
+    else {
+      val r = df.select(col("n_docs").cast("long"),
+        col("sum_dl").cast("long")).head()
+      Some((r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  /** `(term, id, tf, dl)` postings of a batch — ONE scan through the
+    * compiled [[graft.functions.TermCounts]] kernel carries tf and the
+    * doc length; `explode_outer` + coalesce emits the zero-token
+    * sentinel. */
+  private def postingsOf(batch: DataFrame): DataFrame =
+    batch.select(col(source.key).alias("id"),
+        graft.functions.GraftFunctions.termCounts(spark,
+          graft.ext.TextAnalysis.normTokens(col(textField))).alias("__tc"))
+      .select(col("id"),
+        coalesce(aggregate(col("__tc"), lit(0L),
+          (a, x) => a + x.getField("cnt").cast("long")), lit(0L)).alias("dl"),
+        explode_outer(col("__tc")).alias("__t"))
+      .select(coalesce(col("__t.term"), lit("")).alias("term"),
+        col("id"),
+        coalesce(col("__t.cnt").cast("long"), lit(0L)).alias("tf"),
+        col("dl"))
+
+  /** Index this run's unseen docs: postings append (O(batch) with a
+    * delta-write store), stats merge additively. Report = docs examined
+    * (the incremental contract's measure). */
+  def run(): BuildReport = {
+    index.ensureIndex("term")
+    // spread-checkpointed: the tokenize+count kernel is CPU-dense per
+    // doc and must not inherit a 2-split scan (Builder.spreadCheckpoint)
+    val batch = Builder.spreadCheckpoint(pendingItems())
+    val examined = batch.count()
+    try {
+      if (examined > 0) {
+        // batch stats in ONE small agg (count + Σdl over the batch);
+        // null dl (null text) counts the doc, adds nothing — the same
+        // accounting as the from-scratch stats row
+        val st = batch.select(
+            aggregate(graft.functions.GraftFunctions.termCounts(spark,
+              graft.ext.TextAnalysis.normTokens(col(textField))), lit(0L),
+              (a, x) => a + x.getField("cnt").cast("long")).alias("dl"))
+          .agg(count(lit(1)).alias("n"), sum(col("dl")).alias("s")).head()
+        val batchN = st.getLong(0)
+        val batchS = if (st.isNullAt(1)) 0L else st.getLong(1)
+        val (n0, s0) = loadStats().getOrElse((0L, 0L))
+        index.update(postingsOf(batch), Seq("term", "id"))
+        val s = spark
+        import s.implicits._
+        stats.update(Seq(("bm25", n0 + batchN, s0 + batchS))
+          .toDF("sid", "n_docs", "sum_dl"), Seq("sid"))
+      }
+      val orphans = if (deleteOrphans) removeOrphans(scoped) else 0L
+      BuildReport(examined, 0, orphans)
+    } finally batch.unpersist()
+  }
+
+  /** Docs gone from the (scoped) corpus leave the index AND the stats:
+    * their postings are removed by key and `(n_docs, sum_dl)` decrement
+    * by the orphans' own counts — so a later [[topK]] scores against
+    * the live corpus, not a ghost-inflated N. */
+  private def removeOrphans(corpus: DataFrame): Long = {
+    if (!index.df.columns.contains("id")) return 0L
+    val orphanDl = index.df.groupBy(col("id"))
+      .agg(max(col("dl")).cast("long").alias("dl")) // dl constant per doc
+      .join(corpus.select(col(source.key).alias("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true) // two actions (agg + removeKeys) on one key set
+    try {
+      val r = orphanDl.agg(count(lit(1)).alias("n"), sum(col("dl")).alias("s")).head()
+      val n = r.getLong(0)
+      if (n > 0) {
+        index.removeKeys(orphanDl.select(col("id")))
+        val (n0, s0) = loadStats().getOrElse((0L, 0L))
+        val s = spark
+        import s.implicits._
+        stats.update(Seq(("bm25", n0 - n, s0 - (if (r.isNullAt(1)) 0L else r.getLong(1))))
+          .toDF("sid", "n_docs", "sum_dl"), Seq("sid"))
+      }
+      n
+    } finally orphanDl.unpersist()
+  }
+
+  /** BM25 top-k over the persisted postings; requires a completed
+    * [[run]]. `queries` rows carry `(idCol, textCol)` — defaults to the
+    * source's fields. Serving shape: query terms collect driver-side
+    * (small by the query contract, the [[AnnIndexBuilder]] probe
+    * pattern), the posting scan is pruned by a static term IN-predicate
+    * (term-clustered layout + blooms from `ensureIndex`), df for the
+    * probed terms falls out of the pruned postings themselves, and
+    * scores replay [[graft.ext.TextAnalysis.bm25TopK]]'s micro-long
+    * fixed-point arithmetic op for op. */
+  def topK(queries: DataFrame, k: Int = 10,
+           idCol: Option[String] = None, textCol: Option[String] = None): DataFrame = {
+    val (n, sumdl) = loadStats().getOrElse(throw new IllegalStateException(
+      "Bm25IndexBuilder.topK before any run(): no stats persisted"))
+    if (!index.df.columns.contains("term")) throw new IllegalStateException(
+      "Bm25IndexBuilder.topK: the posting index is empty — run() a batch first")
+    val qt = queries.select(
+        col(idCol.getOrElse(source.key)).cast("long").alias("q_id"),
+        explode(graft.functions.GraftFunctions.termCounts(spark,
+          graft.ext.TextAnalysis.normTokens(
+            col(textCol.getOrElse(textField))))).alias("__t"))
+      .select(col("q_id"), col("__t.term").alias("term"))
+    // ≤ |queries| × |query vocab| rows by the small-query contract:
+    // collect ONCE, re-plan as a local relation (no leaking checkpoint
+    // in a long-lived serving process — the AnnIndexBuilder rationale)
+    val qtRows = qt.collect()
+    val qtDf = spark.createDataFrame(
+      java.util.Arrays.asList(qtRows: _*), qt.schema)
+    val terms = qtRows.map(_.getString(1)).distinct.toSeq
+    if (terms.isEmpty)
+      return qtDf.select(col("q_id"), lit(1).cast("int").alias("rank"),
+        col("q_id").alias("doc_id"), lit(0.0).alias("score")).limit(0)
+    val post = index.df.filter(col("term").isin(terms: _*))
+      .select(col("term"), col("id").cast("long").alias("id"),
+        col("tf").cast("long").alias("tf"), col("dl").cast("long").alias("dl"))
+    // exact df for the probed terms: the prune keeps EVERY posting of a
+    // probed term, so this count is the corpus document frequency
+    val dfreq = broadcast(post.groupBy(col("term"))
+      .agg(count(lit(1)).alias("df")))
+    val nD = n.toDouble
+    val avgdl = sumdl.toDouble / nD
+    val scored = post.join(broadcast(qtDf), Seq("term"))
+      .filter(col("id") =!= col("q_id"))
+      .join(dfreq, Seq("term"))
+      .select(col("q_id"), col("id"),
+        round(log(lit(1.0) + (lit(nD) - col("df") + 0.5) /
+            (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + (col("dl") / lit(avgdl) * b + (1.0 - b)) * k1) *
+          1000000.0).cast("long").alias("__sm"))
+    scored.groupBy(col("q_id"), col("id"))
+      .agg(sum(col("__sm")).alias("__sm"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg.topk(spark,
+        col("__sm").cast("double"), col("id"), k).alias("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").alias("rank"),
+        col("col.id").alias("doc_id"),
+        round(col("col.score") / 1000000.0, 4).alias("score"))
+  }
+}

@@ -168,6 +168,15 @@ object Runner {
           family = str(n, "family", "xxh64"),
           criteria = criteria(n),
           deleteOrphans = opt(n, "delete_orphans").exists(_.asBoolean()))
+      // incremental BM25 inverted index: "index" holds (term, id, tf, dl)
+      // postings, "stats" the one-row (n_docs, sum_dl) corpus statistics
+      case "bm25_index" =>
+        new Bm25IndexBuilder(store("source"), store("index"), store("stats"),
+          textField = str(n, "text_field", "text"),
+          k1 = opt(n, "k1").map(_.asDouble()).getOrElse(1.2),
+          b = opt(n, "b").map(_.asDouble()).getOrElse(0.75),
+          criteria = criteria(n),
+          deleteOrphans = opt(n, "delete_orphans").exists(_.asBoolean()))
       case other => throw new IllegalArgumentException(s"unknown builder type: $other")
     }
   }

@@ -1123,4 +1123,93 @@ class RunnerStreamingSpec extends SparkSpec {
     val rows = spark.sql("SELECT kind, n FROM win_counts ORDER BY kind").collect()
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("x", 2L), ("y", 1L)))
   }
+
+  test("Bm25IndexBuilder incremental: 2-batch build converges to from-scratch, restart + orphans") {
+    import graft.builder.Bm25IndexBuilder
+    import graft.store.{MemoryStore, ParquetStore}
+    val s = spark; import s.implicits._
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    val src = new MemoryStore(spark, "bmsrc", key = "doc_id", lastUpdatedField = "doc_id")
+    val idxRoot = java.nio.file.Files.createTempDirectory("bm_idx").toString
+    val stRoot = java.nio.file.Files.createTempDirectory("bm_st").toString
+    def idxStore() = new ParquetStore(spark, idxRoot, "id", "term", deltaWrites = true)
+    def stStore() = new ParquetStore(spark, stRoot, "sid", "sid")
+    def builder() = new Bm25IndexBuilder(src, idxStore(), stStore(), "text")
+    val total = docs.count()
+    val evens = docs.filter(col("doc_id") % 2 === 0).count()
+    src.load(docs.filter(col("doc_id") % 2 === 0))
+    assert(builder().run().processed === evens)
+    src.load(docs)
+    assert(builder().run().processed === total - evens) // odds only
+    assert(builder().run().processed === 0)             // unchanged: zero work
+    val queries = docs.filter(col("doc_id") % 89 === 0)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val incr = rowsOf(builder().topK(queries, k = 8))
+    // CONVERGENCE: the 2-batch index answers exactly what the
+    // from-scratch operator answers over the union
+    val scratch = rowsOf(graft.ext.TextAnalysis.bm25TopK(
+      docs, queries, "doc_id", "text", k = 8))
+    assert(incr.nonEmpty)
+    assert(incr === scratch)
+    // RESTART: fresh store objects over the same roots serve identically
+    assert(rowsOf(builder().topK(queries, k = 8)) === incr)
+    // orphan removal decrements stats so N/avgdl track the live corpus:
+    // after dropping half the corpus, the index answers what the
+    // from-scratch operator answers over the REMAINING docs
+    val keep = docs.filter(col("doc_id") % 2 === 0)
+    src.load(keep)
+    val orphanRun = new Bm25IndexBuilder(src, idxStore(), stStore(), "text",
+      deleteOrphans = true).run()
+    assert(orphanRun.processed === 0)
+    assert(orphanRun.orphansDeleted === total - evens)
+    val evenQueries = keep.filter(col("doc_id") % 178 === 0)
+    assert(rowsOf(builder().topK(evenQueries, k = 8)) ===
+      rowsOf(graft.ext.TextAnalysis.bm25TopK(keep, evenQueries, "doc_id", "text", k = 8)))
+  }
+
+  test("Bm25IndexBuilder incremental runs touch O(batch) files; Runner bm25_index spec wires the plane") {
+    import graft.store.{MemoryStore, ParquetStore}
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("bm_run").toString
+    def snapshot(): Map[String, Long] = {
+      val s = Files.walk(Paths.get(s"$base/idx"))
+      try s.iterator().asScala.filter(p => Files.isRegularFile(p))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+      finally s.close()
+    }
+    def spec =
+      s"""{
+         |  "stores": {
+         |    "src": {"type": "parquet_table", "path": "$base/src.parquet",
+         |            "key": "doc_id", "last_updated": "doc_id"},
+         |    "idx": {"type": "parquet", "root": "$base/idx", "key": "id",
+         |            "last_updated": "term", "delta_writes": true},
+         |    "st":  {"type": "parquet", "root": "$base/st", "key": "sid", "last_updated": "sid"}
+         |  },
+         |  "builders": [
+         |    {"type": "bm25_index", "source": "src", "index": "idx", "stats": "st"}
+         |  ]
+         |}""".stripMargin
+    docs.filter(col("doc_id") < 200).write.parquet(s"$base/src.parquet")
+    assert(Runner.run(spark, spec).builders.head._2.processed === 200)
+    val baseFiles = snapshot().filter(_._1.contains("/v_0/"))
+    assert(baseFiles.nonEmpty)
+    // incremental batch: the corpus grows by 100 docs, one delta append,
+    // base posting files byte-untouched
+    docs.filter(col("doc_id") < 300).write.mode("overwrite").parquet(s"$base/src.parquet")
+    assert(Runner.run(spark, spec).builders.head._2.processed === 100)
+    assert(snapshot().filter(_._1.contains("/v_0/")) === baseFiles,
+      "base posting files were rewritten by an incremental run")
+    // the spec-built index serves through a hand-built builder view
+    val served = new graft.builder.Bm25IndexBuilder(
+      graft.store.TableStore.parquet(spark, s"$base/src.parquet", "doc_id", "doc_id"),
+      new ParquetStore(spark, s"$base/idx", "id", "term", deltaWrites = true),
+      new ParquetStore(spark, s"$base/st", "sid", "sid"), "text")
+      .topK(docs.filter(col("doc_id") === 100), k = 3)
+    assert(served.count() === 3)
+  }
 }
