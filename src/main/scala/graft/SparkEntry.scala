@@ -1393,6 +1393,35 @@ object SparkEntry {
           col("meta.content_md5").alias("content_md5"))
         .orderBy("media_id")),
 
+    // STREAMING twin of text_bm25_incr, oracle-checked end-to-end: the
+    // even/odd doc split replays as two file-source micro-batches
+    // (evens get the earlier mtime), each trigger indexes through the
+    // SAME Bm25IndexBuilder, and serving answers from the persisted
+    // postings + stats across both generations — identical to the
+    // batch-driven build because streaming state lives in the stores
+    "stream_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("graft_strbm").toString
+      val prepared = s"$base/docs"
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(prepared)
+      new java.io.File(prepared).listFiles().foreach(f =>
+        f.setLastModified(1000000000000L))
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(prepared)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(prepared)
+      val idx = new graft.store.ParquetStore(s, s"$base/idx", "id", "term",
+        deltaWrites = true)
+      val st = new graft.store.ParquetStore(s, s"$base/st", "sid", "sid")
+      val q = graft.streaming.StreamingBuilder.bm25IndexStream(
+        stream, "doc_id", "text", idx, st)
+      try q.processAllAvailable() finally q.stop()
+      new graft.builder.Bm25IndexBuilder(
+        new TableStore(s, docs, "strbm_src", "doc_id", "doc_id"), idx, st, "text")
+        .topK(docs.filter(col("doc_id") % 83 === 0), k = 6)
+        .orderBy("q_id", "rank")
+    }),
+
     "mm_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(
         Multimodal.pack(t(s, dir, "documents"), "doc_id", col("text"), "video"))
@@ -2048,6 +2077,12 @@ object SparkEntry {
          "ELSE 1.0 END AS scale FROM embeddings), " +
          "d AS (SELECT vec_id, v, list_transform(v, x -> floor(x * scale + 0.5) / scale) AS dq FROM q) " +
          "SELECT vec_id, round(list_cosine_similarity(v, dq), 4) AS qcos FROM d ORDER BY vec_id"),
+      "stream_bm25_topk" ->
+        (s"WITH ${bm25OracleCtes(83)}, " +
+         "ranked AS (SELECT q_id, id, sm, row_number() OVER (PARTITION BY q_id " +
+         "ORDER BY sm DESC, id ASC) AS rank FROM bm25agg) " +
+         "SELECT q_id, rank, id AS doc_id, round(sm / 1000000.0, 4) AS score " +
+         "FROM ranked WHERE rank <= 6 ORDER BY q_id, rank"),
       "text_bm25_incr" ->
         (s"WITH ${bm25OracleCtes(89)}, " +
          "ranked AS (SELECT q_id, id, sm, row_number() OVER (PARTITION BY q_id " +

@@ -156,4 +156,31 @@ object StreamingBuilder {
     checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
     writer.start()
   }
+
+  /** Streaming twin of the incremental BM25 index
+    * ([[graft.builder.Bm25IndexBuilder]]): each micro-batch indexes
+    * through the SAME builder, so postings append O(batch), the stats
+    * row merges additively, and serving (`Bm25IndexBuilder.topK` over
+    * the same stores) answers exactly what a batch-driven build answers
+    * — streaming state lives in the stores, not the query, the contract
+    * every streaming plane here shares. */
+  def bm25IndexStream(stream: DataFrame, key: String, textField: String,
+                      index: Store, stats: Store,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      checkpoint: Option[String] = None): StreamingQuery = {
+    require(stream.isStreaming, "bm25IndexStream needs a streaming DataFrame")
+    var writer = stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val src = new graft.store.TableStore(batch.sparkSession, batch,
+            "stream-batch", key)
+          new graft.builder.Bm25IndexBuilder(src, index, stats, textField,
+            k1, b).run()
+          ()
+        }
+      }
+    checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
+    writer.start()
+  }
 }
