@@ -283,6 +283,14 @@ class BlobResource(val store: graft.store.BlobStore) {
   * envelope and 504 watchdog as every read resource; `k` is capped at
   * `maxK` (the PaginationQuery `max_limit` discipline — driver-side
   * materialization bounded by contract). */
+/** A POST-body search endpoint: the contract the `/name` ann/search
+  * handlers in [[GraftHttp.serve]] host (request bytes → response JSON,
+  * errors via [[ApiError]]). */
+trait BodySearchResource {
+  def search(body: Array[Byte]): String
+  def responseHeaders: Map[String, String]
+}
+
 class AnnResource(
     val builder: graft.builder.AnnIndexBuilder,
     val defaultK: Int = 10,
@@ -290,7 +298,7 @@ class AnnResource(
     val defaultNprobe: Int = 4,
     val timeoutMs: Long = 0,
     val responseHeaders: Map[String, String] = Map.empty)
-  extends TimedActions {
+  extends TimedActions with BodySearchResource {
 
   protected def actionSpark: org.apache.spark.sql.SparkSession =
     builder.source.spark
@@ -345,6 +353,82 @@ class AnnResource(
   }
 }
 
+/** Hybrid retrieval endpoint: POST `{"text": "...", "vector"?: [...],
+  * "k"?, "nprobe"?}` → BM25 top-k over the persisted posting index
+  * ([[graft.builder.Bm25IndexBuilder.topK]]), reciprocal-rank-fused
+  * with the ANN leg ([[graft.builder.AnnIndexBuilder.topK]]) when a
+  * vector rides the request and a vector builder is configured
+  * ([[graft.ext.Similarity.rrfFuse]]) — the serving face of the
+  * round-12 retrieval plane, same `{data, meta}` envelope and 504
+  * watchdog as every resource. */
+class SearchResource(
+    val lexical: graft.builder.Bm25IndexBuilder,
+    val vector: Option[graft.builder.AnnIndexBuilder] = None,
+    val defaultK: Int = 10,
+    val maxK: Int = 100,
+    val defaultNprobe: Int = 4,
+    val fuseC: Int = 60,
+    val timeoutMs: Long = 0,
+    val responseHeaders: Map[String, String] = Map.empty)
+  extends TimedActions with BodySearchResource {
+
+  protected def actionSpark: org.apache.spark.sql.SparkSession =
+    lexical.source.spark
+
+  def search(body: Array[Byte]): String = timed {
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      catch { case _: Exception => throw ApiError(400, "body is not valid JSON") }
+    if (node == null || !node.isObject || !node.has("text") ||
+        !node.get("text").isTextual)
+      throw ApiError(400,
+        """body must be {"text": "...", "vector"?: [numbers], "k"?, "nprobe"?}""")
+    val text = node.get("text").asText()
+    val k = math.min(maxK,
+      if (node.has("k")) node.get("k").asInt(defaultK) else defaultK)
+    if (k <= 0) throw ApiError(400, "k must be positive")
+    val nprobe =
+      if (node.has("nprobe")) node.get("nprobe").asInt(defaultNprobe)
+      else defaultNprobe
+    val vec: Option[Seq[Double]] =
+      if (!node.has("vector") || node.get("vector").isNull) None
+      else {
+        val vn = node.get("vector")
+        if (!vn.isArray || vn.isEmpty)
+          throw ApiError(400, "vector must be a non-empty number array")
+        Some((0 until vn.size()).map { i =>
+          val e = vn.get(i)
+          if (!e.isNumber) throw ApiError(400, s"vector[$i] is not a number")
+          e.asDouble()
+        })
+      }
+    if (vec.isDefined && vector.isEmpty)
+      throw ApiError(400, "no vector index is configured on this endpoint")
+    val spark = actionSpark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // sentinel query id (the AnnResource contract): must not collide
+    // with a corpus id, so the self-match exclusion never drops a hit
+    val lex = lexical.topK(
+        Seq((Long.MinValue, text)).toDF("q_id", "q_text"),
+        k, idCol = Some("q_id"), textCol = Some("q_text"))
+      .select(col("q_id"), col("doc_id").alias("id"), col("rank"))
+    val legs = lex +: vec.toSeq.map { v =>
+      val vb = vector.get
+      vb.topK(Seq((Long.MinValue, v)).toDF(vb.source.key, vb.vecField), k, nprobe)
+        .select(col("q_id"), col("n_id").alias("id"), col("rank"))
+    }
+    val rows = graft.ext.Similarity.rrfFuse(legs, k, fuseC)
+      .orderBy("rank")
+      .select(col("rank"), col("id"), col("rrf"))
+      .collect() // ≤ k rows by contract
+    val data = rows.map { r =>
+      s"""{"rank": ${r.getInt(0)}, "id": ${r.getLong(1)}, "rrf": ${r.getDouble(2)}}"""
+    }.mkString("[", ",", "]")
+    s"""{"data": $data, "meta": {"k": $k, "legs": ${legs.length}, "returned": ${rows.length}}}"""
+  }
+}
+
 /** Minimal multi-resource HTTP host. `serve(Map("orders" -> res), 0)`
   * binds an ephemeral port (see `getAddress.getPort`); stop with
   * `.stop(0)`. Resource and blob names must be disjoint (each owns the
@@ -391,7 +475,7 @@ object GraftHttp {
 
   def serve(resources: Map[String, ReadResource], port: Int = 0,
             blobs: Map[String, BlobResource] = Map.empty,
-            anns: Map[String, AnnResource] = Map.empty): HttpServer = {
+            anns: Map[String, BodySearchResource] = Map.empty): HttpServer = {
     val shared = (resources.keySet.intersect(blobs.keySet) ++
       resources.keySet.intersect(anns.keySet) ++
       blobs.keySet.intersect(anns.keySet))

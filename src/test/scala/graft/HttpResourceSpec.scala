@@ -186,6 +186,62 @@ class HttpResourceSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("SearchResource: POST text serves BM25 top-k; +vector fuses via RRF; 400 contract") {
+    import org.apache.spark.sql.functions._
+    import graft.builder.{AnnIndexBuilder, Bm25IndexBuilder}
+    import graft.store.MemoryStore
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    val emb = sf("embeddings").select(col("vec_id"), col("embedding"))
+    val dsrc = new MemoryStore(spark, "hsrc", "doc_id", "doc_id"); dsrc.load(docs)
+    val pidx = new MemoryStore(spark, "hpidx", "id", "term")
+    val pst = new MemoryStore(spark, "hpst", "sid", "sid")
+    val lex = new Bm25IndexBuilder(dsrc, pidx, pst, "text")
+    lex.run()
+    val vsrc = new MemoryStore(spark, "hvsrc", "vec_id", "vec_id"); vsrc.load(emb)
+    val vidx = new MemoryStore(spark, "hvidx", "id", "cell")
+    val vqz = new MemoryStore(spark, "hvqz", "qid", "qid")
+    val ann = new AnnIndexBuilder(vsrc, vidx, vqz, "embedding",
+      nCentroids = 8, m = 8, ksub = 16, iters = 0, family = "md5")
+    ann.run()
+    val res = new SearchResource(lex, Some(ann), defaultK = 5, maxK = 10)
+    val srv = GraftHttp.serve(Map.empty, anns = Map("search" -> res))
+    try {
+      val url = s"http://localhost:${srv.getAddress.getPort}/search/"
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      // lexical-only: querying with doc 7's own text must hit doc 7 at
+      // rank 1 (the sentinel query id never self-excludes a corpus doc)
+      val qtext = docs.filter(col("doc_id") === 7L).head().getString(1)
+      val (st1, r1) = post(url, mapper.writeValueAsString(
+        mapper.createObjectNode().put("text", qtext).put("k", 3)))
+      assert(st1 === 200, r1)
+      val n1 = mapper.readTree(r1)
+      assert(n1.get("meta").get("legs").asInt() === 1)
+      assert(n1.get("data").size() === 3)
+      assert(n1.get("data").get(0).get("id").asLong() === 7L)
+      // hybrid: doc 7's text + vector 7's embedding — both legs rank
+      // id 7 first, so the fused rank 1 is 7 with rrf = 2/(60+1)
+      val vec = emb.filter(col("vec_id") === 7L).head().getSeq[Float](1)
+      val bodyNode = mapper.createObjectNode().put("text", qtext).put("k", 3)
+      val arr = bodyNode.putArray("vector"); vec.foreach(f => arr.add(f.toDouble))
+      val (st2, r2) = post(url, mapper.writeValueAsString(bodyNode))
+      assert(st2 === 200, r2)
+      val n2 = mapper.readTree(r2)
+      assert(n2.get("meta").get("legs").asInt() === 2)
+      assert(n2.get("data").get(0).get("id").asLong() === 7L)
+      assert(math.abs(n2.get("data").get(0).get("rrf").asDouble() - 2.0 / 61) < 1e-6)
+      // 400 contract
+      assert(post(url, """{"k": 3}""")._1 === 400)                  // no text
+      assert(post(url, "not json")._1 === 400)
+      assert(post(url, """{"text": "x", "vector": ["a"]}""")._1 === 400)
+      // vector posted to a lexical-only endpoint → 400, not a crash
+      val lexOnly = GraftHttp.serve(Map.empty,
+        anns = Map("lex" -> new SearchResource(lex)))
+      try assert(post(s"http://localhost:${lexOnly.getAddress.getPort}/lex/",
+        mapper.writeValueAsString(bodyNode))._1 === 400)
+      finally lexOnly.stop(0)
+    } finally srv.stop(0)
+  }
+
   test("context matching is exact: /ordersfoo is 404, not a key lookup on /orders") {
     assert(get(s"${base}foo")._1 === 404)
     assert(get(s"${base}foo/42")._1 === 404)
