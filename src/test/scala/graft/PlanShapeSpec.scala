@@ -470,4 +470,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(st.contains("graft_text_counts"),
       s"text_stats not on the compiled counts kernel:\n$st")
   }
+
+  test("bm25TopK: query legs broadcast, df agg is semi-pruned to query terms, no sort-merge join") {
+    val p = plan("text_bm25_topk")
+    // every query-side join (query terms, their df slice, the one-row
+    // stats) is a broadcast — the corpus never shuffles for a join
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    // Catalyst pushes the query-term LeftSemi BELOW the df aggregation
+    // (PushDownLeftSemiAntiJoin), so the df exchange carries only
+    // query-term postings, never the corpus vocabulary — the property
+    // that keeps the from-scratch operator viable while the posting
+    // INDEX (Bm25IndexBuilder) is the real 100 TB path
+    val lines = p.split("\n")
+    val semiIdx = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semiIdx >= 0, s"expected a LeftSemi broadcast prune:\n$p")
+    val aggAbove = lines.take(semiIdx)
+      .exists(l => l.contains("HashAggregate") && l.contains("count"))
+    assert(aggAbove, s"df agg not found above the semi prune:\n$p")
+  }
 }
