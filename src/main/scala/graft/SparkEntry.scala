@@ -53,7 +53,10 @@ object SparkEntry {
     * stats → per-term micro-long scores in the ENGINE'S exact double-op
     * order (see TextAnalysis.bm25TopK) → exact long per-(query, doc)
     * sums in `bm25agg(q_id, id, sm)`. k1 = 1.2, b = 0.75, queries =
-    * doc_id % `qmod`. */
+    * doc_id % `qmod` bounded to the original-id range (< 1e6): the
+    * query WORKLOAD stays fixed while the scale-copy corpus (ids
+    * offset by ≥ 3.4M) grows — retrieval cost scales with the corpus,
+    * not quadratically with corpus × queries. */
   private def bm25OracleCtes(qmod: Int = 97): String =
     "toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
       "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS term FROM documents), " +
@@ -62,10 +65,10 @@ object SparkEntry {
       "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
       "stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n, " +
       "CAST((SELECT sum(dl) FROM dl) AS DOUBLE) AS sumdl), " +
-      s"qt AS (SELECT DISTINCT doc_id AS q_id, term FROM toks WHERE doc_id % $qmod = 0), " +
+      s"qt AS (SELECT DISTINCT doc_id AS q_id, term FROM toks WHERE doc_id % $qmod = 0 AND doc_id < 1000000), " +
       "bm25scored AS (SELECT qt.q_id, tf.doc_id AS id, " +
-      "CAST(round(ln(1.0 + (s.n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
-      "(tf + (dl.dl / (s.sumdl / s.n) * 0.75 + (1.0 - 0.75)) * 1.2) * 1000000.0) AS BIGINT) AS sm " +
+      "CAST(floor(ln(1.0 + (s.n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) / " +
+      "(tf + (dl.dl / (s.sumdl / s.n) * 0.75 + (1.0 - 0.75)) * 1.2) * 1000000.0 + 0.5) AS BIGINT) AS sm " +
       "FROM tf JOIN qt USING (term) JOIN dfreq USING (term) " +
       "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s WHERE tf.doc_id <> qt.q_id), " +
       "bm25agg AS (SELECT q_id, id, CAST(sum(sm) AS BIGINT) AS sm FROM bm25scored GROUP BY 1, 2)"
@@ -1239,7 +1242,8 @@ object SparkEntry {
     // replays exactly (TextAnalysis.bm25TopK scaladoc)
     "text_bm25_topk" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      TextAnalysis.bm25TopK(docs, docs.filter(col("doc_id") % 97 === 0),
+      TextAnalysis.bm25TopK(docs,
+          docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000000L),
           "doc_id", "text", k = 10)
         .orderBy("q_id", "rank")
     }),
@@ -1261,7 +1265,7 @@ object SparkEntry {
       mk().run() // batch A: evens
       src.load(docs)
       mk().run() // batch B: only the odd ids index
-      mk().topK(docs.filter(col("doc_id") % 89 === 0), k = 8)
+      mk().topK(docs.filter(col("doc_id") % 89 === 0 && col("doc_id") < 1000000L), k = 8)
         .orderBy("q_id", "rank")
     }),
 
@@ -1273,10 +1277,11 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       val lex = TextAnalysis.bm25TopK(docs,
-          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 10)
+          docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000000L),
+          "doc_id", "text", k = 10)
         .select(col("q_id"), col("doc_id").alias("id"), col("rank"))
       val vec = Similarity.bruteForceTopK(emb,
-          emb.filter(col("vec_id") % 97 === 0), k = 10)
+          emb.filter(col("vec_id") % 97 === 0 && col("vec_id") < 1000000L), k = 10)
         .select(col("q_id"), col("n_id").alias("id"), col("rank"))
       Similarity.rrfFuse(Seq(lex, vec), k = 5)
         .orderBy("q_id", "rank")
@@ -1418,7 +1423,7 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       new graft.builder.Bm25IndexBuilder(
         new TableStore(s, docs, "strbm_src", "doc_id", "doc_id"), idx, st, "text")
-        .topK(docs.filter(col("doc_id") % 83 === 0), k = 6)
+        .topK(docs.filter(col("doc_id") % 83 === 0 && col("doc_id") < 1000000L), k = 6)
         .orderBy("q_id", "rank")
     }),
 
@@ -2107,7 +2112,7 @@ object SparkEntry {
          "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
          "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC, " +
          "c.vec_id) AS rank FROM embeddings q, embeddings c " +
-         "WHERE q.vec_id % 97 = 0 AND c.vec_id <> q.vec_id) WHERE rank <= 10), " +
+         "WHERE q.vec_id % 97 = 0 AND q.vec_id < 1000000 AND c.vec_id <> q.vec_id) WHERE rank <= 10), " +
          "u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec), " +
          "fused AS (SELECT q_id, id, sum(1.0 / (60.0 + rank)) AS rrf FROM u GROUP BY 1, 2), " +
          "franked AS (SELECT q_id, id, rrf, row_number() OVER (PARTITION BY q_id " +

@@ -92,8 +92,8 @@ class Bm25IndexBuilder(
         graft.functions.GraftFunctions.termCounts(spark,
           graft.ext.TextAnalysis.normTokens(col(textField))).alias("__tc"))
       .select(col("id"),
-        coalesce(aggregate(col("__tc"), lit(0L),
-          (a, x) => a + x.getField("cnt").cast("long")), lit(0L)).alias("dl"),
+        coalesce(graft.functions.GraftFunctions.cntTotal(spark, col("__tc")),
+          lit(0L)).alias("dl"),
         explode_outer(col("__tc")).alias("__t"))
       .select(coalesce(col("__t.term"), lit("")).alias("term"),
         col("id"),
@@ -115,9 +115,9 @@ class Bm25IndexBuilder(
         // null dl (null text) counts the doc, adds nothing — the same
         // accounting as the from-scratch stats row
         val st = batch.select(
-            aggregate(graft.functions.GraftFunctions.termCounts(spark,
-              graft.ext.TextAnalysis.normTokens(col(textField))), lit(0L),
-              (a, x) => a + x.getField("cnt").cast("long")).alias("dl"))
+            graft.functions.GraftFunctions.cntTotal(spark,
+              graft.functions.GraftFunctions.termCounts(spark,
+                graft.ext.TextAnalysis.normTokens(col(textField)))).alias("dl"))
           .agg(count(lit(1)).alias("n"), sum(col("dl")).alias("s")).head()
         val batchN = st.getLong(0)
         val batchS = if (st.isNullAt(1)) 0L else st.getLong(1)
@@ -189,24 +189,35 @@ class Bm25IndexBuilder(
     if (terms.isEmpty)
       return qtDf.select(col("q_id"), lit(1).cast("int").alias("rank"),
         col("q_id").alias("doc_id"), lit(0.0).alias("score")).limit(0)
+    // post-prune the postings keep their strings only long enough to
+    // hash: the scored join/agg runs on 8-byte xxhash64 keys, and idf
+    // folds into the probed-term slice (ln per term, not per scored
+    // row) — the bm25TopK spellings, values bit-identical
     val post = index.df.filter(col("term").isin(terms: _*))
-      .select(col("term"), col("id").cast("long").alias("id"),
+      .select(xxhash64(col("term")).alias("th"),
+        col("id").cast("long").alias("id"),
         col("tf").cast("long").alias("tf"), col("dl").cast("long").alias("dl"))
-    // exact df for the probed terms: the prune keeps EVERY posting of a
-    // probed term, so this count is the corpus document frequency
-    val dfreq = broadcast(post.groupBy(col("term"))
-      .agg(count(lit(1)).alias("df")))
     val nD = n.toDouble
     val avgdl = sumdl.toDouble / nD
-    val scored = post.join(broadcast(qtDf), Seq("term"))
+    // exact df for the probed terms: the prune keeps EVERY posting of a
+    // probed term, so this count is the corpus document frequency
+    val dfreq = broadcast(post.groupBy(col("th"))
+      .agg(count(lit(1)).alias("df"))
+      .select(col("th"), log(lit(1.0) + (lit(nD) - col("df") + 0.5) /
+        (col("df") + 0.5)).alias("__idf")))
+    val qth = spark.createDataFrame(
+      java.util.Arrays.asList(qtRows: _*), qt.schema)
+      .select(col("q_id"), xxhash64(col("term")).alias("th"))
+    val scored = post.join(broadcast(qth), Seq("th"))
       .filter(col("id") =!= col("q_id"))
-      .join(dfreq, Seq("term"))
+      .join(dfreq, Seq("th"))
       .select(col("q_id"), col("id"),
-        round(log(lit(1.0) + (lit(nD) - col("df") + 0.5) /
-            (col("df") + 0.5)) *
+        // floor(x + 0.5): see TextAnalysis.bm25TopK — same spelling in
+        // the oracle CTE, one Math.floor instead of a per-row BigDecimal
+        floor(col("__idf") *
           (col("tf") * (k1 + 1.0)) /
           (col("tf") + (col("dl") / lit(avgdl) * b + (1.0 - b)) * k1) *
-          1000000.0).cast("long").alias("__sm"))
+          1000000.0 + 0.5).cast("long").alias("__sm"))
     scored.groupBy(col("q_id"), col("id"))
       .agg(sum(col("__sm")).alias("__sm"))
       .groupBy(col("q_id"))

@@ -296,26 +296,41 @@ object TextAnalysis {
                textCol: String, k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = docs.sparkSession
-    // one corpus projection: per-doc (term, tf) plus the token-length dl
-    // summed from the SAME term-count array (no second tokenization, no
-    // per-doc shuffle)
-    def tfdl = docs
-      .select(col(idCol).cast("long").alias("id"),
-        graft.functions.GraftFunctions.termCounts(spark,
-          normTokens(col(textCol))).alias("tc"))
+    // spread a narrow scan across the cores: tokenize + the 45M-row
+    // scored join + partial aggs all execute ON the scan partitions,
+    // and a single-file corpus (one fat row group) otherwise serializes
+    // the whole operator on 2 tasks (measured 23.5 s CPU on 2/32 cores
+    // at sf1 → 32-way). The shuffle moves raw text once; Catalyst's
+    // exchange reuse shares it between the tfdl and qdf branches. At
+    // 100 TB inputs carry files ≫ cores and this is a no-op.
+    val par = spark.sparkContext.defaultParallelism
+    val corpus0 = docs.select(col(idCol).cast("long").alias("id"),
+      col(textCol).alias("__text"))
+    val corpus =
+      if (corpus0.rdd.getNumPartitions < par) corpus0.repartition(par)
+      else corpus0
+    // one corpus projection: per-doc (term-hash, tf) plus the
+    // token-length dl summed from the SAME term-count array (no second
+    // tokenization, no per-doc shuffle). Terms ride as xxhash64 LONGS
+    // from here on — the score plane never needs the string back, and
+    // 8-byte join/agg keys run the scored join measurably faster than
+    // string keys (the ngram-tier posting trick; collision odds
+    // ~|vocab|²/2^65: nil).
+    def tfdl = corpus
       .select(col("id"),
-        aggregate(col("tc"), lit(0L),
-          (a, x) => a + x.getField("cnt").cast("long")).alias("dl"),
+        graft.functions.GraftFunctions.termCounts(spark,
+          normTokens(col("__text"))).alias("tc"))
+      .select(col("id"),
+        graft.functions.GraftFunctions.cntTotal(spark, col("tc")).alias("dl"),
         explode(col("tc")).alias("t"))
-      .select(col("id"), col("dl"), col("t.term").alias("term"),
+      .select(col("id"), col("dl"), xxhash64(col("t.term")).alias("th"),
         col("t.cnt").cast("long").alias("tf"))
     // corpus statistics: one row (N docs, Σdl) — exact integers, so the
     // avgdl division is the identical double on both engines
-    val stats = broadcast(docs
+    val stats = broadcast(corpus
       .select(graft.functions.GraftFunctions.termCounts(spark,
-        normTokens(col(textCol))).alias("tc"))
-      .select(aggregate(col("tc"), lit(0L),
-        (a, x) => a + x.getField("cnt").cast("long")).alias("dl"))
+        normTokens(col("__text"))).alias("tc"))
+      .select(graft.functions.GraftFunctions.cntTotal(spark, col("tc")).alias("dl"))
       .agg(count(lit(1)).cast("double").alias("__n"),
         sum(col("dl")).alias("__sumdl")))
     // query terms (termCounts already emits each term once per doc) and
@@ -324,25 +339,39 @@ object TextAnalysis {
       .select(col(idCol).cast("long").alias("q_id"),
         explode(graft.functions.GraftFunctions.termCounts(spark,
           normTokens(col(textCol)))).alias("t"))
-      .select(col("q_id"), col("t.term").alias("term")))
-    val qdf = broadcast(tfdl.groupBy(col("term"))
-      .agg(count(lit(1)).alias("df"))
-      .join(qt.select(col("term")).distinct(), Seq("term"), "left_semi"))
+      .select(col("q_id"), xxhash64(col("t.term")).alias("th")))
+    // idf folds into the VOCABULARY-sized slice, not the scored rows:
+    // ln per query term instead of per (query, doc, term) row — the
+    // values are bit-identical (same df/N inputs, same ln, same
+    // multiply), only the evaluation site moves
+    // avgdl rides the qdf broadcast too: a per-row crossJoin(stats)
+    // would plan as BroadcastNestedLoopJoin, which breaks whole-stage
+    // codegen around the 45M-row score projection (measured +12 s at
+    // sf1); as a column of the hash-joined slice it costs nothing
     val avgdl = col("__sumdl").cast("double") / col("__n")
+    val qdf = broadcast(tfdl.groupBy(col("th"))
+      .agg(count(lit(1)).alias("df"))
+      .join(qt.select(col("th")).distinct(), Seq("th"), "left_semi")
+      .crossJoin(stats)
+      .select(col("th"), log(lit(1.0) + (col("__n") - col("df") + 0.5) /
+        (col("df") + 0.5)).alias("__idf"), avgdl.alias("__avgdl")))
     // operation ORDER is part of the oracle contract: the SQL twin
     // spells every double op in this exact shape, so the micro-rounded
     // per-term scores are bit-identical
-    val lenNorm = col("dl") / avgdl * b + (1.0 - b)
-    val scored = tfdl.join(qt, Seq("term"))
+    val lenNorm = col("dl") / col("__avgdl") * b + (1.0 - b)
+    val scored = tfdl.join(qt, Seq("th"))
       .filter(col("id") =!= col("q_id"))
-      .join(qdf, Seq("term"))
-      .crossJoin(stats)
+      .join(qdf, Seq("th"))
       .select(col("q_id"), col("id"),
-        round(log(lit(1.0) + (col("__n") - col("df") + 0.5) /
-            (col("df") + 0.5)) *
+        // floor(x + 0.5), not round(x): Spark's Round on DOUBLE routes
+        // every row through a BigDecimal setScale; floor is a single
+        // codegen'd Math.floor. Identical values by identical SPELLING
+        // on both engines (the oracle CTE writes floor(x + 0.5) too) —
+        // exact for these non-negative scores
+        floor(col("__idf") *
           (col("tf") * (k1 + 1.0)) /
           (col("tf") + lenNorm * k1) *
-          1000000.0).cast("long").alias("__sm"))
+          1000000.0 + 0.5).cast("long").alias("__sm"))
     scored.groupBy(col("q_id"), col("id"))
       .agg(sum(col("__sm")).alias("__sm"))
       .groupBy(col("q_id"))

@@ -458,6 +458,48 @@ case class TermCounts(child: Expression)
     copy(child = c)
 }
 
+/** Sum of the `cnt` field of a [[TermCounts]] array in one compiled
+  * loop — the document token LENGTH (BM25's dl). The HOF spelling
+  * (`aggregate(tc, 0L, (a, x) => a + x.cnt)`) is CodegenFallback with
+  * no subexpression elimination, so it re-evaluated the whole
+  * tokenize+count child per row interpreted — measured 0.66 → 3.87 s
+  * on the sf1 corpus scan from that one column. */
+case class CntTotal(child: Expression)
+  extends UnaryExpression with Serializable {
+
+  override def prettyName: String = "graft_cnt_total"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+      if s.length == 2 && s(1).dataType == org.apache.spark.sql.types.IntegerType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<_, int>>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(tc: Any): Any =
+    CntTotal.compute(tc.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CntTotal.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CntTotal {
+  def compute(tc: ArrayData): Long = {
+    val m = tc.numElements()
+    var s = 0L
+    var i = 0
+    while (i < m) { s += tc.getStruct(i, 2).getInt(1); i += 1 }
+    s
+  }
+}
+
 object TermCounts {
   def compute(tokens: ArrayData): ArrayData = {
     val m = tokens.numElements()

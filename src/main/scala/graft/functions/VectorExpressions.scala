@@ -769,6 +769,7 @@ object GraftFunctions {
       es(1).eval().asInstanceOf[Number].intValue())),
     "graft_uni_bigram_tagged" -> (es => UniBigramTagged(es(0))),
     "graft_term_counts" -> (es => TermCounts(es(0))),
+    "graft_cnt_total" -> (es => CntTotal(es(0))),
     "graft_list_pairs" -> (es => ListPairs(es(0))),
     "graft_json_get_top" -> (es => JsonGetTop(es(0),
       es(1).eval().toString)),
@@ -930,6 +931,12 @@ object GraftFunctions {
   def termCounts(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_term_counts", tokens)
+  }
+  /** Σ cnt of a [[TermCounts]] array — the doc token length
+    * ([[CntTotal]]). */
+  def cntTotal(spark: SparkSession, tc: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_cnt_total", tc)
   }
   /** Tagged unigram+bigram stream for one-scan collocation counts —
     * [[UniBigramTagged]]. */
