@@ -614,9 +614,14 @@ object Multimodal {
       .putInt(rowSize * side).putInt(0).putInt(0).putInt(0).putInt(0)
     val md = java.security.MessageDigest.getInstance("MD5")
     val gray = Array.tabulate(cells * cells) { cell =>
-      val hex = md.digest(s"$seed:$cell".getBytes("UTF-8"))
-        .map(x => f"$x%02x").mkString
-      val g = (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 256).toInt
+      // first 15 hex digits of the md5 as a long == the big-endian
+      // first 8 bytes >>> 4 — computed arithmetically: the hex-string
+      // spelling (format every byte, parseLong a substring) cost 56M
+      // String.format calls per sf1 corpus (measured 30 s of the
+      // dedup_images fixture generation). Identical draw values.
+      val d = md.digest(s"$seed:$cell".getBytes("UTF-8"))
+      val be = java.nio.ByteBuffer.wrap(d).getLong
+      val g = ((be >>> 4) % 256).toInt
       if (cell == perturbCell) (g + 128) % 256 else g
     }
     var y = side - 1 // bottom-up row order

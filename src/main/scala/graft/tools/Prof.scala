@@ -1,7 +1,6 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Scratch profiling main (not part of the library surface). */
 object Prof {
@@ -14,24 +13,27 @@ object Prof {
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
-        val si = e.stageInfo
-        val m = si.taskMetrics
-        println(f"STAGE ${si.stageId}%4d tasks=${si.numTasks}%3d run=${m.executorRunTime/1000.0}%7.1fs " +
-          f"cpu=${m.executorCpuTime/1e9}%7.1fs gc=${m.jvmGCTime/1000.0}%5.1fs " +
-          f"shufW=${m.shuffleWriteMetrics.bytesWritten/1e6}%8.1fMB recs=${m.shuffleWriteMetrics.recordsWritten}%10d  ${si.name.take(60)}")
-      }
-    })
-    val dir = sys.env.getOrElse("PROF_DIR", "/root/testdata/sf0.1")
-    val docs = spark.read.parquet(dir + "/documents.parquet")
-    def full = graft.ext.TextAnalysis.bm25TopK(docs,
-      docs.filter(col("doc_id") % 97 === 0 && col("doc_id") < 1000000L), "doc_id", "text", k = 10)
-    full.write.mode("overwrite").format("noop").save()
-    println("==== timed run ====")
-    val t0=System.nanoTime()
-    full.write.mode("overwrite").format("noop").save()
-    println(f"MARKER full ${(System.nanoTime()-t0)/1e9}%.2f s")
+    import spark.implicits._
+    val dir = sys.env.getOrElse("PROF_DIR", "/tmp/sfscale/sf1")
+    def tm[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $name: ${(System.nanoTime()-t0)/1e9}%.3f s"); r
+    }
+    val ids = spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id")).as[Long]
+    def imgs = ids.map(id => (id, graft.ext.Multimodal.syntheticCellBmp(id)))
+      .union(ids.filter(_ % 10 == 0)
+        .map(id => (id + 1000000L, graft.ext.Multimodal.syntheticCellBmp(id, perturbCell = 0))))
+      .toDF("doc_id", "img")
+    def sigs = graft.ext.Multimodal.imageHash(
+      graft.ext.Multimodal.pack(imgs, "doc_id", col("img"), "image"))
+      .select(col("media_id").alias("id"), col("simhash"))
+    def pairs = graft.ext.Dedup.simhashPairsFromSigs(sigs, maxHamming = 2)
+    imgs.write.mode("overwrite").format("noop").save()
+    tm("gen_bmps")(imgs.write.mode("overwrite").format("noop").save())
+    sigs.write.mode("overwrite").format("noop").save()
+    tm("sigs")(sigs.write.mode("overwrite").format("noop").save())
+    pairs.write.mode("overwrite").format("noop").save()
+    tm("pairs")(pairs.write.mode("overwrite").format("noop").save())
     spark.stop()
   }
 }
