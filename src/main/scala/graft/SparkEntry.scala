@@ -73,33 +73,60 @@ object SparkEntry {
       "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s WHERE tf.doc_id <> qt.q_id), " +
       "bm25agg AS (SELECT q_id, id, CAST(sum(sm) AS BIGINT) AS sm FROM bm25scored GROUP BY 1, 2)"
 
-  /** Unrolled bounded-round BPE training replay (shared by the bpe
-    * oracle rows): tokenize → word histogram → `numMerges` rounds of
-    * (pair count, deterministic top-merge, replace-apply) as chained
-    * CTEs — the merge SEQUENCE replays exactly because top-pair
-    * selection is (count DESC, a ASC, b ASC) and the double-space
-    * symbol-string replace is the engine's own spelling. Ends at
-    * `enc(word, nsym)` + `wt(doc_id, tok, tf)` for the caller's SELECT. */
-  private def bpeOracleCtes(numMerges: Int): String = {
+  /** The BPE fixture corpus as a DuckDB subquery: documents.text plus
+    * four planted md5-hex words keyed on doc_id. The synthetic corpus
+    * has only 31 DISTINCT WORDS (≈108 learnable merges before total
+    * exhaustion), so a real-vocab-size training run needs planted
+    * lexical diversity — the [[dupCorpus]]/[[piiCorpus]] fixture
+    * pattern, byte-replayable on both engines (md5 hex is lowercase on
+    * both). */
+  private val bpeCorpusSql =
+    "(SELECT doc_id, text || ' ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) " +
+      "|| ' ' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8) " +
+      "|| ' ' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8) " +
+      "|| ' ' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8) AS text FROM documents)"
+
+  /** Unrolled BATCHED BPE training replay (shared by the bpe oracle
+    * rows): tokenize → word histogram → `ceil(numMerges/batchSize)`
+    * rounds, each taking the top `batchSize` pairs by (count DESC,
+    * a ASC, b ASC) and applying them IN RANK ORDER as one
+    * `list_reduce` replace fold — exactly
+    * [[graft.ext.Bpe.trainBatched]]'s round contract (counts recomputed
+    * only BETWEEN rounds; the last round's LIMIT shrinks to the
+    * remainder so the total merge count is exact). Ends at
+    * `enc(word, nsym)` + `wt(doc_id, tok, tf)` for the caller's
+    * SELECT. */
+  private def bpeOracleCtes(numMerges: Int, batchSize: Int): String = {
     val head =
-      "toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
-        "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS tok FROM documents), " +
+      s"bpec AS $bpeCorpusSql, " +
+        "toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
+        "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS tok FROM bpec), " +
         "wt AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), " +
         "hist AS (SELECT tok AS word, CAST(sum(tf) AS BIGINT) AS cnt FROM wt GROUP BY 1), " +
         "r0 AS MATERIALIZED (SELECT word, cnt, ' ' || regexp_replace(word, '(.)', ' \\1 ', 'g') || ' ' AS s FROM hist), "
-    // each round CTE is referenced twice (pair count + next round) —
-    // MATERIALIZED stops the planner from inlining the chain into a
-    // 2^numMerges expression tree
-    val rounds = (0 until numMerges).map { r =>
-      s"f$r AS (SELECT word, cnt, list_filter(string_split(s, '  '), x -> x <> '') AS f FROM r$r), " +
-        s"p$r AS (SELECT f[i] AS a, f[i+1] AS b, sum(cnt) AS n FROM f$r, " +
-        s"UNNEST(range(1, len(f))) AS u$r(i) GROUP BY 1, 2), " +
-        s"m$r AS (SELECT a, b FROM p$r ORDER BY n DESC, a ASC, b ASC LIMIT 1), " +
-        s"r${r + 1} AS MATERIALIZED (SELECT word, cnt, replace(s, ' ' || m.a || '  ' || m.b || ' ', " +
-        s"' ' || m.a || m.b || ' ') AS s FROM r$r, m$r m)"
-    }.mkString(", ")
-    head + rounds +
-      s", enc AS (SELECT word, CAST(len(list_filter(string_split(s, '  '), x -> x <> '')) AS BIGINT) AS nsym FROM r$numMerges)"
+    // MATERIALIZED stops the planner from inlining the round chain
+    // into an exponentially-duplicated expression tree
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = 0
+    var r = 0
+    while (done < numMerges) {
+      val k = math.min(batchSize, numMerges - done)
+      done += k
+      rounds += (
+        s"f$r AS (SELECT word, cnt, list_filter(string_split(s, '  '), x -> x <> '') AS f FROM r$r), " +
+          s"p$r AS (SELECT f[i] AS a, f[i+1] AS b, sum(cnt) AS n FROM f$r, " +
+          s"UNNEST(range(1, len(f))) AS u$r(i) GROUP BY 1, 2), " +
+          // the round's ORDERED merge list, packed (a, b) -> 'a\x01b'
+          s"m$r AS (SELECT coalesce(list(a || chr(1) || b ORDER BY n DESC, a ASC, b ASC), []) AS ms " +
+          s"FROM (SELECT a, b, n FROM p$r ORDER BY n DESC, a ASC, b ASC LIMIT $k)), " +
+          s"r${r + 1} AS MATERIALIZED (SELECT word, cnt, " +
+          "list_reduce(list_prepend(s, ms), (acc, x) -> replace(acc, " +
+          "' ' || split_part(x, chr(1), 1) || '  ' || split_part(x, chr(1), 2) || ' ', " +
+          s"' ' || split_part(x, chr(1), 1) || split_part(x, chr(1), 2) || ' ')) AS s FROM r$r, m$r)")
+      r += 1
+    }
+    head + rounds.mkString(", ") +
+      s", enc AS (SELECT word, CAST(len(list_filter(string_split(s, '  '), x -> x <> '')) AS BIGINT) AS nsym FROM r$r)"
   }
 
   /** events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP_MICROS
@@ -156,6 +183,17 @@ object SparkEntry {
     * this harness's presentation concern only. */
   private def sortedPairs(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
+  /** Engine twin of [[bpeCorpusSql]]: documents.text plus four planted
+    * md5-hex words keyed on doc_id (lexical diversity for real-vocab
+    * BPE training — the raw corpus has 31 distinct words total). */
+  private def bpeCorpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"), concat(col("text"),
+      lit(" "), substring(md5(col("doc_id").cast("string")), 1, 8),
+      lit(" "), substring(md5(col("doc_id").cast("string")), 9, 8),
+      lit(" "), substring(md5(col("doc_id").cast("string")), 17, 8),
+      lit(" "), substring(md5(col("doc_id").cast("string")), 25, 8))
+      .alias("text"))
 
   /** documents with synthetic PII planted deterministically (the corpus
     * has none of its own): residue classes 3/5/7 get an email / IPv4 /
@@ -1172,15 +1210,18 @@ object SparkEntry {
         .orderBy("pack_id")
     }),
 
-    // trained subword tokenizer: 16 bounded BPE merge rounds over the
-    // word histogram (distributed pair-count agg, ONE collected top row
-    // per round), then per-doc subword counts via distinct-word encode +
-    // token-keyed join. The oracle replays the full merge SEQUENCE as
-    // unrolled CTEs — a drifted round order or replace semantics
-    // hash-diverges immediately.
+    // trained subword tokenizer at REAL vocab scale: 1024 merges in 16
+    // BATCHED rounds over the word histogram (top-64 pairs per
+    // distributed round, applied in rank order — Bpe.trainBatched), then
+    // per-doc subword counts via the COMPILED distinct-word encode
+    // kernel (graft.functions.BpeCount: flat plan depth at any merge
+    // count) + token-keyed join. The oracle replays the full batched
+    // merge SEQUENCE as unrolled round CTEs — a drifted round order,
+    // batch boundary, or replace semantics hash-diverges immediately.
     "text_bpe_tokens" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = graft.ext.Bpe.train(docs, "text", numMerges = 16)
+      val docs = bpeCorpus(s, dir)
+      val merges = graft.ext.Bpe.trainBatched(docs, "text",
+        numMerges = 1024, batchSize = 64)
       graft.ext.Bpe.bpeTokenCounts(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
     }),
@@ -1188,8 +1229,9 @@ object SparkEntry {
     // the packing plane re-run on TRAINED subword counts instead of the
     // regex heuristic — token budgets a real pipeline actually packs by
     "sample_pack_bpe" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = graft.ext.Bpe.train(docs, "text", numMerges = 16)
+      val docs = bpeCorpus(s, dir)
+      val merges = graft.ext.Bpe.trainBatched(docs, "text",
+        numMerges = 1024, batchSize = 64)
       Sampling.packSequences(
         graft.ext.Bpe.bpeTokenCounts(docs, "doc_id", "text", merges)
           .select(col("doc_id"), col("n_bpe_tokens").alias("n_tokens")),
@@ -2054,16 +2096,17 @@ object SparkEntry {
          "SELECT pack_id, count(*) AS n_docs, " +
          "md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS pack_md5 " +
          "FROM p GROUP BY pack_id ORDER BY pack_id"),
-      // bounded-round BPE: the unrolled 16-merge training replay, then
-      // per-doc subword counts via the same distinct-word encode + join
+      // batched BPE at vocab scale: the unrolled 1024-merge (16-round)
+      // training replay, then per-doc subword counts via the same
+      // distinct-word encode + join
       "text_bpe_tokens" ->
-        (s"WITH ${bpeOracleCtes(16)} " +
+        (s"WITH ${bpeOracleCtes(1024, 64)} " +
          "SELECT w.doc_id, CAST(sum(w.tf * e.nsym) AS BIGINT) AS n_bpe_tokens " +
          "FROM wt w JOIN enc e ON e.word = w.tok GROUP BY 1 ORDER BY 1"),
       // packing on TRAINED subword counts: same prefix-sum spelling as
       // sample_pack_sequences over the BPE per-doc totals
       "sample_pack_bpe" ->
-        (s"WITH ${bpeOracleCtes(16)}, " +
+        (s"WITH ${bpeOracleCtes(1024, 64)}, " +
          "nb AS (SELECT w.doc_id, CAST(sum(w.tf * e.nsym) AS BIGINT) AS n_tokens " +
          "FROM wt w JOIN enc e ON e.word = w.tok GROUP BY 1), " +
          "p AS (SELECT doc_id, n_tokens, COALESCE(CAST(sum(n_tokens) OVER " +

@@ -55,21 +55,108 @@ object Bpe {
       replace(acc, lit(s" ${m.a}  ${m.b} "), lit(s" ${m.merged} "))
     }
 
-  /** Symbol count of a word under `merges` (its BPE token count). */
+  /** Symbol count of a word under `merges` — the chained-`replace`
+    * REFERENCE spelling (plan depth grows with the merge list; the
+    * compiled twin [[bpeCountCompiled]] is the production path, pinned
+    * equivalent in ExtQualitySpec). */
   def bpeCount(word: Column, merges: Seq[Merge]): Column =
     size(filter(split(applyMerges(initialSymbols(word), merges), "  "),
       x => x =!= ""))
 
-  /** Train `numMerges` merges from a corpus column: histogram pass then
-    * [[trainFromHistogram]]. */
-  def train(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] = {
+  /** The merge list as the [[graft.functions.BpeTable]] wire string. */
+  def mergesSpec(merges: Seq[Merge]): String =
+    graft.functions.BpeTable.spec(merges.map(m => (m.a, m.b)))
+
+  /** Symbol count via the compiled kernel
+    * ([[graft.functions.BpeCount]]): ONE plan object holds the merge
+    * table, so plan depth is flat at any vocab size — the 30k-merge
+    * production path the replace chain can't reach (codegen's 64 KB
+    * method limit). */
+  def bpeCountCompiled(spark: org.apache.spark.sql.SparkSession,
+                       word: Column, merges: Seq[Merge]): Column =
+    graft.functions.GraftFunctions.bpeCount(spark, word, mergesSpec(merges))
+
+  /** BPE symbol sequence via the compiled kernel (serving-side
+    * encode). */
+  def bpeEncodeCompiled(spark: org.apache.spark.sql.SparkSession,
+                        word: Column, merges: Seq[Merge]): Column =
+    graft.functions.GraftFunctions.bpeEncode(spark, word, mergesSpec(merges))
+
+  private def histogram(df: DataFrame, textCol: String): DataFrame = {
     val spark = df.sparkSession
-    val hist = df.select(explode(graft.functions.GraftFunctions.termCounts(
+    df.select(explode(graft.functions.GraftFunctions.termCounts(
         spark, TextAnalysis.normTokens(col(textCol)))).alias("__tc"))
       .select(col("__tc.term").alias("word"),
         col("__tc.cnt").cast("long").alias("cnt"))
       .groupBy(col("word")).agg(sum(col("cnt")).alias("cnt"))
-    trainFromHistogram(hist, numMerges)
+  }
+
+  /** Train `numMerges` merges from a corpus column: histogram pass then
+    * [[trainFromHistogram]] (ONE merge per driver round — the reference
+    * sequential algorithm; use [[trainBatched]] for real vocab
+    * sizes). */
+  def train(df: DataFrame, textCol: String, numMerges: Int): Seq[Merge] =
+    trainFromHistogram(histogram(df, textCol), numMerges)
+
+  /** Train `numMerges` merges in `ceil(numMerges / batchSize)` rounds —
+    * the scale path: a 30k-merge production vocabulary takes ~300
+    * bounded driver jobs, not 30k.
+    *
+    * Each round takes the TOP `batchSize` pairs of the current
+    * histogram in one distributed job (ordered by count DESC, a ASC,
+    * b ASC — the same total order as sequential training) and applies
+    * them IN RANK ORDER as one bounded replace chain. Within a round,
+    * lower-ranked merges apply to the residue the higher-ranked ones
+    * leave behind — pair counts are only recomputed BETWEEN rounds.
+    * That is the standard histogram-batched BPE approximation: the
+    * merge list can differ from single-merge training (a consumed pair
+    * may merge a round later than exact recounting would place it), but
+    * the algorithm is fully deterministic and replays round-for-round
+    * in plain SQL (the `text_bpe_tokens` oracle unrolls it), and every
+    * learned merge was a top-`batchSize` pair by true count at its
+    * round boundary. */
+  def trainBatched(df: DataFrame, textCol: String, numMerges: Int,
+                   batchSize: Int = 64): Seq[Merge] =
+    trainBatchedFromHistogram(histogram(df, textCol), numMerges, batchSize)
+
+  /** [[trainBatched]] from a prebuilt `(word, cnt)` histogram. */
+  def trainBatchedFromHistogram(hist0: DataFrame, numMerges: Int,
+                                batchSize: Int = 64): Seq[Merge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    var hist = hist0.select(col("word"), col("cnt").cast("long").alias("cnt"),
+        initialSymbols(col("word")).alias("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      // the LAST round shrinks to the remainder, so the merge COUNT
+      // contract is exact (and the oracle's per-round LIMITs replay it)
+      val k = math.min(batchSize, numMerges - merges.size)
+      val top = hist
+        .select(col("cnt"),
+          filter(split(col("s"), "  "), x => x =!= "").alias("f"))
+        .filter(size(col("f")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(f) - 1), i -> struct(f[i-1] AS a, f[i] AS b))"))
+          .alias("p"))
+        .groupBy(col("p.a").alias("a"), col("p.b").alias("b"))
+        .agg(sum(col("cnt")).alias("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(k).collect() // ≤ batchSize rows by construction
+      if (top.isEmpty) exhausted = true
+      else {
+        val round = top.map(r => Merge(r.getString(0), r.getString(1))).toSeq
+        merges ++= round
+        // ≤ batchSize replaces between checkpoints: bounded plan depth
+        val applied = hist.withColumn("s", applyMerges(col("s"), round))
+        val next = applied.localCheckpoint(true)
+        hist.unpersist()
+        hist = next
+      }
+    }
+    hist.unpersist()
+    merges.toSeq
   }
 
   /** Train from a `(word, cnt)` histogram. Stops early if the corpus
@@ -129,7 +216,8 @@ object Bpe {
       .select(col(idCol), col("__tc.term").alias("tok"),
         col("__tc.cnt").cast("long").alias("__tf"))
     val enc = tf.select(col("tok")).distinct()
-      .select(col("tok"), bpeCount(col("tok"), merges).cast("long").alias("__nsym"))
+      .select(col("tok"),
+        bpeCountCompiled(spark, col("tok"), merges).cast("long").alias("__nsym"))
     tf.join(enc, Seq("tok"))
       .groupBy(col(idCol))
       .agg(sum(col("__tf") * col("__nsym")).alias("n_bpe_tokens"))

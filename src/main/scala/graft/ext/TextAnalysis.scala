@@ -301,7 +301,7 @@ object TextAnalysis {
     // and a single-file corpus (one fat row group) otherwise serializes
     // the whole operator on 2 tasks (measured 23.5 s CPU on 2/32 cores
     // at sf1 → 32-way). The shuffle moves raw text once; Catalyst's
-    // exchange reuse shares it between the tfdl and qdf branches. At
+    // exchange reuse shares it between the two corpus passes. At
     // 100 TB inputs carry files ≫ cores and this is a no-op.
     val par = spark.sparkContext.defaultParallelism
     val corpus0 = docs.select(col(idCol).cast("long").alias("id"),
@@ -309,52 +309,99 @@ object TextAnalysis {
     val corpus =
       if (corpus0.rdd.getNumPartitions < par) corpus0.repartition(par)
       else corpus0
-    // one corpus projection: per-doc (term-hash, tf) plus the
-    // token-length dl summed from the SAME term-count array (no second
-    // tokenization, no per-doc shuffle). Terms ride as xxhash64 LONGS
-    // from here on — the score plane never needs the string back, and
-    // 8-byte join/agg keys run the scored join measurably faster than
-    // string keys (the ngram-tier posting trick; collision odds
-    // ~|vocab|²/2^65: nil).
+    // the sentinel posting: normTokens never emits "" — same collision
+    // class as the term hashing below (~2^-64, documented nil). It
+    // carries (N, Σdl) through the df aggregation (see tfdl).
+    val sentinelTh = xxhash64(lit(""))
+    // one corpus projection per pass: per-doc (term-hash, tf) plus the
+    // token-length dl summed from the SAME term-count array, plus ONE
+    // SENTINEL posting per doc (term "", tf = dl) — the
+    // Bm25IndexBuilder sentinel idea turned into a stats carrier, so
+    // the global (N, Σdl) aggregate RIDES the df aggregation instead of
+    // running a third tokenize pass over the corpus (VERDICT r12 #2:
+    // at 100 TB that pass was a full extra tokenize). Terms ride as
+    // xxhash64 LONGS from here on — the score plane never needs the
+    // string back, and 8-byte join/agg keys run the scored join
+    // measurably faster than string keys (the ngram-tier posting
+    // trick; collision odds ~|vocab|²/2^65: nil).
+    //
+    // BM25 is structurally a self-join (per-(term,doc) postings joined
+    // with their own per-term df aggregate), so without materializing
+    // the token stream the corpus is tokenized exactly TWICE — the
+    // scored pass and the df pass, both re-reading the one reused
+    // text exchange. The tokenize-ONCE path is the persisted inverted
+    // index (Bm25IndexBuilder), which pays it at build time.
+    val emptyTc = expr("CAST(array() AS array<struct<term:string,cnt:int>>)")
     def tfdl = corpus
       .select(col("id"),
         graft.functions.GraftFunctions.termCounts(spark,
           normTokens(col("__text"))).alias("tc"))
       .select(col("id"),
-        graft.functions.GraftFunctions.cntTotal(spark, col("tc")).alias("dl"),
-        explode(col("tc")).alias("t"))
+        coalesce(graft.functions.GraftFunctions.cntTotal(spark, col("tc")),
+          lit(0L)).alias("dl"),
+        // null-text docs still emit their sentinel (N counts them,
+        // like the oracle's count(*)); dl fits int by the
+        // tokens-per-doc contract
+        explode(concat(coalesce(col("tc"), emptyTc),
+          array(struct(lit("").alias("term"),
+            coalesce(graft.functions.GraftFunctions.cntTotal(spark, col("tc")),
+              lit(0L)).cast("int").alias("cnt"))))).alias("t"))
       .select(col("id"), col("dl"), xxhash64(col("t.term")).alias("th"),
         col("t.cnt").cast("long").alias("tf"))
-    // corpus statistics: one row (N docs, Σdl) — exact integers, so the
-    // avgdl division is the identical double on both engines
-    val stats = broadcast(corpus
-      .select(graft.functions.GraftFunctions.termCounts(spark,
-        normTokens(col("__text"))).alias("tc"))
-      .select(graft.functions.GraftFunctions.cntTotal(spark, col("tc")).alias("dl"))
-      .agg(count(lit(1)).cast("double").alias("__n"),
-        sum(col("dl")).alias("__sumdl")))
-    // query terms (termCounts already emits each term once per doc) and
-    // the df slice restricted to them — both broadcast-small by contract
+    // query terms (termCounts already emits each term once per doc) —
+    // broadcast-small by contract; the scored join against qt drops
+    // the sentinel postings (no query term hashes to it)
     val qt = broadcast(queries
       .select(col(idCol).cast("long").alias("q_id"),
         explode(graft.functions.GraftFunctions.termCounts(spark,
           normTokens(col(textCol)))).alias("t"))
       .select(col("q_id"), xxhash64(col("t.term")).alias("th")))
+    // the ONE per-term aggregation: Catalyst pushes the LeftSemi below
+    // the aggregate (PushDownLeftSemiAntiJoin), so the partial agg
+    // filters to |query vocab| + 1 groups at the map side — the
+    // sentinel group reduces the per-doc stats rows into one partial
+    // per partition, and the exchange stays query-sized.
+    // collect(): ≤ |query vocab| + 1 rows by the small-query contract
+    // (the Bm25IndexBuilder.topK bounded-collect pattern). Re-planning
+    // the slice as a LOCAL relation is what guarantees the expensive
+    // subtree runs ONCE: its two logical consumers (global stats + the
+    // per-term idf slice) would otherwise be split by per-branch column
+    // pruning into two differently-pruned aggregations, each
+    // re-tokenizing the corpus (measured: the r12 shape ran 3 corpus
+    // tokenize passes; this shape runs exactly 2, pinned in
+    // PlanShapeSpec).
+    val qTerms = qt.select(col("th")).distinct()
+      .union(spark.range(1).select(sentinelTh.alias("th")))
+    val aggRows = tfdl.groupBy(col("th"))
+      .agg(count(lit(1)).alias("df"), sum(col("tf")).alias("__ttf"))
+      .join(broadcast(qTerms), Seq("th"), "left_semi")
+      .collect()
+    // xxhash64("") with the Column function's fixed seed 42 — the
+    // sentinel group's (count, Σtf) IS (N docs, Σdl): exact integers,
+    // so the avgdl division is the identical double on both engines
+    val sentinelHash = org.apache.spark.sql.catalyst.expressions
+      .XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(""),
+        org.apache.spark.sql.types.StringType, 42L)
+    val statsRow = aggRows.find(_.getLong(0) == sentinelHash)
+    val n = statsRow.map(_.getLong(1).toDouble).getOrElse(0.0)
+    val avgdl = statsRow.map(_.getLong(2).toDouble / n).getOrElse(0.0)
     // idf folds into the VOCABULARY-sized slice, not the scored rows:
-    // ln per query term instead of per (query, doc, term) row — the
-    // values are bit-identical (same df/N inputs, same ln, same
-    // multiply), only the evaluation site moves
-    // avgdl rides the qdf broadcast too: a per-row crossJoin(stats)
-    // would plan as BroadcastNestedLoopJoin, which breaks whole-stage
-    // codegen around the 45M-row score projection (measured +12 s at
-    // sf1); as a column of the hash-joined slice it costs nothing
-    val avgdl = col("__sumdl").cast("double") / col("__n")
-    val qdf = broadcast(tfdl.groupBy(col("th"))
-      .agg(count(lit(1)).alias("df"))
-      .join(qt.select(col("th")).distinct(), Seq("th"), "left_semi")
-      .crossJoin(stats)
-      .select(col("th"), log(lit(1.0) + (col("__n") - col("df") + 0.5) /
-        (col("df") + 0.5)).alias("__idf"), avgdl.alias("__avgdl")))
+    // ln per query term instead of per (query, doc, term) row — and the
+    // slice is a local relation, so the scored join is one broadcast
+    // hash join with no stats crossJoin (the r12 shape's one-row
+    // BroadcastNestedLoopJoin is gone entirely). Spelling order matches
+    // the oracle CTE term for term: ln(1 + ((n - df) + 0.5)/(df + 0.5)).
+    val qdfLocal = aggRows.iterator
+      .filter(_.getLong(0) != sentinelHash)
+      .map { r =>
+        val df = r.getLong(1).toDouble
+        (r.getLong(0), math.log(1.0 + (n - df + 0.5) / (df + 0.5)), avgdl)
+      }.toSeq
+    val qdf = {
+      import spark.implicits._
+      broadcast(qdfLocal.toDF("th", "__idf", "__avgdl"))
+    }
     // operation ORDER is part of the oracle contract: the SQL twin
     // spells every double op in this exact shape, so the micro-rounded
     // per-term scores are bit-identical

@@ -781,7 +781,9 @@ object GraftFunctions {
       es(2).eval().asInstanceOf[Boolean])),
     "graft_pq_error" -> (es => PqError(es(0), es(1))),
     "graft_pq_lut" -> (es => PqLut(es(0), es(1))),
-    "graft_pq_adc" -> (es => PqAdc(es(0), es(1), es(2))))
+    "graft_pq_adc" -> (es => PqAdc(es(0), es(1), es(2))),
+    "graft_bpe_count" -> (es => BpeCount(es(0), es(1).eval().toString)),
+    "graft_bpe_encode" -> (es => BpeEncode(es(0), es(1).eval().toString)))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
@@ -854,6 +856,20 @@ object GraftFunctions {
   def scrubPii(spark: SparkSession, text: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_scrub_pii", text)
+  }
+  /** Compiled BPE token count under a merge-table wire string —
+    * [[BpeCount]] (the spec literal folds into ONE plan object, so the
+    * plan stays flat at any vocab size). */
+  def bpeCount(spark: SparkSession, word: Column, spec: String): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_bpe_count",
+      word, org.apache.spark.sql.functions.lit(spec))
+  }
+  /** Compiled BPE encode (symbol sequence) — [[BpeEncode]]. */
+  def bpeEncode(spark: SparkSession, word: Column, spec: String): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_bpe_encode",
+      word, org.apache.spark.sql.functions.lit(spec))
   }
   /** Compiled raw-text counts — [[TextCounts]]. */
   def textCounts(spark: SparkSession, text: Column): Column = {

@@ -786,6 +786,50 @@ class ExtQualitySpec extends SparkSpec {
       === Seq.empty)
   }
 
+  test("Bpe: compiled encoder kernel == chained-replace spelling, property-style") {
+    val s = spark; import s.implicits._
+    import graft.ext.Bpe
+    // train a real merge table on a mixed-alphabet corpus: natural-ish
+    // repetition plus hex diversity (the bpeCorpus fixture shape)
+    val rng = new scala.util.Random(421)
+    val base = Seq("low", "lower", "lowest", "newest", "widest", "esses",
+      "aaaa", "abababab", "banana")
+    val words = base ++ (0 until 400).map(_ =>
+      java.lang.Long.toHexString(rng.nextLong()).take(2 + rng.nextInt(7)))
+    val hist = words.groupBy(identity).map { case (w, g) =>
+      (w, g.size.toLong + (w.length % 3)) }.toSeq.toDF("word", "cnt")
+    val merges = Bpe.trainBatchedFromHistogram(hist, numMerges = 96,
+      batchSize = 16)
+    assert(merges.size === 96)
+    // EQUIVALENCE CONTRACT: the kernel must reproduce the chained
+    // replace column (the oracle's spelling) on every trained word AND
+    // on unseen words (held-out hex + adversarial repeats)
+    val unseen = (0 until 200).map(_ =>
+      java.lang.Long.toHexString(rng.nextLong()).take(1 + rng.nextInt(8))) ++
+      Seq("eeeee", "ababa", "lowlow", "stst")
+    val probe = (words ++ unseen).distinct.toDF("word")
+    val diverged = probe.select(col("word"),
+        Bpe.bpeCount(col("word"), merges).alias("ref"),
+        Bpe.bpeCountCompiled(s, col("word"), merges).alias("got"))
+      .filter(col("ref") =!= col("got"))
+    assert(diverged.isEmpty, s"kernel diverged: ${diverged.collect().toSeq}")
+    // the encode expression agrees with the count (and symbols concat
+    // back to the word)
+    val enc = probe.select(col("word"),
+        Bpe.bpeEncodeCompiled(s, col("word"), merges).alias("syms"))
+      .filter(concat_ws("", col("syms")) =!= col("word") ||
+        size(col("syms")) =!= Bpe.bpeCountCompiled(s, col("word"), merges))
+    assert(enc.isEmpty, s"encode diverged: ${enc.collect().toSeq}")
+    // batched training honours the exact-count contract mid-round
+    assert(Bpe.trainBatchedFromHistogram(hist, numMerges = 21,
+      batchSize = 16).size === 21)
+    // and the first round of batched == the top-k pairs the sequential
+    // trainer would pick one at a time ONLY where disjoint — sanity: the
+    // very first merge always agrees
+    assert(Bpe.trainBatchedFromHistogram(hist, 1, 16)
+      === Bpe.trainFromHistogram(hist, 1))
+  }
+
   test("graft_topk bounded heap matches sort-based top-k with ties toward smaller id") {
     val s = spark; import s.implicits._
     val rows = (1L to 500L).map(i => (1L, i, ((i * 37) % 97).toDouble / 97.0)) ++

@@ -471,23 +471,34 @@ class PlanShapeSpec extends SparkSpec {
       s"text_stats not on the compiled counts kernel:\n$st")
   }
 
-  test("bm25TopK: query legs broadcast, df agg is semi-pruned to query terms, no sort-merge join") {
+  test("bm25TopK: query legs broadcast, no sort-merge join") {
     val p = plan("text_bm25_topk")
-    // every query-side join (query terms, their df slice, the one-row
-    // stats) is a broadcast — the corpus never shuffles for a join
+    // every query-side join (query terms, the local idf/avgdl slice) is
+    // a broadcast — the corpus never shuffles for a join. The df
+    // aggregation itself runs eagerly (semi-pruned to query terms +
+    // sentinel via PushDownLeftSemiAntiJoin, collected as a
+    // contract-small local slice) and so does not appear here; the
+    // posting INDEX (Bm25IndexBuilder) remains the real 100 TB path.
     assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
-    // Catalyst pushes the query-term LeftSemi BELOW the df aggregation
-    // (PushDownLeftSemiAntiJoin), so the df exchange carries only
-    // query-term postings, never the corpus vocabulary — the property
-    // that keeps the from-scratch operator viable while the posting
-    // INDEX (Bm25IndexBuilder) is the real 100 TB path
-    val lines = p.split("\n")
-    val semiIdx = lines.indexWhere(l =>
-      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
-    assert(semiIdx >= 0, s"expected a LeftSemi broadcast prune:\n$p")
-    val aggAbove = lines.take(semiIdx)
-      .exists(l => l.contains("HashAggregate") && l.contains("count"))
-    assert(aggAbove, s"df agg not found above the semi prune:\n$p")
+  }
+
+  test("bm25TopK: ONE corpus tokenize pass in the returned plan; stats ride the df agg") {
+    // BM25 is a self-join (postings ⋈ per-term df), so the corpus
+    // tokenizes exactly TWICE in total: once in the eager df/stats
+    // aggregation (collected as a query-sized local slice — carrying
+    // (N, Σdl) on the per-doc sentinel posting, NOT a third tokenize
+    // pass like the r12 shape), and once in the returned scored plan.
+    // The RETURNED plan must therefore contain exactly ONE corpus-side
+    // tokenize: the scored pass plus the (contract-small) query leg.
+    val p = plan("text_bm25_topk")
+    val gens = p.split("\n").count(l =>
+      l.contains("Generate") && l.contains("graft_term_counts"))
+    assert(gens <= 2,
+      s"expected ≤2 tokenize passes in the served plan (1 corpus + 1 query), got $gens:\n$p")
+    // the idf/avgdl slice is a local relation broadcast — no stats
+    // crossJoin, so no BroadcastNestedLoopJoin around the score kernel
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"stats crossJoin reappeared (breaks whole-stage codegen):\n$p")
   }
 }
