@@ -52,7 +52,11 @@ object Bench {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try wq.awaitTermination() finally wq.stop()
+      // bounded wait: AvailableNow-over-rate wrapper behavior varies
+      // across Spark versions — an unbounded await here would hang the
+      // whole bench if the trigger ever fails to terminate (the catch
+      // below only covers exceptions, not hangs)
+      try wq.awaitTermination(60000L) finally wq.stop()
     } catch { case _: Throwable => () }
     // steady-state warm-up: execute every timed plan ONCE untimed, then
     // time the second execution. The sketch pipelines (LSH banding,

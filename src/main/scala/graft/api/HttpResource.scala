@@ -390,6 +390,7 @@ class SearchResource(
     val nprobe =
       if (node.has("nprobe")) node.get("nprobe").asInt(defaultNprobe)
       else defaultNprobe
+    if (nprobe < 1) throw ApiError(400, "nprobe must be >= 1")
     val vec: Option[Seq[Double]] =
       if (!node.has("vector") || node.get("vector").isNull) None
       else {
@@ -404,6 +405,11 @@ class SearchResource(
       }
     if (vec.isDefined && vector.isEmpty)
       throw ApiError(400, "no vector index is configured on this endpoint")
+    // dimension check at parse time — the error contract promises a 400
+    // here, not a 500 surfacing from inside the ANN scoring leg
+    for (v <- vec; vb <- vector; d <- vb.vectorDim; if v.length != d)
+      throw ApiError(400,
+        s"vector has ${v.length} dimensions, the index expects $d")
     val spark = actionSpark
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -119,6 +119,16 @@ class AnnIndexBuilder(
     qzCache
   }
 
+  /** The trained vector dimensionality (m sub-spaces × dsub each), or
+    * None before the first run — serving endpoints validate request
+    * vectors against this so a wrong-length vector is a 400 at parse
+    * time, not a 500 from inside the scoring leg. */
+  private[graft] def vectorDim: Option[Int] =
+    loadQuantizer().collect {
+      case (books, _) if books.nonEmpty && books(0).nonEmpty =>
+        books.length * books(0)(0).length
+    }
+
   /** The stored training-batch mean quantization error (drift baseline),
     * or None for a pre-trainerr quantizer row. */
   private[graft] def loadTrainError(): Option[Double] = {

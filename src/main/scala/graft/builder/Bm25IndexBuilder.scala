@@ -67,11 +67,55 @@ class Bm25IndexBuilder(
   }
 
   /** Docs the index has not absorbed (id-based, like [[AnnIndexBuilder]]
-    * — the sentinel posting keeps zero-token docs out of here too). */
+    * — the sentinel posting keeps zero-token docs out of here too).
+    *
+    * INSERT-ONLY contract, stated explicitly: a doc whose TEXT changes
+    * under the same id is NOT re-indexed — its original postings and
+    * stats contribution stand. This matches [[AnnIndexBuilder]]'s
+    * id-based pending semantics (an index absorbs a corpus as it
+    * accretes); a mutable-document corpus should route re-ingested ids
+    * through [[removeOrphans]]-style deletion (drop the id from the
+    * scoped corpus for one run with `deleteOrphans = true`, then
+    * re-add) or rebuild the index. The reference's `last_updated`
+    * delta contract (`core/store.py:239-275`) is the BUILDER-level
+    * discipline; posting stores are content-addressed by id here. */
   def pendingItems(): DataFrame =
     if (!checkIndexLayout()) scoped
     else scoped.join(index.df.select(col("id").alias(source.key)),
       Seq(source.key), "left_anti")
+
+  /** The index/stats pair is written in two store updates that cannot
+    * be atomic across stores: a crash or foreachBatch retry between
+    * them (postings landed, stats write lost — or orphans removed,
+    * stats not decremented) would leave every later [[topK]] scoring
+    * with a silently wrong N/avgdl FOREVER, because the id-based
+    * pending check never revisits absorbed docs. The repair is to
+    * treat the POSTINGS as the source of truth and the stats row as a
+    * cache: recompute (n_docs, Σdl) from the index — count of distinct
+    * ids and sum of per-doc dl (dl is constant across a doc's
+    * postings) — and rewrite the stats row when it disagrees.
+    *
+    * Cost discipline: the recount is O(index), so it runs only when
+    * the pair is possibly torn — once at builder startup (the previous
+    * process may have died mid-pair) and after any run whose writes
+    * threw — never on the steady-state batch path. */
+  private var statsSuspect = true
+
+  private def reconcileStats(): Unit = {
+    if (!checkIndexLayout()) return
+    val truth = index.df.groupBy(col("id"))
+      .agg(max(col("dl")).cast("long").alias("dl")) // dl constant per doc
+      .agg(count(lit(1)).alias("n"), sum(col("dl")).alias("s")).head()
+    val n = truth.getLong(0)
+    if (n == 0) return
+    val sdl = if (truth.isNullAt(1)) 0L else truth.getLong(1)
+    if (!loadStats().contains((n, sdl))) {
+      val s = spark
+      import s.implicits._
+      stats.update(Seq(("bm25", n, sdl)).toDF("sid", "n_docs", "sum_dl"),
+        Seq("sid"))
+    }
+  }
 
   private def loadStats(): Option[(Long, Long)] = {
     val df = stats.df
@@ -105,6 +149,10 @@ class Bm25IndexBuilder(
     * (the incremental contract's measure). */
   def run(): BuildReport = {
     index.ensureIndex("term")
+    // repair a possibly-torn index/stats pair BEFORE computing pending
+    // items: the recount makes the retry path idempotent (see
+    // reconcileStats)
+    if (statsSuspect) { reconcileStats(); statsSuspect = false }
     // spread-checkpointed: the tokenize+count kernel is CPU-dense per
     // doc and must not inherit a 2-split scan (Builder.spreadCheckpoint)
     val batch = Builder.spreadCheckpoint(pendingItems())
@@ -130,6 +178,11 @@ class Bm25IndexBuilder(
       }
       val orphans = if (deleteOrphans) removeOrphans(scoped) else 0L
       BuildReport(examined, 0, orphans)
+    } catch { case e: Throwable =>
+      // any failure inside the write pair leaves the stats row suspect:
+      // the NEXT run recounts from the postings before trusting it
+      statsSuspect = true
+      throw e
     } finally batch.unpersist()
   }
 
@@ -183,6 +236,8 @@ class Bm25IndexBuilder(
     // collect ONCE, re-plan as a local relation (no leaking checkpoint
     // in a long-lived serving process — the AnnIndexBuilder rationale)
     val qtRows = qt.collect()
+    // ONE local relation serves both the empty-result schema and the
+    // scored join's query side
     val qtDf = spark.createDataFrame(
       java.util.Arrays.asList(qtRows: _*), qt.schema)
     val terms = qtRows.map(_.getString(1)).distinct.toSeq
@@ -205,9 +260,7 @@ class Bm25IndexBuilder(
       .agg(count(lit(1)).alias("df"))
       .select(col("th"), log(lit(1.0) + (lit(nD) - col("df") + 0.5) /
         (col("df") + 0.5)).alias("__idf")))
-    val qth = spark.createDataFrame(
-      java.util.Arrays.asList(qtRows: _*), qt.schema)
-      .select(col("q_id"), xxhash64(col("term")).alias("th"))
+    val qth = qtDf.select(col("q_id"), xxhash64(col("term")).alias("th"))
     val scored = post.join(broadcast(qth), Seq("th"))
       .filter(col("id") =!= col("q_id"))
       .join(dfreq, Seq("th"))

@@ -142,14 +142,22 @@ object StreamingBuilder {
                      iters: Int = 0, family: String = "xxh64",
                      checkpoint: Option[String] = None): StreamingQuery = {
     require(stream.isStreaming, "annIndexStream needs a streaming DataFrame")
+    // ONE builder across triggers (TableStore's by-name df reads the
+    // current batch): per-instance caches (the parsed quantizer) and
+    // startup work then run once per QUERY, not once per micro-batch
+    var current: DataFrame = null
+    var builder: graft.builder.AnnIndexBuilder = null
     var writer = stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val src = new graft.store.TableStore(batch.sparkSession, batch,
-            "stream-batch", key)
-          new graft.builder.AnnIndexBuilder(src, index, quantizer, vecField,
-            nCentroids, m, ksub, iters, family).run()
+          current = batch
+          if (builder == null)
+            builder = new graft.builder.AnnIndexBuilder(
+              new graft.store.TableStore(batch.sparkSession, current,
+                "stream-batch", key),
+              index, quantizer, vecField, nCentroids, m, ksub, iters, family)
+          builder.run()
           ()
         }
       }
@@ -169,14 +177,23 @@ object StreamingBuilder {
                       k1: Double = 1.2, b: Double = 0.75,
                       checkpoint: Option[String] = None): StreamingQuery = {
     require(stream.isStreaming, "bm25IndexStream needs a streaming DataFrame")
+    // ONE builder across triggers (TableStore's by-name df reads the
+    // current batch): the torn-pair reconcile recount then runs once at
+    // query start — never per micro-batch — and an in-stream write
+    // failure flips the builder's own suspect flag for the retry
+    var current: DataFrame = null
+    var builder: graft.builder.Bm25IndexBuilder = null
     var writer = stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val src = new graft.store.TableStore(batch.sparkSession, batch,
-            "stream-batch", key)
-          new graft.builder.Bm25IndexBuilder(src, index, stats, textField,
-            k1, b).run()
+          current = batch
+          if (builder == null)
+            builder = new graft.builder.Bm25IndexBuilder(
+              new graft.store.TableStore(batch.sparkSession, current,
+                "stream-batch", key),
+              index, stats, textField, k1, b)
+          builder.run()
           ()
         }
       }

@@ -233,6 +233,11 @@ class HttpResourceSpec extends SparkSpec {
       assert(post(url, """{"k": 3}""")._1 === 400)                  // no text
       assert(post(url, "not json")._1 === 400)
       assert(post(url, """{"text": "x", "vector": ["a"]}""")._1 === 400)
+      // nprobe and vector dimension are validated at parse time — a
+      // 400, never a 500 from inside the ANN leg
+      assert(post(url, """{"text": "x", "nprobe": 0}""")._1 === 400)
+      assert(post(url, """{"text": "x", "nprobe": -3}""")._1 === 400)
+      assert(post(url, """{"text": "x", "vector": [1.0, 2.0]}""")._1 === 400)
       // vector posted to a lexical-only endpoint → 400, not a crash
       val lexOnly = GraftHttp.serve(Map.empty,
         anns = Map("lex" -> new SearchResource(lex)))

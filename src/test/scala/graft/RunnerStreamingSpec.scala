@@ -1169,6 +1169,36 @@ class RunnerStreamingSpec extends SparkSpec {
       rowsOf(graft.ext.TextAnalysis.bm25TopK(keep, evenQueries, "doc_id", "text", k = 8)))
   }
 
+  test("Bm25IndexBuilder repairs a torn index/stats pair from the postings on startup") {
+    import graft.builder.Bm25IndexBuilder
+    import graft.store.{MemoryStore, ParquetStore}
+    val s = spark; import s.implicits._
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    val src = new MemoryStore(spark, "bmtorn", key = "doc_id", lastUpdatedField = "doc_id")
+    val idxRoot = java.nio.file.Files.createTempDirectory("bmt_idx").toString
+    val stRoot = java.nio.file.Files.createTempDirectory("bmt_st").toString
+    def idxStore() = new ParquetStore(spark, idxRoot, "id", "term", deltaWrites = true)
+    def stStore() = new ParquetStore(spark, stRoot, "sid", "sid")
+    src.load(docs)
+    new Bm25IndexBuilder(src, idxStore(), stStore(), "text").run()
+    val queries = docs.filter(col("doc_id") % 89 === 0)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val healthy = rowsOf(new Bm25IndexBuilder(src, idxStore(), stStore(), "text")
+      .topK(queries, k = 8))
+    // tear the pair: simulate "postings landed, stats write lost" by
+    // clobbering the stats row (the window a foreachBatch retry leaves)
+    stStore().update(Seq(("bm25", 1L, 1L)).toDF("sid", "n_docs", "sum_dl"),
+      Seq("sid"))
+    val torn = new Bm25IndexBuilder(src, idxStore(), stStore(), "text")
+    // a NEW builder instance (fresh process) must recount from the
+    // postings before trusting the stats — run() with zero pending work
+    // still repairs, and serving returns to the healthy answers
+    assert(torn.run().processed === 0)
+    assert(rowsOf(torn.topK(queries, k = 8)) === healthy)
+  }
+
   test("Bm25IndexBuilder incremental runs touch O(batch) files; Runner bm25_index spec wires the plane") {
     import graft.store.{MemoryStore, ParquetStore}
     import java.nio.file.{Files, Paths}
