@@ -184,6 +184,57 @@ object SparkEntry {
   private def sortedPairs(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
+  /** Labeled quality-classifier corpus: every doc_id % 5 == 0 doc gets
+    * a spam suffix planted and label 0; the rest are label 1 (the
+    * corpus has no natural quality signal, so the fixture plants one —
+    * the piiCorpus pattern). */
+  private def clfCorpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 5 === 0,
+        lit(" click here free win money now")).otherwise(lit("")))
+        .alias("text"),
+      when(col("doc_id") % 5 === 0, lit(0)).otherwise(lit(1)).alias("label"))
+
+  private val clfCorpusSql =
+    "(SELECT doc_id, text || CASE WHEN doc_id % 5 = 0 THEN " +
+      "' click here free win money now' ELSE '' END AS text, " +
+      "CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS label FROM documents)"
+
+  /** NB quality-classifier oracle: hashed uni+bigram counts per class
+    * over the EVEN-id training split, per-feature micro-fixed
+    * log-count-ratio weights, prior + Σ tf·w over the odd-id scoring
+    * split — the [[graft.ext.QualityClassifier]] spelling term for
+    * term (md5 bucket hash, add-one smoothing over `b` buckets,
+    * floor(x·1e6 + 0.5) fixed-pointing). */
+  private def clfOracleSql(b: Int): String = {
+    val bucket = s"CAST(('0x' || substr(md5('0:' || tg), 1, 15)) AS BIGINT) % $b"
+    s"WITH clf AS $clfCorpusSql, " +
+      "tok AS (SELECT doc_id, label, list_filter(string_split_regex(" +
+      "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), " +
+      "x -> length(x) > 0) AS ts FROM clf), " +
+      // tagged unigrams + adjacent bigrams — the UniBigramTagged kernel
+      "tagged AS (SELECT doc_id, label, unnest(list_concat(" +
+      "list_transform(ts, x -> 'u ' || x), " +
+      "list_transform(range(1, len(ts)), i -> 'b ' || ts[i] || ' ' || ts[i+1]))) AS tg FROM tok), " +
+      s"feat AS (SELECT doc_id, label, $bucket AS bucket FROM tagged), " +
+      "tf AS (SELECT doc_id, bucket, count(*) AS tf FROM feat GROUP BY 1, 2), " +
+      "train AS (SELECT bucket, sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0, " +
+      "sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1 FROM feat WHERE doc_id % 2 = 0 GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(c0) AS DOUBLE) AS t0, CAST(sum(c1) AS DOUBLE) AS t1, " +
+      "CAST((SELECT count(*) FROM clf WHERE doc_id % 2 = 0 AND label = 0) AS BIGINT) AS n0, " +
+      "CAST((SELECT count(*) FROM clf WHERE doc_id % 2 = 0 AND label = 1) AS BIGINT) AS n1 FROM train), " +
+      s"w AS (SELECT bucket, CAST(floor((ln((c1 + 1.0) / (t1 + $b)) - " +
+      s"ln((c0 + 1.0) / (t0 + $b))) * 1000000.0 + 0.5) AS BIGINT) AS wl FROM train, tot), " +
+      s"cons AS (SELECT CAST(floor(ln((n1 + 1.0) / (n0 + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS prior, " +
+      s"CAST(floor((ln(1.0 / (t1 + $b)) - ln(1.0 / (t0 + $b))) * 1000000.0 + 0.5) AS BIGINT) AS miss FROM tot), " +
+      "sc AS (SELECT tf.doc_id, CAST(sum(tf.tf * coalesce(w.wl, cons.miss)) AS BIGINT) AS s " +
+      "FROM tf LEFT JOIN w USING (bucket) CROSS JOIN cons WHERE tf.doc_id % 2 = 1 GROUP BY 1) " +
+      "SELECT c.doc_id, round((coalesce(sc.s, 0) + cons.prior) / 1000000.0, 4) AS q_score, " +
+      "CAST((coalesce(sc.s, 0) + cons.prior) > 0 AS INT) AS pred " +
+      "FROM clf c LEFT JOIN sc ON sc.doc_id = c.doc_id CROSS JOIN cons " +
+      "WHERE c.doc_id % 2 = 1 ORDER BY c.doc_id"
+  }
+
   /** Engine twin of [[bpeCorpusSql]]: documents.text plus four planted
     * md5-hex words keyed on doc_id (lexical diversity for real-vocab
     * BPE training — the raw corpus has 31 distinct words total). */
@@ -1159,6 +1210,43 @@ object SparkEntry {
       mk().run()
       TextAnalysis.scoreWithVocab(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
+    // model-based quality classifier (the fastText-style curation
+    // filter): hashed uni+bigram NB log-odds, trained on the even-id
+    // split of the labeled fixture corpus, scoring the odd-id split.
+    // md5 bucket hashing + micro-fixed weights so the oracle replays
+    // training AND scoring exactly.
+    "text_quality_clf" -> ((s, dir) => {
+      val docs = clfCorpus(s, dir)
+      val model = graft.ext.QualityClassifier.train(
+        docs.filter(col("doc_id") % 2 === 0), "text", "label")
+      graft.ext.QualityClassifier.score(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
+    // 2-batch PERSISTED-model lifecycle of the classifier: batch A1
+    // (doc_id%4==0) trains, batch A2 (other evens) merges in as a
+    // second incremental run (newer_in watermark admits only the new
+    // docs; per-class counts MERGE additively — the property NB buys),
+    // then the odd ids score against the PERSISTED counts only. The
+    // oracle is the from-scratch train-on-evens SQL, so a broken
+    // watermark or merge hash-diverges.
+    "text_quality_clf_incr" -> ((s, dir) => {
+      val docs = clfCorpus(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft_qclf").toString
+      val src = new graft.store.MemoryStore(s, "qclf_src", "doc_id", "lu")
+      val model = new graft.store.ParquetStore(s, root, "bucket",
+        "last_updated", deltaWrites = true)
+      def mk() = new graft.builder.QualityClfBuilder(src, model, "text", "label")
+      src.load(docs.filter(col("doc_id") % 4 === 0).withColumn("lu", lit(1L)))
+      mk().run()
+      src.load(docs.filter(col("doc_id") % 2 === 0).withColumn("lu",
+        when(col("doc_id") % 4 === 0, lit(1L)).otherwise(lit(2L))))
+      mk().run()
+      mk().score(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -2330,6 +2418,11 @@ object SparkEntry {
          "FILTER (WHERE c IS NOT NULL) AS BIGINT) / 1000000.0) " +
          "/ count(*) FILTER (WHERE c IS NOT NULL) - ln(tot.n), 4) AS avg_logprob " +
          "FROM j CROSS JOIN tot GROUP BY doc_id, tot.n ORDER BY doc_id"),
+      // model-based quality classifier + its 2-batch incremental twin:
+      // the incremental build must CONVERGE to the from-scratch
+      // train-on-evens model, so both rows share the one SQL replay
+      "text_quality_clf" -> clfOracleSql(1024),
+      "text_quality_clf_incr" -> clfOracleSql(1024),
       "text_ngram_counts" ->
         ("WITH toks AS (SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM documents), " +
          "grams AS (SELECT concat_ws(' ', tk[n], tk[n+1]) AS ngram " +

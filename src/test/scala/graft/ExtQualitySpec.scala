@@ -830,6 +830,52 @@ class ExtQualitySpec extends SparkSpec {
       === Bpe.trainFromHistogram(hist, 1))
   }
 
+  test("QualityClassifier: NB log-odds separate planted spam; incremental builder converges") {
+    val s = spark; import s.implicits._
+    import graft.ext.QualityClassifier
+    val docs = sf("documents").select(col("doc_id"),
+      concat(col("text"), when(col("doc_id") % 5 === 0,
+        lit(" click here free win money now")).otherwise(lit(""))).alias("text"),
+      when(col("doc_id") % 5 === 0, lit(0)).otherwise(lit(1)).alias("label"))
+    val model = QualityClassifier.train(
+      docs.filter(col("doc_id") % 2 === 0), "text", "label")
+    // the bounded-model property: ≤ buckets + 1 rows whatever the vocab
+    assert(model.count() <= 1024 + 1)
+    val scores = QualityClassifier.score(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", model)
+    // the classifier must actually SEPARATE: every held-out spam doc
+    // scores below every held-out clean doc (the planted signal is
+    // strong and the corpus otherwise homogeneous)
+    val rows = scores.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val (spam, clean) = rows.partition(_._1 % 5 == 0)
+    assert(spam.nonEmpty && clean.nonEmpty)
+    assert(spam.map(_._2).max < clean.map(_._2).min,
+      s"no separation: spam max ${spam.map(_._2).max} vs clean min ${clean.map(_._2).min}")
+    assert(spam.forall(_._3 == 0) && clean.forall(_._3 == 1))
+    // incremental: two builder batches over the evens == one-shot train
+    val src = new graft.store.MemoryStore(spark, "qcsrc", "doc_id", "lu")
+    val root = java.nio.file.Files.createTempDirectory("qclf").toString
+    val store = new graft.store.ParquetStore(spark, root, "bucket",
+      "last_updated", deltaWrites = true)
+    def mk() = new graft.builder.QualityClfBuilder(src, store, "text", "label")
+    src.load(docs.filter(col("doc_id") % 4 === 0).withColumn("lu", lit(1L)))
+    assert(mk().run().processed > 0)
+    src.load(docs.filter(col("doc_id") % 2 === 0).withColumn("lu",
+      when(col("doc_id") % 4 === 0, lit(1L)).otherwise(lit(2L))))
+    assert(mk().run().processed > 0)
+    assert(mk().run().processed === 0) // unchanged corpus: zero work
+    val persisted = store.df.select(col("bucket"), col("c0"), col("c1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val direct = model.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(persisted === direct)
+    // and scoring off the store equals scoring off the direct model
+    val viaStore = mk().score(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text").collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(viaStore === rows.map(r => (r._1, r._2)).sorted.toSeq)
+  }
+
   test("graft_topk bounded heap matches sort-based top-k with ties toward smaller id") {
     val s = spark; import s.implicits._
     val rows = (1L to 500L).map(i => (1L, i, ((i * 37) % 97).toDouble / 97.0)) ++
