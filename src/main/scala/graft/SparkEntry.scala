@@ -184,6 +184,33 @@ object SparkEntry {
   private def sortedPairs(df: DataFrame, cols: String*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
 
+  /** Arithmetic dHash replay of the synthetic-cell-BMP image corpus
+    * (shared by `dedup_images` and its streaming twin): cell luma from
+    * the md5 formula, the perturbed-twin flip, the 56-bit dHash pack,
+    * 4×16-bit band candidates with the 1000-member cap. Ends at
+    * `corpus`, `sigs`, `cand` for the caller's hamming verify. */
+  private val imageOracleCtes: String = {
+    val g = "CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || " +
+      "CAST(c.cell AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, (sig >> ${16 * b}) & 65535 AS bucket FROM sigs")
+      .mkString(" UNION ALL ")
+    "cells AS (SELECT CAST(cy*8 + cx AS INT) AS cell, cy, cx " +
+      "FROM range(8) a(cy), range(8) b(cx)), " +
+      "corpus AS (SELECT doc_id, doc_id AS seed, FALSE AS pert FROM documents " +
+      "UNION ALL SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 10 = 0), " +
+      s"grid AS (SELECT d.doc_id, c.cy, c.cx, CASE WHEN d.pert AND c.cell = 0 " +
+      s"THEN (($g) + 128) % 256 ELSE $g END AS v FROM corpus d, cells c), " +
+      "sigs AS (SELECT g1.doc_id, CAST(sum(CASE WHEN g2.v > g1.v " +
+      "THEN (CAST(1 AS BIGINT) << (g1.cy*7 + g1.cx)) ELSE 0 END) AS BIGINT) AS sig " +
+      "FROM grid g1 JOIN grid g2 ON g2.doc_id = g1.doc_id AND g2.cy = g1.cy " +
+      "AND g2.cx = g1.cx + 1 WHERE g1.cx < 7 GROUP BY 1), " +
+      s"banded AS ($bandSelects), " +
+      "capped AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x " +
+      "JOIN capped y USING (band, bucket) WHERE x.doc_id < y.doc_id)"
+  }
+
   /** Labeled quality-classifier corpus: every doc_id % 5 == 0 doc gets
     * a spam suffix planted and label 0; the rest are label 1 (the
     * corpus has no natural quality signal, so the fixture plants one —
@@ -1129,6 +1156,39 @@ object SparkEntry {
         stream, "doc_id", "text", tgt, idx,
         method = "minhash", threshold = 0.5,
         numHashes = 32, bands = 16, shingleSize = 3, family = "md5")
+      try {
+        q.processAllAvailable()
+      } finally q.stop()
+      tgt.df.select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // STREAMING image near-dup: the multimodal twin of stream_dedup —
+    // base images arrive as trigger A, perturbed twins as trigger B;
+    // each trigger runs one incremental image-dHash DedupBuilder round
+    // against the persisted signature index, and the repaired target
+    // must equal the from-scratch canonical view (same convergence
+    // contract; oracle replays the dHash arithmetic + banding + CC).
+    "stream_dedup_images" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      val base = ids.map(id => (id, Multimodal.syntheticCellBmp(id)))
+        .toDF("doc_id", "img")
+      val twins = ids.filter(_ % 10 == 0)
+        .map(id => (id + 1000000L, Multimodal.syntheticCellBmp(id, perturbCell = 0)))
+        .toDF("doc_id", "img")
+      val prepared = java.nio.file.Files.createTempDirectory("graft_strdi")
+        .toString + "/imgs"
+      base.coalesce(1).write.parquet(prepared)
+      new java.io.File(prepared).listFiles().foreach(f =>
+        f.setLastModified(1000000000000L))
+      twins.coalesce(1).write.mode("append").parquet(prepared)
+      val stream = s.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1).parquet(prepared)
+      val tgt = new graft.store.MemoryStore(s, "strdi_tgt", "doc_id", "doc_id")
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft_strdiidx").toString
+      val idx = new graft.store.ParquetStore(s, idxRoot, "id", "cluster")
+      val q = graft.streaming.StreamingBuilder.dedupStream(
+        stream, "doc_id", "img", tgt, idx, method = "image")
       try {
         q.processAllAvailable()
       } finally q.stop()
@@ -2598,30 +2658,24 @@ object SparkEntry {
       // grays are an md5 draw (constant blocks → box average EXACT), so
       // the 56-bit dHash packs from integer comparisons; banding +
       // hamming verify mirror dedup_simhash with maxHamming = 2
-      "dedup_images" -> {
-        val g = "CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || " +
-          "CAST(c.cell AS VARCHAR)), 1, 15)) AS BIGINT) % 256"
-        val bandSelects = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, (sig >> ${16 * b}) & 65535 AS bucket FROM sigs")
-          .mkString(" UNION ALL ")
-        "WITH cells AS (SELECT CAST(cy*8 + cx AS INT) AS cell, cy, cx " +
-          "FROM range(8) a(cy), range(8) b(cx)), " +
-          "corpus AS (SELECT doc_id, doc_id AS seed, FALSE AS pert FROM documents " +
-          "UNION ALL SELECT doc_id + 1000000, doc_id, TRUE FROM documents WHERE doc_id % 10 = 0), " +
-          s"grid AS (SELECT d.doc_id, c.cy, c.cx, CASE WHEN d.pert AND c.cell = 0 " +
-          s"THEN (($g) + 128) % 256 ELSE $g END AS v FROM corpus d, cells c), " +
-          "sigs AS (SELECT g1.doc_id, CAST(sum(CASE WHEN g2.v > g1.v " +
-          "THEN (CAST(1 AS BIGINT) << (g1.cy*7 + g1.cx)) ELSE 0 END) AS BIGINT) AS sig " +
-          "FROM grid g1 JOIN grid g2 ON g2.doc_id = g1.doc_id AND g2.cy = g1.cy " +
-          "AND g2.cx = g1.cx + 1 WHERE g1.cx < 7 GROUP BY 1), " +
-          s"banded AS ($bandSelects), " +
-          "capped AS (SELECT * FROM banded QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 1000), " +
-          "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x " +
-          "JOIN capped y USING (band, bucket) WHERE x.doc_id < y.doc_id) " +
+      "dedup_images" ->
+        (s"WITH $imageOracleCtes " +
           "SELECT a, b, bit_count(xor(sa.sig, sb.sig)) AS hamming FROM cand " +
           "JOIN sigs sa ON sa.doc_id = a JOIN sigs sb ON sb.doc_id = b " +
-          "WHERE bit_count(xor(sa.sig, sb.sig)) <= 2 ORDER BY 1, 2"
-      },
+          "WHERE bit_count(xor(sa.sig, sb.sig)) <= 2 ORDER BY 1, 2"),
+      // streaming image-dedup twin: the same dHash replay, pairs at the
+      // builder's hamming <= 3 default, transitive min-label closure,
+      // canonical (min-id survivor) view — the stream_dedup contract
+      "stream_dedup_images" ->
+        (s"WITH RECURSIVE $imageOracleCtes, " +
+          "pairs AS (SELECT a, b FROM cand JOIN sigs sa ON sa.doc_id = a " +
+          "JOIN sigs sb ON sb.doc_id = b WHERE bit_count(xor(sa.sig, sb.sig)) <= 3), " +
+          "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs), " +
+          "reach AS (SELECT src AS id, src AS r FROM edges " +
+          "UNION SELECT e.src AS id, rc.r AS r FROM edges e JOIN reach rc ON rc.id = e.dst), " +
+          "labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id) " +
+          "SELECT c.doc_id FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id " +
+          "WHERE l.cluster IS NULL OR l.cluster = c.doc_id ORDER BY 1"),
       // md5-family IVF replayed in SQL: hash-ordered centroid draw,
       // nearest-centroid cells, nprobe probing, exact cosine rerank
       "sim_ivf_topk" -> {

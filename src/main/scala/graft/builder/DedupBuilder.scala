@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   *  - `"minhash"` — MinHash+LSH near-dup pairs → connected components →
   *    min-id survivor per cluster ([[Dedup.keepCanonical]])
   *  - `"simhash"` / `"ngram"` — same, over the respective pair producers
+  *  - `"image"` — perceptual near-dup over an image BINARY column
+  *    (`textField` names it): [[graft.ext.Multimodal.imageHash]] dHash
+  *    signatures fed through the simhash banding/verify machinery (the
+  *    signature is one packed long, so the whole incremental plane is
+  *    shared)
   *  - `"semantic"` — SemDeDup over an embedding column (`textField`
   *    names the vector column)
   *  - `"lines"` / `"spans"` — content REWRITES of `textField`:
@@ -26,8 +31,8 @@ import org.apache.spark.sql.functions._
   *    ending up with empty text
   *
   * ==Incremental builds==
-  * With an `indexStore` (methods `"minhash"`, `"simhash"`, `"ngram"`
-  * and `"semantic"`), the build follows the reference's incremental contract
+  * With an `indexStore` (methods `"minhash"`, `"simhash"`, `"image"`,
+  * `"ngram"` and `"semantic"`), the build follows the reference's incremental contract
   * (`core/store.py:239-275`): the FIRST run writes every doc's
   * signature + cluster label to the index; each REPEAT run processes
   * ONLY the docs not yet in the index against the persisted state,
@@ -104,9 +109,9 @@ class DedupBuilder(
   extends Builder {
 
   require(indexStore.isEmpty || method == "minhash" || method == "simhash" ||
-      method == "ngram" || method == "semantic",
+      method == "ngram" || method == "semantic" || method == "image",
     "indexStore (incremental dedup) is only supported for " +
-      s"method=minhash|simhash|ngram|semantic, got '$method'")
+      s"method=minhash|simhash|ngram|semantic|image, got '$method'")
   require(nCentroids >= 0,
     s"nCentroids must be >= 0 (0 = scale-adaptive auto), got $nCentroids")
 
@@ -130,7 +135,7 @@ class DedupBuilder(
         df.schema("sig").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
       case "ngram" => c.contains("grams") && !c.contains("sig") &&
         df.schema("grams").dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
-      case _ /* simhash */ => c.contains("sig") && !c.contains("grams") &&
+      case _ /* simhash | image: one packed long */ => c.contains("sig") && !c.contains("grams") &&
         df.schema("sig").dataType == org.apache.spark.sql.types.LongType
     })
   }
@@ -199,6 +204,12 @@ class DedupBuilder(
         Dedup.keepCanonical(scoped,
           Dedup.simhashPairs(scoped, source.key, textField, family = family),
           source.key)
+      case "image" =>
+        Dedup.keepCanonical(scoped,
+          Dedup.simhashPairsFromSigs(graft.ext.Multimodal.imageHash(
+            graft.ext.Multimodal.pack(scoped, source.key, col(textField), "image"))
+            .select(col("media_id").alias("id"), col("simhash"))),
+          source.key)
       case "ngram" =>
         Dedup.keepCanonical(scoped,
           Dedup.ngramJaccardPairs(scoped, source.key, textField,
@@ -227,7 +238,7 @@ class DedupBuilder(
           .withColumnRenamed("id", source.key)
         scoped.drop(textField).join(cleaned, Seq(source.key))
       case other => throw new IllegalArgumentException(
-        s"unknown dedup method: $other (exact|fingerprint|minhash|simhash|ngram|semantic|lines|spans)")
+        s"unknown dedup method: $other (exact|fingerprint|minhash|simhash|image|ngram|semantic|lines|spans)")
     }
     val mat = kept.localCheckpoint(true)
     val processed = mat.count()
@@ -256,6 +267,12 @@ class DedupBuilder(
         numHashes, shingleSize, family)
       case "simhash" => Dedup.simhashSignatures(batch, k, textField, family)
         .withColumnRenamed("simhash", "sig")
+      case "image" =>
+        // perceptual dHash of the image binary column — one packed
+        // long, so everything downstream IS the simhash plane
+        graft.ext.Multimodal.imageHash(
+          graft.ext.Multimodal.pack(batch, k, col(textField), "image"))
+          .select(col("media_id").alias("id"), col("simhash").alias("sig"))
       case _ => Dedup.ngramSignatures(batch, k, textField, shingleSize)
         .withColumnRenamed("sig", "grams")
     }).localCheckpoint(true)
@@ -263,7 +280,7 @@ class DedupBuilder(
     def fromScratch = method match {
       case "minhash" => Dedup.minhashLshFromSigs(newSigs, numHashes, bands,
         threshold = threshold, family = family)
-      case "simhash" => Dedup.simhashPairsFromSigs(
+      case "simhash" | "image" => Dedup.simhashPairsFromSigs(
         newSigs.withColumnRenamed("sig", "simhash"))
       case _ => Dedup.ngramJaccardPairsFromSigs(
         newSigs.withColumnRenamed("grams", "sig"), threshold = threshold)
@@ -272,7 +289,7 @@ class DedupBuilder(
       case "minhash" =>
         Dedup.minhashLshIncrementalSigs(newSigs, knownSigs, numHashes, bands,
           threshold = threshold, family = family)
-      case "simhash" => Dedup.simhashIncrementalSigs(newSigs, knownSigs)
+      case "simhash" | "image" => Dedup.simhashIncrementalSigs(newSigs, knownSigs)
       case _ => Dedup.ngramJaccardIncrementalSigs(
         newSigs.withColumnRenamed("grams", "sig"),
         knownSigs.withColumnRenamed("grams", "sig"), threshold = threshold)

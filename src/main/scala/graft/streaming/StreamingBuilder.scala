@@ -97,9 +97,12 @@ object StreamingBuilder {
     * that is the point: near-dup dedup at corpus scale needs the full
     * signature history, and a signature is 8-512 bytes/doc in a keyed
     * parquet store, not per-executor streaming state. `method` is
-    * `"minhash"`, `"simhash"`, `"ngram"` or `"semantic"` (for semantic,
+    * `"minhash"`, `"simhash"`, `"ngram"`, `"semantic"` (for semantic,
     * `textField` names the embedding column and the first batch's
-    * centroid draw is persisted in the index). */
+    * centroid draw is persisted in the index) or `"image"` (`textField`
+    * names an image BINARY column; perceptual dHash signatures through
+    * the simhash banding — cross-trigger near-dup detection for
+    * multimodal corpora). */
   def dedupStream(stream: DataFrame, key: String, textField: String,
                   target: Store, indexStore: Store,
                   method: String = "minhash", threshold: Double = 0.7,
@@ -109,8 +112,8 @@ object StreamingBuilder {
                   checkpoint: Option[String] = None): StreamingQuery = {
     require(stream.isStreaming, "dedupStream needs a streaming DataFrame")
     require(method == "minhash" || method == "simhash" || method == "ngram" ||
-        method == "semantic",
-      s"dedupStream supports minhash|simhash|ngram|semantic, got '$method'")
+        method == "semantic" || method == "image",
+      s"dedupStream supports minhash|simhash|ngram|semantic|image, got '$method'")
     var writer = stream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>

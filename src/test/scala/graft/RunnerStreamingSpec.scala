@@ -851,6 +851,45 @@ class RunnerStreamingSpec extends SparkSpec {
       .collect()(0).getLong(0) === 1L)
   }
 
+  test("StreamingBuilder.dedupStream IMAGE: perceptual twins dedup across triggers + restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.ext.Multimodal
+    val tgt = new MemoryStore(spark, "imgtgt", key = "doc_id", lastUpdatedField = "lu")
+    val idx = new MemoryStore(spark, "imgidx", key = "id", lastUpdatedField = "cluster")
+    val t0 = Timestamp.valueOf("2024-06-01 00:00:00")
+    // trigger 1: three distinct images
+    val stream1 = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q1 = StreamingBuilder.dedupStream(
+      stream1.toDF().toDF("doc_id", "img", "lu"), "doc_id", "img",
+      tgt, idx, method = "image")
+    stream1.addData((10L, Multimodal.syntheticCellBmp(1), t0),
+      (20L, Multimodal.syntheticCellBmp(2), t0),
+      (30L, Multimodal.syntheticCellBmp(3), t0))
+    q1.processAllAvailable(); q1.stop()
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(10L, 20L, 30L))
+    // "restart": a NEW query, same stores — trigger 2 ships a perturbed
+    // twin of image 2 (cross-trigger perceptual dup: dHash within the
+    // hamming band of the STORED signature) plus one genuinely new image
+    val stream2 = MemoryStream[(Long, Array[Byte], Timestamp)]
+    val q2 = StreamingBuilder.dedupStream(
+      stream2.toDF().toDF("doc_id", "img", "lu"), "doc_id", "img",
+      tgt, idx, method = "image")
+    stream2.addData(
+      (40L, Multimodal.syntheticCellBmp(2, perturbCell = 0), t0),
+      (50L, Multimodal.syntheticCellBmp(5), t0))
+    q2.processAllAvailable(); q2.stop()
+    // twin 40 joins 20's cluster (dropped from the canonical view);
+    // 50 survives; index grew batch-proportionally
+    assert(idx.df.count() === 5)
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(10L, 20L, 30L, 50L))
+    assert(idx.df.filter(col("id") === 40L).select("cluster")
+      .collect()(0).getLong(0) === 20L)
+  }
+
   test("StreamingBuilder.dedupWithinWatermark: first occurrence wins, bounded state") {
     val s = spark
     import s.implicits._
