@@ -435,6 +435,65 @@ class SearchResource(
   }
 }
 
+/** Tokenizer serving endpoint — closes the tokenizer loop: train once
+  * ([[graft.ext.Bpe.trainBatched]] → [[graft.ext.Bpe.saveMerges]], or
+  * the Runner `bpe_train` spec type), serve forever. POST
+  * `{"text": "...", "encode"?: true}` → BPE token count per word and
+  * in total under the PERSISTED merge list; `encode: true` additionally
+  * returns the symbol sequence.
+  *
+  * Serving shape: the merge list loads ONCE per resource (bounded by
+  * the numMerges contract) into the compiled
+  * [[graft.functions.BpeCodec]] table, and each request encodes
+  * DRIVER-SIDE — a request is one text, and spinning a Spark job per
+  * HTTP call would serialize the serving path on the scheduler. The
+  * tokenizer is the same kernel the engine's distributed encode uses
+  * ([[graft.functions.TokenizeRuns]] + BpeCodec), so served counts are
+  * bit-identical to `text_bpe_tokens`. Same `{data, meta}` envelope as
+  * every resource. */
+class TokenizeResource(
+    val merges: graft.store.Store,
+    val maxTextBytes: Int = 1 << 20,
+    val timeoutMs: Long = 0,
+    val responseHeaders: Map[String, String] = Map.empty)
+  extends TimedActions with BodySearchResource {
+
+  protected def actionSpark: org.apache.spark.sql.SparkSession = merges.spark
+
+  /** Loaded once: merge stores are write-once training artifacts; a
+    * retrained tokenizer is a NEW store (and a new resource) by
+    * contract — the AnnIndexBuilder quantizer-cache discipline. */
+  private lazy val table: graft.functions.BpeTable =
+    graft.functions.BpeTable.parse(graft.ext.Bpe.mergesSpec(
+      graft.ext.Bpe.loadMerges(merges)))
+
+  def search(body: Array[Byte]): String = timed {
+    if (body.length > maxTextBytes)
+      throw ApiError(400, s"text exceeds $maxTextBytes bytes")
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      catch { case _: Exception => throw ApiError(400, "body is not valid JSON") }
+    if (node == null || !node.isObject || !node.has("text") ||
+        !node.get("text").isTextual)
+      throw ApiError(400, """body must be {"text": "...", "encode"?: bool}""")
+    val encode = node.has("encode") && node.get("encode").asBoolean(false)
+    val text = node.get("text").asText()
+    // the engine tokenizer (lower → alnum runs), driver-side
+    val toks = graft.functions.TokenizeRuns.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text)
+        .toLowerCase)
+    val words = (0 until toks.numElements())
+      .map(i => toks.getUTF8String(i).toString).filter(_.nonEmpty)
+    val encoded = words.map(w => graft.functions.BpeCodec.encode(table, w))
+    val nTokens = encoded.iterator.map(_.length).sum
+    val tokensField =
+      if (!encode) ""
+      else encoded.flatten.map(Json.str).mkString(", \"tokens\": [", ",", "]")
+    s"""{"data": {"n_tokens": $nTokens, "n_words": ${words.length}$tokensField}, """ +
+      s""""meta": {"n_merges": ${table.size}}}"""
+  }
+}
+
 /** Minimal multi-resource HTTP host. `serve(Map("orders" -> res), 0)`
   * binds an ephemeral port (see `getAddress.getPort`); stop with
   * `.stop(0)`. Resource and blob names must be disjoint (each owns the

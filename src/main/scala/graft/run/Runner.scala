@@ -177,6 +177,15 @@ object Runner {
           b = opt(n, "b").map(_.asDouble()).getOrElse(0.75),
           criteria = criteria(n),
           deleteOrphans = opt(n, "delete_orphans").exists(_.asBoolean()))
+      // train-once BPE tokenizer artifact: "merges" holds the ordered
+      // (rank, a, b) merge list TokenizeResource serves from
+      case "bpe_train" =>
+        new BpeTrainBuilder(store("source"), store("merges"),
+          textField = str(n, "text_field", "text"),
+          numMerges = opt(n, "num_merges").map(_.asInt()).getOrElse(1024),
+          batchSize = opt(n, "batch_size").map(_.asInt()).getOrElse(64),
+          force = opt(n, "force").exists(_.asBoolean()),
+          criteria = criteria(n))
       case other => throw new IllegalArgumentException(s"unknown builder type: $other")
     }
   }

@@ -247,6 +247,60 @@ class HttpResourceSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("TokenizeResource: POST text counts/encodes under persisted merges; Runner bpe_train wires it") {
+    import org.apache.spark.sql.functions._
+    import graft.store.MemoryStore
+    val s = spark; import s.implicits._
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    // the Runner "bpe_train" spec type trains and persists the merges
+    val base = java.nio.file.Files.createTempDirectory("bpe_run").toString
+    docs.write.parquet(s"$base/src.parquet")
+    val spec =
+      s"""{
+         |  "stores": {
+         |    "src": {"type": "parquet_table", "path": "$base/src.parquet",
+         |            "key": "doc_id", "last_updated": "doc_id"},
+         |    "merges": {"type": "parquet", "root": "$base/merges",
+         |               "key": "rank", "last_updated": "rank"}
+         |  },
+         |  "builders": [
+         |    {"type": "bpe_train", "source": "src", "merges": "merges",
+         |     "num_merges": 64, "batch_size": 16}
+         |  ]
+         |}""".stripMargin
+    assert(graft.run.Runner.run(spark, spec).builders.head._2.processed === 64)
+    // a repeat run over the trained store SKIPS (train-once artifact)
+    assert(graft.run.Runner.run(spark, spec).builders.head._2.processed === 0)
+    val mst = new graft.store.ParquetStore(spark, s"$base/merges", "rank", "rank")
+    val res = new TokenizeResource(mst)
+    val srv = GraftHttp.serve(Map.empty, anns = Map("tokenize" -> res))
+    try {
+      val url = s"http://localhost:${srv.getAddress.getPort}/tokenize/"
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val sample = docs.filter(col("doc_id") === 7L).head().getString(1)
+      val (st1, r1) = post(url, mapper.writeValueAsString(
+        mapper.createObjectNode().put("text", sample).put("encode", true)))
+      assert(st1 === 200, r1)
+      val n1 = mapper.readTree(r1)
+      // served count == the engine's distributed bpeTokenCounts on the
+      // same doc under the same persisted merges (bit-identical kernel)
+      val merges = graft.ext.Bpe.loadMerges(mst)
+      val engineN = graft.ext.Bpe.bpeTokenCounts(
+        docs.filter(col("doc_id") === 7L), "doc_id", "text", merges)
+        .head().getLong(1)
+      assert(n1.get("data").get("n_tokens").asLong() === engineN)
+      assert(n1.get("meta").get("n_merges").asInt() === 64)
+      // encoded symbols concat back to the normalized words
+      val syms = (0 until n1.get("data").get("tokens").size())
+        .map(n1.get("data").get("tokens").get(_).asText()).mkString
+      val normed = sample.toLowerCase.replaceAll("[^a-z0-9]+", "")
+      assert(syms === normed)
+      // 400 contract
+      assert(post(url, "not json")._1 === 400)
+      assert(post(url, """{"encode": true}""")._1 === 400)
+    } finally srv.stop(0)
+  }
+
   test("context matching is exact: /ordersfoo is 404, not a key lookup on /orders") {
     assert(get(s"${base}foo")._1 === 404)
     assert(get(s"${base}foo/42")._1 === 404)
