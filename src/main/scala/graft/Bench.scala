@@ -149,10 +149,36 @@ object Bench {
       if (oracleSec.isEmpty) ""
       else ","+"\"oracle_sec\":" + oracleSec.toSeq.sorted
         .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // ANN recall@10 vs brute-force ground truth at nprobe ∈ {1, 4, 8} —
+    // the quality side of the approximate-search latency trade-off,
+    // stamped as a tracked artifact (VERDICT r12 #6; previously only
+    // spec-pinned in SubmissionIvfSpec). Deterministic query draw
+    // (vec_id % 97, capped) so the number is comparable across rounds;
+    // untimed and excluded from the totals — it is a QUALITY row.
+    val annRecall: Seq[(String, Double)] = (if (only.nonEmpty) None else scala.util.Try {
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") % 97 === 0 && col("vec_id") < 6208)
+      val truth = graft.ext.Similarity.bruteForceTopK(emb, queries, 10)
+        .select(col("q_id"), col("n_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (truth.isEmpty) throw new RuntimeException("no queries")
+      Seq(1, 4, 8).map { np =>
+        val got = graft.ext.Similarity.ivfPqTopK(emb, queries, 10,
+            nCentroids = 16, nprobe = np, trainIters = 3)
+          .select(col("q_id"), col("n_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        s"recall_at10_nprobe$np" -> got.intersect(truth).size.toDouble / truth.size
+      }
+    }.toOption).getOrElse(Seq.empty)
+    val recallField =
+      if (annRecall.isEmpty) ""
+      else ","+"\"ann_recall\":" + annRecall
+        .map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
     val failedField =
       if (failed.isEmpty) ""
       else ","+"\"failed\":" + failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField$failedField,"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField$recallField$failedField,"sf":"$sfDir"}"""
     println(fullLine)
     // full artifact on disk too — the driver archives only a ~2 KB tail of
     // stdout, which truncated the round-5 line into an unparseable header.

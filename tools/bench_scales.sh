@@ -70,17 +70,22 @@ mv BENCH_SF_HEADLINE.tmp BENCH_FULL.json
 if [ "$SKIP_SF1" != "--skip-sf1" ]; then
   python3 - <<'PY'
 import json
-q = "dedup_ngram_jaccard"
-try:
-    e01 = json.load(open("BENCH_FULL.json"))["queries"][q]
-    e1 = json.load(open("BENCH_SF1.json"))["queries"][q]
-    r = e1 / e01
-    print(f"scaling gate {q}: sf1/sf0.1 engine = {r:.1f}x (threshold 8x)")
-    if r > 8:
-        print(f"WARN: {q} superlinear - sf1 {e1:.1f}s vs sf0.1 {e01:.1f}s; "
-              "adjudicate per the isolation protocol (BASELINE.md)")
-except Exception as e:
-    print(f"scaling gate skipped: {e}")
+# dedup_ngram_jaccard: the one quadratic-risk operator (PPJoin must keep
+# it pair-output-proportional). text_bpe_tokens: the batched trainer must
+# stay rounds x vocab-job (vocab grows ~linearly in the hex-salted
+# fixture; a superlinear reading means the per-round checkpoint or the
+# pair aggregation regressed to corpus-scale work).
+for q in ("dedup_ngram_jaccard", "text_bpe_tokens"):
+    try:
+        e01 = json.load(open("BENCH_FULL.json"))["queries"][q]
+        e1 = json.load(open("BENCH_SF1.json"))["queries"][q]
+        r = e1 / e01
+        print(f"scaling gate {q}: sf1/sf0.1 engine = {r:.1f}x (threshold 8x)")
+        if r > 8:
+            print(f"WARN: {q} superlinear - sf1 {e1:.1f}s vs sf0.1 {e01:.1f}s; "
+                  "adjudicate per the isolation protocol (BASELINE.md)")
+    except Exception as e:
+        print(f"scaling gate skipped for {q}: {e}")
 PY
 fi
 echo "drift stamps:"
