@@ -163,7 +163,9 @@ object Bench {
         .select(col("q_id"), col("n_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       if (truth.isEmpty) throw new RuntimeException("no queries")
-      Seq(1, 4, 8).map { np =>
+      // nprobe 16 = every cell probed: isolates the PQ-code distortion
+      // ceiling from the cell-miss loss the lower nprobes add
+      Seq(1, 4, 8, 16).map { np =>
         val got = graft.ext.Similarity.ivfPqTopK(emb, queries, 10,
             nCentroids = 16, nprobe = np, trainIters = 3)
           .select(col("q_id"), col("n_id")).collect()

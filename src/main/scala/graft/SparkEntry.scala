@@ -1358,8 +1358,8 @@ object SparkEntry {
         .orderBy("pack_id")
     }),
 
-    // trained subword tokenizer at REAL vocab scale: 1024 merges in 16
-    // BATCHED rounds over the word histogram (top-64 pairs per
+    // trained subword tokenizer at REAL vocab scale: 1024 merges in 8
+    // BATCHED rounds over the word histogram (top-128 pairs per
     // distributed round, applied in rank order — Bpe.trainBatched), then
     // per-doc subword counts via the COMPILED distinct-word encode
     // kernel (graft.functions.BpeCount: flat plan depth at any merge
@@ -1369,7 +1369,7 @@ object SparkEntry {
     "text_bpe_tokens" -> ((s, dir) => {
       val docs = bpeCorpus(s, dir)
       val merges = graft.ext.Bpe.trainBatched(docs, "text",
-        numMerges = 1024, batchSize = 64)
+        numMerges = 1024, batchSize = 128)
       graft.ext.Bpe.bpeTokenCounts(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
     }),
@@ -1379,7 +1379,7 @@ object SparkEntry {
     "sample_pack_bpe" -> ((s, dir) => {
       val docs = bpeCorpus(s, dir)
       val merges = graft.ext.Bpe.trainBatched(docs, "text",
-        numMerges = 1024, batchSize = 64)
+        numMerges = 1024, batchSize = 128)
       Sampling.packSequences(
         graft.ext.Bpe.bpeTokenCounts(docs, "doc_id", "text", merges)
           .select(col("doc_id"), col("n_bpe_tokens").alias("n_tokens")),
@@ -2244,17 +2244,17 @@ object SparkEntry {
          "SELECT pack_id, count(*) AS n_docs, " +
          "md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS pack_md5 " +
          "FROM p GROUP BY pack_id ORDER BY pack_id"),
-      // batched BPE at vocab scale: the unrolled 1024-merge (16-round)
+      // batched BPE at vocab scale: the unrolled 1024-merge (8-round)
       // training replay, then per-doc subword counts via the same
       // distinct-word encode + join
       "text_bpe_tokens" ->
-        (s"WITH ${bpeOracleCtes(1024, 64)} " +
+        (s"WITH ${bpeOracleCtes(1024, 128)} " +
          "SELECT w.doc_id, CAST(sum(w.tf * e.nsym) AS BIGINT) AS n_bpe_tokens " +
          "FROM wt w JOIN enc e ON e.word = w.tok GROUP BY 1 ORDER BY 1"),
       // packing on TRAINED subword counts: same prefix-sum spelling as
       // sample_pack_sequences over the BPE per-doc totals
       "sample_pack_bpe" ->
-        (s"WITH ${bpeOracleCtes(1024, 64)}, " +
+        (s"WITH ${bpeOracleCtes(1024, 128)}, " +
          "nb AS (SELECT w.doc_id, CAST(sum(w.tf * e.nsym) AS BIGINT) AS n_tokens " +
          "FROM wt w JOIN enc e ON e.word = w.tok GROUP BY 1), " +
          "p AS (SELECT doc_id, n_tokens, COALESCE(CAST(sum(n_tokens) OVER " +
