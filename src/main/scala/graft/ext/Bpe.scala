@@ -153,14 +153,20 @@ object Bpe {
         // the LAST round shrinks to the remainder, so the merge COUNT
         // contract is exact (and the oracle's per-round LIMITs replay it)
         val k = math.min(batchSize, numMerges - merges.size)
+        // adjacent pairs via posexplode + element_at — ALL codegen'd.
+        // The transform(sequence(...)) HOF spelling the sequential
+        // trainer keeps is a CodegenFallback: interpreted per row, it
+        // was 3× the whole round's cost at sf1 (measured 1.5 s → 0.5 s
+        // per round)
         val top = hist
           .select(col("cnt"), graft.functions.GraftFunctions.bpeEncode(
             spark, col("word"), mergesSpec(merges.toSeq)).alias("f"))
           .filter(size(col("f")) >= 2)
-          .select(col("cnt"), explode(expr(
-            "transform(sequence(1, size(f) - 1), i -> struct(f[i-1] AS a, f[i] AS b))"))
-            .alias("p"))
-          .groupBy(col("p.a").alias("a"), col("p.b").alias("b"))
+          .select(col("cnt"), col("f"), posexplode(col("f")))
+          .filter(col("pos") < size(col("f")) - 1)
+          .select(col("cnt"), col("col").alias("a"),
+            element_at(col("f"), col("pos") + 2).alias("b"))
+          .groupBy(col("a"), col("b"))
           .agg(sum(col("cnt")).alias("n"))
           .orderBy(col("n").desc, col("a").asc, col("b").asc)
           .limit(k).collect() // ≤ batchSize rows by construction
