@@ -186,6 +186,22 @@ object Runner {
           batchSize = opt(n, "batch_size").map(_.asInt()).getOrElse(64),
           force = opt(n, "force").exists(_.asBoolean()),
           criteria = criteria(n))
+      // incremental unigram LM: "vocab" holds (token, cnt) counts merged
+      // across batches; scoring joins against the persisted counts
+      case "unigram_lm" =>
+        new UnigramLmBuilder(store("source"), store("vocab"),
+          textField = str(n, "text_field", "text"),
+          criteria = criteria(n))
+      // incremental hashed-ngram quality classifier: "model" holds
+      // (bucket, w_pos, w_neg) counts merged across batches
+      case "quality_clf" =>
+        new QualityClfBuilder(store("source"), store("model"),
+          textField = str(n, "text_field", "text"),
+          labelField = str(n, "label_field", "label"),
+          buckets = opt(n, "buckets").map(_.asInt()).getOrElse(1024),
+          family = str(n, "family", "md5"),
+          seed = opt(n, "seed").map(_.asInt()).getOrElse(0),
+          criteria = criteria(n))
       case other => throw new IllegalArgumentException(s"unknown builder type: $other")
     }
   }

@@ -320,7 +320,7 @@ class RunnerStreamingSpec extends SparkSpec {
       (1L, "alpha beta alpha", 1L), (2L, "beta gamma", 1L)
     ).toDF("doc_id", "text", "lu"))
     // the 100 TB vocab shape: delta upserts of only the touched tokens
-    val vocab = new ParquetStore(spark, root, key = "tok",
+    val vocab = new graft.store.ParquetStore(spark, root, key = "tok",
       lastUpdatedField = "last_updated", deltaWrites = true, compactAfter = 4)
     def builder() = new UnigramLmBuilder(src, vocab, "text")
 
@@ -1280,5 +1280,59 @@ class RunnerStreamingSpec extends SparkSpec {
       new ParquetStore(spark, s"$base/st", "sid", "sid"), "text")
       .topK(docs.filter(col("doc_id") === 100), k = 3)
     assert(served.count() === 3)
+  }
+
+  test("Runner: unigram_lm + quality_clf specs train persisted, servable model stores") {
+    val base = java.nio.file.Files.createTempDirectory("runner_lm").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % 3 === 0).cast("int").alias("label"),
+        lit(1L).alias("lu"))
+    docs.write.parquet(s"$base/docs.parquet")
+    val spec =
+      s"""{
+         |  "stores": {
+         |    "src": {"type": "parquet_table", "path": "$base/docs.parquet",
+         |            "key": "doc_id", "last_updated": "lu"},
+         |    "vocab": {"type": "parquet", "root": "$base/vocab", "key": "tok",
+         |              "last_updated": "last_updated", "delta_writes": true},
+         |    "model": {"type": "parquet", "root": "$base/model", "key": "bucket",
+         |              "last_updated": "last_updated", "delta_writes": true}
+         |  },
+         |  "builders": [
+         |    {"type": "unigram_lm", "source": "src", "vocab": "vocab"},
+         |    {"type": "quality_clf", "source": "src", "model": "model"}
+         |  ]
+         |}""".stripMargin
+    val report = Runner.run(spark, spec)
+    assert(report.builders.map(_._1) === Seq("unigram_lm#0", "quality_clf#1"))
+    assert(report.builders.forall(_._2.processed > 0))
+    // both persisted artifacts serve scores identical to a from-scratch train
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    val vocab = new graft.store.ParquetStore(spark, s"$base/vocab", "tok", "last_updated",
+      deltaWrites = true)
+    val lmScored = graft.ext.TextAnalysis
+      .scoreWithVocab(probe, "doc_id", "text", vocab)
+    assert(lmScored.agg(sum("n_oov")).head.getLong(0) === 0L,
+      "probe docs are in-corpus, so the persisted vocab must cover them")
+    val lmServed = lmScored.select("doc_id", "n_tokens", "avg_logprob")
+      .orderBy("doc_id").collect()
+    val lmDirect = graft.ext.TextAnalysis
+      .unigramLogProb(docs, "doc_id", "text")
+      .filter(col("doc_id") % 7 === 0)
+      .select("doc_id", "n_tokens", "avg_logprob")
+      .orderBy("doc_id").collect()
+    assert(lmServed.toSeq === lmDirect.toSeq)
+    val model = new graft.store.ParquetStore(spark, s"$base/model", "bucket", "last_updated",
+      deltaWrites = true)
+    val clfServed = graft.ext.QualityClassifier
+      .score(probe, "doc_id", "text", model.df).orderBy("doc_id").collect()
+    val clfDirect = graft.ext.QualityClassifier
+      .score(probe, "doc_id", "text",
+        graft.ext.QualityClassifier.train(docs, "text", "label"))
+      .orderBy("doc_id").collect()
+    assert(clfServed.toSeq === clfDirect.toSeq)
+    // idempotence: a second run sees no pending docs
+    assert(Runner.run(spark, spec).builders.forall(_._2.processed === 0))
   }
 }
