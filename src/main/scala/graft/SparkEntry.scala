@@ -1310,6 +1310,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // STREAMING twin of text_quality_clf_incr, oracle-checked end-to-end:
+    // the two even-id training batches replay as two file-source
+    // micro-batches (%4==0 with the earlier mtime and lu=1, the rest of
+    // the evens lu=2), each trigger trains through the SAME
+    // QualityClfBuilder (per-class counts merge additively, the watermark
+    // admits only the new rows), then the odd ids score against the
+    // PERSISTED model — identical to the batch-driven train because
+    // streaming state lives in the model store
+    "stream_quality_clf" -> ((s, dir) => {
+      val docs = clfCorpus(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_strclf").toString
+      val prepared = s"$base/docs"
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      evens.filter(col("doc_id") % 4 === 0).withColumn("lu", lit(1L))
+        .coalesce(1).write.parquet(prepared)
+      new java.io.File(prepared).listFiles().foreach(f =>
+        f.setLastModified(1000000000000L))
+      evens.filter(col("doc_id") % 4 =!= 0).withColumn("lu", lit(2L))
+        .coalesce(1).write.mode("append").parquet(prepared)
+      val stream = s.readStream
+        .schema(evens.withColumn("lu", lit(1L)).schema)
+        .option("maxFilesPerTrigger", 1).parquet(prepared)
+      val model = new graft.store.ParquetStore(s, s"$base/model", "bucket",
+        "last_updated", deltaWrites = true)
+      val q = graft.streaming.StreamingBuilder.qualityClfStream(
+        stream, "doc_id", "lu", "text", "label", model)
+      try q.processAllAvailable() finally q.stop()
+      new graft.builder.QualityClfBuilder(
+        new TableStore(s, docs, "strclf_src", "doc_id", "lu"), model,
+        "text", "label")
+        .score(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.repetitionRatio(s, col("text"), n = 3).alias("rep_ratio"))
@@ -2483,6 +2517,9 @@ object SparkEntry {
       // train-on-evens model, so both rows share the one SQL replay
       "text_quality_clf" -> clfOracleSql(1024),
       "text_quality_clf_incr" -> clfOracleSql(1024),
+      // streaming twin: two file-source training triggers must converge
+      // to the same from-scratch model, so it shares the replay too
+      "stream_quality_clf" -> clfOracleSql(1024),
       "text_ngram_counts" ->
         ("WITH toks AS (SELECT list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM documents), " +
          "grams AS (SELECT concat_ws(' ', tk[n], tk[n+1]) AS ngram " +

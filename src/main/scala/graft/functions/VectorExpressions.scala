@@ -785,8 +785,38 @@ object GraftFunctions {
     "graft_bpe_count" -> (es => BpeCount(es(0), es(1).eval().toString)),
     "graft_bpe_encode" -> (es => BpeEncode(es(0), es(1).eval().toString)))
 
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, b) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+  // once-per-session guard: the builder set is immutable, so re-running
+  // the create-or-replace loop on every Column-helper call only churns
+  // the synchronized registry and floods the log with "replaced a
+  // previously registered function" warnings. Weak keys: the guard must
+  // not pin short-lived cloned sessions (foreachBatch clones one per
+  // streaming query).
+  private val registeredSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
+  /** Test hook: forget which sessions were registered — a spec that
+    * drops a function from a registry needs the next register() to
+    * actually re-run (the guard would otherwise mask the drop). */
+  private[graft] def invalidateRegistrationCacheForTest(): Unit =
+    registeredSessions.clear()
+
+  def register(spark: SparkSession): Unit = {
+    def into(s: SparkSession): Unit =
+      if (registeredSessions.add(s)) fns.foreach { case (name, b) =>
+        s.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+      }
+    into(spark)
+    // foreachBatch hazard: Structured Streaming runs micro-batches in a
+    // CLONED session, so a plan that joins a batch-derived frame (clone)
+    // against a store frame (outer session) analyzes under whichever
+    // session owns the LEFT-most base relation — not necessarily the
+    // one the Column helper was handed. Register into the active and
+    // default sessions too, so the function resolves no matter which
+    // registry the analyzer consults (all registrations are idempotent
+    // create-or-replace of the same builders).
+    (SparkSession.getActiveSession.toSeq ++ SparkSession.getDefaultSession.toSeq)
+      .filter(_ ne spark).distinct.foreach(into)
   }
 
   /** Column API over the registered functions. */

@@ -175,6 +175,45 @@ object StreamingBuilder {
     * the same stores) answers exactly what a batch-driven build answers
     * — streaming state lives in the stores, not the query, the contract
     * every streaming plane here shares. */
+  /** Streaming twin of the incremental quality classifier
+    * ([[graft.builder.QualityClfBuilder]]): each micro-batch of labeled
+    * documents trains through the SAME builder, so the per-class bucket
+    * counts MERGE additively across triggers (the property naive Bayes
+    * buys) and scoring (`QualityClfBuilder.score` over the same model
+    * store) answers exactly what a batch-driven train answers. Batches
+    * must carry a monotonically increasing `lastUpdated` column — the
+    * builder's watermark contract decides which rows are new, exactly as
+    * in the batch-incremental path, so a replayed trigger (foreachBatch
+    * at-least-once) re-trains nothing. */
+  def qualityClfStream(stream: DataFrame, key: String, lastUpdated: String,
+                       textField: String, labelField: String,
+                       model: Store, buckets: Int = 1024,
+                       family: String = "md5", seed: Int = 0,
+                       checkpoint: Option[String] = None): StreamingQuery = {
+    require(stream.isStreaming, "qualityClfStream needs a streaming DataFrame")
+    // ONE builder across triggers (TableStore's by-name df reads the
+    // current batch): the model-empty probe and watermark read then
+    // price per trigger, never per instance re-setup
+    var current: DataFrame = null
+    var builder: graft.builder.QualityClfBuilder = null
+    var writer = stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          current = batch
+          if (builder == null)
+            builder = new graft.builder.QualityClfBuilder(
+              new graft.store.TableStore(batch.sparkSession, current,
+                "stream-batch", key, lastUpdated),
+              model, textField, labelField, buckets, family, seed)
+          builder.run()
+          ()
+        }
+      }
+    checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
+    writer.start()
+  }
+
   def bm25IndexStream(stream: DataFrame, key: String, textField: String,
                       index: Store, stats: Store,
                       k1: Double = 1.2, b: Double = 0.75,

@@ -890,6 +890,84 @@ class RunnerStreamingSpec extends SparkSpec {
       .collect()(0).getLong(0) === 20L)
   }
 
+  test("graft functions resolve when the plan's base session differs from the helper's (foreachBatch clone)") {
+    // the streaming incremental-dedup shape: newSigs come from the
+    // micro-batch CLONE session, knownSigs from the index store's OUTER
+    // session; the union/join analyzes under the OUTER registry while
+    // the Column helper registered into the clone. Reproduce it by
+    // dropping the function from the outer registry first — pre-fix this
+    // threw UNRESOLVED_ROUTINE (observed as STREAM_FAILED in any
+    // isolated stream_dedup run, masked in full suites by earlier batch
+    // queries having registered the outer session).
+    val s = spark
+    import s.implicits._
+    s.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bounded_collect"))
+    graft.functions.GraftFunctions.invalidateRegistrationCacheForTest()
+    val clone = s.newSession()
+    val newSigs = {
+      val cs = clone
+      import cs.implicits._
+      Seq((10L, Seq.fill(4)(7L))).toDF("id", "sig")
+    }
+    val knownSigs = Seq((1L, Seq.fill(4)(7L)), (2L, Seq.fill(4)(9L)))
+      .toDF("id", "sig")
+    val pairs = graft.ext.Dedup.minhashLshIncrementalSigs(
+      newSigs, knownSigs, numHashes = 4, bands = 2, threshold = 0.5)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 10L)))
+  }
+
+  test("StreamingBuilder.qualityClfStream: counts merge across triggers + restart; replay is a watermark no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val model = new MemoryStore(spark, "qcm", key = "bucket",
+      lastUpdatedField = "last_updated")
+    val rows = Seq(
+      (1L, "free money click now win prize", 0, 1L),
+      (2L, "the quarterly report shows steady growth", 1, 1L),
+      (3L, "win free cash now limited offer", 0, 2L),
+      (4L, "the committee reviewed the annual results", 1, 2L))
+    val all = rows.toDF("doc_id", "text", "label", "lu")
+    // query lifetime 1: the lu=1 batch trains the empty model
+    val s1 = MemoryStream[(Long, String, Int, Long)]
+    val q1 = StreamingBuilder.qualityClfStream(
+      s1.toDF().toDF("doc_id", "text", "label", "lu"),
+      "doc_id", "lu", "text", "label", model, buckets = 64)
+    s1.addData(rows(0), rows(1))
+    q1.processAllAvailable(); q1.stop()
+    assert(model.df.filter(col("bucket") >= 0).count() > 0)
+    // "restart": a NEW query, same model store — the lu=2 batch MERGES
+    // additively (state lives in the store, not the query)
+    val s2 = MemoryStream[(Long, String, Int, Long)]
+    val q2 = StreamingBuilder.qualityClfStream(
+      s2.toDF().toDF("doc_id", "text", "label", "lu"),
+      "doc_id", "lu", "text", "label", model, buckets = 64)
+    s2.addData(rows(2), rows(3))
+    q2.processAllAvailable(); q2.stop()
+    // the streamed 2-trigger model IS the from-scratch model: scoring
+    // through the persisted counts replays QualityClassifier exactly
+    val served = new graft.builder.QualityClfBuilder(
+      new graft.store.TableStore(spark, all, "qcsrc", "doc_id", "lu"),
+      model, "text", "label", buckets = 64)
+      .score(all, "doc_id", "text").orderBy("doc_id").collect()
+    val direct = graft.ext.QualityClassifier.score(all, "doc_id", "text",
+      graft.ext.QualityClassifier.train(all, "text", "label", buckets = 64),
+      buckets = 64).orderBy("doc_id").collect()
+    assert(served.toSeq === direct.toSeq)
+    // an at-least-once REPLAY of already-absorbed rows is a no-op: the
+    // watermark (max lu = 2) admits nothing, counts stay untouched
+    val before = model.df.orderBy("bucket").collect().toSeq
+    val s3 = MemoryStream[(Long, String, Int, Long)]
+    val q3 = StreamingBuilder.qualityClfStream(
+      s3.toDF().toDF("doc_id", "text", "label", "lu"),
+      "doc_id", "lu", "text", "label", model, buckets = 64)
+    s3.addData(rows: _*)
+    q3.processAllAvailable(); q3.stop()
+    assert(model.df.orderBy("bucket").collect().toSeq === before)
+  }
+
   test("StreamingBuilder.dedupWithinWatermark: first occurrence wins, bounded state") {
     val s = spark
     import s.implicits._
