@@ -31,4 +31,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // measured 5x in-suite GC inflation under 32g (isolated 37 s -> 196 s
   // in-suite; heap is not reserved up front, so small runs are unaffected)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
-) ++ sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq)
+) ++ sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))

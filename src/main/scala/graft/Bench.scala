@@ -114,14 +114,23 @@ object Bench {
     // on every redo, while a steal window rarely covers three readings.
     def stealSuspect(name: String, t: Double): Boolean =
       warmTimes.get(name).exists(w => t > math.max(2 * w, w + 5.0))
+    // every discarded reading lands in the ARTIFACT (steal_redos field),
+    // not just stderr: adjudication must be able to distinguish a steal
+    // rescue (one inflated outlier among fast redos) from a masked
+    // intermittent regression (redos clustered near the discarded value)
+    val redoLog = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double], Double)]
     val results = timedEngine.map { case (name, fn) =>
       var cur = time(fn, name)
       var redo = 0
+      val discarded = scala.collection.mutable.ArrayBuffer.empty[Double]
       while (redo < 2 && cur.exists(t => stealSuspect(name, t))) {
         redo += 1
         System.err.println(f"[bench] $name: ${cur.get}%.1f s vs warm ${warmTimes(name)}%.1f s — steal suspect, redo $redo")
-        cur = Some(math.min(cur.get, time(fn, s"$name(redo$redo)").getOrElse(cur.get)))
+        val next = time(fn, s"$name(redo$redo)").getOrElse(cur.get)
+        discarded += math.max(cur.get, next)
+        cur = Some(math.min(cur.get, next))
       }
+      if (discarded.nonEmpty) redoLog += ((name, discarded.toSeq, cur.get))
       name -> cur
     }
     // second pass: the md5-family originals, reported separately so the
@@ -207,7 +216,13 @@ object Bench {
     val failedField =
       if (failed.isEmpty) ""
       else ","+"\"failed\":" + failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField$recallField$failedField,"sf":"$sfDir"}"""
+    val redoField =
+      if (redoLog.isEmpty) ""
+      else ","+"\"steal_redos\":" + redoLog.sortBy(_._1).map { case (n, ds, kept) =>
+        "\"" + n + "\":{\"kept\":" + f"$kept%.3f" + ",\"discarded\":" +
+          ds.map(d => f"$d%.3f").mkString("[", ",", "]") + "}"
+      }.mkString("{", ",", "}")
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField$recallField$failedField$redoField,"sf":"$sfDir"}"""
     println(fullLine)
     // full artifact on disk too — the driver archives only a ~2 KB tail of
     // stdout, which truncated the round-5 line into an unparseable header.

@@ -57,13 +57,13 @@ object SparkEntry {
     * query WORKLOAD stays fixed while the scale-copy corpus (ids
     * offset by ≥ 3.4M) grows — retrieval cost scales with the corpus,
     * not quadratically with corpus × queries. */
-  private def bm25OracleCtes(qmod: Int = 97): String =
-    "toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
-      "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS term FROM documents), " +
+  private def bm25OracleCtes(qmod: Int = 97, src: String = "documents"): String =
+    s"toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
+      "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS term FROM " + src + "), " +
       "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
       "dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1), " +
       "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
-      "stats AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n, " +
+      s"stats AS (SELECT CAST((SELECT count(*) FROM $src) AS DOUBLE) AS n, " +
       "CAST((SELECT sum(dl) FROM dl) AS DOUBLE) AS sumdl), " +
       s"qt AS (SELECT DISTINCT doc_id AS q_id, term FROM toks WHERE doc_id % $qmod = 0 AND doc_id < 1000000), " +
       "bm25scored AS (SELECT qt.q_id, tf.doc_id AS id, " +
@@ -80,6 +80,22 @@ object SparkEntry {
     * lexical diversity — the [[dupCorpus]]/[[piiCorpus]] fixture
     * pattern, byte-replayable on both engines (md5 hex is lowercase on
     * both). */
+  /** The `text_bm25_update` FINAL corpus as a DuckDB subquery: every
+    * doc_id % 13 == 0 doc carries batch B's new text (a planted
+    * doc-keyed md5 word — byte-replayable, the [[bpeCorpusSql]]
+    * pattern). */
+  private val bm25UpdCorpusSql =
+    "(SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' updated ' || " +
+      "substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) ELSE text END AS text " +
+      "FROM documents)"
+
+  /** The `ann_index_update` FINAL corpus: every vec_id % 17 == 0 vector
+    * replaced by its reversal — a same-dimension, SQL-replayable
+    * mutation. */
+  private val annUpdCorpusSql =
+    "(SELECT vec_id, CASE WHEN vec_id % 17 = 0 THEN list_reverse(embedding) " +
+      "ELSE embedding END AS embedding FROM embeddings)"
+
   private val bpeCorpusSql =
     "(SELECT doc_id, text || ' ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) " +
       "|| ' ' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8) " +
@@ -260,6 +276,136 @@ object SparkEntry {
       "CAST((coalesce(sc.s, 0) + cons.prior) > 0 AS INT) AS pred " +
       "FROM clf c LEFT JOIN sc ON sc.doc_id = c.doc_id CROSS JOIN cons " +
       "WHERE c.doc_id % 2 = 1 ORDER BY c.doc_id"
+  }
+
+  /** The `pipeline_curate` corpus: every stage of the curation chain
+    * gets a DISCRIMINATIVE planted feature —
+    *  - a well-formed ≥20-word lead sentence (so C4/Gopher keep the
+    *    page) whose every 13-token window contains a doc-keyed token
+    *    (so decontamination only fires on true eval membership);
+    *  - the raw text as a terminated line (C4 keeps it; its random
+    *    words carry the doc's lexical identity);
+    *  - `%4`: an unterminated "click here" junk line (C4 drops the
+    *    LINE, keeps the doc); `%17`: lorem ipsum (C4 drops the PAGE);
+    *    `%13`: a curly-brace code line (C4 drops the PAGE);
+    *  - `%7`: a well-formed spam line + `label = 0` (the classifier
+    *    gate's planted negative class);
+    *  - `%19 == 2`: the whole page replaced by a constant 25-word
+    *    duplicate (exact-dedup's planted group; label 1, no other
+    *    plants). */
+  private def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val idStr = col("doc_id").cast("string")
+    val dupPage = lit("This exact duplicated page appears verbatim many " +
+      "times across the whole corpus and is intentionally long enough to " +
+      "satisfy every heuristic quality gate applied today.")
+    val normal = concat(
+      lit("This is a well formed and carefully written sentence number "),
+      idStr, lit(" of the corpus crafted for document "), idStr,
+      lit(" with twenty or more words total."),
+      lit("\n"), col("text"), lit(" end."),
+      when(col("doc_id") % 4 === 0, lit("\nclick here")).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        lit("\nGenerated from lorem ipsum filler text.")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit("\nfunction f() { return 1; }")).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit("\nWin money free click here now today please fast."))
+        .otherwise(lit("")))
+    // %23 == 3: a well-formed but SHORT page — C4 keeps it (terminated,
+    // ≥3 words, no page poison) and Gopher's 20-word floor drops it,
+    // so the heuristic gate is non-vacuous too
+    val shortPage = lit("This tiny page is honestly much too short.")
+    d.select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 19 === 2, dupPage)
+        .when(col("doc_id") % 23 === 3, shortPage)
+        .otherwise(normal).alias("text"),
+      when(col("doc_id") % 7 === 0 && col("doc_id") % 19 =!= 2 &&
+          col("doc_id") % 23 =!= 3, lit(0))
+        .otherwise(lit(1)).alias("label"))
+  }
+
+  /** Byte-identical DuckDB twin of [[curateCorpus]]. */
+  private val curateCorpusSql =
+    "(SELECT doc_id, lang, CASE WHEN doc_id % 19 = 2 THEN " +
+      "'This exact duplicated page appears verbatim many times across the whole corpus and is intentionally long enough to satisfy every heuristic quality gate applied today.' " +
+      "WHEN doc_id % 23 = 3 THEN 'This tiny page is honestly much too short.' " +
+      "ELSE 'This is a well formed and carefully written sentence number ' || CAST(doc_id AS VARCHAR) || " +
+      "' of the corpus crafted for document ' || CAST(doc_id AS VARCHAR) || ' with twenty or more words total.' || " +
+      "chr(10) || text || ' end.' || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'click here' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'Generated from lorem ipsum filler text.' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'Win money free click here now today please fast.' ELSE '' END) END AS text, " +
+      "CASE WHEN doc_id % 7 = 0 AND doc_id % 19 <> 2 AND doc_id % 23 <> 3 THEN 0 ELSE 1 END AS label " +
+      "FROM documents)"
+
+  /** The full curation-chain replay (C4 → Gopher → NB classifier gate →
+    * exact dedup → 13-gram decontamination → weighted mix → sequence
+    * packing), every stage in the engine kernel's exact spelling — the
+    * composition of the per-stage oracles already proven row by row
+    * (`text_c4_filters`, `text_gopher_rules`, `text_quality_clf`,
+    * `dedup_exact`, `decon_ngram_overlap`, `sample_weighted_mix`,
+    * `sample_pack_sequences`). */
+  private def curateOracleSql: String = {
+    val toks = (src: String) =>
+      s"list_filter(string_split_regex(regexp_replace(lower($src), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)"
+    val bucket = s"CAST(('0x' || substr(md5('0:' || tg), 1, 15)) AS BIGINT) % 1024"
+    val tags = "unnest(list_concat(list_transform(ts, x -> 'u ' || x), " +
+      "list_transform(range(1, len(ts)), i -> 'b ' || ts[i] || ' ' || ts[i+1]))) AS tg"
+    val win13 = (0 until 13).map(i => s"tk[n+$i]").mkString(", ")
+    val mixHash = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    s"WITH cur AS $curateCorpusSql, " +
+      // stage 1: C4 line retention + page gates; clean text flows on
+      "k AS (SELECT doc_id, lang, text, list_filter(string_split(text, chr(10)), " +
+      "x -> regexp_matches(x, '[.!?\"]$') AND len(string_split_regex(trim(x), '\\s+')) >= 3 " +
+      "AND NOT contains(lower(x), 'javascript')) AS kept FROM cur), " +
+      "c4 AS (SELECT doc_id, lang, array_to_string(kept, chr(10)) AS clean FROM k " +
+      "WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{') AND len(kept) >= 1), " +
+      // stage 2: Gopher heuristics over the cleaned text (minWords 20)
+      "gm AS (SELECT doc_id, lang, clean, len(ws) AS n, " +
+      "CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) ELSE 0.0 END AS mean_len, " +
+      "len(regexp_extract_all(clean, '#|\\.\\.\\.|…')) AS syms, " +
+      "len(regexp_extract_all(lower(clean), '\\S*[a-z]\\S*')) AS alpha " +
+      "FROM (SELECT doc_id, lang, clean, regexp_extract_all(lower(clean), '\\S+') AS ws FROM c4)), " +
+      "g AS (SELECT doc_id, lang, clean FROM gm WHERE (n >= 20 AND n <= 100000) " +
+      "AND (mean_len >= 3.0 AND mean_len <= 10.0) " +
+      "AND (CASE WHEN n > 0 THEN CAST(syms AS DOUBLE) / n <= 0.1 ELSE FALSE END) " +
+      "AND (CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n >= 0.8 ELSE FALSE END)), " +
+      // stage 3: NB classifier — train on the raw labeled corpus, score
+      // the cleaned survivors, gate on the 4-dp rounded score
+      s"ttg AS (SELECT label, $tags FROM (SELECT label, ${toks("text")} AS ts FROM cur)), " +
+      s"train AS (SELECT $bucket AS bucket, sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS c0, " +
+      "sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS c1 FROM ttg GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(c0) AS DOUBLE) AS t0, CAST(sum(c1) AS DOUBLE) AS t1, " +
+      "(SELECT count(*) FROM cur WHERE label = 0) AS n0, (SELECT count(*) FROM cur WHERE label = 1) AS n1 FROM train), " +
+      "w AS (SELECT bucket, CAST(floor((ln((c1 + 1.0) / (t1 + 1024)) - ln((c0 + 1.0) / (t0 + 1024))) * 1000000.0 + 0.5) AS BIGINT) AS wl FROM train, tot), " +
+      "cons AS (SELECT CAST(floor(ln((n1 + 1.0) / (n0 + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS prior, " +
+      "CAST(floor((ln(1.0 / (t1 + 1024)) - ln(1.0 / (t0 + 1024))) * 1000000.0 + 0.5) AS BIGINT) AS miss FROM tot), " +
+      s"stf AS (SELECT doc_id, $bucket AS bucket, count(*) AS tf FROM " +
+      s"(SELECT doc_id, $tags FROM (SELECT doc_id, ${toks("clean")} AS ts FROM g)) GROUP BY 1, 2), " +
+      "sc AS (SELECT stf.doc_id, CAST(sum(stf.tf * coalesce(w.wl, cons.miss)) AS BIGINT) AS sv " +
+      "FROM stf LEFT JOIN w USING (bucket) CROSS JOIN cons GROUP BY 1), " +
+      "q AS (SELECT g.doc_id, g.lang, g.clean FROM g LEFT JOIN sc ON sc.doc_id = g.doc_id CROSS JOIN cons " +
+      "WHERE round((coalesce(sc.sv, 0) + cons.prior) / 1000000.0, 4) > 0.0), " +
+      // stage 4: exact content dedup — min doc_id per cleaned text
+      "d AS (SELECT doc_id, lang, clean FROM q QUALIFY row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) = 1), " +
+      // stage 5: 13-gram decontamination vs the %37 eval slice (clean
+      // text, whole-text window for short docs — the kernel contract)
+      "evc AS (SELECT doc_id, array_to_string(kept, chr(10)) AS clean FROM k WHERE doc_id % 37 = 0), " +
+      s"evsh AS (SELECT DISTINCT shingle FROM (SELECT concat_ws(' ', $win13) AS shingle " +
+      s"FROM (SELECT ${toks("clean")} AS tk FROM evc), UNNEST(range(1, greatest(len(tk) - 12, 0) + 1)) AS u(n) WHERE len(tk) >= 13 " +
+      s"UNION SELECT array_to_string(tk, ' ') FROM (SELECT ${toks("clean")} AS tk FROM evc) WHERE len(tk) < 13)), " +
+      s"dsh AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, concat_ws(' ', $win13) AS shingle " +
+      s"FROM (SELECT doc_id, ${toks("clean")} AS tk FROM d), UNNEST(range(1, greatest(len(tk) - 12, 0) + 1)) AS u(n) WHERE len(tk) >= 13 " +
+      s"UNION SELECT doc_id, array_to_string(tk, ' ') FROM (SELECT doc_id, ${toks("clean")} AS tk FROM d) WHERE len(tk) < 13)), " +
+      "dec AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM dsh JOIN evsh USING (shingle))), " +
+      // stage 6: weighted mix (md5 membership, en .5 / de .25 / else .1)
+      s"m AS (SELECT * FROM dec WHERE $mixHash % 10000 < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END)), " +
+      // stage 7: sequence packing by doc_id prefix sums (seqLen 2048)
+      "pp AS (SELECT doc_id, lang, len(regexp_extract_all(clean, '\\S+')) AS n_tokens, " +
+      "COALESCE(CAST(sum(len(regexp_extract_all(clean, '\\S+'))) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS pre FROM m) " +
+      "SELECT doc_id, lang, n_tokens, pre // 2048 AS pack_id, pre % 2048 AS pack_offset FROM pp ORDER BY doc_id"
   }
 
   /** Engine twin of [[bpeCorpusSql]]: documents.text plus four planted
@@ -1294,6 +1440,40 @@ object SparkEntry {
     // then the odd ids score against the PERSISTED counts only. The
     // oracle is the from-scratch train-on-evens SQL, so a broken
     // watermark or merge hash-diverges.
+    // the FULL curation chain as a Runner pipeline spec — the thing a
+    // real pretraining-data user actually runs: quality_clf trains the
+    // NB model over the labeled corpus, then the curate builder chains
+    // C4 cleaning → Gopher gate → classifier gate → exact dedup →
+    // 13-gram decontamination vs the %37 eval slice → weighted mix →
+    // sequence packing, writing the data-loader manifest. The oracle
+    // replays every stage in SQL over the same planted corpus.
+    "pipeline_curate" -> ((s, dir) => {
+      val cur = curateCorpus(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_curate").toString
+      cur.write.parquet(s"$base/docs")
+      cur.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"),
+          TextAnalysis.c4Filters(col("text")).getField("clean").alias("text"))
+        .write.parquet(s"$base/eval")
+      val spec = s"""{
+        "stores": {
+          "src": {"type": "parquet_table", "path": "$base/docs", "key": "doc_id", "last_updated": "doc_id"},
+          "eval": {"type": "parquet_table", "path": "$base/eval", "key": "doc_id", "last_updated": "doc_id"},
+          "clf": {"type": "parquet", "root": "$base/clf", "key": "bucket", "last_updated": "last_updated", "delta_writes": true},
+          "tgt": {"type": "parquet", "root": "$base/tgt", "key": "doc_id", "last_updated": "pack_id"}
+        },
+        "builders": [
+          {"type": "quality_clf", "source": "src", "model": "clf", "text_field": "text", "label_field": "label"},
+          {"type": "curate", "source": "src", "target": "tgt", "model": "clf", "eval": "eval",
+           "mix_rates": {"en": 0.5, "de": 0.25}, "mix_default_rate": 0.1, "seq_len": 2048}
+        ]
+      }"""
+      graft.run.Runner.run(s, spec)
+      new graft.store.ParquetStore(s, s"$base/tgt", "doc_id", "pack_id").df
+        .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    }),
+
     "text_quality_clf_incr" -> ((s, dir) => {
       val docs = clfCorpus(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft_qclf").toString
@@ -1493,6 +1673,34 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // the UPDATE half of the reference incremental contract
+    // (core/store.py:239-275): batch A indexes the full corpus at lu=1;
+    // batch B re-loads it with every doc_id % 13 == 0 carrying NEW text
+    // and lu=2 — the builder drops exactly those docs' stale postings,
+    // decrements (n_docs, Σdl) by their OLD lengths, and re-indexes
+    // them, so serving matches the from-scratch build over the FINAL
+    // corpus (the oracle replays BM25 over the mutated corpus in SQL)
+    "text_bm25_update" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mut = docs.withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" updated "),
+          substring(md5(col("doc_id").cast("string")), 1, 6)))
+          .otherwise(col("text")))
+      val base = java.nio.file.Files.createTempDirectory("graft_bm25u").toString
+      val src = new graft.store.MemoryStore(s, "bm25u_src", "doc_id", "lu")
+      val idx = new graft.store.ParquetStore(s, s"$base/idx", "id", "term",
+        deltaWrites = true)
+      val st = new graft.store.ParquetStore(s, s"$base/st", "sid", "sid")
+      def mk() = new graft.builder.Bm25IndexBuilder(src, idx, st, "text")
+      src.load(docs.withColumn("lu", lit(1L)))
+      mk().run() // batch A: the full original corpus at lu=1
+      src.load(mut.withColumn("lu",
+        when(col("doc_id") % 13 === 0, lit(2L)).otherwise(lit(1L))))
+      mk().run() // batch B: only the lu-newer ids drop + re-index
+      mk().topK(mut.filter(col("doc_id") % 89 === 0 && col("doc_id") < 1000000L), k = 8)
+        .orderBy("q_id", "rank")
+    }),
+
     // hybrid retrieval: BM25 lexical top-10 ∪ exact-cosine vector
     // top-10 over the SAME query ids, reciprocal-rank-fused
     // (Σ 1/(60+rank)), per-query top-5 — both retrieval planes composed
@@ -1573,6 +1781,35 @@ object SparkEntry {
       src.load(emb)
       mk().run() // batch B: only the odd ids encode, against A's quantizer
       mk().topK(emb.filter(col("vec_id") < 10), k = 5, nprobe = 4)
+        .orderBy("q_id", "rank")
+    }),
+
+    // the UPDATE half of the reference incremental contract for the ANN
+    // plane: batch A trains the quantizer on the full ORIGINAL corpus
+    // (lu=1) and encodes everything; batch B re-loads it with every
+    // vec_id % 17 == 0 carrying a NEW embedding (reversed — SQL-
+    // replayable) and lu=2 — the builder drops exactly those ids' stale
+    // codes and re-encodes them against the FROZEN quantizer (updates
+    // never retrain; staleness is rebuild()'s job), so serving matches
+    // a from-scratch encode of the final corpus under batch A's books
+    "ann_index_update" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val mut = emb.withColumn("embedding",
+        when(col("vec_id") % 17 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      val base = java.nio.file.Files.createTempDirectory("graft_annu").toString
+      val src = new graft.store.MemoryStore(s, "annu_src", "vec_id", "lu")
+      val idx = new graft.store.ParquetStore(s, s"$base/idx", "id", "cell",
+        deltaWrites = true)
+      val qz = new graft.store.ParquetStore(s, s"$base/qz", "qid", "qid")
+      def mk() = new graft.builder.AnnIndexBuilder(src, idx, qz, "embedding",
+        nCentroids = 16, m = 8, ksub = 16, iters = 0, family = "md5")
+      src.load(emb.withColumn("lu", lit(1L)))
+      mk().run() // batch A: trains on the original corpus, encodes all
+      src.load(mut.withColumn("lu",
+        when(col("vec_id") % 17 === 0, lit(2L)).otherwise(lit(1L))))
+      mk().run() // batch B: only the lu-newer ids drop + re-encode
+      mk().topK(mut.filter(col("vec_id") < 10), k = 5, nprobe = 4)
         .orderBy("q_id", "rank")
     }),
 
@@ -2319,6 +2556,14 @@ object SparkEntry {
          "ORDER BY sm DESC, id ASC) AS rank FROM bm25agg) " +
          "SELECT q_id, rank, id AS doc_id, round(sm / 1000000.0, 4) AS score " +
          "FROM ranked WHERE rank <= 8 ORDER BY q_id, rank"),
+      // the lu-update replay: from-scratch BM25 over the FINAL (mutated)
+      // corpus — what the 2-batch drop-and-reindex build must equal
+      "text_bm25_update" ->
+        (s"WITH ${bm25OracleCtes(89, SparkEntry.bm25UpdCorpusSql)}, " +
+         "ranked AS (SELECT q_id, id, sm, row_number() OVER (PARTITION BY q_id " +
+         "ORDER BY sm DESC, id ASC) AS rank FROM bm25agg) " +
+         "SELECT q_id, rank, id AS doc_id, round(sm / 1000000.0, 4) AS score " +
+         "FROM ranked WHERE rank <= 8 ORDER BY q_id, rank"),
       "text_bm25_topk" ->
         (s"WITH ${bm25OracleCtes()}, " +
          "ranked AS (SELECT q_id, id, sm, row_number() OVER (PARTITION BY q_id " +
@@ -2516,6 +2761,9 @@ object SparkEntry {
       // the incremental build must CONVERGE to the from-scratch
       // train-on-evens model, so both rows share the one SQL replay
       "text_quality_clf" -> clfOracleSql(1024),
+      // the full curation chain, stage oracles composed (see
+      // curateOracleSql) — the end state of the Runner pipeline spec
+      "pipeline_curate" -> curateOracleSql,
       "text_quality_clf_incr" -> clfOracleSql(1024),
       // streaming twin: two file-source training triggers must converge
       // to the same from-scratch model, so it shares the replay too
@@ -2754,6 +3002,11 @@ object SparkEntry {
       // encode-batch-B-against-A's-persisted-quantizer path
       "ann_index_incr_topk" -> SparkEntry.pqOracleSql(ivf = true,
         centsSrc = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"),
+      // the lu-update replay: quantizer frozen on the ORIGINAL corpus
+      // (batch A), codes/queries over the FINAL mutated corpus — what
+      // the drop-and-re-encode second run must equal
+      "ann_index_update" -> SparkEntry.pqOracleSql(ivf = true,
+        corpSrc = SparkEntry.annUpdCorpusSql),
       // the streaming twin trains on the same even-id first trigger and
       // serves the same persisted codes — identical replay
       "stream_ann_topk" -> SparkEntry.pqOracleSql(ivf = true,
@@ -2785,14 +3038,16 @@ object SparkEntry {
     * `vec_id < 10`, md5 seed draw, untrained books). `ivf = true` adds
     * the coarse-cell routing (nCentroids=16, nprobe=4) so only probed
     * cells' codes are ADC-scored; `false` scores the whole corpus. */
-  private def pqOracleSql(ivf: Boolean): String = pqOracleSql(ivf, "embeddings")
-
-  /** [[pqOracleSql]] with the quantizer-draw domain as a parameter: the
-    * 2-batch incremental replay draws coarse centroids AND codebooks
-    * from batch A only (`vec_id % 2 = 0`) while encoding/serving the
-    * full corpus — exactly what a second [[graft.builder.AnnIndexBuilder]]
-    * run does against the batch-A-persisted quantizer. */
-  private def pqOracleSql(ivf: Boolean, centsSrc: String): String = {
+  /** IVF-PQ serving replay. `centsSrc` parametrizes the quantizer-draw
+    * domain: the 2-batch incremental replay draws coarse centroids AND
+    * codebooks from batch A only (`vec_id % 2 = 0`) while
+    * encoding/serving the full corpus — exactly what a second
+    * [[graft.builder.AnnIndexBuilder]] run does against the
+    * batch-A-persisted quantizer. `corpSrc` parametrizes the ENCODED
+    * corpus: the lu-update replay (`ann_index_update`) encodes/serves a
+    * MUTATED corpus under the original corpus's frozen quantizer. */
+  private def pqOracleSql(ivf: Boolean, centsSrc: String = "embeddings",
+                          corpSrc: String = "embeddings"): String = {
     val H = "CAST(('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
     // explicit left-assoc sums mirror the kernels' ascending folds
     val dist = (0 until 8).map(t =>
@@ -2817,7 +3072,7 @@ object SparkEntry {
     s"WITH cents AS (SELECT CAST(row_number() OVER (ORDER BY $H ASC, vec_id ASC) - 1 AS INT) AS c, " +
       s"vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM $centsSrc " +
       s"QUALIFY row_number() OVER (ORDER BY $H ASC, vec_id ASC) <= 16), " +
-      "corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+      s"corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM $corpSrc), " +
       "jd AS (SELECT CAST(j AS INT) AS j FROM range(8) r(j)), " +
       s"codes AS (SELECT e.vec_id AS n_id, jd.j, c.c FROM corp e, jd, cents c " +
       s"QUALIFY row_number() OVER (PARTITION BY e.vec_id, jd.j ORDER BY ($dist) ASC, c.c ASC) = 1), " +

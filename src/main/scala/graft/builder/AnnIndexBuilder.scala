@@ -79,6 +79,31 @@ class AnnIndexBuilder(
     else scoped.join(index.df.select(col("id").alias(source.key)),
       Seq(source.key), "left_anti")
 
+  /** Remove the codes of docs whose source `last_updated` is newer than
+    * the lu they were encoded with — the update half of the reference
+    * delta contract (`core/store.py:239-275`): [[run]] drops them
+    * first, [[pendingItems]]' left-anti then re-surfaces them, and they
+    * re-encode against the FROZEN quantizer (updates never retrain —
+    * staleness is [[rebuild]]'s job, signalled by adcDrift). One row
+    * per id in the codes table, so no per-doc aggregation is needed; a
+    * lu-less source or a legacy lu-less index degrades to insert-only.
+    * Oracle row `ann_index_update`. */
+  private def dropChanged(): Long = {
+    if (!checkIndexLayout() || !index.df.columns.contains("lu") ||
+        !scoped.columns.contains(source.lastUpdatedField)) return 0L
+    val changed = index.df.select(col("id"), col("lu"))
+      .join(scoped.select(col(source.key).alias("id"),
+        col(source.lastUpdatedField).alias("s_lu")), Seq("id"))
+      .filter(col("s_lu") > col("lu"))
+      .select(col("id"))
+      .localCheckpoint(true) // two actions (count + removeKeys) on one key set
+    try {
+      val n = changed.count()
+      if (n > 0) index.removeKeys(changed)
+      n
+    } finally changed.unpersist()
+  }
+
   /** Per-instance quantizer cache: the quantizer is trained once and
     * immutable thereafter (the class contract), so after the first
     * load/save this instance serves [[topK]] without re-reading and
@@ -189,6 +214,10 @@ class AnnIndexBuilder(
     * Report = docs examined (the incremental contract's measure). */
   def run(): BuildReport = {
     index.ensureIndex("cell")
+    // lu-newer docs drop their stale codes FIRST, so pendingItems'
+    // left-anti re-surfaces them for this run's batch (the reference
+    // update contract)
+    val updated = dropChanged()
     // spread-checkpointed: the PQ-encode kernel is CPU-bound per vector
     // and must not inherit a 2-split scan (Builder.spreadCheckpoint)
     val batch = Builder.spreadCheckpoint(pendingItems())
@@ -214,19 +243,33 @@ class AnnIndexBuilder(
       // round-trips doubles losslessly, so pre/post-persist books give
       // the same error) — reuse it instead of re-aggregating the batch
       batchErr = trainRunErr.orElse(meanQuantError(batch, books))
-      val rows = Similarity.assignToCells(batch, broadcast(cents),
+      val rows = withLu(Similarity.assignToCells(batch, broadcast(cents),
           source.key, vecField, keep = 1)
         .select(col("__rid").alias("id"), col("cell"),
           graft.functions.GraftFunctions.pqEncode(spark, col("__rvec"), books)
-            .alias("code"))
+            .alias("code")), batch)
       index.update(rows, Seq("id"))
     }
     batch.unpersist()
     // NOT inside the examined-guard: a delete-only corpus change has an
     // empty batch but still needs its codes removed
     val orphans = if (deleteOrphans) removeOrphans(scoped) else 0L
-    BuildReport(examined, 0, orphans,
+    BuildReport(examined, 0, orphans, updated = updated,
       adcError = batchErr, trainAdcError = loadTrainError())
+  }
+
+  /** Attach the source lu to the encoded rows — constant per id, one
+    * column join against the (already-persisted) batch, O(batch). A
+    * lu-less source writes a null long column; a LEGACY populated index
+    * built before the lu column keeps its layout and stays
+    * insert-only. */
+  private def withLu(enc: DataFrame, batch: DataFrame): DataFrame = {
+    val legacy = checkIndexLayout() && !index.df.columns.contains("lu")
+    if (legacy) enc
+    else if (batch.columns.contains(source.lastUpdatedField))
+      enc.join(batch.select(col(source.key).alias("id"),
+        col(source.lastUpdatedField).alias("lu")), Seq("id"))
+    else enc.withColumn("lu", lit(null).cast("long"))
   }
 
   /** Docs gone from the (scoped) corpus leave the index too — the
@@ -261,11 +304,11 @@ class AnnIndexBuilder(
     val trainErr = meanQuantError(corpus, b)
     saveQuantizer(b, c, trainErr)
     val (books, cents) = loadQuantizer().get
-    val rows = Similarity.assignToCells(corpus, broadcast(cents),
+    val rows = withLu(Similarity.assignToCells(corpus, broadcast(cents),
         source.key, vecField, keep = 1)
       .select(col("__rid").alias("id"), col("cell"),
         graft.functions.GraftFunctions.pqEncode(spark, col("__rvec"), books)
-          .alias("code"))
+          .alias("code")), corpus)
     index.update(rows, Seq("id"))
     val orphans = removeOrphans(corpus)
     corpus.unpersist()

@@ -69,20 +69,58 @@ class Bm25IndexBuilder(
   /** Docs the index has not absorbed (id-based, like [[AnnIndexBuilder]]
     * — the sentinel posting keeps zero-token docs out of here too).
     *
-    * INSERT-ONLY contract, stated explicitly: a doc whose TEXT changes
-    * under the same id is NOT re-indexed — its original postings and
-    * stats contribution stand. This matches [[AnnIndexBuilder]]'s
-    * id-based pending semantics (an index absorbs a corpus as it
-    * accretes); a mutable-document corpus should route re-ingested ids
-    * through [[removeOrphans]]-style deletion (drop the id from the
-    * scoped corpus for one run with `deleteOrphans = true`, then
-    * re-add) or rebuild the index. The reference's `last_updated`
-    * delta contract (`core/store.py:239-275`) is the BUILDER-level
-    * discipline; posting stores are content-addressed by id here. */
+    * Composed with [[dropChanged]] this realizes the reference's full
+    * `last_updated` delta contract (`core/store.py:239-275`): postings
+    * carry the indexed doc's lu, [[run]] first DROPS docs whose source
+    * lu is newer (postings removed, stats decremented), and this
+    * left-anti then re-surfaces them as pending — so an updated doc
+    * re-indexes with its new text and [[topK]] matches the from-scratch
+    * build over the final corpus (oracle row `text_bm25_update`). A
+    * source without a lu column degrades to the id-based insert-only
+    * behavior. */
   def pendingItems(): DataFrame =
     if (!checkIndexLayout()) scoped
     else scoped.join(index.df.select(col("id").alias(source.key)),
       Seq(source.key), "left_anti")
+
+  /** Remove the postings (and stats contribution) of docs whose source
+    * `last_updated` is newer than the lu their postings were indexed
+    * with — the update half of the reference delta contract. Exhaustive
+    * per-doc comparison, same shape as [[Store.newerIn]]'s exhaustive
+    * mode: one columnar (id, dl, lu) scan of the index joined against
+    * the scoped corpus's (key, lu) — no driver-side key lists. Returns
+    * the number of docs dropped (they re-enter through
+    * [[pendingItems]]'s left-anti in the same run). */
+  private def dropChanged(): Long = {
+    if (!checkIndexLayout() || !index.df.columns.contains("lu") ||
+        !scoped.columns.contains(source.lastUpdatedField)) return 0L
+    val perDoc = index.df.groupBy(col("id"))
+      .agg(max(col("dl")).cast("long").alias("dl"), // dl, lu constant per doc
+        max(col("lu")).alias("i_lu"))
+    val changed = perDoc.join(
+        scoped.select(col(source.key).alias("id"),
+          col(source.lastUpdatedField).alias("s_lu")), Seq("id"))
+      .filter(col("s_lu") > col("i_lu"))
+      .select(col("id"), col("dl"))
+      .localCheckpoint(true) // two actions (agg + removeKeys) on one key set
+    try {
+      val r = changed.agg(count(lit(1)).alias("n"), sum(col("dl")).alias("s")).head()
+      val n = r.getLong(0)
+      if (n > 0) {
+        // postings first, stats second: a tear between them leaves the
+        // stats row larger than the postings' truth, which the
+        // reconcileStats recount repairs (statsSuspect is set by run()'s
+        // failure path)
+        index.removeKeys(changed.select(col("id")))
+        val (n0, s0) = loadStats().getOrElse((0L, 0L))
+        val s = spark
+        import s.implicits._
+        stats.update(Seq(("bm25", n0 - n, s0 - (if (r.isNullAt(1)) 0L else r.getLong(1))))
+          .toDF("sid", "n_docs", "sum_dl"), Seq("sid"))
+      }
+      n
+    } finally changed.unpersist()
+  }
 
   /** The index/stats pair is written in two store updates that cannot
     * be atomic across stores: a crash or foreachBatch retry between
@@ -127,22 +165,34 @@ class Bm25IndexBuilder(
     }
   }
 
-  /** `(term, id, tf, dl)` postings of a batch — ONE scan through the
+  /** `(term, id, tf, dl, lu)` postings of a batch — ONE scan through the
     * compiled [[graft.functions.TermCounts]] kernel carries tf and the
     * doc length; `explode_outer` + coalesce emits the zero-token
-    * sentinel. */
-  private def postingsOf(batch: DataFrame): DataFrame =
-    batch.select(col(source.key).alias("id"),
+    * sentinel. `lu` rides every posting (constant per doc, like `dl`) so
+    * [[dropChanged]] can compare against the source without a second
+    * per-doc table; a lu-less source writes a null long column. A
+    * LEGACY populated index built before the lu column keeps its layout
+    * (lu stripped) — it stays insert-only rather than failing the
+    * append. */
+  private def postingsOf(batch: DataFrame): DataFrame = {
+    val lu =
+      if (batch.columns.contains(source.lastUpdatedField))
+        col(source.lastUpdatedField)
+      else lit(null).cast("long")
+    val p = batch.select(col(source.key).alias("id"), lu.alias("lu"),
         graft.functions.GraftFunctions.termCounts(spark,
           graft.ext.TextAnalysis.normTokens(col(textField))).alias("__tc"))
-      .select(col("id"),
+      .select(col("id"), col("lu"),
         coalesce(graft.functions.GraftFunctions.cntTotal(spark, col("__tc")),
           lit(0L)).alias("dl"),
         explode_outer(col("__tc")).alias("__t"))
       .select(coalesce(col("__t.term"), lit("")).alias("term"),
         col("id"),
         coalesce(col("__t.cnt").cast("long"), lit(0L)).alias("tf"),
-        col("dl"))
+        col("dl"), col("lu"))
+    if (checkIndexLayout() && !index.df.columns.contains("lu")) p.drop("lu")
+    else p
+  }
 
   /** Index this run's unseen docs: postings append (O(batch) with a
     * delta-write store), stats merge additively. Report = docs examined
@@ -153,6 +203,12 @@ class Bm25IndexBuilder(
     // items: the recount makes the retry path idempotent (see
     // reconcileStats)
     if (statsSuspect) { reconcileStats(); statsSuspect = false }
+    // lu-newer docs drop their stale postings FIRST, so pendingItems'
+    // left-anti re-surfaces them for this run's batch (the reference
+    // update contract); a tear inside the drop marks stats suspect
+    val updated =
+      try dropChanged()
+      catch { case e: Throwable => statsSuspect = true; throw e }
     // spread-checkpointed: the tokenize+count kernel is CPU-dense per
     // doc and must not inherit a 2-split scan (Builder.spreadCheckpoint)
     val batch = Builder.spreadCheckpoint(pendingItems())
@@ -177,7 +233,7 @@ class Bm25IndexBuilder(
           .toDF("sid", "n_docs", "sum_dl"), Seq("sid"))
       }
       val orphans = if (deleteOrphans) removeOrphans(scoped) else 0L
-      BuildReport(examined, 0, orphans)
+      BuildReport(examined, 0, orphans, updated = updated)
     } catch { case e: Throwable =>
       // any failure inside the write pair leaves the stats row suspect:
       // the NEXT run recounts from the postings before trusting it

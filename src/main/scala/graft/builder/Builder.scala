@@ -8,6 +8,10 @@ case class BuildReport(
     processed: Long = 0,
     failed: Long = 0,
     orphansDeleted: Long = 0,
+    /** Docs re-indexed because their source `last_updated` was newer
+      * than the indexed copy's (the update half of the reference delta
+      * contract) — a subset of `processed`. */
+    updated: Long = 0,
     /** Mean PQ quantization error of this run's batch under the frozen
       * codebooks ([[graft.builder.AnnIndexBuilder]] only). */
     adcError: Option[Double] = None,

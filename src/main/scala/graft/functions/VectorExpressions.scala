@@ -802,9 +802,17 @@ object GraftFunctions {
     registeredSessions.clear()
 
   def register(spark: SparkSession): Unit = {
+    // Guard ordering: mark the session registered only AFTER the loop
+    // completes. A concurrent caller that races the window re-runs the
+    // (idempotent) create-or-replace loop — harmless — whereas the
+    // reverse order lets it proceed against a half-populated registry
+    // and analyze a plan into UNRESOLVED_ROUTINE.
     def into(s: SparkSession): Unit =
-      if (registeredSessions.add(s)) fns.foreach { case (name, b) =>
-        s.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+      if (!registeredSessions.contains(s)) {
+        fns.foreach { case (name, b) =>
+          s.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+        }
+        registeredSessions.add(s)
       }
     into(spark)
     // foreachBatch hazard: Structured Streaming runs micro-batches in a

@@ -202,6 +202,31 @@ object Runner {
           family = str(n, "family", "md5"),
           seed = opt(n, "seed").map(_.asInt()).getOrElse(0),
           criteria = criteria(n))
+      // the end-to-end curation chain (C4 → Gopher → clf gate → exact
+      // dedup → decontaminate → weighted mix → sequence packing);
+      // "model" (QualityClfBuilder counts) and "eval" (decontamination
+      // reference) are optional store refs — stages skip when unwired
+      case "curate" =>
+        new CurateBuilder(store("source"), store("target"),
+          model = opt(n, "model").map(m => stores(m.asText())),
+          eval = opt(n, "eval").map(e => stores(e.asText())),
+          textField = str(n, "text_field", "text"),
+          stratumField = str(n, "stratum_field", "lang"),
+          minLineWords = opt(n, "min_line_words").map(_.asInt()).getOrElse(3),
+          minWords = opt(n, "min_words").map(_.asInt()).getOrElse(20),
+          clfThreshold = opt(n, "clf_threshold").map(_.asDouble()).getOrElse(0.0),
+          clfBuckets = opt(n, "clf_buckets").map(_.asInt()).getOrElse(1024),
+          clfFamily = str(n, "clf_family", "md5"),
+          clfSeed = opt(n, "clf_seed").map(_.asInt()).getOrElse(0),
+          deconNgram = opt(n, "decon_ngram").map(_.asInt()).getOrElse(13),
+          mixRates = opt(n, "mix_rates").map(_.fields().asScala.map(e =>
+            e.getKey -> e.getValue.asDouble()).toMap).getOrElse(Map.empty),
+          mixDefaultRate = opt(n, "mix_default_rate").map(_.asDouble()).getOrElse(1.0),
+          mixFamily = str(n, "mix_family", "md5"),
+          mixSeed = opt(n, "mix_seed").map(_.asInt()).getOrElse(0),
+          seqLen = opt(n, "seq_len").map(_.asLong()).getOrElse(2048L),
+          criteria = criteria(n),
+          deleteOrphans = opt(n, "delete_orphans").forall(_.asBoolean()))
       case other => throw new IllegalArgumentException(s"unknown builder type: $other")
     }
   }

@@ -1178,7 +1178,9 @@ class RunnerStreamingSpec extends SparkSpec {
     val report = Runner.run(spark, spec)
     assert(report.builders.head._2.processed === 500)
     val idx = spark.read.parquet(s"$idxRoot/v_0")
-    assert(idx.columns.toSet === Set("id", "cell", "code"))
+    // lu rides the codes so lu-newer docs re-encode (the update half of
+    // the reference delta contract); still no float arrays anywhere
+    assert(idx.columns.toSet === Set("id", "cell", "code", "lu"))
   }
 
   test("StreamingBuilder.annIndexStream: per-trigger encode, quantizer trained once, serves from codes") {
@@ -1286,6 +1288,102 @@ class RunnerStreamingSpec extends SparkSpec {
       rowsOf(graft.ext.TextAnalysis.bm25TopK(keep, evenQueries, "doc_id", "text", k = 8)))
   }
 
+  test("Bm25IndexBuilder re-ingests lu-newer docs: postings drop, stats adjust, topK matches from-scratch") {
+    import graft.builder.Bm25IndexBuilder
+    import graft.store.{MemoryStore, ParquetStore}
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    val src = new MemoryStore(spark, "bmupd", key = "doc_id", lastUpdatedField = "lu")
+    val idxRoot = java.nio.file.Files.createTempDirectory("bmu_idx").toString
+    val stRoot = java.nio.file.Files.createTempDirectory("bmu_st").toString
+    def idxStore() = new ParquetStore(spark, idxRoot, "id", "term", deltaWrites = true)
+    def stStore() = new ParquetStore(spark, stRoot, "sid", "sid")
+    def builder() = new Bm25IndexBuilder(src, idxStore(), stStore(), "text")
+    src.load(docs.withColumn("lu", lit(1L)))
+    builder().run()
+    // batch B: every %13 doc carries NEW text under the SAME id, lu bumped
+    val mut = docs.withColumn("text",
+      when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" zzupdated"))).otherwise(col("text")))
+    val changed = docs.filter(col("doc_id") % 13 === 0).count()
+    src.load(mut.withColumn("lu",
+      when(col("doc_id") % 13 === 0, lit(2L)).otherwise(lit(1L))))
+    val r = builder().run()
+    assert(r.updated === changed)   // stale postings dropped
+    assert(r.processed === changed) // exactly the changed ids re-indexed
+    // idempotent: a third run over the unchanged corpus is zero work
+    val r2 = builder().run()
+    assert(r2.updated === 0)
+    assert(r2.processed === 0)
+    // CONVERGENCE: serving equals the from-scratch operator over the
+    // FINAL corpus — new text indexed, old postings gone, stats exact
+    val queries = mut.filter(col("doc_id") % 89 === 0)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3))).toSeq
+    val served = rowsOf(builder().topK(queries, k = 8))
+    assert(served.nonEmpty)
+    assert(served === rowsOf(graft.ext.TextAnalysis.bm25TopK(
+      mut, queries, "doc_id", "text", k = 8)))
+    // the dropped text is really unfindable: a query for the old-only
+    // vocabulary of a changed doc must not return it... and the new
+    // token IS findable
+    val probe = rowsOf(builder().topK(
+      spark.sql("SELECT CAST(900001 AS BIGINT) AS doc_id, 'zzupdated' AS text"),
+      k = 5))
+    assert(probe.nonEmpty) // the planted token resolves from the new postings
+  }
+
+  test("AnnIndexBuilder re-ingests lu-newer docs: codes re-encode under the frozen quantizer") {
+    import graft.builder.AnnIndexBuilder
+    import graft.store.{MemoryStore, ParquetStore}
+    val emb = sf("embeddings")
+    val src = new MemoryStore(spark, "annupd", key = "vec_id", lastUpdatedField = "lu")
+    val idxRoot = java.nio.file.Files.createTempDirectory("annu_idx").toString
+    val qzRoot = java.nio.file.Files.createTempDirectory("annu_qz").toString
+    def idxStore() = new ParquetStore(spark, idxRoot, "id", "cell", deltaWrites = true)
+    def qzStore() = new ParquetStore(spark, qzRoot, "qid", "qid")
+    def builder() = new AnnIndexBuilder(src, idxStore(), qzStore(), "embedding",
+      nCentroids = 16, m = 8, ksub = 16, iters = 0, family = "md5")
+    src.load(emb.withColumn("lu", lit(1L)))
+    builder().run() // trains on the ORIGINAL corpus, encodes all
+    val beforeCodes = idxStore().df.select(col("id"), col("code")).collect()
+      .map(x => x.getLong(0) -> x.getAs[Array[Byte]](1).toSeq).toMap
+    // batch B: every %17 vector replaced (reversed) under the same id
+    val mut = emb.withColumn("embedding",
+      when(col("vec_id") % 17 === 0, reverse(col("embedding")))
+        .otherwise(col("embedding")))
+    val changed = emb.filter(col("vec_id") % 17 === 0).count()
+    src.load(mut.withColumn("lu",
+      when(col("vec_id") % 17 === 0, lit(2L)).otherwise(lit(1L))))
+    val r = builder().run()
+    assert(r.updated === changed)
+    assert(r.processed === changed)
+    assert(builder().run().processed === 0) // idempotent
+    // exactly one code row per id; unchanged ids keep their bytes,
+    // changed ids' codes moved (the reversal re-quantizes)
+    val afterCodes = idxStore().df.select(col("id"), col("code")).collect()
+      .map(x => x.getLong(0) -> x.getAs[Array[Byte]](1).toSeq).toMap
+    assert(afterCodes.size === beforeCodes.size)
+    val changedIds = emb.filter(col("vec_id") % 17 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // only changed ids may move (a near-palindromic vector may re-encode
+    // to the same bytes, so moved ⊆ changed rather than equality)
+    val moved = afterCodes.keys.filter(id => afterCodes(id) != beforeCodes(id)).toSet
+    assert(moved.subsetOf(changedIds))
+    assert(moved.nonEmpty)
+    // the quantizer did NOT retrain: the frozen books re-encode the new
+    // vectors, so a changed id's code equals the direct kernel encode of
+    // its new vector under the ORIGINAL books
+    val (books, _) = {
+      val b = builder(); b.run(); b.loadQuantizer().get
+    }
+    val expect = mut.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id"), graft.functions.GraftFunctions
+        .pqEncode(spark, col("embedding"), books).alias("c"))
+      .collect().map(x => x.getLong(0) -> x.getAs[Array[Byte]](1).toSeq).toMap
+    assert(changedIds.forall(id => afterCodes(id) === expect(id)))
+  }
+
   test("Bm25IndexBuilder repairs a torn index/stats pair from the postings on startup") {
     import graft.builder.Bm25IndexBuilder
     import graft.store.{MemoryStore, ParquetStore}
@@ -1358,6 +1456,91 @@ class RunnerStreamingSpec extends SparkSpec {
       new ParquetStore(spark, s"$base/st", "sid", "sid"), "text")
       .topK(docs.filter(col("doc_id") === 100), k = 3)
     assert(served.count() === 3)
+  }
+
+  test("Runner: curate spec chains clean → gate → dedup → decon → pack into a snapshot manifest") {
+    import graft.builder.CurateBuilder
+    import graft.store.{MemoryStore, ParquetStore, TableStore}
+    val base = java.nio.file.Files.createTempDirectory("runner_curate").toString
+    val docs = sf("documents")
+    // planted corpus: every doc gets a ≥20-word lead sentence (passes
+    // C4 + Gopher); %5 docs carry a spam line + label 0 (the clf gate's
+    // negative class); %37 docs double as the decontamination eval set
+    val cur = docs.select(col("doc_id"), col("lang"),
+      concat(
+        lit("This is a well formed and carefully written test sentence number "),
+        col("doc_id").cast("string"),
+        lit(" padded with sufficient additional words for document "),
+        col("doc_id").cast("string"),
+        lit(" to pass both heuristic gates easily today."),
+        lit("\n"), col("text"), lit(" end."),
+        when(col("doc_id") % 5 === 0,
+          lit("\nWin money free click here now today please fast."))
+          .otherwise(lit(""))).alias("text"),
+      when(col("doc_id") % 5 === 0, lit(0)).otherwise(lit(1)).alias("label"),
+      lit(1L).alias("lu"))
+    cur.write.parquet(s"$base/docs.parquet")
+    cur.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), graft.ext.TextAnalysis.c4Filters(col("text"))
+        .getField("clean").alias("text"), lit(1L).alias("lu"))
+      .write.parquet(s"$base/eval.parquet")
+    val spec =
+      s"""{
+         |  "stores": {
+         |    "src": {"type": "parquet_table", "path": "$base/docs.parquet",
+         |            "key": "doc_id", "last_updated": "lu"},
+         |    "eval": {"type": "parquet_table", "path": "$base/eval.parquet",
+         |             "key": "doc_id", "last_updated": "lu"},
+         |    "clf": {"type": "parquet", "root": "$base/clf", "key": "bucket",
+         |            "last_updated": "last_updated", "delta_writes": true},
+         |    "tgt": {"type": "parquet", "root": "$base/tgt", "key": "doc_id",
+         |            "last_updated": "pack_id"}
+         |  },
+         |  "builders": [
+         |    {"type": "quality_clf", "source": "src", "model": "clf", "label_field": "label"},
+         |    {"type": "curate", "source": "src", "target": "tgt", "model": "clf",
+         |     "eval": "eval", "seq_len": 512}
+         |  ]
+         |}""".stripMargin
+    val report = Runner.run(spark, spec)
+    assert(report.builders.map(_._1) === Seq("quality_clf#0", "curate#1"))
+    val tgt = new ParquetStore(spark, s"$base/tgt", "doc_id", "pack_id")
+    val manifest = tgt.df.select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+    val total = cur.count()
+    val kept = manifest.count()
+    assert(report.builders.last._2.processed === kept)
+    assert(kept > 0 && kept < total)
+    // the planted gates fired: spam docs gated by the classifier, eval
+    // docs dropped by decontamination
+    assert(manifest.filter(col("doc_id") % 5 === 0).count() === 0)
+    assert(manifest.filter(col("doc_id") % 37 === 0).count() === 0)
+    // packing invariants: the manifest replays its own prefix sums
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val bad = manifest
+      .withColumn("__pre", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("pack_id") =!= floor(col("__pre") / 512).cast("long") ||
+        col("pack_offset") =!= col("__pre") % 512)
+      .count()
+    assert(bad === 0)
+    // spec-wiring fidelity: the JSON-built chain equals the direct API
+    val src = TableStore.parquet(spark, s"$base/docs.parquet", "doc_id", "lu")
+    val evalStore = TableStore.parquet(spark, s"$base/eval.parquet", "doc_id", "lu")
+    val clf = new ParquetStore(spark, s"$base/clf", "bucket", "last_updated",
+      deltaWrites = true)
+    val direct = new CurateBuilder(src, tgt, model = Some(clf),
+      eval = Some(evalStore), seqLen = 512).curated()
+      .collect().map(_.toSeq).toSet
+    assert(manifest.collect().map(_.toSeq).toSet === direct)
+    // snapshot semantics: shrinking the corpus orphans the manifest rows
+    // of the dropped docs on the next run
+    val victims = manifest.limit(2).select(col("doc_id")).collect().map(_.getLong(0))
+    val shrunk = new MemoryStore(spark, "curshrunk", "doc_id", "lu")
+    shrunk.load(cur.filter(!col("doc_id").isin(victims: _*)))
+    val rerun = new CurateBuilder(shrunk, tgt, model = Some(clf),
+      eval = Some(evalStore), seqLen = 512).run()
+    assert(rerun.orphansDeleted >= victims.length)
+    assert(tgt.df.filter(col("doc_id").isin(victims: _*)).count() === 0)
   }
 
   test("Runner: unigram_lm + quality_clf specs train persisted, servable model stores") {

@@ -11,6 +11,15 @@ artifact's oracle total against the previous round's artifact:
   bench_drift.py --stamp PREV CAND   -> prints CAND re-serialized with
                                         oracle_drift_vs_prev /
                                         oracle_drift_flag fields added
+  bench_drift.py --pick A B          -> prints the path of the LESS
+                                        contended of two candidate
+                                        artifacts (lower oracle total on
+                                        shared queries; ties/missing ->
+                                        lower engine total; A on a full
+                                        tie). Used by the sweep's drift
+                                        re-run so a WORSE re-run can never
+                                        displace a better first reading
+                                        (round-13 "what's wrong" #2).
 
 The flag is DIRECTIONAL (round 13): only a candidate whose oracle is
 >25% SLOWER than the previous artifact flags, because the guard exists
@@ -29,7 +38,42 @@ import sys
 THRESHOLD = 0.25
 
 
+def pick(path_a, path_b):
+    """Print the path of the less-contended candidate artifact."""
+    def load(p):
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except Exception:
+            return None
+    a, b = load(path_a), load(path_b)
+    if a is None or b is None:
+        print(path_a if b is None else path_b)
+        return
+    ao, bo = a.get("oracle_sec") or {}, b.get("oracle_sec") or {}
+    shared = [q for q in ao if q in bo
+              and isinstance(ao[q], (int, float))
+              and isinstance(bo[q], (int, float))]
+    at = sum(ao[q] for q in shared)
+    bt = sum(bo[q] for q in shared)
+    if at > 0 and bt > 0 and abs(at - bt) > 1e-9:
+        print(path_a if at < bt else path_b)
+        return
+    # no oracle legs to compare -> lower engine total wins
+    ae, be = a.get("value"), b.get("value")
+    if isinstance(ae, (int, float)) and isinstance(be, (int, float)) and be < ae:
+        print(path_b)
+    else:
+        print(path_a)
+
+
 def main():
+    if "--pick" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--pick"]
+        if len(args) != 2:
+            sys.exit("usage: bench_drift.py --pick A B")
+        pick(*args)
+        return
     stamp = "--stamp" in sys.argv
     args = [a for a in sys.argv[1:] if a != "--stamp"]
     if len(args) != 2:

@@ -29,6 +29,10 @@ for name, sql in sorted(json.load(open(sqljson)).items()):
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         except Exception:
+            # a failure on ANY repeat voids the timing: keeping an
+            # earlier-success min would report a partially-failed query
+            # as timed, diverging from the single-run fail-soft semantics
+            best = None
             break
     out[name] = round(best, 4) if best is not None else None
 print(json.dumps(out))

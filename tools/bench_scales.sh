@@ -14,6 +14,12 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SKIP_SF1="${1:-}"
 
+# Symmetric steal guard (round-13 "what's wrong" #1): the engine leg
+# min-of-redos clamps its steal inflation, so STAMPED artifacts give the
+# oracle leg the same treatment — repeat-min 2 by default. Overridable
+# for quick iteration runs where the doubled DuckDB leg isn't worth it.
+export GRAFT_ORACLE_REPEAT="${GRAFT_ORACLE_REPEAT:-2}"
+
 # previous-round artifacts, captured BEFORE Bench overwrites them
 mkdir -p /tmp/sfscale
 cp BENCH_FULL.json /tmp/prev_sf01.json 2>/dev/null || true
@@ -29,11 +35,22 @@ run_sf() {
   grep -E '^\[info\] \{"metric"' "$2" | tail -1 | sed 's/^\[info\] //'
 }
 
-# guard <prev> <cand> <sfdir> <log>: re-run once on >25% oracle drift
+# guard <prev> <cand> <sfdir> <log>: re-run once on >25% oracle drift,
+# then keep the LESS CONTENDED of the two readings (round-13 "what's
+# wrong" #2: the re-run used to displace the first reading even when it
+# was worse — a drift re-run on a still-contended host could stamp the
+# worse of two sessions)
 guard() {
   if ! python3 tools/bench_drift.py "$1" "$2" > /dev/null 2>&1; then
     echo "WARN: oracle drift >25% vs previous artifact at $3 — re-running once"
+    cp "$2" "$2.first"
     run_sf "$3" "$4" "$2"
+    best=$(python3 tools/bench_drift.py --pick "$2.first" "$2")
+    if [ "$best" != "$2" ]; then
+      echo "drift re-run was worse — keeping the first reading"
+      cp "$best" "$2"
+    fi
+    rm -f "$2.first"
     python3 tools/bench_drift.py "$1" "$2" > /dev/null 2>&1 \
       || echo "WARN: drift persists after re-run at $3 — artifact flagged"
   fi
