@@ -213,6 +213,16 @@ object Bench {
       if (annRecall.isEmpty) ""
       else ","+"\"ann_recall\":" + annRecall
         .map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
+    // ngram-tier superlinearity counters (VERDICT r13 #3): the scale
+    // gate in tools/bench_scales.sh adjudicates sf1/sf0.1 growth on
+    // COUNTED candidate mass, not wall clock — same corpus and params
+    // as the timed dedup_ngram_jaccard row; untimed, outside the totals
+    val ngramCounters: Option[(Long, Long, Long)] =
+      if (only.nonEmpty) None
+      else scala.util.Try(SparkEntry.ngramGateCounters(spark, sfDir)).toOption
+    val ngramField = ngramCounters.map { case (g, v, o) =>
+      s""","ngram_counters":{"generated":$g,"verify":$v,"output_pairs":$o}"""
+    }.getOrElse("")
     val failedField =
       if (failed.isEmpty) ""
       else ","+"\"failed\":" + failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -222,7 +232,7 @@ object Bench {
         "\"" + n + "\":{\"kept\":" + f"$kept%.3f" + ",\"discarded\":" +
           ds.map(d => f"$d%.3f").mkString("[", ",", "]") + "}"
       }.mkString("{", ",", "}")
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField$recallField$failedField$redoField,"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField$recallField$ngramField$failedField$redoField,"sf":"$sfDir"}"""
     println(fullLine)
     // full artifact on disk too — the driver archives only a ~2 KB tail of
     // stdout, which truncated the round-5 line into an unparseable header.

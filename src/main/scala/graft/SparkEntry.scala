@@ -176,6 +176,15 @@ object SparkEntry {
     "(SELECT doc_id, text FROM documents UNION ALL " +
       "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)"
 
+  /** The ngram-tier superlinearity counters over the EXACT corpus and
+    * parameters `dedup_ngram_jaccard` times (nearDupCorpus, n=3,
+    * t=0.5) — Bench stamps these so the scale gate adjudicates counted
+    * pair mass, not wall clock ([[graft.ext.Dedup.ngramJaccardCounters]]). */
+  private[graft] def ngramGateCounters(spark: SparkSession,
+                                       dir: String): (Long, Long, Long) =
+    graft.ext.Dedup.ngramJaccardCounters(nearDupCorpus(spark, dir),
+      "doc_id", "text", n = 3, threshold = 0.5)
+
   /** near-duplicate corpus: every 10th doc gets a perturbed twin. */
   private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))

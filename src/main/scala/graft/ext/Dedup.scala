@@ -871,6 +871,138 @@ object Dedup {
     * job — [[planRowUpperBound]]) under which the naive branch is taken
     * WITHOUT running the sampled candidate-mass estimate; 0 disables
     * the gate. */
+  /** The prefix-filtered candidate plan, shared VERBATIM by the
+    * operator's prefix branch and [[ngramJaccardCounters]] — returns
+    * `(candRaw, cand, csigs)`: the post-map-side-filter candidate
+    * stream BEFORE the distinct (the "generated candidates" mass), its
+    * distinct pairs (the verify-join input), and the persisted capped
+    * signatures (caller unpersists).
+    *
+    * Capped signature per doc: hash-ascending for the merge-walk
+    * verification, PLUS the same grams rare-first ((df, hash)
+    * ascending) for prefix selection — the rarest grams generate the
+    * fewest candidates, and any fixed global order is correct. The
+    * FULL size rides along for the Jaccard denominator.
+    *
+    * POSITIONAL filter (PPJoin, round 12): each prefix posting
+    * carries the gram's rank in the doc's rare-ordered capped
+    * signature, packed into the bounded-collect aux slot with the
+    * full size (`szf << 31 | pos` — both < 2^31: array-length
+    * contract). Ranks are monotone in the SAME global (df, hash)
+    * order the prefixes are cut from, so for a candidate generated
+    * at shared-gram ranks (pa, pb) every common gram of the pair
+    * ranks ≥ that gram in both docs and
+    * common ≤ min(sza − pa, szb − pb). Generation events whose
+    * bound cannot reach the equivalent-overlap floor
+    * ceil(t/(1+t)·(sza+szb)) drop MAP-SIDE, before the candidate
+    * distinct and the fat verify joins — the quadratic mass the
+    * naive branch dies on is cut where it is born. The size filter
+    * (min ≥ ceil(t·max), else common ≤ min < t·max ≤ t·union)
+    * rides the same pass. No qualifying pair is lost: its
+    * globally-first common gram lies inside both prefixes (prefix
+    * lemma) at both docs' minimal shared ranks, and the bound at
+    * that event is ≥ the true overlap, ≥ the floor. The −1e-9
+    * absorbs double rounding in ceil at exact-integer boundaries
+    * (looser only). Measured sf1 (10× sf0.1): generated candidate
+    * rows 13.5M → 2.4M, distinct candidates into the verify joins
+    * 11.14M → 1.28M (8.7×), output identical (248,962 pairs,
+    * symmetric diff 0). */
+  private def prefixCandPlan(lists: DataFrame, threshold: Double,
+                             maxPostings: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = lists.sparkSession
+    val capped = lists
+      .select(size(col("lst")).cast("long").alias("__df"),
+        col("sh"), explode(col("lst")).alias("p"))
+      .select(col("sh"), col("__df"), col("p.id").alias("id"),
+        col("p.aux").alias("sz"))
+    val csigs = capped
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("sh"))).alias("csig"),
+        sort_array(collect_list(struct(col("__df"), col("sh"))))
+          .getField("sh").alias("rare"),
+        first(col("sz")).alias("szf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // consumed 3× (prefix explode, a-side verify, b-side verify)
+    // minimum common for a qualifying pair; the −5e-5 absorbs the
+    // round(·, 4) ≥ t acceptance boundary so a pair that only passes
+    // via rounding still lands inside both prefixes
+    val tE = threshold - 0.00005
+    val cMin = ceil(lit(tE) * col("szf")).cast("long")
+    val pref = csigs.select(col("id"), col("szf"),
+        posexplode(slice(col("rare"), lit(1),
+          greatest(size(col("rare")).cast("long") - cMin + 1L, lit(0L))
+            .cast("int"))))
+      .select(col("id"),
+        shiftleft(col("szf").cast("long"), 31)
+          .bitwiseOR(col("pos").cast("long")).alias("aux"),
+        col("col").alias("sh"))
+    val prefLists = pref.groupBy(col("sh"))
+      .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
+        col("id"), col("aux"), maxPostings).alias("lst"))
+      .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+    val tFrac = tE / (1.0 + tE)
+    // unordered combinations via the compiled pair kernel
+    val candRaw = prefLists
+      .select(explode(graft.functions.GraftFunctions.listPairs(spark,
+        col("lst"))).alias("pr"))
+      .select(least(col("pr.a"), col("pr.b")).alias("a"),
+        greatest(col("pr.a"), col("pr.b")).alias("b"),
+        when(col("pr.a") <= col("pr.b"), col("pr.sza"))
+          .otherwise(col("pr.szb")).alias("xa"),
+        when(col("pr.a") <= col("pr.b"), col("pr.szb"))
+          .otherwise(col("pr.sza")).alias("xb"))
+      .select(col("a"), col("b"),
+        shiftright(col("xa"), 31).alias("sza"),
+        col("xa").bitwiseAND(lit((1L << 31) - 1)).alias("pa"),
+        shiftright(col("xb"), 31).alias("szb"),
+        col("xb").bitwiseAND(lit((1L << 31) - 1)).alias("pb"))
+      .filter(least(col("sza"), col("szb")) >=
+        ceil(lit(tE) * greatest(col("sza"), col("szb")) - 1e-9).cast("long"))
+      .filter(least(col("sza") - col("pa"), col("szb") - col("pb")) >=
+        ceil(lit(tFrac) * (col("sza") + col("szb")) - 1e-9).cast("long"))
+      .select(col("a"), col("b"))
+    // a pair may share several surviving prefix grams
+    val cand = candRaw.distinct()
+    (candRaw, cand, csigs)
+  }
+
+  /** Deterministic superlinearity counters for the ngram tier
+    * (VERDICT r13 #3): the scale gate adjudicates on COUNTED pair
+    * mass, not wall clock. Returns
+    * `(generated_candidates, verify_candidates, output_pairs)` —
+    * generated = post-map-side-filter candidate rows before the
+    * distinct; verify = distinct pairs entering the exact verify
+    * joins; output = final pairs ≥ threshold. Runs the PREFIX branch
+    * unconditionally (the branch the gate watches at scale) through
+    * the exact same [[prefixCandPlan]] the operator executes, so the
+    * counters cannot drift from the plan they adjudicate. */
+  def ngramJaccardCounters(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.8,
+                           maxPostings: Int = 1000): (Long, Long, Long) = {
+    val spark = df.sparkSession
+    val sigs = ngramSignatures(df, idCol, textCol, n)
+    require(integralId(sigs, "id"),
+      "ngramJaccardCounters: integral ids required (the prefix branch)")
+    val posted = sigs
+      .select(col("id").cast("long").alias("id"), col("sig"))
+      .select(col("id"), size(col("sig")).cast("long").alias("sz"),
+        explode_outer(col("sig")).alias("sh"))
+      .filter(col("sh").isNotNull)
+    val lists = posted.groupBy(col("sh"))
+      .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
+        col("id"), col("sz"), maxPostings).alias("lst"))
+      .filter(col("lst").isNotNull && size(col("lst")) >= 2)
+    val (candRaw, cand, csigs) = prefixCandPlan(lists, threshold, maxPostings)
+    try {
+      val generated = candRaw.count()
+      val verify = cand.count()
+      val out = ngramJaccardPairsFromSigs(sigs, threshold, maxPostings,
+        naiveMaxCandidates = 0).count()
+      (generated, verify, out)
+    } finally csigs.unpersist()
+  }
+
   def ngramJaccardPairsFromSigs(sigs: DataFrame, threshold: Double = 0.8,
                                 maxPostings: Int = 1000,
                                 naiveMaxCandidates: Long = 10000000L,
@@ -1011,89 +1143,10 @@ object Dedup {
             col("a"), col("b"))
         return scoreJaccard(common, threshold)
       }
-      // PREFIX branch: the capped postings + per-gram df unravel from
-      // the inverted index, consumed only once (csigs persists the
-      // doc-side rebuild) — so lists itself stays unpersisted here too
-      val capped = lists
-        .select(size(col("lst")).cast("long").alias("__df"),
-          col("sh"), explode(col("lst")).alias("p"))
-        .select(col("sh"), col("__df"), col("p.id").alias("id"),
-          col("p.aux").alias("sz"))
-      // capped signature per doc: hash-ascending for the merge-walk
-      // verification, PLUS the same grams rare-first ((df, hash)
-      // ascending) for prefix selection — the rarest grams generate the
-      // fewest candidates, and any fixed global order is correct. The
-      // FULL size rides along for the Jaccard denominator.
-      val csigs = capped
-        .groupBy(col("id"))
-        .agg(sort_array(collect_list(col("sh"))).alias("csig"),
-          sort_array(collect_list(struct(col("__df"), col("sh"))))
-            .getField("sh").alias("rare"),
-          first(col("sz")).alias("szf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // consumed 3× (prefix explode, a-side verify, b-side verify)
-      // minimum common for a qualifying pair; the −5e-5 absorbs the
-      // round(·, 4) ≥ t acceptance boundary so a pair that only passes
-      // via rounding still lands inside both prefixes
-      val tE = threshold - 0.00005
-      val cMin = ceil(lit(tE) * col("szf")).cast("long")
-      // POSITIONAL filter (PPJoin, round 12): each prefix posting
-      // carries the gram's rank in the doc's rare-ordered capped
-      // signature, packed into the bounded-collect aux slot with the
-      // full size (`szf << 31 | pos` — both < 2^31: array-length
-      // contract). Ranks are monotone in the SAME global (df, hash)
-      // order the prefixes are cut from, so for a candidate generated
-      // at shared-gram ranks (pa, pb) every common gram of the pair
-      // ranks ≥ that gram in both docs and
-      // common ≤ min(sza − pa, szb − pb). Generation events whose
-      // bound cannot reach the equivalent-overlap floor
-      // ceil(t/(1+t)·(sza+szb)) drop MAP-SIDE, before the candidate
-      // distinct and the fat verify joins — the quadratic mass the
-      // naive branch dies on is cut where it is born. The size filter
-      // (min ≥ ceil(t·max), else common ≤ min < t·max ≤ t·union)
-      // rides the same pass. No qualifying pair is lost: its
-      // globally-first common gram lies inside both prefixes (prefix
-      // lemma) at both docs' minimal shared ranks, and the bound at
-      // that event is ≥ the true overlap, ≥ the floor. The −1e-9
-      // absorbs double rounding in ceil at exact-integer boundaries
-      // (looser only). Measured sf1 (10× sf0.1): generated candidate
-      // rows 13.5M → 2.4M, distinct candidates into the verify joins
-      // 11.14M → 1.28M (8.7×), output identical (248,962 pairs,
-      // symmetric diff 0).
-      val pref = csigs.select(col("id"), col("szf"),
-          posexplode(slice(col("rare"), lit(1),
-            greatest(size(col("rare")).cast("long") - cMin + 1L, lit(0L))
-              .cast("int"))))
-        .select(col("id"),
-          shiftleft(col("szf").cast("long"), 31)
-            .bitwiseOR(col("pos").cast("long")).alias("aux"),
-          col("col").alias("sh"))
-      val prefLists = pref.groupBy(col("sh"))
-        .agg(graft.functions.BoundedCollectAgg.boundedCollect(spark,
-          col("id"), col("aux"), maxPostings).alias("lst"))
-        .filter(col("lst").isNotNull && size(col("lst")) >= 2)
-      val tFrac = tE / (1.0 + tE)
-      // unordered combinations via the compiled pair kernel
-      val cand = prefLists
-        .select(explode(graft.functions.GraftFunctions.listPairs(spark,
-          col("lst"))).alias("pr"))
-        .select(least(col("pr.a"), col("pr.b")).alias("a"),
-          greatest(col("pr.a"), col("pr.b")).alias("b"),
-          when(col("pr.a") <= col("pr.b"), col("pr.sza"))
-            .otherwise(col("pr.szb")).alias("xa"),
-          when(col("pr.a") <= col("pr.b"), col("pr.szb"))
-            .otherwise(col("pr.sza")).alias("xb"))
-        .select(col("a"), col("b"),
-          shiftright(col("xa"), 31).alias("sza"),
-          col("xa").bitwiseAND(lit((1L << 31) - 1)).alias("pa"),
-          shiftright(col("xb"), 31).alias("szb"),
-          col("xb").bitwiseAND(lit((1L << 31) - 1)).alias("pb"))
-        .filter(least(col("sza"), col("szb")) >=
-          ceil(lit(tE) * greatest(col("sza"), col("szb")) - 1e-9).cast("long"))
-        .filter(least(col("sza") - col("pa"), col("szb") - col("pb")) >=
-          ceil(lit(tFrac) * (col("sza") + col("szb")) - 1e-9).cast("long"))
-        .select(col("a"), col("b"))
-        .distinct() // a pair may share several surviving prefix grams
+      // PREFIX branch: candidate generation extracted to
+      // prefixCandPlan so the deterministic superlinearity counters
+      // ([[ngramJaccardCounters]]) measure EXACTLY the operator's plan
+      val (_, cand, csigs) = prefixCandPlan(lists, threshold, maxPostings)
       // verify-join strategy: candidates × fat signature arrays. The
       // second join's input carries the first join's signature column,
       // so a shuffle join moves |cand| × |csig| bytes — measured ~20 GB

@@ -67,6 +67,13 @@ class ExtQualitySpec extends SparkSpec {
     assert(naive.nonEmpty, "degenerate test corpus: no pairs at all")
     assert(prefix === naive,
       s"branch divergence: only-naive=${naive -- prefix}, only-prefix=${prefix -- naive}")
+    // the superlinearity counters run the SAME prefix plan: the funnel
+    // is monotone (generated >= verify >= output) and the output count
+    // is exactly the operator's pair count
+    val (generated, verify, output) =
+      Dedup.ngramJaccardCounters(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(generated >= verify && verify >= output)
+    assert(output === naive.size.toLong)
   }
 
   test("duplicatedSpans flags cross-doc n-token windows with exact counts") {

@@ -78,31 +78,57 @@ fi
 python3 tools/bench_drift.py --stamp /tmp/prev_sf01.json /tmp/cand_sf01.json > BENCH_SF_HEADLINE.tmp
 mv BENCH_SF_HEADLINE.tmp BENCH_FULL.json
 
-# Superlinearity gate (VERDICT r11 #3): the ngram-jaccard pair problem is
-# the suite's one quadratic-risk operator — with the PPJoin positional
-# filter its engine time must stay pair-output-proportional, i.e. sf1
-# (10x data) <= ~8x the sf0.1 time plus contention headroom. WARN-only,
-# like the drift guard: wall-clock on this box swings 40-60% under host
-# contention, so the gate flags for adjudication rather than failing.
+# Superlinearity gate (VERDICT r11 #3, counter-based since r14): the
+# ngram-jaccard pair problem is the suite's one quadratic-risk operator.
+# Bench stamps deterministic PPJoin counters (generated candidates,
+# verify-join inputs, output pairs) at every SF, so the gate compares
+# the sf1/sf0.1 TIME ratio against the COUNTED work ratio instead of a
+# bare wall-clock threshold — candidate mass is what the operator's cost
+# is proportional to, and counts don't move with host contention. Fires
+# when time grows > 2x faster than max(data 10x, counted candidate
+# mass). text_bpe_tokens has no pair counters and keeps the wall-clock
+# bound. WARN-only, like the drift guard.
 if [ "$SKIP_SF1" != "--skip-sf1" ]; then
   python3 - <<'PY'
 import json
-# dedup_ngram_jaccard: the one quadratic-risk operator (PPJoin must keep
-# it pair-output-proportional). text_bpe_tokens: the batched trainer must
-# stay rounds x vocab-job (vocab grows ~linearly in the hex-salted
-# fixture; a superlinear reading means the per-round checkpoint or the
-# pair aggregation regressed to corpus-scale work).
-for q in ("dedup_ngram_jaccard", "text_bpe_tokens"):
-    try:
-        e01 = json.load(open("BENCH_FULL.json"))["queries"][q]
-        e1 = json.load(open("BENCH_SF1.json"))["queries"][q]
-        r = e1 / e01
-        print(f"scaling gate {q}: sf1/sf0.1 engine = {r:.1f}x (threshold 8x)")
-        if r > 8:
-            print(f"WARN: {q} superlinear - sf1 {e1:.1f}s vs sf0.1 {e01:.1f}s; "
+f01 = json.load(open("BENCH_FULL.json"))
+f1 = json.load(open("BENCH_SF1.json"))
+try:
+    e01 = f01["queries"]["dedup_ngram_jaccard"]
+    e1 = f1["queries"]["dedup_ngram_jaccard"]
+    tr = e1 / e01
+    c01 = f01.get("ngram_counters")
+    c1 = f1.get("ngram_counters")
+    if c01 and c1 and c01.get("verify"):
+        work = max(10.0,                       # linear corpus term
+                   c1["verify"] / max(c01["verify"], 1),
+                   c1["generated"] / max(c01["generated"], 1))
+        print(f"scaling gate dedup_ngram_jaccard: time {tr:.1f}x vs counted work "
+              f"{work:.1f}x (generated {c01['generated']}->{c1['generated']}, "
+              f"verify {c01['verify']}->{c1['verify']}, "
+              f"pairs {c01['output_pairs']}->{c1['output_pairs']})")
+        if tr > 2.0 * work:
+            print(f"WARN: dedup_ngram_jaccard time grew {tr:.1f}x against counted "
+                  f"work {work:.1f}x — a plan regression, not pair growth; "
                   "adjudicate per the isolation protocol (BASELINE.md)")
-    except Exception as e:
-        print(f"scaling gate skipped for {q}: {e}")
+    else:
+        print(f"scaling gate dedup_ngram_jaccard: {tr:.1f}x (threshold 8x, "
+              "no counters in artifact)")
+        if tr > 8:
+            print("WARN: dedup_ngram_jaccard superlinear on wall clock; "
+                  "re-run with counters")
+except Exception as e:
+    print(f"scaling gate skipped for dedup_ngram_jaccard: {e}")
+try:
+    e01 = f01["queries"]["text_bpe_tokens"]
+    e1 = f1["queries"]["text_bpe_tokens"]
+    r = e1 / e01
+    print(f"scaling gate text_bpe_tokens: sf1/sf0.1 engine = {r:.1f}x (threshold 8x)")
+    if r > 8:
+        print(f"WARN: text_bpe_tokens superlinear - sf1 {e1:.1f}s vs sf0.1 {e01:.1f}s; "
+              "adjudicate per the isolation protocol (BASELINE.md)")
+except Exception as e:
+    print(f"scaling gate skipped for text_bpe_tokens: {e}")
 PY
 fi
 echo "drift stamps:"
