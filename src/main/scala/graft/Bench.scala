@@ -191,9 +191,9 @@ object Bench {
     // spec-pinned in SubmissionIvfSpec). Deterministic query draw
     // (vec_id % 97, capped) so the number is comparable across rounds;
     // untimed and excluded from the totals — it is a QUALITY row.
-    val annRecall: Seq[(String, Double)] = (if (only.nonEmpty) None else scala.util.Try {
+    def recallGrid(emb: org.apache.spark.sql.DataFrame,
+                   prefix: String): Seq[(String, Double)] = {
       import org.apache.spark.sql.functions.col
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val queries = emb.filter(col("vec_id") % 97 === 0 && col("vec_id") < 6208)
       val truth = graft.ext.Similarity.bruteForceTopK(emb, queries, 10)
         .select(col("q_id"), col("n_id")).collect()
@@ -206,8 +206,46 @@ object Bench {
             nCentroids = 16, nprobe = np, trainIters = 3)
           .select(col("q_id"), col("n_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        s"recall_at10_nprobe$np" -> got.intersect(truth).size.toDouble / truth.size
+        s"${prefix}recall_at10_nprobe$np" -> got.intersect(truth).size.toDouble / truth.size
       }
+    }
+    val annRecall: Seq[(String, Double)] = (if (only.nonEmpty) None else scala.util.Try {
+      // two draws (VERDICT r13 #4): the SF's near-random embeddings are
+      // the adversarial FLOOR (no cluster structure, cell recall
+      // saturates low by construction — a ranking regression and
+      // fixture noise look alike there), and a deterministic
+      // mixture-of-Gaussians draw tracks the operating point users care
+      // about (clustered corpora; recall should sit ≥ ~0.9 @ nprobe 8,
+      // so a broken centroid train / ADC shows up as a cliff)
+      val random = recallGrid(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), "")
+      val clustered = scala.util.Try {
+        // planted NEAR-NEIGHBOR FAMILIES, not equidistant blobs: 745
+        // families of 11 (center + tiny noise), so each query's true
+        // top-10 IS its 10 siblings (cosine ≈ 0.99 in-family vs ≲ 0.4
+        // cross-family). A big equidistant cluster was tried first and
+        // measures the wrong thing — with 512 near-identical siblings
+        // the top-10 among them is ranking quantization noise and
+        // recall pins at ~0.25 no matter how healthy the index is.
+        // Here a healthy encode/ADC pipeline scores ≈ 1.0 and any
+        // encode, LUT, or ADC-fold regression craters the number.
+        val nFam = 745; val famSize = 11; val dim = 64; val sigma = 0.02
+        val rnd = new scala.util.Random(20260816L)
+        def unit(v: Array[Double]): Array[Double] = {
+          val nm = math.sqrt(v.map(x => x * x).sum); v.map(_ / nm)
+        }
+        val centers = Array.fill(nFam)(unit(Array.fill(dim)(rnd.nextGaussian())))
+        // driver-built fixture, bounded by construction (8195 × 64
+        // floats ≈ 2 MB) — the deterministic seed makes the artifact
+        // comparable across rounds and SFs
+        val rows = (0 until nFam * famSize).map { i =>
+          val c = centers(i / famSize)
+          (i.toLong, c.map(x => (x + sigma * rnd.nextGaussian()).toFloat).toSeq)
+        }
+        val s2 = spark; import s2.implicits._
+        recallGrid(rows.toDF("vec_id", "embedding"), "clustered_")
+      }.getOrElse(Seq.empty)
+      random ++ clustered
     }.toOption).getOrElse(Seq.empty)
     val recallField =
       if (annRecall.isEmpty) ""
