@@ -236,16 +236,18 @@ object Runner {
   * BUILD_STARTED / BUILD_ENDED telemetry docs accumulated and flushed to
   * a reporting store. */
 class Reporting(spark: SparkSession, sink: Option[Store]) {
-  private val events = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long)]()
+  private val events = scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long, Long, Long)]()
   private val buildId = java.util.UUID.randomUUID().toString
 
   def event(builder: String, kind: String, report: BuildReport = BuildReport()): Unit =
-    events += ((builder, kind, report.processed, report.failed, System.currentTimeMillis()))
+    events += ((builder, kind, report.processed, report.failed,
+      report.updated, report.orphansDeleted, System.currentTimeMillis()))
 
   def flush(): Unit = sink.foreach { st =>
     val s = spark
     import s.implicits._
-    val df = events.toSeq.toDF("builder", "event", "processed", "failed", "ts_millis")
+    val df = events.toSeq.toDF("builder", "event", "processed", "failed",
+      "updated", "orphans_deleted", "ts_millis")
       .withColumn("build_id", org.apache.spark.sql.functions.lit(buildId))
       .withColumn("event_id", org.apache.spark.sql.functions.concat_ws("/",
         org.apache.spark.sql.functions.lit(buildId),
