@@ -364,12 +364,12 @@ object SparkEntry {
       "list_transform(range(1, len(ts)), i -> 'b ' || ts[i] || ' ' || ts[i+1]))) AS tg"
     val win13 = (0 until 13).map(i => s"tk[n+$i]").mkString(", ")
     val mixHash = "CAST(('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
-    s"WITH cur AS $curateCorpusSql, " +
+    s"WITH cur AS MATERIALIZED $curateCorpusSql, " +
       // stage 1: C4 line retention + page gates; clean text flows on
-      "k AS (SELECT doc_id, lang, text, list_filter(string_split(text, chr(10)), " +
+      "k AS MATERIALIZED (SELECT doc_id, lang, text, list_filter(string_split(text, chr(10)), " +
       "x -> regexp_matches(x, '[.!?\"]$') AND len(string_split_regex(trim(x), '\\s+')) >= 3 " +
       "AND NOT contains(lower(x), 'javascript')) AS kept FROM cur), " +
-      "c4 AS (SELECT doc_id, lang, array_to_string(kept, chr(10)) AS clean FROM k " +
+      "c4 AS MATERIALIZED (SELECT doc_id, lang, array_to_string(kept, chr(10)) AS clean FROM k " +
       "WHERE NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{') AND len(kept) >= 1), " +
       // stage 2: Gopher heuristics over the cleaned text (minWords 20)
       "gm AS (SELECT doc_id, lang, clean, len(ws) AS n, " +
@@ -377,7 +377,7 @@ object SparkEntry {
       "len(regexp_extract_all(clean, '#|\\.\\.\\.|…')) AS syms, " +
       "len(regexp_extract_all(lower(clean), '\\S*[a-z]\\S*')) AS alpha " +
       "FROM (SELECT doc_id, lang, clean, regexp_extract_all(lower(clean), '\\S+') AS ws FROM c4)), " +
-      "g AS (SELECT doc_id, lang, clean FROM gm WHERE (n >= 20 AND n <= 100000) " +
+      "g AS MATERIALIZED (SELECT doc_id, lang, clean FROM gm WHERE (n >= 20 AND n <= 100000) " +
       "AND (mean_len >= 3.0 AND mean_len <= 10.0) " +
       "AND (CASE WHEN n > 0 THEN CAST(syms AS DOUBLE) / n <= 0.1 ELSE FALSE END) " +
       "AND (CASE WHEN n > 0 THEN CAST(alpha AS DOUBLE) / n >= 0.8 ELSE FALSE END)), " +
@@ -395,10 +395,10 @@ object SparkEntry {
       s"(SELECT doc_id, $tags FROM (SELECT doc_id, ${toks("clean")} AS ts FROM g)) GROUP BY 1, 2), " +
       "sc AS (SELECT stf.doc_id, CAST(sum(stf.tf * coalesce(w.wl, cons.miss)) AS BIGINT) AS sv " +
       "FROM stf LEFT JOIN w USING (bucket) CROSS JOIN cons GROUP BY 1), " +
-      "q AS (SELECT g.doc_id, g.lang, g.clean FROM g LEFT JOIN sc ON sc.doc_id = g.doc_id CROSS JOIN cons " +
+      "q AS MATERIALIZED (SELECT g.doc_id, g.lang, g.clean FROM g LEFT JOIN sc ON sc.doc_id = g.doc_id CROSS JOIN cons " +
       "WHERE round((coalesce(sc.sv, 0) + cons.prior) / 1000000.0, 4) > 0.0), " +
       // stage 4: exact content dedup — min doc_id per cleaned text
-      "d AS (SELECT doc_id, lang, clean FROM q QUALIFY row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) = 1), " +
+      "d AS MATERIALIZED (SELECT doc_id, lang, clean FROM q QUALIFY row_number() OVER (PARTITION BY md5(clean) ORDER BY doc_id) = 1), " +
       // stage 5: 13-gram decontamination vs the %37 eval slice (clean
       // text, whole-text window for short docs — the kernel contract)
       "evc AS (SELECT doc_id, array_to_string(kept, chr(10)) AS clean FROM k WHERE doc_id % 37 = 0), " +
