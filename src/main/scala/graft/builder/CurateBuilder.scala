@@ -75,8 +75,19 @@ class CurateBuilder(
   def pendingItems(): DataFrame = scoped
 
   /** The curated manifest as a plan (inspect/test hook):
-    * `(key, stratum, n_tokens, pack_id, pack_offset)`. */
-  def curated(): DataFrame = {
+    * `(key, stratum, n_tokens, pack_id, pack_offset)` — no caching, so
+    * repeated actions re-execute the chain; [[run]] uses the persisted
+    * variant. */
+  def curated(): DataFrame = chain(identity)
+
+  /** The chain with a caller-supplied hook at the post-dedup point —
+    * the narrowest frame every downstream consumer reads. Downstream
+    * holds FOUR executions of everything above it (decontaminate's
+    * gram leg + its anti-join leg, packSequences' prefix pass + the
+    * output pass), so [[run]] persists here: re-running the cleaned/
+    * gated/deduped chain 4x is strictly worse than one
+    * MEMORY_AND_DISK materialization of the survivors at any scale. */
+  private def chain(mid: DataFrame => DataFrame): DataFrame = {
     val key = source.key
     // 1. C4: gate on the page rules, feed the CLEANED text forward
     val c4 = TextAnalysis.c4Filters(col(textField), minLineWords)
@@ -104,12 +115,12 @@ class CurateBuilder(
     // 4. exact dedup on the cleaned content: min key per hash wins —
     // a single window shuffle; the row-number stream keeps hot hashes
     // (mega-duplicated boilerplate) bounded
-    val deduped = qualified
+    val deduped = mid(qualified
       .withColumn("__h", md5(col("__clean").cast("binary")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__h")).orderBy(col(key))))
       .filter(col("__rn") === 1)
-      .drop("__h", "__rn")
+      .drop("__h", "__rn"))
     // 5. decontaminate vs the eval store's text (any shared window drops)
     val deconed = eval.filter(e => e.df.columns.contains(e.key)) match {
       case Some(e) =>
@@ -133,9 +144,14 @@ class CurateBuilder(
   }
 
   def run(): BuildReport = {
-    // two consumers (write + orphan diff + count) of one corpus-global
-    // chain: materialize the manifest once
-    val out = curated().localCheckpoint(true)
+    // persist the post-dedup survivors (see chain) and materialize the
+    // manifest once for its own consumers (write + orphan diff + count)
+    var handle: Option[DataFrame] = None
+    val out = chain { d =>
+      val p = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      handle = Some(p)
+      p
+    }.localCheckpoint(true)
     try {
       val kept = out.count()
       target.update(out, Seq(source.key))
@@ -152,6 +168,9 @@ class CurateBuilder(
           } finally stale.unpersist()
         } else 0L
       BuildReport(kept, 0, orphans)
-    } finally out.unpersist()
+    } finally {
+      out.unpersist()
+      handle.foreach(_.unpersist())
+    }
   }
 }
