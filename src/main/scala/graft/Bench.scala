@@ -244,7 +244,15 @@ object Bench {
         }
         val s2 = spark; import s2.implicits._
         recallGrid(rows.toDF("vec_id", "embedding"), "clustered_")
-      }.getOrElse(Seq.empty)
+      } match {
+        case scala.util.Success(v) => v
+        // a broken fixture must be DISTINGUISHABLE from "not run" in
+        // adjudication — log before degrading (the quality-cliff signal
+        // this leg exists for would otherwise vanish silently)
+        case scala.util.Failure(e) =>
+          System.err.println(s"[bench] clustered-recall fixture failed: $e")
+          Seq.empty
+      }
       random ++ clustered
     }.toOption).getOrElse(Seq.empty)
     val recallField =

@@ -112,11 +112,19 @@ class Bm25IndexBuilder(
         // reconcileStats recount repairs (statsSuspect is set by run()'s
         // failure path)
         index.removeKeys(changed.select(col("id")))
-        val (n0, s0) = loadStats().getOrElse((0L, 0L))
-        val s = spark
-        import s.implicits._
-        stats.update(Seq(("bm25", n0 - n, s0 - (if (r.isNullAt(1)) 0L else r.getLong(1))))
-          .toDF("sid", "n_docs", "sum_dl"), Seq("sid"))
+        loadStats() match {
+          case Some((n0, s0)) =>
+            val s = spark
+            import s.implicits._
+            stats.update(Seq(("bm25", n0 - n, s0 - (if (r.isNullAt(1)) 0L else r.getLong(1))))
+              .toDF("sid", "n_docs", "sum_dl"), Seq("sid"))
+          case None =>
+            // stats row missing/unreadable while postings exist (e.g.
+            // the stats store was truncated externally after the startup
+            // reconcile): decrementing from (0,0) would write NEGATIVE
+            // counts — recount from the postings, the source of truth
+            reconcileStats()
+        }
       }
       n
     } finally changed.unpersist()
@@ -257,11 +265,14 @@ class Bm25IndexBuilder(
       val n = r.getLong(0)
       if (n > 0) {
         index.removeKeys(orphanDl.select(col("id")))
-        val (n0, s0) = loadStats().getOrElse((0L, 0L))
-        val s = spark
-        import s.implicits._
-        stats.update(Seq(("bm25", n0 - n, s0 - (if (r.isNullAt(1)) 0L else r.getLong(1))))
-          .toDF("sid", "n_docs", "sum_dl"), Seq("sid"))
+        loadStats() match {
+          case Some((n0, s0)) =>
+            val s = spark
+            import s.implicits._
+            stats.update(Seq(("bm25", n0 - n, s0 - (if (r.isNullAt(1)) 0L else r.getLong(1))))
+              .toDF("sid", "n_docs", "sum_dl"), Seq("sid"))
+          case None => reconcileStats() // see dropChanged: never decrement from (0,0)
+        }
       }
       n
     } finally orphanDl.unpersist()

@@ -4,7 +4,6 @@ import graft.ext.{Dedup, Sampling, TextAnalysis}
 import graft.query.MongoFilter
 import graft.store.Store
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data curation pipeline as ONE builder — the
@@ -23,10 +22,12 @@ import org.apache.spark.sql.functions._
   *      keep docs with `q_score > clfThreshold` — the CCNet/LLaMA-style
   *      classifier stage. Skipped when no model store is wired.
   *   4. Exact content dedup: first doc (by key) per cleaned-text hash
-  *      survives — one shuffle on the 16-byte content hash; the
-  *      per-group stream never materializes a group, so a boilerplate
-  *      page duplicated millions of times at 100 TB costs one hot
-  *      reducer streaming row-number, not memory.
+  *      survives — a `groupBy(hash).agg(min_by(...))` whose map-side
+  *      partial aggregation collapses duplicates BEFORE the exchange,
+  *      so a boilerplate page duplicated 10⁷× at 100 TB ships one
+  *      pre-reduced row per map task to the reducer instead of
+  *      serializing every copy through a single hot task (the
+  *      row-number-window spelling it replaces did exactly that).
   *   5. Decontamination ([[Dedup.decontaminate]]): drop docs sharing
   *      any `deconNgram`-token window with the eval store (Lee et al.
   *      2022 / GPT-3 appendix C). Skipped when no eval store is wired.
@@ -112,15 +113,18 @@ class CurateBuilder(
         gophered.join(keep, Seq(key), "left_semi")
       case None => gophered
     }
-    // 4. exact dedup on the cleaned content: min key per hash wins —
-    // a single window shuffle; the row-number stream keeps hot hashes
-    // (mega-duplicated boilerplate) bounded
+    // 4. exact dedup on the cleaned content: min key per hash wins.
+    // min_by over groupBy(hash), NOT a row_number window — partial
+    // aggregation collapses duplicate groups map-side, so hot hashes
+    // (mega-duplicated boilerplate) reduce before the exchange instead
+    // of streaming every copy through one reducer task
     val deduped = mid(qualified
-      .withColumn("__h", md5(col("__clean").cast("binary")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__h")).orderBy(col(key))))
-      .filter(col("__rn") === 1)
-      .drop("__h", "__rn"))
+      .groupBy(md5(col("__clean").cast("binary")).alias("__h"))
+      .agg(min_by(struct(col(key), col(stratumField), col("__clean")),
+        col(key)).alias("__w"))
+      .select(col(s"__w.$key").alias(key),
+        col(s"__w.$stratumField").alias(stratumField),
+        col("__w.__clean").alias("__clean")))
     // 5. decontaminate vs the eval store's text (any shared window drops)
     val deconed = eval.filter(e => e.df.columns.contains(e.key)) match {
       case Some(e) =>
@@ -154,7 +158,14 @@ class CurateBuilder(
     }.localCheckpoint(true)
     try {
       val kept = out.count()
-      target.update(out, Seq(source.key))
+      // upsert keyed by the TARGET's key: a spec may wire a target whose
+      // key column differs from the source's — merging on source.key
+      // there would dedup on a column the target is not keyed by and the
+      // orphan sweep's columns-contains guard would silently skip
+      val keyed =
+        if (source.key == target.key) out
+        else out.withColumnRenamed(source.key, target.key)
+      target.update(keyed, Seq(target.key))
       val orphans =
         if (deleteOrphans && target.df.columns.contains(target.key)) {
           val stale = target.df.select(col(target.key))

@@ -997,8 +997,23 @@ object Dedup {
     try {
       val generated = candRaw.count()
       val verify = cand.count()
-      val out = ngramJaccardPairsFromSigs(sigs, threshold, maxPostings,
-        naiveMaxCandidates = 0).count()
+      // output count from the ALREADY-HELD plan: re-running the operator
+      // via ngramJaccardPairsFromSigs(...).count() would persist a second
+      // csigs cache internally that this finally cannot release (one
+      // leaked MEMORY_AND_DISK cache per bench SF run). The verify tail
+      // below is the prefix branch's own spelling over the same csigs,
+      // so the count is identical by construction.
+      val out = cand
+        .join(csigs.select(col("id").alias("a"), col("csig").alias("__ca"),
+          col("szf").alias("sza")), Seq("a"))
+        .join(csigs.select(col("id").alias("b"), col("csig").alias("__cb"),
+          col("szf").alias("szb")), Seq("b"))
+        .withColumn("common", graft.functions.GraftFunctions.sortedIntersect(
+          spark, col("__ca"), col("__cb")))
+        .withColumn("jaccard", round(col("common").cast("double") /
+          (col("sza") + col("szb") - col("common")).cast("double"), 4))
+        .filter(col("jaccard") >= threshold)
+        .count()
       (generated, verify, out)
     } finally csigs.unpersist()
   }

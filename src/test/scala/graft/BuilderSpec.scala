@@ -324,6 +324,57 @@ class BuilderSpec extends SparkSpec {
     assert(grpCalls.value === 2)
   }
 
+  test("CurateBuilder exact-dedup: planted mega-duplicate collapses map-side (no hot reducer)") {
+    val s = spark; import s.implicits._
+    // one boilerplate page duplicated 100k× + 50 distinct docs: the
+    // skewed-key shape VERDICT r14 #1 flagged. Long enough text to pass
+    // the C4/Gopher gates (>= 20 words, terminal punctuation per line).
+    val boiler = ("this is a perfectly ordinary boilerplate paragraph that " +
+      "keeps repeating across the crawl and easily clears the minimum word " +
+      "count gate for curation purposes today.")
+    val uniq = (0 until 50).map(i =>
+      (1000000L + i, s"document number $i carries its own unique sentence " +
+        s"payload number $i so the content hash differs across all of the " +
+        "fifty distinct documents in this fixture corpus.", "en"))
+    val rows = (0L until 100000L).map(k => (k, boiler, "en")) ++ uniq
+    val src = new MemoryStore(spark, "cskew_src", key = "k", lastUpdatedField = "k")
+    src.load(rows.toDF("k", "text", "lang"))
+    val tgt = new MemoryStore(spark, "cskew_tgt", key = "k", lastUpdatedField = "k")
+    val b = new CurateBuilder(src, tgt)
+    val manifest = b.curated()
+    // the dedup exchange must be preceded by a PARTIAL min_by aggregate —
+    // map-side combine collapses the 100k duplicates to one row per map
+    // task before any shuffle, so no single reducer streams the hot hash
+    val plan = manifest.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by"),
+      s"expected map-side partial min_by below the dedup exchange:\n$plan")
+    val kept = manifest.select("k").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L), "min-key survivor of the duplicate group")
+    assert(!kept.exists(k => k > 0L && k < 100000L), "all other copies dropped")
+    assert(kept.count(_ >= 1000000L) === 50, "distinct docs all survive")
+  }
+
+  test("CurateBuilder: target keyed by a different column still converges (no stale manifest rows)") {
+    val s = spark; import s.implicits._
+    val rows = (0 until 30).map(i =>
+      (i.toLong, s"document number $i carries its own unique sentence " +
+        s"payload number $i so the content hash differs across all of the " +
+        "thirty distinct documents in this fixture corpus.", "en"))
+    val src = new MemoryStore(spark, "ckey_src", key = "k", lastUpdatedField = "k")
+    src.load(rows.toDF("k", "text", "lang"))
+    // target keyed by a DIFFERENT column name: the upsert must alias the
+    // manifest's key to it, or the orphan sweep silently skips (ADVICE r14)
+    val tgt = new MemoryStore(spark, "ckey_tgt", key = "doc_key", lastUpdatedField = "doc_key")
+    new CurateBuilder(src, tgt).run()
+    assert(tgt.df.columns.contains("doc_key"))
+    assert(tgt.count() === 30)
+    // shrink the corpus: the re-run must sweep the orphaned manifest rows
+    src.load(rows.take(10).toDF("k", "text", "lang"))
+    val r2 = new CurateBuilder(src, tgt).run()
+    assert(r2.orphansDeleted === 20, s"orphan sweep must fire on the aliased key: $r2")
+    assert(tgt.count() === 10)
+  }
+
   test("DedupBuilder semantic method: duplicate vector collapses to the min-id twin") {
     val s = spark; import s.implicits._
     // 20 vectors in 4 angular clusters (hot dim i%4, spread dim 4+i%4);

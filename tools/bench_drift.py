@@ -47,6 +47,12 @@ def pick(path_a, path_b):
         except Exception:
             return None
     a, b = load(path_a), load(path_b)
+    if a is None and b is None:
+        # stamping an unparseable artifact would silently poison the
+        # sweep — fail loudly instead of defaulting to path_a
+        print("bench_drift.py --pick: BOTH candidate artifacts are "
+              "unreadable", file=sys.stderr)
+        sys.exit(2)
     if a is None or b is None:
         print(path_a if b is None else path_b)
         return
@@ -56,10 +62,14 @@ def pick(path_a, path_b):
               and isinstance(bo[q], (int, float))]
     at = sum(ao[q] for q in shared)
     bt = sum(bo[q] for q in shared)
-    if at > 0 and bt > 0 and abs(at - bt) > 1e-9:
+    # The oracle total decides only when it differs MATERIALLY (>10%):
+    # a reading contended only during the ENGINE leg can carry a clean
+    # oracle total, so near-ties fall through to the engine total as a
+    # second contention signal instead of being adjudicated on noise.
+    if at > 0 and bt > 0 and abs(at - bt) > 0.10 * min(at, bt):
         print(path_a if at < bt else path_b)
         return
-    # no oracle legs to compare -> lower engine total wins
+    # oracle legs absent or within noise -> lower engine total wins
     ae, be = a.get("value"), b.get("value")
     if isinstance(ae, (int, float)) and isinstance(be, (int, float)) and be < ae:
         print(path_b)
