@@ -193,6 +193,56 @@ object SparkEntry {
         concat(col("text"), lit(" zzz near dup suffix")).alias("text")))
   }
 
+  /** [[nearDupCorpus]] after a batch of CONTENT MUTATIONS (the
+    * `dedup_builder_update` fixture) — three classes exercising every
+    * lu-update repair path of [[graft.builder.DedupBuilder.dropChanged]]:
+    *  - twins of `doc_id % 20 == 0` originals get UNIQUE replacement
+    *    text (every 3-shingle contains the id): the near-dup pair
+    *    dissolves, the ex-loser twin must re-enter the canonical view;
+    *  - originals with `doc_id % 20 == 10` (which have twins) get unique
+    *    replacement text: the cluster's CANONICAL leaves, the surviving
+    *    twin must be PROMOTED into the target;
+    *  - originals with `doc_id % 10 == 5` copy the text of `doc_id - 5`
+    *    exactly: a NEW duplicate edge forms against a stored doc and the
+    *    mutated doc must drop out as a loser.
+    * Mutated rows carry `lu = 2`, unchanged rows `lu = 1`. */
+  private def mutatedNearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    def rep(tag: String) = concat(lit(tag + " "), col("doc_id"),
+      lit(" alpha "), col("doc_id"), lit(" beta "), col("doc_id"),
+      lit(" gamma "), col("doc_id"))
+    val isTwinRep = col("doc_id") >= 1000000L &&
+      (col("doc_id") - 1000000L) % 20 === 0
+    val isOrigRep = col("doc_id") < 1000000L && col("doc_id") % 20 === 10
+    val isCopy = col("doc_id") < 1000000L && col("doc_id") % 10 === 5 &&
+      col("__copy").isNotNull
+    nearDupCorpus(spark, dir)
+      .join(d.select((col("doc_id") + 5).alias("doc_id"),
+        col("text").alias("__copy")), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(isTwinRep, rep("twinrep"))
+          .when(isOrigRep, rep("origrep"))
+          .when(isCopy, col("__copy"))
+          .otherwise(col("text")).alias("text"),
+        when(isTwinRep || isOrigRep || isCopy, lit(2L)).otherwise(lit(1L))
+          .alias("lu"))
+  }
+
+  /** The [[mutatedNearDupCorpus]] as DuckDB CTEs ending in `corpus` —
+    * the lu-update oracle's from-scratch replay substrate. */
+  private val mutatedCorpusCtes: String = {
+    def rep(tag: String) = s"'$tag ' || b.doc_id || ' alpha ' || b.doc_id " +
+      "|| ' beta ' || b.doc_id || ' gamma ' || b.doc_id"
+    "base AS (SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 1000000, text || ' zzz near dup suffix' FROM documents WHERE doc_id % 10 = 0), " +
+      "corpus AS (SELECT b.doc_id, CASE " +
+      s"WHEN b.doc_id >= 1000000 AND (b.doc_id - 1000000) % 20 = 0 THEN ${rep("twinrep")} " +
+      s"WHEN b.doc_id < 1000000 AND b.doc_id % 20 = 10 THEN ${rep("origrep")} " +
+      "WHEN b.doc_id < 1000000 AND b.doc_id % 10 = 5 AND c.text IS NOT NULL THEN c.text " +
+      "ELSE b.text END AS text " +
+      "FROM base b LEFT JOIN documents c ON c.doc_id = b.doc_id - 5)"
+  }
+
   /** Presentation sort for BOUNDED result sets (threshold-filtered pair
     * tables): one sorted partition instead of a global orderBy. A range
     * sort SAMPLES its child to pick partition bounds, which re-executes
@@ -1284,6 +1334,31 @@ object SparkEntry {
       tgt.df.select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // lu-UPDATE half of the builder contract (reference
+    // `core/store.py:239-275`; VERDICT r14 #2): batch A indexes the full
+    // near-dup corpus, batch B MUTATES a slice of it in place (same ids,
+    // newer lu — pairs dissolve, canonicals leave, new duplicate edges
+    // form; see mutatedNearDupCorpus). The run must drop the stale
+    // signatures, re-resolve the touched clusters from stored state,
+    // re-index the mutated docs, and repair the target — converging to
+    // the from-scratch canonical view of the FINAL corpus, which the
+    // oracle replays over the mutated-corpus CTE.
+    "dedup_builder_update" -> ((s, dir) => {
+      val src = new graft.store.MemoryStore(s, "dbu_src", "doc_id", "lu")
+      val tgt = new graft.store.MemoryStore(s, "dbu_tgt", "doc_id", "lu")
+      val idxRoot = java.nio.file.Files.createTempDirectory("graft_dbu").toString
+      def mk() = new graft.builder.DedupBuilder(src, tgt, "text",
+        method = "minhash", threshold = 0.5,
+        indexStore = Some(new graft.store.ParquetStore(s, idxRoot, "id", "cluster")),
+        numHashes = 32, bands = 16, shingleSize = 3, family = "md5")
+      src.load(nearDupCorpus(s, dir).withColumn("lu", lit(1L)))
+      mk().run()
+      src.load(mutatedNearDupCorpus(s, dir))
+      val r2 = mk().run()
+      require(r2.updated > 0, s"lu-update run must report updated docs: $r2")
+      tgt.df.select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // STREAMING twin of dedup_builder_incremental, oracle-checked
     // end-to-end: the same 2-batch corpus replays through
     // StreamingBuilder.dedupStream as two file-source micro-batches
@@ -2137,7 +2212,18 @@ object SparkEntry {
     * is just `y.doc_id >= 1000000` and the batch orientation (old id as
     * `a`, new as `b`; `a < b` within-batch) coincides with the x < y
     * join order — no CASE re-orientation needed. */
-  private def minhashOraclePartsWith(extraCand: String): (String, String) = {
+  private def minhashOraclePartsWith(extraCand: String): (String, String) =
+    minhashOraclePartsCorpus(
+      "corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 1000000, text || ' zzz near dup suffix' FROM documents WHERE doc_id % 10 = 0)",
+      extraCand)
+
+  /** The md5-minhash replay CTE chain over a caller-supplied corpus
+    * CTE block (must end in a CTE named `corpus` with `(doc_id, text)`)
+    * — lets the lu-update oracle replay the same banding over the
+    * MUTATED corpus. */
+  private def minhashOraclePartsCorpus(corpusCtes: String,
+                                       extraCand: String): (String, String) = {
     val K = 32; val BANDS = 16; val ROWS = K / BANDS
     def H(seed: String, v: String) =
       s"CAST(('0x' || substr(md5($seed || ':' || $v), 1, 15)) AS BIGINT)"
@@ -2152,8 +2238,7 @@ object SparkEntry {
     val estSum = (0 until K).map(j =>
       s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
     val ctes =
-      "corpus AS (SELECT doc_id, text FROM documents UNION ALL " +
-        "SELECT doc_id + 1000000, text || ' zzz near dup suffix' FROM documents WHERE doc_id % 10 = 0), " +
+      corpusCtes + ", " +
         "toks AS (SELECT doc_id, list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0) AS tk FROM corpus), " +
         "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[n], tk[n+1], tk[n+2]) AS shingle " +
         "FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(n) WHERE len(tk) >= 3 " +
@@ -2886,6 +2971,19 @@ object SparkEntry {
       // component; unpaired docs survive)
       "dedup_builder_incremental" -> {
         val (ctes, pairSel) = minhashOracleParts
+        s"WITH RECURSIVE $ctes, pairs AS ($pairSel), " +
+          "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs), " +
+          "reach AS (SELECT src AS id, src AS r FROM edges " +
+          "UNION SELECT e.src AS id, rc.r AS r FROM edges e JOIN reach rc ON rc.id = e.dst), " +
+          "labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id) " +
+          "SELECT c.doc_id FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id " +
+          "WHERE l.cluster IS NULL OR l.cluster = c.doc_id ORDER BY 1"
+      },
+      // lu-update convergence: the 2-run (build, mutate-in-place, repair)
+      // target must equal the from-scratch canonical view of the MUTATED
+      // corpus — same replay chain over the mutated-corpus CTEs
+      "dedup_builder_update" -> {
+        val (ctes, pairSel) = minhashOraclePartsCorpus(mutatedCorpusCtes, "")
         s"WITH RECURSIVE $ctes, pairs AS ($pairSel), " +
           "edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b AS src, a AS dst FROM pairs), " +
           "reach AS (SELECT src AS id, src AS r FROM edges " +

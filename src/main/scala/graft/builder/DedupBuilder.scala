@@ -42,6 +42,17 @@ import org.apache.spark.sql.functions._
   * between re-hashing the corpus per batch and per-batch work
   * proportional to the batch.
   *
+  * The UPDATE half of the same contract ([[dropChanged]], round 15 —
+  * the treatment BM25/ANN got in round 14): when the source carries a
+  * `lastUpdatedField` and the index rows carry `lu`, each run first
+  * drops the stale signatures of docs whose source lu is newer,
+  * re-resolves the touched components over the remaining members'
+  * stored signatures (edge removal ⇒ labels only increase ⇒ the only
+  * target repair is restoring ex-losers whose canonical left), and the
+  * dropped docs re-enter the run's batch with their new text — so the
+  * repaired target converges to the from-scratch canonical view of the
+  * final corpus (oracle row `dedup_builder_update`).
+  *
   * Index schema, minhash: `(id, sig, cluster)` with `sig` an array of
   * hash values ([[Dedup.minhashLshIncrementalSigs]] bands the new batch
   * against the stored signatures). Simhash: the same columns with `sig`
@@ -160,6 +171,128 @@ class DedupBuilder(
     df.join(idx.df.select(col("id").alias(source.key)),
       Seq(source.key), "left_anti")
 
+  /** lu rides each index row (constant per doc, the
+    * [[Bm25IndexBuilder]] convention) so [[dropChanged]] can compare
+    * against the source without a second per-doc table. A lu-less
+    * source writes no lu column (the index stays insert-only); a LEGACY
+    * populated index built before the lu column keeps its layout. */
+  private def indexCarriesLu(idx: Store): Boolean = {
+    val c = idx.df.columns
+    if (c.contains("lu")) true
+    else c.isEmpty || idx.df.isEmpty // empty store: first run decides
+  }
+
+  private def attachLu(rows: DataFrame, batch: DataFrame, idx: Store): DataFrame =
+    if (!batch.columns.contains(source.lastUpdatedField) || !indexCarriesLu(idx)) rows
+    else rows.join(batch.select(col(source.key).alias("id"),
+      col(source.lastUpdatedField).alias("lu")), Seq("id"), "left_outer")
+
+  /** The update half of the reference delta contract
+    * (`core/store.py:239-275`), the treatment [[Bm25IndexBuilder]] and
+    * [[AnnIndexBuilder]] got in round 14: docs whose source
+    * `last_updated` is newer than the lu their signature was indexed
+    * with DROP their stale state — signature row removed (so
+    * [[pendingItems]]' left-anti re-surfaces them with their new text
+    * in the same run), target row removed (it may hold the stale
+    * canonical) — and the components they touched are RE-RESOLVED over
+    * the remaining members' STORED signatures: removing a doc only
+    * removes edges, and components were maximal under the
+    * signature-determined pair relation, so no cross-component pair
+    * can appear and the repair stays bounded by the touched clusters.
+    * Min-label consequence of edge REMOVAL: labels only increase, so an
+    * old canonical stays canonical and the only target repair needed is
+    * PROMOTION — members whose re-resolved label becomes their own id
+    * were losers whose canonical left; their source rows are restored.
+    *
+    * Caveats, documented: (a) re-banding a component's remnant can see
+    * fewer bucket members than the original corpus-wide build, so a
+    * hot-bucket cap that fired originally may not fire here (caps are
+    * population-dependent; at the default 1000-member cap this needs a
+    * pathological bucket to matter). (b) semantic: a changed doc that
+    * was a persisted CENTROID loses its quantizer row too — the cell
+    * layout shrinks by one anchor (scale-adaptive builds re-draw a
+    * replacement from a later batch; fixed-k builds run with k-1 cells
+    * until [[runFull]] rebuilds). Returns the number of docs dropped. */
+  private def dropChanged(idx: Store): Long = {
+    if (!usableIndex(idx) || !idx.df.columns.contains("lu") ||
+        !scoped.columns.contains(source.lastUpdatedField)) return 0L
+    val k = source.key
+    val changed = idx.df.select(col("id"), col("cluster"), col("lu"))
+      .join(scoped.select(col(k).alias("id"),
+        col(source.lastUpdatedField).alias("__slu")), Seq("id"))
+      .filter(col("__slu") > col("lu"))
+      .select(col("id"), col("cluster"))
+      .localCheckpoint(true) // consumed by count + 2 removeKeys + semi-join
+    try {
+      val n = changed.count()
+      if (n == 0) return 0L
+      idx.removeKeys(changed.select(col("id")))
+      target.removeKeys(changed.select(col("id").alias(target.key)))
+      // remaining members of the touched components, with stored labels
+      val members = idx.df
+        .join(changed.select(col("cluster")).distinct(), Seq("cluster"), "left_semi")
+        .localCheckpoint(true) // pair producer reads sigs 2-3×, label diff once
+      try {
+        val spark = members.sparkSession
+        def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          graft.functions.GraftFunctions.cosine(spark, a, b)
+        val pairs = method match {
+          case "minhash" => Dedup.minhashLshFromSigs(
+            members.select(col("id"), col("sig")), numHashes, bands,
+            threshold = threshold, family = family)
+          case "simhash" | "image" => Dedup.simhashPairsFromSigs(
+            members.select(col("id"), col("sig").alias("simhash")))
+          case "ngram" => Dedup.ngramJaccardPairsFromSigs(
+            members.select(col("id"), col("grams").alias("sig")),
+            threshold = threshold)
+          case _ => // semantic: within-cell exact cosine among the remnant
+            val m = members.select(col("cell"), col("id"), col("vec"))
+            val hot = m.groupBy(col("cell")).agg(count(lit(1)).alias("__cn"))
+              .filter(col("__cn") > maxCellSize).select(col("cell"))
+            val ok = m.join(broadcast(hot), Seq("cell"), "left_anti")
+            val under = ok
+              .select(col("cell"), col("id").alias("a"), col("vec").alias("va"))
+              .join(ok.select(col("cell"), col("id").alias("b"),
+                col("vec").alias("vb")), Seq("cell"))
+              .filter(col("a") < col("b"))
+              .filter(cos(col("va"), col("vb")) >= threshold)
+              .select(col("a"), col("b"))
+            if (overCap != "star") under
+            else {
+              val over = m.join(broadcast(hot), Seq("cell"), "left_semi")
+              val reps = over.groupBy(col("cell"))
+                .agg(min_by(struct(col("id"), col("vec")), col("id")).alias("__r"))
+                .select(col("cell"), col("__r.id").alias("a"),
+                  col("__r.vec").alias("va"))
+              under.unionByName(over.join(broadcast(reps), Seq("cell"))
+                .filter(col("id") =!= col("a"))
+                .filter(cos(col("va"), col("vec")) >= threshold)
+                .select(col("a"), col("id").alias("b")))
+            }
+        }
+        val labels = Dedup.clusters(pairs.select(col("a"), col("b")))
+        val relab = members.withColumnRenamed("cluster", "__old")
+          .join(labels, Seq("id"), "left_outer")
+          .withColumn("cluster", coalesce(col("cluster"), col("id")))
+        val delta = relab.filter(col("cluster") =!= col("__old"))
+          .drop("__old").localCheckpoint(true)
+        try {
+          idx.update(delta, Seq("id"))
+          // promotion repair: new label == own id ⇒ an ex-loser whose
+          // canonical left — restore its (current) source row; a member
+          // gone from the source has no row to restore (orphan, skipped)
+          val promoted = delta.filter(col("id") === col("cluster"))
+            .select(col("id").alias(k))
+          val rows = scoped.join(promoted, Seq(k), "left_semi")
+            .localCheckpoint(true)
+          try { if (rows.count() > 0) target.update(rows, Seq(target.key)) }
+          finally rows.unpersist()
+        } finally delta.unpersist()
+      } finally members.unpersist()
+      n
+    } finally changed.unpersist()
+  }
+
   /** The candidate set for this build — the (scoped) source corpus, or
     * with an index the docs the index hasn't seen yet. */
   def pendingItems(): DataFrame = indexStore match {
@@ -255,6 +388,9 @@ class DedupBuilder(
   private def runIndexed(idx: Store): BuildReport = {
     val k = source.key
     val hasIndex = hasCompatibleIndex(idx)
+    // lu-newer docs drop their stale signatures + touched-cluster labels
+    // FIRST, so the unseen left-anti below re-surfaces them this run
+    val updated = if (hasIndex) dropChanged(idx) else 0L
     val (batch, examined) = indexedBatch(idx, hasIndex) match {
       case None => return BuildReport(0, 0)
       case Some(be) => be
@@ -297,7 +433,12 @@ class DedupBuilder(
     val (pairs, oldEdges, known) =
       if (!hasIndex) (fromScratch, None, None)
       else {
-        val kn = idx.df.select(col("id"), col(sigCol), col("cluster"))
+        // lu rides the known rows so a relabeled old row keeps its
+        // indexed-at lu through the delta rewrite (see attachLu)
+        val luCols =
+          if (idx.df.columns.contains("lu")) Seq(col("lu")) else Nil
+        val kn = idx.df.select(
+          Seq(col("id"), col(sigCol), col("cluster")) ++ luCols: _*)
         (incremental(kn.select(col("id"), col(sigCol))),
           // stored membership re-enters resolution as (cluster → id) edges
           Some(kn.filter(col("cluster") =!= col("id"))
@@ -305,9 +446,10 @@ class DedupBuilder(
           Some(kn))
       }
     val r = resolveDeltaAndRepair(idx, batch, examined,
-      newSigs.select(col("id"), col(sigCol)), pairs, oldEdges, known)
+      attachLu(newSigs.select(col("id"), col(sigCol)), batch, idx),
+      pairs, oldEdges, known)
     newSigs.unpersist()
-    r
+    r.copy(updated = updated)
   }
 
   /** One incremental round against a persisted semantic (cell) index:
@@ -327,6 +469,8 @@ class DedupBuilder(
     // layout still get the pushed filter, just without group pruning)
     idx.ensureIndex("cell")
     val hasIndex = hasCompatibleIndex(idx)
+    // stale-vector drop before the unseen left-anti (see dropChanged)
+    val updated = if (hasIndex) dropChanged(idx) else 0L
     val (batch, examined) = indexedBatch(idx, hasIndex) match {
       case None => return BuildReport(0, 0)
       case Some(be) => be
@@ -438,11 +582,13 @@ class DedupBuilder(
     // cell: label repair reads the same cell-pruned slice, never the
     // full corpus-scale index
     val known =
-      if (hasIndex)
-        Some(idx.df.select(col("id"), col("vec"), col("cell"),
-          col("centroid"), col("cluster"))
+      if (hasIndex) {
+        val luCols =
+          if (idx.df.columns.contains("lu")) Seq(col("lu")) else Nil
+        Some(idx.df.select(Seq(col("id"), col("vec"), col("cell"),
+            col("centroid"), col("cluster")) ++ luCols: _*)
           .filter(col("cell").isin(batchCells: _*)))
-      else None
+      } else None
     val oldEdges = known.map(_.filter(col("cluster") =!= col("id"))
       .select(col("cluster").alias("a"), col("id").alias("b")))
     // first-run centroid rows are flagged; later batches never are
@@ -450,10 +596,10 @@ class DedupBuilder(
       .join(cents.select(col("c_id").alias("id")).withColumn("__c", lit(true)),
         Seq("id"), "left_outer")
       .withColumn("centroid", coalesce(col("__c"), lit(false))).drop("__c")
-    val r = resolveDeltaAndRepair(idx, batch, examined, newRows, pairs,
-      oldEdges, known)
+    val r = resolveDeltaAndRepair(idx, batch, examined,
+      attachLu(newRows, batch, idx), pairs, oldEdges, known)
     newCells.unpersist()
-    r
+    r.copy(updated = updated)
   }
 
   /** Shared incremental tail (see class doc): min-label components over
@@ -497,7 +643,10 @@ class DedupBuilder(
         .join(labels, Seq("id"))
         .filter(col("cluster") =!= col("__old"))
         .drop("__old"))
-    val delta = changedOld.foldLeft(newRows)(_ unionByName _).localCheckpoint(true)
+    // allowMissingColumns: a lu-carrying index fed by a source that lost
+    // its lu column unions null-lu new rows against lu-carrying old rows
+    val delta = changedOld.foldLeft(newRows)(
+      _.unionByName(_, allowMissingColumns = true)).localCheckpoint(true)
     idx.update(delta, Seq("id"))
     val losers = delta.filter(col("id") =!= col("cluster"))
       .select(col("id").alias(k)).localCheckpoint(true)

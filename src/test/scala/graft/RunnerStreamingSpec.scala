@@ -254,6 +254,120 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(builder().run().processed === 0)
   }
 
+  test("DedupBuilder re-ingests lu-newer docs: stale sigs drop, touched clusters re-resolve, target converges") {
+    val s = spark; import s.implicits._
+    import graft.builder.DedupBuilder
+    import graft.store.MemoryStore
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val uniqText = "totally different words entirely here now for sure"
+    val uniqText2 = "another standalone document body with its own phrasing"
+    val src = new MemoryStore(spark, "lusrc", key = "doc_id", lastUpdatedField = "lu")
+    src.load(Seq((1L, dupText, 1L), (2L, dupText, 1L), (3L, uniqText, 1L),
+      (4L, uniqText2, 1L), (5L, uniqText2, 1L)).toDF("doc_id", "text", "lu"))
+    val tgt = new MemoryStore(spark, "lutgt", key = "doc_id", lastUpdatedField = "lu")
+    val idx = new MemoryStore(spark, "luidx", key = "id", lastUpdatedField = "cluster")
+    def builder() = new DedupBuilder(src, tgt, "text", "minhash",
+      threshold = 0.5, indexStore = Some(idx))
+    val r1 = builder().run()
+    assert(r1.processed === 5 && r1.updated === 0)
+    // clusters {1,2} and {4,5}: canonical view {1, 3, 4}
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 3L, 4L))
+    assert(idx.df.columns.contains("lu"), "index rows must carry lu")
+
+    // mutate IN PLACE (same ids, newer lu): doc 1 — the {1,2} CANONICAL —
+    // gets unique text (its cluster dissolves, ex-loser 2 must be
+    // PROMOTED); doc 5 — the {4,5} loser — copies doc 3's text (a NEW
+    // edge forms against a stored doc; 5 stays a loser, of cluster 3)
+    src.update(Seq(
+      (1L, "entirely novel replacement content appearing once only", 2L),
+      (5L, uniqText, 2L)).toDF("doc_id", "text", "lu"))
+    val b2 = builder()
+    assert(b2.pendingItems().select("doc_id").collect().map(_.getLong(0)).isEmpty,
+      "pending is computed AFTER dropChanged inside run(); before it the ids look seen")
+    val r2 = builder().run()
+    assert(r2.updated === 2, s"both mutated docs must report updated: $r2")
+    assert(r2.processed === 2, s"only the mutated docs re-index: $r2")
+    // index labels repaired: 2 promoted to its own cluster, 5 re-banded into 3's
+    val labels = idx.df.select("id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 3L))
+    // convergence: target equals the from-scratch canonical view
+    val fromScratch = graft.ext.Dedup.keepCanonical(src.df,
+      graft.ext.Dedup.minhashLsh(src.df, "doc_id", "text", threshold = 0.5), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(fromScratch === Array(1L, 2L, 3L, 4L))
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === fromScratch)
+    // idempotent: unchanged corpus → zero work
+    val r3 = builder().run()
+    assert(r3.processed === 0 && r3.updated === 0)
+  }
+
+  test("DedupBuilder lu-update SEMANTIC: changed vector drops its stale cell row and re-enters") {
+    val s = spark; import s.implicits._
+    import graft.builder.DedupBuilder
+    import graft.store.MemoryStore
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val vA = unit(Seq(1.0, 0.1, 0.0, 0.0))
+    val vB = unit(Seq(0.0, 1.0, 0.1, 0.0))
+    val vC = unit(Seq(0.0, 0.0, 1.0, 0.1))
+    val src = new MemoryStore(spark, "slusrc", key = "vec_id", lastUpdatedField = "lu")
+    src.load(Seq((1L, vA, 1L), (2L, vA, 1L), (3L, vB, 1L))
+      .toDF("vec_id", "embedding", "lu"))
+    val tgt = new MemoryStore(spark, "slutgt", key = "vec_id", lastUpdatedField = "lu")
+    val idx = new MemoryStore(spark, "sluidx", key = "id", lastUpdatedField = "cluster")
+    def builder() = new DedupBuilder(src, tgt, "embedding", "semantic",
+      threshold = 0.9999, indexStore = Some(idx))
+    val r1 = builder().run()
+    assert(r1.processed === 3)
+    assert(tgt.df.select("vec_id").collect().map(_.getLong(0)).sorted === Array(1L, 3L))
+    // doc 1 (the {1,2} canonical) moves to a brand-new direction: its
+    // stale vector row drops, ex-twin 2 is promoted, 1 re-enters alone
+    src.update(Seq((1L, vC, 2L)).toDF("vec_id", "embedding", "lu"))
+    val r2 = builder().run()
+    assert(r2.updated === 1 && r2.processed === 1)
+    assert(tgt.df.select("vec_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+    assert(builder().run().processed === 0)
+  }
+
+  test("Runner: dedup lu-update telemetry surfaces non-zero updated in the reporting store") {
+    val s = spark; import s.implicits._
+    import graft.store.ParquetStore
+    val base = java.nio.file.Files.createTempDirectory("runner_lu").toString
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    val src = new ParquetStore(spark, s"$base/src", "doc_id", "lu")
+    src.update(Seq((1L, dupText, 1L), (2L, dupText, 1L),
+      (3L, "totally different words entirely here now", 1L))
+      .toDF("doc_id", "text", "lu"), Seq("doc_id"))
+    val spec =
+      s"""{
+         |  "stores": {
+         |    "src": {"type": "parquet", "root": "$base/src", "key": "doc_id", "last_updated": "lu"},
+         |    "tgt": {"type": "parquet", "root": "$base/tgt", "key": "doc_id", "last_updated": "lu"},
+         |    "idx": {"type": "parquet", "root": "$base/idx", "key": "id", "last_updated": "cluster"}
+         |  },
+         |  "builders": [
+         |    {"type": "dedup", "source": "src", "target": "tgt", "index": "idx",
+         |     "method": "minhash", "threshold": 0.5}
+         |  ]
+         |}""".stripMargin
+    val reporting = new MemoryStore(spark, "lureports", key = "event_id")
+    Runner.run(spark, spec, Some(reporting))
+    // mutate doc 1 in place (newer lu) and re-run the SAME spec
+    src.update(Seq((1L, "entirely novel replacement content appearing once", 2L))
+      .toDF("doc_id", "text", "lu"), Seq("doc_id"))
+    Runner.run(spark, spec, Some(reporting))
+    val ended = reporting.df.filter(col("event") === "BUILD_ENDED")
+      .select("updated").collect().map(_.getLong(0)).sorted
+    assert(ended === Array(0L, 1L),
+      s"the second run's BUILD_ENDED row must carry updated=1: ${ended.toSeq}")
+    val tgt = new ParquetStore(spark, s"$base/tgt", "doc_id", "lu")
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+  }
+
   test("DedupBuilder incremental on a delta-write ParquetStore index: O(batch) index I/O + compaction") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder
