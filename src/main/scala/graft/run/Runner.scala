@@ -210,6 +210,8 @@ object Runner {
         new CurateBuilder(store("source"), store("target"),
           model = opt(n, "model").map(m => stores(m.asText())),
           eval = opt(n, "eval").map(e => stores(e.asText())),
+          // optional per-doc fact store → incremental stages 1–5
+          facts = opt(n, "facts").map(f => stores(f.asText())),
           textField = str(n, "text_field", "text"),
           stratumField = str(n, "stratum_field", "lang"),
           minLineWords = opt(n, "min_line_words").map(_.asInt()).getOrElse(3),

@@ -1657,6 +1657,69 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(tgt.df.filter(col("doc_id").isin(victims: _*)).count() === 0)
   }
 
+  test("CurateBuilder incremental: O(batch) facts delta, mutation + orphan convergence to the snapshot chain") {
+    val s = spark; import s.implicits._
+    import graft.builder.CurateBuilder
+    def sent(tag: String): String =
+      s"This carefully composed sentence about $tag topic number one " +
+        s"continues with enough ordinary words about $tag matters to pass " +
+        "every heuristic quality gate applied here today."
+    val dupText = sent("shared")
+    val evalText = sent("leaked")
+    val rows = Seq(
+      (1L, sent("alpha"), "en", 1L),
+      (2L, dupText, "en", 1L),
+      (3L, dupText, "en", 1L),
+      (4L, evalText, "en", 1L), // contaminated: exact eval copy
+      (5L, "Too short.", "en", 1L)) // Gopher 20-word floor drops it
+    val src = new MemoryStore(spark, "cinc_src", key = "doc_id", lastUpdatedField = "lu")
+    src.load(rows.toDF("doc_id", "text", "lang", "lu"))
+    val evalStore = new MemoryStore(spark, "cinc_eval", key = "doc_id", lastUpdatedField = "doc_id")
+    evalStore.load(Seq((100L, evalText)).toDF("doc_id", "text"))
+    val tgt = new MemoryStore(spark, "cinc_tgt", key = "doc_id", lastUpdatedField = "lu")
+    val factsStore = new MemoryStore(spark, "cinc_facts", key = "doc_id", lastUpdatedField = "lu")
+    def mk() = new CurateBuilder(src, tgt, eval = Some(evalStore),
+      facts = Some(factsStore), seqLen = 16)
+    val r1 = mk().run()
+    assert(r1.processed === 5 && r1.updated === 0)
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+    // facts persisted for EVERY doc, including gate-fails (so they are
+    // not recomputed) and the contaminated doc (decon_ok = false)
+    assert(factsStore.count() === 5)
+    assert(factsStore.df.filter(col("doc_id") === 4L).select("decon_ok")
+      .head().getBoolean(0) === false)
+    assert(factsStore.df.filter(col("doc_id") === 5L).select("pass")
+      .head().getBoolean(0) === false)
+
+    // mutate the dup-group CANONICAL in place: only it re-runs stages
+    // 1-5 (O(batch) pin), the ex-loser 3 enters the manifest
+    src.update(Seq((2L, sent("replacement"), "en", 2L))
+      .toDF("doc_id", "text", "lang", "lu"))
+    val r2 = mk().run()
+    assert(r2.processed === 1, s"only the mutated doc re-runs stages 1-5: $r2")
+    assert(r2.updated === 1)
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+    // convergence: the incremental manifest equals the SNAPSHOT chain
+    // over the final corpus, column for column
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val snap = new CurateBuilder(src,
+      new MemoryStore(spark, "cinc_snap", key = "doc_id", lastUpdatedField = "lu"),
+      eval = Some(evalStore), seqLen = 16).curated()
+    assert(manifest(tgt.df) === manifest(snap))
+
+    // orphan: doc 1 leaves the source → facts row removed, manifest swept
+    src.load(src.df.filter(col("doc_id") =!= 1L))
+    val r3 = mk().run()
+    assert(r3.processed === 0 && r3.orphansDeleted === 1)
+    assert(factsStore.count() === 4)
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(2L, 3L))
+  }
+
   test("Runner: unigram_lm + quality_clf specs train persisted, servable model stores") {
     val base = java.nio.file.Files.createTempDirectory("runner_lm").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
