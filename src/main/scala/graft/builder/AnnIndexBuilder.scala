@@ -1,5 +1,6 @@
 package graft.builder
 
+import graft.builder.Builder.MaterializeOps
 import com.fasterxml.jackson.databind.ObjectMapper
 import graft.ext.Similarity
 import graft.query.MongoFilter
@@ -96,7 +97,7 @@ class AnnIndexBuilder(
         col(source.lastUpdatedField).alias("s_lu")), Seq("id"))
       .filter(col("s_lu") > col("lu"))
       .select(col("id"))
-      .localCheckpoint(true) // two actions (count + removeKeys) on one key set
+      .materializeEager() // two actions (count + removeKeys) on one key set
     try {
       val n = changed.count()
       if (n > 0) index.removeKeys(changed)
@@ -279,7 +280,7 @@ class AnnIndexBuilder(
     if (!index.df.columns.contains("id")) return 0L
     val orphanKeys = index.df.select(col("id"))
       .join(corpus.select(col(source.key).alias("id")), Seq("id"), "left_anti")
-      .localCheckpoint(true)
+      .materializeEager()
     val orphans = orphanKeys.count()
     if (orphans > 0) index.removeKeys(orphanKeys)
     orphanKeys.unpersist()

@@ -1,5 +1,6 @@
 package graft.builder
 
+import graft.builder.Builder.MaterializeOps
 import graft.query.MongoFilter
 import graft.store.Store
 import org.apache.spark.sql.DataFrame
@@ -102,7 +103,7 @@ class Bm25IndexBuilder(
           col(source.lastUpdatedField).alias("s_lu")), Seq("id"))
       .filter(col("s_lu") > col("i_lu"))
       .select(col("id"), col("dl"))
-      .localCheckpoint(true) // two actions (agg + removeKeys) on one key set
+      .materializeEager() // two actions (agg + removeKeys) on one key set
     try {
       val r = changed.agg(count(lit(1)).alias("n"), sum(col("dl")).alias("s")).head()
       val n = r.getLong(0)
@@ -259,7 +260,7 @@ class Bm25IndexBuilder(
     val orphanDl = index.df.groupBy(col("id"))
       .agg(max(col("dl")).cast("long").alias("dl")) // dl constant per doc
       .join(corpus.select(col(source.key).alias("id")), Seq("id"), "left_anti")
-      .localCheckpoint(true) // two actions (agg + removeKeys) on one key set
+      .materializeEager() // two actions (agg + removeKeys) on one key set
     try {
       val r = orphanDl.agg(count(lit(1)).alias("n"), sum(col("dl")).alias("s")).head()
       val n = r.getLong(0)

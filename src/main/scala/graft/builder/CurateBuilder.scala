@@ -1,5 +1,6 @@
 package graft.builder
 
+import graft.builder.Builder.MaterializeOps
 import graft.ext.{Dedup, Sampling, TextAnalysis}
 import graft.query.MongoFilter
 import graft.store.Store
@@ -204,7 +205,7 @@ class CurateBuilder(
       handles += p
       p
     }
-    val out = chain(hook, hook).localCheckpoint(true)
+    val out = chain(hook, hook).materializeEager()
     try {
       val (kept, orphans) = writeManifest(out)
       BuildReport(kept, 0, orphans)
@@ -233,9 +234,9 @@ class CurateBuilder(
         // ONE kernel pass (C4/Gopher/hash/count) materializes the base
         // facts; the score + decon joins then read it from cache instead
         // of re-running the CPU-dense kernels per consumer
-        val base = baseFactsOf(pending).localCheckpoint(true)
+        val base = baseFactsOf(pending).materializeEager()
         try {
-          val nf = enrichFacts(base).localCheckpoint(true)
+          val nf = enrichFacts(base).materializeEager()
           try f.update(nf, Seq(key)) finally nf.unpersist()
         } finally base.unpersist()
       }
@@ -243,11 +244,11 @@ class CurateBuilder(
       if (f.df.columns.contains(key)) {
         val gone = f.df.select(col(key))
           .join(scoped.select(col(key)), Seq(key), "left_anti")
-          .localCheckpoint(true)
+          .materializeEager()
         try { if (gone.count() > 0) f.removeKeys(gone) }
         finally gone.unpersist()
       }
-      val out = manifestFromFacts(f.df).localCheckpoint(true)
+      val out = manifestFromFacts(f.df).materializeEager()
       try {
         val (_, orphans) = writeManifest(out)
         BuildReport(examined, 0, orphans, updated = updated)
@@ -360,7 +361,7 @@ class CurateBuilder(
         val stale = target.df.select(col(target.key))
           .join(out.select(col(source.key).alias(target.key)),
             Seq(target.key), "left_anti")
-          .localCheckpoint(true)
+          .materializeEager()
         try {
           val n = stale.count()
           if (n > 0) target.removeKeys(stale)

@@ -1,5 +1,6 @@
 package graft.builder
 
+import graft.builder.Builder.MaterializeOps
 import graft.ext.Dedup
 import graft.query.MongoFilter
 import graft.store.Store
@@ -222,7 +223,7 @@ class DedupBuilder(
         col(source.lastUpdatedField).alias("__slu")), Seq("id"))
       .filter(col("__slu") > col("lu"))
       .select(col("id"), col("cluster"))
-      .localCheckpoint(true) // consumed by count + 2 removeKeys + semi-join
+      .materializeEager() // consumed by count + 2 removeKeys + semi-join
     try {
       val n = changed.count()
       if (n == 0) return 0L
@@ -231,7 +232,7 @@ class DedupBuilder(
       // remaining members of the touched components, with stored labels
       val members = idx.df
         .join(changed.select(col("cluster")).distinct(), Seq("cluster"), "left_semi")
-        .localCheckpoint(true) // pair producer reads sigs 2-3×, label diff once
+        .materializeEager() // pair producer reads sigs 2-3×, label diff once
       try {
         val spark = members.sparkSession
         def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -275,7 +276,7 @@ class DedupBuilder(
           .join(labels, Seq("id"), "left_outer")
           .withColumn("cluster", coalesce(col("cluster"), col("id")))
         val delta = relab.filter(col("cluster") =!= col("__old"))
-          .drop("__old").localCheckpoint(true)
+          .drop("__old").materializeEager()
         try {
           idx.update(delta, Seq("id"))
           // promotion repair: new label == own id ⇒ an ex-loser whose
@@ -284,7 +285,7 @@ class DedupBuilder(
           val promoted = delta.filter(col("id") === col("cluster"))
             .select(col("id").alias(k))
           val rows = scoped.join(promoted, Seq(k), "left_semi")
-            .localCheckpoint(true)
+            .materializeEager()
           try { if (rows.count() > 0) target.update(rows, Seq(target.key)) }
           finally rows.unpersist()
         } finally delta.unpersist()
@@ -373,7 +374,7 @@ class DedupBuilder(
       case other => throw new IllegalArgumentException(
         s"unknown dedup method: $other (exact|fingerprint|minhash|simhash|image|ngram|semantic|lines|spans)")
     }
-    val mat = kept.localCheckpoint(true)
+    val mat = kept.materializeEager()
     val processed = mat.count()
     if (processed > 0) target.update(mat, Seq(target.key))
     mat.unpersist()
@@ -411,7 +412,7 @@ class DedupBuilder(
           .select(col("media_id").alias("id"), col("simhash").alias("sig"))
       case _ => Dedup.ngramSignatures(batch, k, textField, shingleSize)
         .withColumnRenamed("sig", "grams")
-    }).localCheckpoint(true)
+    }).materializeEager()
 
     def fromScratch = method match {
       case "minhash" => Dedup.minhashLshFromSigs(newSigs, numHashes, bands,
@@ -503,7 +504,7 @@ class DedupBuilder(
           else nCentroids, k, textField)
     val newCells = Similarity.assignToCells(batch, cents, k, textField, keep = 1)
       .select(col("__rid").alias("id"), col("__rvec").alias("vec"), col("cell"))
-      .localCheckpoint(true)
+      .materializeEager()
     // the batch's distinct cell set is ≤ nCentroids BY CONSTRUCTION
     // (argmax over the persisted draw) — a bounded collect, and the
     // static IN-predicate is what parquet row-group stats can prune on
@@ -619,7 +620,7 @@ class DedupBuilder(
     // pairs feed BOTH the edge set and the affected-cluster restriction —
     // materialize once (they are the bounded post-threshold candidate
     // set; clusters() would persist them anyway)
-    val p = pairs.select(col("a"), col("b")).localCheckpoint(true)
+    val p = pairs.select(col("a"), col("b")).materializeEager()
     // min-label monotonicity: only components a new pair touches can
     // change labels, so stored edges are restricted to the clusters of
     // stored ids appearing in this round's pairs. Without this the
@@ -646,12 +647,12 @@ class DedupBuilder(
     // allowMissingColumns: a lu-carrying index fed by a source that lost
     // its lu column unions null-lu new rows against lu-carrying old rows
     val delta = changedOld.foldLeft(newRows)(
-      _.unionByName(_, allowMissingColumns = true)).localCheckpoint(true)
+      _.unionByName(_, allowMissingColumns = true)).materializeEager()
     idx.update(delta, Seq("id"))
     val losers = delta.filter(col("id") =!= col("cluster"))
-      .select(col("id").alias(k)).localCheckpoint(true)
+      .select(col("id").alias(k)).materializeEager()
     target.removeKeys(losers)
-    val mat = batch.join(losers, Seq(k), "left_anti").localCheckpoint(true)
+    val mat = batch.join(losers, Seq(k), "left_anti").materializeEager()
     if (mat.count() > 0) target.update(mat, Seq(target.key))
     mat.unpersist(); losers.unpersist(); delta.unpersist(); batch.unpersist()
     p.unpersist()
@@ -683,7 +684,7 @@ class DecontaminateBuilder(
   def run(): BuildReport = {
     val clean = Dedup.decontaminate(scoped, evalStore.df,
       source.key, textField, n)
-    val mat = clean.localCheckpoint(true)
+    val mat = clean.materializeEager()
     val kept = mat.count()
     if (kept > 0) target.update(mat, Seq(target.key))
     mat.unpersist()

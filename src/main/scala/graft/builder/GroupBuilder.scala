@@ -1,5 +1,6 @@
 package graft.builder
 
+import graft.builder.Builder.MaterializeOps
 import graft.query.MongoFilter
 import graft.store.Store
 import org.apache.spark.sql.{Column, DataFrame}
@@ -140,7 +141,7 @@ class GroupBuilder(
     // and the checkpoint also pins a user doc-fn to one invocation per
     // group, so a nondeterministic fn cannot make the report disagree
     // with what is written
-    val mat = out.localCheckpoint(true)
+    val mat = out.materializeEager()
     val hasState = mat.columns.contains("state")
     val counts = mat.agg(
       count(lit(1)).alias("n"),
@@ -237,7 +238,7 @@ class GroupBuilder(
     // checkpoint the STRINGS before read.json: schema inference is its
     // own pass, so an unmaterialized fn would run once for inference and
     // again downstream (see MapBuilder.docs — same pin)
-    val jsonMat = outJson.localCheckpoint(true)
+    val jsonMat = outJson.materializeEager()
     val inferred = spark.read.json(jsonMat).withColumn("_bt", current_timestamp())
     // the JSON round-trip stringifies lu; restore the source's type so the
     // target's watermark (`lastUpdated`) stays a real timestamp

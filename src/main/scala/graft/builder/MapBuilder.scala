@@ -1,5 +1,6 @@
 package graft.builder
 
+import graft.builder.Builder.MaterializeOps
 import graft.query.MongoFilter
 import graft.store.Store
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -126,7 +127,7 @@ class MapBuilder(
     // nondeterministic/timing-out fn cannot make the report disagree with
     // what is written. (upsertPlan references the batch subtree twice, so
     // Dataset.observe would double-count — checkpoint is the safe shape.)
-    val mat = out.localCheckpoint(true)
+    val mat = out.materializeEager()
     val hasState = mat.columns.contains("state")
     // one combined agg over cached blocks instead of two counting actions
     val counts = mat.agg(
@@ -144,7 +145,7 @@ class MapBuilder(
       val orphanKeys = target.df.select(col(target.key))
         .join(source.df.select(col(source.key).alias(target.key)),
               Seq(target.key), "left_anti")
-        .localCheckpoint(true)
+        .materializeEager()
       orphans = orphanKeys.count()
       if (orphans > 0) target.removeKeys(orphanKeys)
       orphanKeys.unpersist()
@@ -205,7 +206,7 @@ class MapBuilder(
     // for inference and again downstream — side effects and
     // _process_time would double, and a field emitted only in the second
     // pass would be silently dropped (absent from the inferred schema)
-    val jsonMat = outJson.localCheckpoint(true)
+    val jsonMat = outJson.materializeEager()
     val inferred = spark.read.json(jsonMat).withColumn("_bt", current_timestamp())
     // the JSON round-trip stringifies lu; restore the source's type so the
     // target's watermark (`lastUpdated`) stays a real timestamp

@@ -1,5 +1,6 @@
 package graft.builder
 
+import graft.builder.Builder.MaterializeOps
 import graft.query.MongoFilter
 import graft.store.Store
 import org.apache.spark.sql.DataFrame
@@ -83,7 +84,7 @@ class ProjectionBuilder(
       .withColumn("_bt", current_timestamp())
     // materialize once: count + write are separate actions; without this
     // the N-way full-outer join runs twice (see MapBuilder.run)
-    val mat = out.localCheckpoint(true)
+    val mat = out.materializeEager()
     val processed = mat.count()
     if (processed > 0) target.update(mat, Seq(target.key))
     mat.unpersist()

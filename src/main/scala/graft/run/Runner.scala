@@ -32,6 +32,24 @@ object Runner {
   def run(spark: SparkSession, specJson: String,
           reporting: Option[Store] = None): RunReport = {
     val spec = mapper.readTree(specJson)
+    // materialization policy for this run's builders (Builder.materialize):
+    // "materialize": "local" | "reliable" | "persist"; "reliable" needs
+    // "checkpoint_dir". Session conf is restored after the run.
+    val prevMat = scala.util.Try(
+      spark.conf.get("spark.graft.materialize")).toOption
+    Option(spec.get("checkpoint_dir")).foreach(d =>
+      spark.sparkContext.setCheckpointDir(d.asText()))
+    Option(spec.get("materialize")).foreach(m =>
+      spark.conf.set("spark.graft.materialize", m.asText()))
+    try runWith(spark, spec, reporting)
+    finally prevMat match {
+      case Some(v) => spark.conf.set("spark.graft.materialize", v)
+      case None => spark.conf.unset("spark.graft.materialize")
+    }
+  }
+
+  private def runWith(spark: SparkSession, spec: JsonNode,
+                      reporting: Option[Store]): RunReport = {
     val stores: Map[String, Store] = spec.get("stores").fields().asScala.map { e =>
       e.getKey -> buildStore(spark, e.getValue)
     }.toMap
