@@ -269,6 +269,18 @@ object Bench {
     val ngramField = ngramCounters.map { case (g, v, o) =>
       s""","ngram_counters":{"generated":$g,"verify":$v,"output_pairs":$o}"""
     }.getOrElse("")
+    // skew gate counters (VERDICT r14 #7): measured per-task shuffle-read
+    // rows of the skew row's reduce stage — with map-side combine the
+    // 10%-hot hash ships O(map tasks) rows, so max/median stays O(1); a
+    // regression to a windowed shape would explode the ratio (scale-free).
+    // Untimed, outside the totals, like the ngram counters.
+    val skewCounters: Option[(Int, Long, Long)] =
+      if (only.nonEmpty) None
+      else scala.util.Try(SparkEntry.skewGateCounters(spark, sfDir)).toOption
+    val skewField = skewCounters.map { case (n, mx, md) =>
+      val ratio = if (md > 0) mx.toDouble / md else -1.0
+      f""","skew_counters":{"reduce_tasks":$n,"max_task_rows":$mx,"median_task_rows":$md,"ratio":$ratio%.2f}"""
+    }.getOrElse("")
     val failedField =
       if (failed.isEmpty) ""
       else ","+"\"failed\":" + failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -278,7 +290,7 @@ object Bench {
         "\"" + n + "\":{\"kept\":" + f"$kept%.3f" + ",\"discarded\":" +
           ds.map(d => f"$d%.3f").mkString("[", ",", "]") + "}"
       }.mkString("{", ",", "}")
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField$recallField$ngramField$failedField$redoField,"sf":"$sfDir"}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField$recallField$ngramField$skewField$failedField$redoField,"sf":"$sfDir"}"""
     println(fullLine)
     // full artifact on disk too — the driver archives only a ~2 KB tail of
     // stdout, which truncated the round-5 line into an unparseable header.

