@@ -302,6 +302,34 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(r3.processed === 0 && r3.updated === 0)
   }
 
+  test("DedupBuilder lu-update NGRAM + SIMHASH: stale gram sets / packed sigs drop and converge") {
+    val s = spark; import s.implicits._
+    import graft.builder.DedupBuilder
+    import graft.store.MemoryStore
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val uniqText = "totally different words entirely here now for sure indeed truly"
+    for (method <- Seq("ngram", "simhash")) {
+      val src = new MemoryStore(spark, s"${method}_lus", key = "doc_id", lastUpdatedField = "lu")
+      src.load(Seq((1L, dupText, 1L), (2L, dupText, 1L), (3L, uniqText, 1L))
+        .toDF("doc_id", "text", "lu"))
+      val tgt = new MemoryStore(spark, s"${method}_lut", key = "doc_id", lastUpdatedField = "lu")
+      val idx = new MemoryStore(spark, s"${method}_lui", key = "id", lastUpdatedField = "cluster")
+      def builder() = new DedupBuilder(src, tgt, "text", method,
+        threshold = 0.5, indexStore = Some(idx))
+      builder().run()
+      assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
+        === Array(1L, 3L), s"method=$method first build")
+      // canonical 1 mutates away: 2 promoted, 1 re-enters as a singleton
+      src.update(Seq((1L, "entirely novel replacement content appearing once only today", 2L))
+        .toDF("doc_id", "text", "lu"))
+      val r2 = builder().run()
+      assert(r2.updated === 1 && r2.processed === 1, s"method=$method: $r2")
+      assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
+        === Array(1L, 2L, 3L), s"method=$method converged")
+      assert(builder().run().processed === 0, s"method=$method idempotent")
+    }
+  }
+
   test("DedupBuilder lu-update SEMANTIC: changed vector drops its stale cell row and re-enters") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder
