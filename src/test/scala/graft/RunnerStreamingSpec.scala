@@ -374,11 +374,14 @@ class RunnerStreamingSpec extends SparkSpec {
          |  "stores": {
          |    "src": {"type": "parquet", "root": "$base/src", "key": "doc_id", "last_updated": "lu"},
          |    "tgt": {"type": "parquet", "root": "$base/tgt", "key": "doc_id", "last_updated": "lu"},
-         |    "idx": {"type": "parquet", "root": "$base/idx", "key": "id", "last_updated": "cluster"}
+         |    "idx": {"type": "parquet", "root": "$base/idx", "key": "id", "last_updated": "cluster"},
+         |    "bmidx": {"type": "parquet", "root": "$base/bmidx", "key": "id", "last_updated": "term", "delta_writes": true},
+         |    "bmst": {"type": "parquet", "root": "$base/bmst", "key": "sid", "last_updated": "sid"}
          |  },
          |  "builders": [
          |    {"type": "dedup", "source": "src", "target": "tgt", "index": "idx",
-         |     "method": "minhash", "threshold": 0.5}
+         |     "method": "minhash", "threshold": 0.5},
+         |    {"type": "bm25_index", "source": "src", "index": "bmidx", "stats": "bmst"}
          |  ]
          |}""".stripMargin
     val reporting = new MemoryStore(spark, "lureports", key = "event_id")
@@ -387,10 +390,15 @@ class RunnerStreamingSpec extends SparkSpec {
     src.update(Seq((1L, "entirely novel replacement content appearing once", 2L))
       .toDF("doc_id", "text", "lu"), Seq("doc_id"))
     Runner.run(spark, spec, Some(reporting))
-    val ended = reporting.df.filter(col("event") === "BUILD_ENDED")
+    // BOTH lu-update planes surface non-zero `updated` in the reporting
+    // store on the second run (VERDICT r14 #8)
+    def endedOf(builder: String) = reporting.df
+      .filter(col("event") === "BUILD_ENDED" && col("builder") === builder)
       .select("updated").collect().map(_.getLong(0)).sorted
-    assert(ended === Array(0L, 1L),
-      s"the second run's BUILD_ENDED row must carry updated=1: ${ended.toSeq}")
+    assert(endedOf("dedup#0") === Array(0L, 1L),
+      s"dedup run 2 must carry updated=1: ${endedOf("dedup#0").toSeq}")
+    assert(endedOf("bm25_index#1") === Array(0L, 1L),
+      s"bm25 run 2 must carry updated=1: ${endedOf("bm25_index#1").toSeq}")
     val tgt = new ParquetStore(spark, s"$base/tgt", "doc_id", "lu")
     assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
       === Array(1L, 2L, 3L))
