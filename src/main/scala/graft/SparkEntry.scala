@@ -238,6 +238,14 @@ object SparkEntry {
           }
       }
     }
+    // AQE coalesces the (byte-small, post-combine) reduce exchange to one
+    // task at bench SFs, which makes max/median vacuous (1 task = ratio 1
+    // whatever the skew) — hold the exchange at full width for the
+    // MEASUREMENT so per-task balance is observable; the timed
+    // skew_dedup_exact row keeps the production plan untouched
+    val prevCoalesce = spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     spark.sparkContext.addSparkListener(listener)
     try {
       skewDedupPlan(spark, dir).write.mode("overwrite").format("noop").save()
@@ -251,7 +259,11 @@ object SparkEntry {
         if (n == last) stable += 1 else { stable = 0; last = n }
         Thread.sleep(100); waited += 100
       }
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        prevCoalesce)
+      spark.sparkContext.removeSparkListener(listener)
+    }
     val byStage = recs.synchronized { recs.toSeq }.groupBy(_._1)
     if (byStage.isEmpty) return (0, 0L, 0L)
     val (_, rows) = byStage.maxBy { case (_, rs) => rs.map(_._2).sum }

@@ -77,8 +77,20 @@ class AnnIndexBuilder(
 
   def pendingItems(): DataFrame =
     if (!checkIndexLayout()) scoped
-    else scoped.join(index.df.select(col("id").alias(source.key)),
-      Seq(source.key), "left_anti")
+    else {
+      val base = scoped.join(index.df.select(col("id").alias(source.key)),
+        Seq(source.key), "left_anti")
+      // PREVIEW the lu-newer docs too (the reference `newer_in` estimate
+      // covers unseen ∪ updated, core/store.py:239-275); run() realizes
+      // the same set by dropping stale codes before the left-anti
+      if (!index.df.columns.contains("lu") ||
+          !scoped.columns.contains(source.lastUpdatedField)) base
+      else base.unionByName(scoped
+        .join(index.df.groupBy(col("id"))
+          .agg(max(col("lu")).alias("__ilu"))
+          .withColumnRenamed("id", source.key), Seq(source.key))
+        .filter(col(source.lastUpdatedField) > col("__ilu")).drop("__ilu"))
+    }
 
   /** Remove the codes of docs whose source `last_updated` is newer than
     * the lu they were encoded with — the update half of the reference

@@ -81,8 +81,21 @@ class Bm25IndexBuilder(
     * behavior. */
   def pendingItems(): DataFrame =
     if (!checkIndexLayout()) scoped
-    else scoped.join(index.df.select(col("id").alias(source.key)),
-      Seq(source.key), "left_anti")
+    else {
+      val base = scoped.join(index.df.select(col("id").alias(source.key)),
+        Seq(source.key), "left_anti")
+      // PREVIEW the lu-newer docs too (the reference `newer_in` estimate
+      // covers unseen ∪ updated); run() realizes the same set by dropping
+      // stale postings before the left-anti. Per-doc max(lu): postings
+      // are one row per (term, id), lu constant per doc
+      if (!index.df.columns.contains("lu") ||
+          !scoped.columns.contains(source.lastUpdatedField)) base
+      else base.unionByName(scoped
+        .join(index.df.groupBy(col("id"))
+          .agg(max(col("lu")).alias("__ilu"))
+          .withColumnRenamed("id", source.key), Seq(source.key))
+        .filter(col(source.lastUpdatedField) > col("__ilu")).drop("__ilu"))
+    }
 
   /** Remove the postings (and stats contribution) of docs whose source
     * `last_updated` is newer than the lu their postings were indexed

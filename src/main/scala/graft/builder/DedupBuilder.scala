@@ -295,9 +295,20 @@ class DedupBuilder(
   }
 
   /** The candidate set for this build — the (scoped) source corpus, or
-    * with an index the docs the index hasn't seen yet. */
+    * with an index the docs the index hasn't seen yet PLUS the docs
+    * whose source lu is newer than their indexed signature's (the
+    * reference `newer_in` preview covers unseen ∪ updated); run()
+    * realizes the same set by dropping stale state before the
+    * left-anti. */
   def pendingItems(): DataFrame = indexStore match {
-    case Some(idx) if usableIndex(idx) => unseen(scoped, idx)
+    case Some(idx) if usableIndex(idx) =>
+      val base = unseen(scoped, idx)
+      if (!idx.df.columns.contains("lu") ||
+          !scoped.columns.contains(source.lastUpdatedField)) base
+      else base.unionByName(scoped
+        .join(idx.df.select(col("id").alias(source.key),
+          col("lu").alias("__ilu")), Seq(source.key))
+        .filter(col(source.lastUpdatedField) > col("__ilu")).drop("__ilu"))
     case _ => scoped
   }
 

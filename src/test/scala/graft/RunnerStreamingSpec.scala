@@ -282,8 +282,9 @@ class RunnerStreamingSpec extends SparkSpec {
       (1L, "entirely novel replacement content appearing once only", 2L),
       (5L, uniqText, 2L)).toDF("doc_id", "text", "lu"))
     val b2 = builder()
-    assert(b2.pendingItems().select("doc_id").collect().map(_.getLong(0)).isEmpty,
-      "pending is computed AFTER dropChanged inside run(); before it the ids look seen")
+    assert(b2.pendingItems().select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 5L),
+      "pendingItems previews the lu-newer docs (reference newer_in: unseen ∪ updated)")
     val r2 = builder().run()
     assert(r2.updated === 2, s"both mutated docs must report updated: $r2")
     assert(r2.processed === 2, s"only the mutated docs re-index: $r2")
