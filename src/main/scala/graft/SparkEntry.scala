@@ -394,9 +394,18 @@ object SparkEntry {
     * split — the [[graft.ext.QualityClassifier]] spelling term for
     * term (md5 bucket hash, add-one smoothing over `b` buckets,
     * floor(x·1e6 + 0.5) fixed-pointing). */
-  private def clfOracleSql(b: Int): String = {
+  /** The `text_quality_clf_update` FINAL corpus: every doc_id % 6 == 0
+    * training doc re-written (planted md5 word) AND re-labeled (label
+    * flip) — byte-replayable on both engines. */
+  private val clfUpdCorpusSql =
+    "(SELECT doc_id, text || CASE WHEN doc_id % 6 = 0 THEN ' updated ' || " +
+      "substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) ELSE '' END AS text, " +
+      "CASE WHEN doc_id % 6 = 0 THEN 1 - label ELSE label END AS label " +
+      s"FROM $clfCorpusSql base)"
+
+  private def clfOracleSql(b: Int, corpus: String = clfCorpusSql): String = {
     val bucket = s"CAST(('0x' || substr(md5('0:' || tg), 1, 15)) AS BIGINT) % $b"
-    s"WITH clf AS $clfCorpusSql, " +
+    s"WITH clf AS $corpus, " +
       "tok AS (SELECT doc_id, label, list_filter(string_split_regex(" +
       "regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+'), " +
       "x -> length(x) > 0) AS ts FROM clf), " +
@@ -1596,6 +1605,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // lu-UPDATE half of the unigram-LM delta contract (the
+    // text_bm25_update pattern): batch A trains on the even ids, batch
+    // B RE-WRITES every %6==0 doc (planted md5 word, lu bumped). The
+    // per-doc contributions store lets run 2 un-count the stale text
+    // before re-counting the new — the odd ids then score against the
+    // persisted vocab, which must equal the from-scratch train over
+    // the FINAL corpus (the oracle's replay). A broken subtract leaves
+    // the old tokens in the counts and hash-diverges.
+    "text_unigram_update" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("graft_ulmu").toString
+      val src = new graft.store.MemoryStore(s, "ulmu_src", "doc_id", "lu")
+      val vocab = new graft.store.ParquetStore(s, s"$base/vocab", "tok",
+        "last_updated", deltaWrites = true)
+      val contrib = new graft.store.ParquetStore(s, s"$base/docs", "id",
+        "lu", deltaWrites = true)
+      def mk() = new graft.builder.UnigramLmBuilder(src, vocab, "text",
+        docs = Some(contrib))
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      src.load(evens.withColumn("lu", lit(1L)))
+      mk().run()
+      val mutated = evens.select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit(" updated "),
+            substring(md5(col("doc_id").cast("string")), 1, 6)))
+          .otherwise(col("text")).alias("text"),
+        when(col("doc_id") % 6 === 0, lit(2L)).otherwise(lit(1L)).alias("lu"))
+      src.load(mutated)
+      val r2 = mk().run()
+      val changed = evens.filter(col("doc_id") % 6 === 0).count()
+      require(r2.updated == changed && r2.processed == changed,
+        s"run 2 must re-process exactly the $changed re-written docs: $r2")
+      TextAnalysis.scoreWithVocab(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", vocab)
+        .orderBy("doc_id")
+    }),
+
     // model-based quality classifier (the fastText-style curation
     // filter): hashed uni+bigram NB log-odds, trained on the even-id
     // split of the labeled fixture corpus, scoring the odd-id split.
@@ -1689,6 +1735,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // STREAMING twin of the curation chain: the corpus replays as two
+    // ordered file-source micro-batches (evens, then odds); each
+    // trigger upserts into the durable source store and re-runs the
+    // SAME incremental CurateBuilder — the facts store carries per-doc
+    // verdicts across triggers (each trigger pays stage-1–5 work for
+    // its own docs only), the manifest tail re-runs over the text-free
+    // facts. After the final trigger the manifest equals the
+    // from-scratch chain — the SAME oracle SQL as pipeline_curate.
+    "stream_curate" -> ((s, dir) => {
+      val cur = curateCorpus(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_strcur").toString
+      val clf = new graft.store.ParquetStore(s, s"$base/clf", "bucket",
+        "last_updated", deltaWrites = true)
+      val clfSrc = new graft.store.MemoryStore(s, "strcur_clfsrc", "doc_id", "lu")
+      clfSrc.load(cur.withColumn("lu", lit(1L)))
+      new graft.builder.QualityClfBuilder(clfSrc, clf, "text", "label").run()
+      val evalStore = new graft.store.MemoryStore(s, "strcur_eval", "doc_id", "doc_id")
+      evalStore.load(cur.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"),
+          TextAnalysis.c4Filters(col("text")).getField("clean").alias("text")))
+      val prepared = s"$base/in"
+      val withLu = cur.withColumn("lu", lit(1L))
+      withLu.filter(col("doc_id") % 2 === 0).coalesce(1).write.parquet(prepared)
+      new java.io.File(prepared).listFiles().foreach(f =>
+        f.setLastModified(1000000000000L))
+      withLu.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(prepared)
+      val stream = s.readStream.schema(withLu.schema)
+        .option("maxFilesPerTrigger", 1).parquet(prepared)
+      val src = new graft.store.ParquetStore(s, s"$base/src", "doc_id", "lu")
+      val tgt = new graft.store.ParquetStore(s, s"$base/tgt", "doc_id", "pack_id")
+      val facts = new graft.store.ParquetStore(s, s"$base/facts", "doc_id", "lu")
+      val q = graft.streaming.StreamingBuilder.curateStream(stream, "doc_id",
+        src, tgt, facts, model = Some(clf), eval = Some(evalStore),
+        mixRates = Map("en" -> 0.5, "de" -> 0.25), mixDefaultRate = 0.1,
+        seqLen = 2048)
+      try q.processAllAvailable() finally q.stop()
+      tgt.df.select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    }),
+
     "text_quality_clf_incr" -> ((s, dir) => {
       val docs = clfCorpus(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft_qclf").toString
@@ -1701,6 +1788,44 @@ object SparkEntry {
       src.load(docs.filter(col("doc_id") % 2 === 0).withColumn("lu",
         when(col("doc_id") % 4 === 0, lit(1L)).otherwise(lit(2L))))
       mk().run()
+      mk().score(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // lu-UPDATE half of the classifier delta contract: batch B both
+    // RE-WRITES and RE-LABELS every %6==0 training doc (labeled
+    // feedback correcting earlier labels — the real re-train trigger).
+    // The contributions store lets run 2 subtract the doc's counts
+    // from its OLD class column before re-counting into the new; the
+    // persisted model must equal the from-scratch train over the FINAL
+    // corpus. A broken subtract leaves phantom counts in the flipped
+    // class and hash-diverges the odd-id scores.
+    "text_quality_clf_update" -> ((s, dir) => {
+      val docs = clfCorpus(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_qclfu").toString
+      val src = new graft.store.MemoryStore(s, "qclfu_src", "doc_id", "lu")
+      val model = new graft.store.ParquetStore(s, s"$base/model", "bucket",
+        "last_updated", deltaWrites = true)
+      val contrib = new graft.store.ParquetStore(s, s"$base/docs", "id",
+        "lu", deltaWrites = true)
+      def mk() = new graft.builder.QualityClfBuilder(src, model, "text",
+        "label", docs = Some(contrib))
+      val evens = docs.filter(col("doc_id") % 2 === 0)
+      src.load(evens.withColumn("lu", lit(1L)))
+      mk().run()
+      val mutated = evens.select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          concat(col("text"), lit(" updated "),
+            substring(md5(col("doc_id").cast("string")), 1, 6)))
+          .otherwise(col("text")).alias("text"),
+        when(col("doc_id") % 6 === 0, lit(1) - col("label"))
+          .otherwise(col("label")).alias("label"),
+        when(col("doc_id") % 6 === 0, lit(2L)).otherwise(lit(1L)).alias("lu"))
+      src.load(mutated)
+      val r2 = mk().run()
+      val changed = evens.filter(col("doc_id") % 6 === 0).count()
+      require(r2.updated == changed && r2.processed == changed,
+        s"run 2 must re-process exactly the $changed mutated docs: $r2")
       mk().score(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -2986,6 +3111,26 @@ object SparkEntry {
          "FILTER (WHERE c IS NOT NULL) AS BIGINT) / 1000000.0) " +
          "/ count(*) FILTER (WHERE c IS NOT NULL) - ln(tot.n), 4) AS avg_logprob " +
          "FROM j CROSS JOIN tot GROUP BY doc_id, tot.n ORDER BY doc_id"),
+      // lu-update twin: vocabulary from the FINAL evens corpus (every
+      // %6 doc re-written) — stale tokens left by a broken subtract
+      // shift ln(c) and the OOV tallies, so the odd-id scores diverge
+      "text_unigram_update" ->
+        ("WITH corp AS (SELECT doc_id, text || CASE WHEN doc_id % 6 = 0 THEN " +
+         "' updated ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) ELSE '' END AS text " +
+         "FROM documents), " +
+         "tok_a AS (SELECT unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
+         "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS tok FROM corp WHERE doc_id % 2 = 0), " +
+         "vocab AS (SELECT tok, count(*) AS c FROM tok_a GROUP BY 1), " +
+         "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM vocab), " +
+         "tok_b AS (SELECT doc_id, unnest(list_filter(string_split_regex(regexp_replace(lower(text), " +
+         "'[^a-z0-9]+', ' ', 'g'), '\\s+'), x -> length(x) > 0)) AS tok FROM corp WHERE doc_id % 2 = 1), " +
+         "j AS (SELECT doc_id, c FROM tok_b LEFT JOIN vocab USING (tok)) " +
+         "SELECT doc_id, count(*) AS n_tokens, " +
+         "count(*) FILTER (WHERE c IS NULL) AS n_oov, " +
+         "round((CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT)) " +
+         "FILTER (WHERE c IS NOT NULL) AS BIGINT) / 1000000.0) " +
+         "/ count(*) FILTER (WHERE c IS NOT NULL) - ln(tot.n), 4) AS avg_logprob " +
+         "FROM j CROSS JOIN tot GROUP BY doc_id, tot.n ORDER BY doc_id"),
       // model-based quality classifier + its 2-batch incremental twin:
       // the incremental build must CONVERGE to the from-scratch
       // train-on-evens model, so both rows share the one SQL replay
@@ -2996,7 +3141,14 @@ object SparkEntry {
       // the 2-batch incremental build converges to the identical
       // from-scratch manifest — the same replay adjudicates both
       "pipeline_curate_incr" -> curateOracleSql,
+      // streaming twin: two file-source triggers through the same
+      // incremental chain converge to the same manifest
+      "stream_curate" -> curateOracleSql,
       "text_quality_clf_incr" -> clfOracleSql(1024),
+      // lu-update twin: the from-scratch replay over the FINAL corpus
+      // (re-written + re-labeled %6 docs) — a broken subtract leaves
+      // phantom counts in the flipped class and diverges
+      "text_quality_clf_update" -> clfOracleSql(1024, clfUpdCorpusSql),
       // streaming twin: two file-source training triggers must converge
       // to the same from-scratch model, so it shares the replay too
       "stream_quality_clf" -> clfOracleSql(1024),

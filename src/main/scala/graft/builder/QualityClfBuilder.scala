@@ -1,5 +1,6 @@
 package graft.builder
 
+import graft.builder.Builder.MaterializeOps
 import graft.query.MongoFilter
 import graft.store.Store
 import org.apache.spark.sql.DataFrame
@@ -33,8 +34,29 @@ import org.apache.spark.sql.functions._
   * [[graft.ext.QualityClassifier.score]] over `model.df` — the
   * broadcast-by-construction join (the model is bucket-bounded).
   *
+  * '''lu-UPDATE contract''' (`core/store.py:239-275` covers updated
+  * docs too): the model is an AGGREGATE, so un-counting a re-labeled
+  * or re-written doc needs its old per-bucket contribution. Pass
+  * `docs` (a contributions store, layout `(id, bucket, tf, lbl, lu)`
+  * keyed on `id`) and the builder becomes fully updatable: [[run]]
+  * first NEGATIVE-merges the stored contribution of lu-newer docs out
+  * of the per-class counts (buckets reaching zero on BOTH classes
+  * leave the store — a `(0,0)` row and an absent row score
+  * identically through [[graft.ext.QualityClassifier.score]]'s
+  * missing-bucket weight, but the store must converge to the
+  * from-scratch train), drops their contribution rows, and the
+  * id-based left-anti re-surfaces them as this run's batch. Label
+  * flips repair naturally: the old counts leave the OLD class's
+  * column, the new ones enter the new. Every doc has a contribution
+  * row (the bucket −1 doc marker rides [[graft.ext.QualityClassifier
+  * .features]] even for zero-token docs), so no sentinel is needed.
+  * The contributions store is O(corpus distinct (doc, bucket)) — the
+  * postings-shaped price of updatability; leave `docs` unset for the
+  * cheap watermark-only insert-only behavior.
+  *
   * Report semantics: docs EXAMINED this run, matching the other
-  * incremental builders. */
+  * incremental builders; `updated` counts the lu-newer docs whose old
+  * contribution was dropped. */
 class QualityClfBuilder(
     val source: Store,
     val model: Store,
@@ -43,7 +65,8 @@ class QualityClfBuilder(
     val buckets: Int = 1024,
     val family: String = "md5",
     val seed: Int = 0,
-    val criteria: Option[String] = None)
+    val criteria: Option[String] = None,
+    val docs: Option[Store] = None)
   extends Builder {
 
   private def scoped: DataFrame =
@@ -63,18 +86,159 @@ class QualityClfBuilder(
       .flatMap(r => Option(r.get(0)))
   }
 
-  /** Docs newer than the model watermark (all docs on the first run). */
-  def pendingItems(): DataFrame = watermark match {
-    case Some(wm) => scoped.filter(col(source.lastUpdatedField) > lit(wm))
-    case None     => scoped
+  /** Empty or not-yet-written contributions store (schema-on-write). */
+  private def docsEmpty(d: Store): Boolean = {
+    val df = d.df
+    df.columns.isEmpty || !df.columns.contains("bucket") || df.isEmpty
+  }
+
+  /** Docs pending this run. With a contributions store: unseen (id
+    * left-anti) ∪ lu-newer — the full reference `newer_in` estimate;
+    * [[run]] realizes the same set by dropping stale contributions
+    * before the left-anti. Without one: docs newer than the model
+    * watermark (all on the first run). */
+  def pendingItems(): DataFrame = docs match {
+    case Some(d) if !docsEmpty(d) =>
+      val base = scoped.join(d.df.select(col("id").alias(source.key)),
+        Seq(source.key), "left_anti")
+      if (!d.df.columns.contains("lu") ||
+          !scoped.columns.contains(source.lastUpdatedField)) base
+      else base.unionByName(scoped
+        .join(d.df.groupBy(col("id")).agg(max(col("lu")).alias("__ilu"))
+          .withColumnRenamed("id", source.key), Seq(source.key))
+        .filter(col(source.lastUpdatedField) > col("__ilu")).drop("__ilu"))
+    case Some(_) => scoped
+    case None => watermark match {
+      case Some(wm) => scoped.filter(col(source.lastUpdatedField) > lit(wm))
+      case None     => scoped
+    }
+  }
+
+  /** Per-class sums of a contributions slice, in the model layout —
+    * the exact [[graft.ext.QualityClassifier.train]] accounting
+    * (marker rows at bucket −1 carry the per-class doc counts). */
+  private def classSums(contrib: DataFrame): DataFrame =
+    contrib.groupBy(col("bucket"))
+      .agg(sum(when(col("lbl") === 0, col("tf").cast("long")).otherwise(0L)).alias("c0"),
+        sum(when(col("lbl") === 1, col("tf").cast("long")).otherwise(0L)).alias("c1"))
+
+  /** Drop the model contribution (and stored rows) of docs whose
+    * source lu is newer than the lu they were absorbed with — the
+    * update half of the reference delta contract. The changed docs
+    * re-enter through [[pendingItems]]'s left-anti in the same run.
+    * Returns the number of docs dropped. */
+  private def dropChanged(d: Store): Long = {
+    if (docsEmpty(d) || !d.df.columns.contains("lu") ||
+        !scoped.columns.contains(source.lastUpdatedField)) return 0L
+    val changed = d.df.groupBy(col("id")).agg(max(col("lu")).alias("__ilu"))
+      .join(scoped.select(col(source.key).alias("id"),
+        col(source.lastUpdatedField).alias("__slu")), Seq("id"))
+      .filter(col("__slu") > col("__ilu"))
+      .select(col("id"))
+      .materializeEager() // three actions (count, subtract, removeKeys)
+    try {
+      val n = changed.count()
+      if (n > 0) {
+        val sub = classSums(d.df.join(changed, Seq("id"), "left_semi"))
+          .withColumnRenamed("c0", "__s0").withColumnRenamed("c1", "__s1")
+        val merged = model.df
+          .select(col("bucket"), col("c0").cast("long").alias("__c0"),
+            col("c1").cast("long").alias("__c1"), col(model.lastUpdatedField))
+          .join(sub, Seq("bucket"))
+          .select(col("bucket"), (col("__c0") - col("__s0")).alias("c0"),
+            (col("__c1") - col("__s1")).alias("c1"), col(model.lastUpdatedField))
+          .materializeEager() // two consumers on one decremented slice
+        try {
+          model.update(merged.filter(col("c0") > 0 || col("c1") > 0),
+            Seq("bucket"))
+          val gone = merged.filter(col("c0") <= 0 && col("c1") <= 0)
+            .select(col("bucket"))
+          if (!gone.isEmpty) model.removeKeys(gone)
+        } finally merged.unpersist()
+        d.removeKeys(changed)
+      }
+      n
+    } finally changed.unpersist()
+  }
+
+  /** The model and the contributions store cannot be written
+    * atomically as a pair; the CONTRIBUTIONS are the source of truth
+    * and the model a per-bucket cache of their class sums — recompute
+    * and rewrite the rows that disagree. O(contributions); runs only
+    * at builder startup and after a failed run (the
+    * [[Bm25IndexBuilder]] reconcileStats discipline). */
+  private var modelSuspect = true
+
+  private def reconcileModel(): Unit = docs.foreach { d =>
+    if (docsEmpty(d)) return
+    val truth = classSums(d.df).filter(col("c0") > 0 || col("c1") > 0)
+    val luLit = () => lit(d.df.agg(max(col("lu"))).collect().head.get(0))
+    if (modelEmpty) {
+      if (!truth.isEmpty)
+        model.update(truth.withColumn(model.lastUpdatedField, luLit()),
+          Seq("bucket"))
+      return
+    }
+    val joined = truth.join(
+        model.df.select(col("bucket"), col("c0").cast("long").alias("__c0"),
+          col("c1").cast("long").alias("__c1"),
+          col(model.lastUpdatedField).alias("__lu")),
+        Seq("bucket"), "full_outer")
+      .filter(col("c0").isNull || col("__c0").isNull ||
+        col("c0") =!= col("__c0") || col("c1") =!= col("__c1"))
+      .materializeEager() // isEmpty + two consumers on one diff slice
+    try {
+      if (!joined.isEmpty) {
+        val fix = joined.filter(col("c0").isNotNull)
+          .select(col("bucket"), col("c0"), col("c1"),
+            coalesce(col("__lu"), luLit()).alias(model.lastUpdatedField))
+        model.update(fix, Seq("bucket"))
+        val gone = joined.filter(col("c0").isNull).select(col("bucket"))
+        if (!gone.isEmpty) model.removeKeys(gone)
+      }
+    } finally joined.unpersist()
+  }
+
+  /** `(id, bucket, tf, lbl, lu)` contribution rows of a batch — the
+    * hashed feature counts each doc feeds [[graft.ext.QualityClassifier
+    * .train]], labeled and lu-stamped for the subtract path. */
+  private def contribOf(batch: DataFrame): DataFrame = {
+    val lu =
+      if (batch.columns.contains(source.lastUpdatedField))
+        col(source.lastUpdatedField)
+      else lit(null).cast("long")
+    graft.ext.QualityClassifier.features(batch, source.key, textField,
+        buckets, family, seed)
+      .join(batch.select(col(source.key),
+        col(labelField).cast("int").alias("lbl"), lu.alias("lu")),
+        Seq(source.key))
+      .select(col(source.key).alias("id"), col("bucket"),
+        col("tf").cast("long").alias("tf"), col("lbl"), col("lu"))
   }
 
   def run(): BuildReport = {
+    // a contributions store attached to an already-populated model has
+    // no per-doc history to subtract from — refuse instead of silently
+    // double-counting every doc
+    docs.foreach { d =>
+      if (docsEmpty(d) && !modelEmpty) throw new IllegalArgumentException(
+        "QualityClfBuilder: `docs` contributions store is empty but the " +
+          "model is populated — the per-doc history needed for updates " +
+          "does not exist; rebuild from scratch or run without `docs`")
+    }
+    // repair a possibly-torn model/contributions pair BEFORE computing
+    // pending items (see reconcileModel)
+    if (modelSuspect) { reconcileModel(); modelSuspect = false }
+    // lu-newer docs drop their stale contribution FIRST, so the
+    // id-based left-anti re-surfaces them for this run's batch
+    val updated =
+      try docs.map(dropChanged).getOrElse(0L)
+      catch { case e: Throwable => modelSuspect = true; throw e }
     // spread-checkpointed: the tokenize+hash kernel is CPU-dense per
     // doc and must not inherit a 2-split scan
     val batch = Builder.spreadCheckpoint(pendingItems())
     val examined = batch.count()
-    if (examined == 0) { batch.unpersist(); return BuildReport(0) }
+    if (examined == 0) { batch.unpersist(); return BuildReport(0, updated = updated) }
     try {
       val batchLu = batch.agg(max(col(source.lastUpdatedField)))
         .collect().head.get(0)
@@ -95,8 +259,13 @@ class QualityClfBuilder(
               (col("__b1") + coalesce(col("__o1"), lit(0L))).alias("c1"),
               lit(batchLu).alias(model.lastUpdatedField))
         }
+      // contributions land FIRST (the source of truth the reconcile
+      // recomputes from), the model cache second; any tear marks the
+      // pair suspect and the next run repairs it
+      docs.foreach(d => d.update(contribOf(batch), Seq("id", "bucket")))
       model.update(next, Seq("bucket"))
-      BuildReport(examined)
+      BuildReport(examined, updated = updated)
+    } catch { case e: Throwable => modelSuspect = true; throw e
     } finally batch.unpersist()
   }
 

@@ -1,5 +1,6 @@
 package graft.builder
 
+import graft.builder.Builder.MaterializeOps
 import graft.query.MongoFilter
 import graft.store.Store
 import org.apache.spark.sql.DataFrame
@@ -36,13 +37,34 @@ import org.apache.spark.sql.functions._
   * [[graft.functions.TermCounts]] kernel, so exchanges carry one row per
   * (doc, distinct term), not one row per token.
   *
+  * '''lu-UPDATE contract''' (the reference delta covers updated docs
+  * too, `core/store.py:239-275`): a vocabulary is an AGGREGATE, so
+  * subtracting a re-written doc's old tokens needs the doc's old
+  * per-token contribution — which the bare count table cannot recover.
+  * Pass `docs` (a per-doc contributions store, layout
+  * `(id, tok, cnt, lu)` keyed on `id`) and the builder becomes fully
+  * updatable: [[run]] first finds docs whose source lu is newer than
+  * the lu their contribution was absorbed with, NEGATIVE-merges their
+  * stored per-token counts out of the vocab (tokens reaching zero
+  * leave the store — from-scratch convergence), drops their
+  * contribution rows, and the id-based left-anti re-surfaces them as
+  * this run's batch. Zero-token docs write one SENTINEL row
+  * (`tok = ""`, cnt 0 — [[graft.ext.TextAnalysis.normTokens]] never
+  * emits the empty token) so the pending check cannot re-examine them
+  * forever (the [[Bm25IndexBuilder]] sentinel). The contributions
+  * store is O(corpus distinct (doc, token)) — the BM25-postings-shaped
+  * price of updatability; leave `docs` unset and the builder keeps the
+  * cheap watermark-only insert-only behavior.
+  *
   * Report semantics: docs EXAMINED this run (the incremental contract's
-  * measure), matching DedupBuilder/AnnIndexBuilder. */
+  * measure), matching DedupBuilder/AnnIndexBuilder; `updated` counts
+  * the lu-newer docs whose old contribution was dropped. */
 class UnigramLmBuilder(
     val source: Store,
     val vocab: Store,
     val textField: String,
-    val criteria: Option[String] = None)
+    val criteria: Option[String] = None,
+    val docs: Option[Store] = None)
   extends Builder {
 
   private def scoped: DataFrame =
@@ -66,18 +88,161 @@ class UnigramLmBuilder(
       .flatMap(r => Option(r.get(0)))
   }
 
-  /** Docs newer than the vocab watermark (all docs on the first run). */
-  def pendingItems(): DataFrame = watermark match {
-    case Some(wm) => scoped.filter(col(source.lastUpdatedField) > lit(wm))
-    case None     => scoped
+  /** Empty or not-yet-written contributions store (schema-on-write). */
+  private def docsEmpty(d: Store): Boolean = {
+    val df = d.df
+    df.columns.isEmpty || !df.columns.contains("tok") || df.isEmpty
+  }
+
+  /** Docs pending this run. With a contributions store: unseen (id
+    * left-anti) ∪ lu-newer — the full reference `newer_in` estimate;
+    * [[run]] realizes the same set by dropping stale contributions
+    * before the left-anti (the [[Bm25IndexBuilder]] shape). Without
+    * one: docs newer than the vocab watermark (all on the first run). */
+  def pendingItems(): DataFrame = docs match {
+    case Some(d) if !docsEmpty(d) =>
+      val base = scoped.join(d.df.select(col("id").alias(source.key)),
+        Seq(source.key), "left_anti")
+      if (!d.df.columns.contains("lu") ||
+          !scoped.columns.contains(source.lastUpdatedField)) base
+      else base.unionByName(scoped
+        .join(d.df.groupBy(col("id")).agg(max(col("lu")).alias("__ilu"))
+          .withColumnRenamed("id", source.key), Seq(source.key))
+        .filter(col(source.lastUpdatedField) > col("__ilu")).drop("__ilu"))
+    case Some(_) => scoped
+    case None => watermark match {
+      case Some(wm) => scoped.filter(col(source.lastUpdatedField) > lit(wm))
+      case None     => scoped
+    }
+  }
+
+  /** Drop the vocabulary contribution (and stored per-token rows) of
+    * docs whose source lu is newer than the lu they were absorbed with
+    * — the update half of the reference delta contract. One columnar
+    * scan of the contributions store joined against the scoped corpus;
+    * the changed docs re-enter through [[pendingItems]]'s left-anti in
+    * the same run. Tokens whose count reaches zero LEAVE the vocab
+    * (scoring reads absent and zero identically through the left
+    * join, but the store must converge to the from-scratch build).
+    * Returns the number of docs dropped. */
+  private def dropChanged(d: Store): Long = {
+    if (docsEmpty(d) || !d.df.columns.contains("lu") ||
+        !scoped.columns.contains(source.lastUpdatedField)) return 0L
+    val changed = d.df.groupBy(col("id")).agg(max(col("lu")).alias("__ilu"))
+      .join(scoped.select(col(source.key).alias("id"),
+        col(source.lastUpdatedField).alias("__slu")), Seq("id"))
+      .filter(col("__slu") > col("__ilu"))
+      .select(col("id"))
+      .materializeEager() // three actions (count, subtract, removeKeys)
+    try {
+      val n = changed.count()
+      if (n > 0) {
+        // the changed docs' old per-token counts, token-keyed — the
+        // negative side of the merge (sentinel rows sum 0 on "" which
+        // the inner join drops: never a vocab token)
+        val sub = d.df.join(changed, Seq("id"), "left_semi")
+          .groupBy(col("tok")).agg(sum(col("cnt").cast("long")).alias("__sub"))
+        val merged = vocab.df
+          .select(col("tok"), col("c").cast("long").alias("__c"),
+            col(vocab.lastUpdatedField))
+          .join(sub, Seq("tok"))
+          .select(col("tok"), (col("__c") - col("__sub")).alias("c"),
+            col(vocab.lastUpdatedField))
+          .materializeEager() // two consumers on one decremented slice
+        try {
+          vocab.update(merged.filter(col("c") > 0), Seq("tok"))
+          val gone = merged.filter(col("c") <= 0).select(col("tok"))
+          if (!gone.isEmpty) vocab.removeKeys(gone)
+        } finally merged.unpersist()
+        d.removeKeys(changed)
+      }
+      n
+    } finally changed.unpersist()
+  }
+
+  /** The vocab and the contributions store are two store updates that
+    * cannot be atomic across stores; a crash or retry between them
+    * would leave the counts silently diverged FOREVER (the id-based
+    * pending check never revisits absorbed docs). The CONTRIBUTIONS
+    * are the source of truth and the vocab a per-token cache of their
+    * sums: recompute and rewrite the rows that disagree. Cost
+    * discipline: O(contributions), so it runs only when the pair is
+    * possibly torn — once at builder startup and after any run whose
+    * writes threw (the [[Bm25IndexBuilder]] reconcileStats
+    * discipline); the bare watermark mode has one write per run and
+    * never reconciles. */
+  private var vocabSuspect = true
+
+  private def reconcileVocab(): Unit = docs.foreach { d =>
+    if (docsEmpty(d)) return
+    val truth = d.df.filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(sum(col("cnt").cast("long")).alias("c"))
+      .filter(col("c") > 0)
+    val luLit = () => lit(d.df.agg(max(col("lu"))).collect().head.get(0))
+    if (vocabEmpty) {
+      if (!truth.isEmpty)
+        vocab.update(truth.withColumn(vocab.lastUpdatedField, luLit()), Seq("tok"))
+      return
+    }
+    val joined = truth.join(
+        vocab.df.select(col("tok"), col("c").cast("long").alias("__c"),
+          col(vocab.lastUpdatedField).alias("__lu")),
+        Seq("tok"), "full_outer")
+      .filter(col("c").isNull || col("__c").isNull || col("c") =!= col("__c"))
+      .materializeEager() // isEmpty + two consumers on one diff slice
+    try {
+      if (!joined.isEmpty) {
+        val fix = joined.filter(col("c").isNotNull)
+          .select(col("tok"), col("c"),
+            coalesce(col("__lu"), luLit()).alias(vocab.lastUpdatedField))
+        vocab.update(fix, Seq("tok"))
+        val gone = joined.filter(col("c").isNull).select(col("tok"))
+        if (!gone.isEmpty) vocab.removeKeys(gone)
+      }
+    } finally joined.unpersist()
+  }
+
+  /** `(id, tok, cnt, lu)` contribution rows of a batch — explode_outer
+    * emits the zero-token sentinel (`tok ""`, cnt 0) so every examined
+    * doc is marked absorbed. */
+  private def contribOf(batch: DataFrame): DataFrame = {
+    val lu =
+      if (batch.columns.contains(source.lastUpdatedField))
+        col(source.lastUpdatedField)
+      else lit(null).cast("long")
+    batch.select(col(source.key).alias("id"), lu.alias("lu"),
+        explode_outer(graft.functions.GraftFunctions.termCounts(
+          batch.sparkSession,
+          graft.ext.TextAnalysis.normTokens(col(textField)))).alias("__tc"))
+      .select(col("id"), coalesce(col("__tc.term"), lit("")).alias("tok"),
+        coalesce(col("__tc.cnt").cast("long"), lit(0L)).alias("cnt"),
+        col("lu"))
   }
 
   def run(): BuildReport = {
+    // a contributions store attached to an already-populated vocab has
+    // no per-doc history to subtract from — silently re-adding every
+    // doc would double-count; refuse instead
+    docs.foreach { d =>
+      if (docsEmpty(d) && !vocabEmpty) throw new IllegalArgumentException(
+        "UnigramLmBuilder: `docs` contributions store is empty but the " +
+          "vocab is populated — the per-doc history needed for updates " +
+          "does not exist; rebuild from scratch or run without `docs`")
+    }
+    // repair a possibly-torn vocab/contributions pair BEFORE computing
+    // pending items (see reconcileVocab)
+    if (vocabSuspect) { reconcileVocab(); vocabSuspect = false }
+    // lu-newer docs drop their stale contribution FIRST, so the
+    // id-based left-anti re-surfaces them for this run's batch; a tear
+    // inside the drop marks the pair suspect
+    val updated =
+      try docs.map(dropChanged).getOrElse(0L)
+      catch { case e: Throwable => vocabSuspect = true; throw e }
     // spread-checkpointed: the tokenize+count kernel is CPU-dense per
     // doc and must not inherit a 2-split scan (Builder.spreadCheckpoint)
     val batch = Builder.spreadCheckpoint(pendingItems())
     val examined = batch.count()
-    if (examined == 0) { batch.unpersist(); return BuildReport(0) }
+    if (examined == 0) { batch.unpersist(); return BuildReport(0, updated = updated) }
     try {
       // the new watermark = max lu of THIS batch (strictly monotone per
       // the newer_in filter); stamped on every touched token row, so
@@ -104,8 +269,13 @@ class UnigramLmBuilder(
               (col("__bc") + coalesce(col("__old"), lit(0L))).alias("c"),
               lit(batchLu).alias(vocab.lastUpdatedField))
         }
+      // contributions land FIRST (they are the source of truth the
+      // reconcile recomputes from), the vocab cache second; any tear
+      // marks the pair suspect and the next run repairs it
+      docs.foreach(d => d.update(contribOf(batch), Seq("id", "tok")))
       vocab.update(next, Seq("tok"))
-      BuildReport(examined)
+      BuildReport(examined, updated = updated)
+    } catch { case e: Throwable => vocabSuspect = true; throw e
     } finally batch.unpersist()
   }
 }

@@ -209,7 +209,10 @@ object Runner {
       case "unigram_lm" =>
         new UnigramLmBuilder(store("source"), store("vocab"),
           textField = str(n, "text_field", "text"),
-          criteria = criteria(n))
+          criteria = criteria(n),
+          // optional per-doc contributions store → full lu-update
+          // support (re-written docs un-count before re-counting)
+          docs = opt(n, "docs").map(d => stores(d.asText())))
       // incremental hashed-ngram quality classifier: "model" holds
       // (bucket, w_pos, w_neg) counts merged across batches
       case "quality_clf" =>
@@ -219,7 +222,10 @@ object Runner {
           buckets = opt(n, "buckets").map(_.asInt()).getOrElse(1024),
           family = str(n, "family", "md5"),
           seed = opt(n, "seed").map(_.asInt()).getOrElse(0),
-          criteria = criteria(n))
+          criteria = criteria(n),
+          // optional per-doc contributions store → full lu-update
+          // support (label flips / re-written docs un-count first)
+          docs = opt(n, "docs").map(d => stores(d.asText())))
       // the end-to-end curation chain (C4 → Gopher → clf gate → exact
       // dedup → decontaminate → weighted mix → sequence packing);
       // "model" (QualityClfBuilder counts) and "eval" (decontamination

@@ -242,4 +242,50 @@ object StreamingBuilder {
     checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
     writer.start()
   }
+
+  /** Streaming twin of the END-TO-END curation chain
+    * ([[graft.builder.CurateBuilder]]): each trigger first UPSERTS the
+    * micro-batch into the durable `source` store (the stream_upsert
+    * contract — a batch-only source would orphan-sweep every earlier
+    * trigger's facts), then re-runs ONE incremental CurateBuilder. The
+    * `facts` store carries the per-doc stage verdicts across triggers,
+    * so a trigger pays stage-1–5 (C4/Gopher/clf/hash/decon) work for
+    * its OWN docs only while the corpus-global manifest tail (dedup
+    * minima, mix, pack prefix sums) re-runs over the text-free facts
+    * table; after trigger N the target manifest equals the
+    * from-scratch chain over every doc absorbed so far (oracle row
+    * `stream_curate` pins the 2-trigger convergence). foreachBatch
+    * at-least-once replays are safe end-to-end: the source upsert is
+    * key-idempotent and the facts delta re-selects nothing when the
+    * lu is unchanged. */
+  def curateStream(stream: DataFrame, key: String,
+                   source: Store, target: Store, facts: Store,
+                   model: Option[Store] = None, eval: Option[Store] = None,
+                   textField: String = "text", stratumField: String = "lang",
+                   clfThreshold: Double = 0.0,
+                   mixRates: Map[String, Double] = Map.empty,
+                   mixDefaultRate: Double = 1.0, seqLen: Long = 2048,
+                   checkpoint: Option[String] = None): StreamingQuery = {
+    require(stream.isStreaming, "curateStream needs a streaming DataFrame")
+    // ONE builder across triggers: store reads (source/facts/target)
+    // are by-path, so every run sees the accumulated state
+    var builder: graft.builder.CurateBuilder = null
+    var writer = stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          source.update(batch, Seq(key))
+          if (builder == null)
+            builder = new graft.builder.CurateBuilder(source, target,
+              model = model, eval = eval, textField = textField,
+              stratumField = stratumField, clfThreshold = clfThreshold,
+              mixRates = mixRates, mixDefaultRate = mixDefaultRate,
+              seqLen = seqLen, facts = Some(facts))
+          builder.run()
+          ()
+        }
+      }
+    checkpoint.foreach(c => writer = writer.option("checkpointLocation", c))
+    writer.start()
+  }
 }

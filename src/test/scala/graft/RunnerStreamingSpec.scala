@@ -367,9 +367,9 @@ class RunnerStreamingSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("runner_lu").toString
     val dupText = "alpha beta gamma delta epsilon zeta eta theta"
     val src = new ParquetStore(spark, s"$base/src", "doc_id", "lu")
-    src.update(Seq((1L, dupText, 1L), (2L, dupText, 1L),
-      (3L, "totally different words entirely here now", 1L))
-      .toDF("doc_id", "text", "lu"), Seq("doc_id"))
+    src.update(Seq((1L, dupText, 1, 1L), (2L, dupText, 1, 1L),
+      (3L, "totally different words entirely here now", 0, 1L))
+      .toDF("doc_id", "text", "label", "lu"), Seq("doc_id"))
     val spec =
       s"""{
          |  "stores": {
@@ -377,29 +377,50 @@ class RunnerStreamingSpec extends SparkSpec {
          |    "tgt": {"type": "parquet", "root": "$base/tgt", "key": "doc_id", "last_updated": "lu"},
          |    "idx": {"type": "parquet", "root": "$base/idx", "key": "id", "last_updated": "cluster"},
          |    "bmidx": {"type": "parquet", "root": "$base/bmidx", "key": "id", "last_updated": "term", "delta_writes": true},
-         |    "bmst": {"type": "parquet", "root": "$base/bmst", "key": "sid", "last_updated": "sid"}
+         |    "bmst": {"type": "parquet", "root": "$base/bmst", "key": "sid", "last_updated": "sid"},
+         |    "uvoc": {"type": "parquet", "root": "$base/uvoc", "key": "tok", "last_updated": "last_updated", "delta_writes": true},
+         |    "udoc": {"type": "parquet", "root": "$base/udoc", "key": "id", "last_updated": "lu", "delta_writes": true},
+         |    "qmod": {"type": "parquet", "root": "$base/qmod", "key": "bucket", "last_updated": "last_updated", "delta_writes": true},
+         |    "qdoc": {"type": "parquet", "root": "$base/qdoc", "key": "id", "last_updated": "lu", "delta_writes": true}
          |  },
          |  "builders": [
          |    {"type": "dedup", "source": "src", "target": "tgt", "index": "idx",
          |     "method": "minhash", "threshold": 0.5},
-         |    {"type": "bm25_index", "source": "src", "index": "bmidx", "stats": "bmst"}
+         |    {"type": "bm25_index", "source": "src", "index": "bmidx", "stats": "bmst"},
+         |    {"type": "unigram_lm", "source": "src", "vocab": "uvoc", "docs": "udoc"},
+         |    {"type": "quality_clf", "source": "src", "model": "qmod", "docs": "qdoc"}
          |  ]
          |}""".stripMargin
     val reporting = new MemoryStore(spark, "lureports", key = "event_id")
     Runner.run(spark, spec, Some(reporting))
-    // mutate doc 1 in place (newer lu) and re-run the SAME spec
-    src.update(Seq((1L, "entirely novel replacement content appearing once", 2L))
-      .toDF("doc_id", "text", "lu"), Seq("doc_id"))
+    // mutate doc 1 in place (newer lu, flipped label) and re-run the
+    // SAME spec
+    src.update(Seq((1L, "entirely novel replacement content appearing once", 0, 2L))
+      .toDF("doc_id", "text", "label", "lu"), Seq("doc_id"))
     Runner.run(spark, spec, Some(reporting))
-    // BOTH lu-update planes surface non-zero `updated` in the reporting
-    // store on the second run (VERDICT r14 #8)
+    // ALL FOUR lu-update planes surface non-zero `updated` in the
+    // reporting store on the second run (VERDICT r14 #8)
     def endedOf(builder: String) = reporting.df
       .filter(col("event") === "BUILD_ENDED" && col("builder") === builder)
       .select("updated").collect().map(_.getLong(0)).sorted
-    assert(endedOf("dedup#0") === Array(0L, 1L),
-      s"dedup run 2 must carry updated=1: ${endedOf("dedup#0").toSeq}")
-    assert(endedOf("bm25_index#1") === Array(0L, 1L),
-      s"bm25 run 2 must carry updated=1: ${endedOf("bm25_index#1").toSeq}")
+    for (b <- Seq("dedup#0", "bm25_index#1", "unigram_lm#2", "quality_clf#3"))
+      assert(endedOf(b) === Array(0L, 1L),
+        s"$b run 2 must carry updated=1: ${endedOf(b).toSeq}")
+    // the model planes converge to the from-scratch train over the
+    // FINAL corpus (wired through the Runner, not just the builder API)
+    val finalSrc = new ParquetStore(spark, s"$base/src", "doc_id", "lu").df
+    val uvoc = new ParquetStore(spark, s"$base/uvoc", "tok", "last_updated")
+    val scratch = finalSrc
+      .select(explode(graft.ext.TextAnalysis.normTokens(col("text"))).alias("tok"))
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uvoc.df.select("tok", "c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap === scratch)
+    val qmod = new ParquetStore(spark, s"$base/qmod", "bucket", "last_updated")
+    val qScratch = graft.ext.QualityClassifier.train(finalSrc, "text", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(qmod.df.select(col("bucket"), col("c0").cast("long"), col("c1").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === qScratch)
     val tgt = new ParquetStore(spark, s"$base/tgt", "doc_id", "lu")
     assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
       === Array(1L, 2L, 3L))
@@ -513,6 +534,102 @@ class RunnerStreamingSpec extends SparkSpec {
       Seq((10L, "zzz999 qqq777")).toDF("doc_id", "text"), "doc_id", "text", vocab)
       .collect().head
     assert(oov.getLong(1) === 2L && oov.getLong(2) === 2L && oov.isNullAt(3))
+  }
+
+  test("UnigramLmBuilder lu-update: contributions store un-counts re-written docs, reconcile repairs a torn pair") {
+    val s = spark; import s.implicits._
+    import graft.builder.UnigramLmBuilder
+    import graft.store.MemoryStore
+    val src = new MemoryStore(spark, "uluSrc", key = "doc_id", lastUpdatedField = "lu")
+    val vocab = new MemoryStore(spark, "uluVoc", key = "tok", lastUpdatedField = "last_updated")
+    val contrib = new MemoryStore(spark, "uluDoc", key = "id", lastUpdatedField = "lu")
+    def builder() = new UnigramLmBuilder(src, vocab, "text", docs = Some(contrib))
+    def vocabMap() = vocab.df.select("tok", "c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // doc 3 is ZERO-TOKEN: the sentinel contribution row must keep it
+    // out of the pending set on repeat runs
+    src.load(Seq((1L, "alpha beta alpha", 1L), (2L, "beta gamma", 1L),
+      (3L, "", 1L)).toDF("doc_id", "text", "lu"))
+    assert(builder().run().processed === 3)
+    assert(vocabMap() === Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L))
+    assert(builder().run().processed === 0) // sentinel: doc 3 absorbed
+    // re-write doc 1: its old tokens un-count (alpha reaches zero and
+    // must LEAVE the store — from-scratch convergence), new ones count
+    src.update(Seq((1L, "beta delta", 2L)).toDF("doc_id", "text", "lu"))
+    val r2 = builder().run()
+    assert(r2.updated === 1 && r2.processed === 1)
+    assert(vocabMap() === Map("beta" -> 2L, "gamma" -> 1L, "delta" -> 1L))
+    // re-write doc 2 to EMPTY: whole contribution leaves, sentinel lands
+    src.update(Seq((2L, "", 3L)).toDF("doc_id", "text", "lu"))
+    val r3 = builder().run()
+    assert(r3.updated === 1 && r3.processed === 1)
+    assert(vocabMap() === Map("beta" -> 1L, "delta" -> 1L))
+    assert(builder().run().processed === 0)
+    // torn pair: the vocab cache loses a row (crash between the two
+    // store writes) — a FRESH builder's startup reconcile recomputes it
+    // from the contributions store, the source of truth
+    vocab.removeKeys(Seq(Tuple1("beta")).toDF("tok"))
+    assert(vocabMap() === Map("delta" -> 1L))
+    assert(builder().run().processed === 0)
+    assert(vocabMap() === Map("beta" -> 1L, "delta" -> 1L))
+    // refusal: a populated vocab with NO per-doc history cannot be
+    // made updatable retroactively
+    val bare = new MemoryStore(spark, "uluDoc2", key = "id", lastUpdatedField = "lu")
+    val e = intercept[IllegalArgumentException] {
+      new UnigramLmBuilder(src, vocab, "text", docs = Some(bare)).run()
+    }
+    assert(e.getMessage.contains("rebuild from scratch"))
+  }
+
+  test("QualityClfBuilder lu-update: label flips un-count from the old class, reconcile repairs") {
+    val s = spark; import s.implicits._
+    import graft.builder.QualityClfBuilder
+    import graft.store.MemoryStore
+    val src = new MemoryStore(spark, "qcuSrc", key = "doc_id", lastUpdatedField = "lu")
+    val model = new MemoryStore(spark, "qcuMod", key = "bucket", lastUpdatedField = "last_updated")
+    val contrib = new MemoryStore(spark, "qcuDoc", key = "id", lastUpdatedField = "lu")
+    def builder() = new QualityClfBuilder(src, model, "text", "label",
+      docs = Some(contrib))
+    def modelSet() = model.df
+      .select(col("bucket"), col("c0").cast("long"), col("c1").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def scratchSet() = graft.ext.QualityClassifier.train(src.df, "text", "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    src.load(Seq((1L, "win money free now", 0, 1L),
+      (2L, "nice article about science", 1, 1L),
+      (3L, "great science text today", 1, 1L)).toDF("doc_id", "text", "label", "lu"))
+    assert(builder().run().processed === 3)
+    assert(modelSet() === scratchSet())
+    // labeled feedback: doc 3 was mislabeled — flip to 0 (same text).
+    // Its feature counts must MOVE from the c1 column to c0, including
+    // the bucket −1 doc-count prior row
+    src.update(Seq((3L, "great science text today", 0, 2L))
+      .toDF("doc_id", "text", "label", "lu"))
+    val r2 = builder().run()
+    assert(r2.updated === 1 && r2.processed === 1)
+    assert(modelSet() === scratchSet())
+    // re-write doc 1's text entirely: old buckets un-count (rows with
+    // both classes at zero leave the store), new buckets count
+    src.update(Seq((1L, "totally different junk words", 0, 3L))
+      .toDF("doc_id", "text", "label", "lu"))
+    val r3 = builder().run()
+    assert(r3.updated === 1 && r3.processed === 1)
+    assert(modelSet() === scratchSet())
+    assert(builder().run().processed === 0)
+    // torn pair: the model cache loses a row — a fresh builder's
+    // startup reconcile restores it from the contributions store
+    val anyBucket = model.df.filter(col("bucket") >= 0)
+      .select("bucket").head().getLong(0)
+    model.removeKeys(Seq(Tuple1(anyBucket)).toDF("bucket"))
+    assert(modelSet() !== scratchSet())
+    assert(builder().run().processed === 0)
+    assert(modelSet() === scratchSet())
+    // refusal: a populated model with no per-doc history
+    val bare = new MemoryStore(spark, "qcuDoc2", key = "id", lastUpdatedField = "lu")
+    val e = intercept[IllegalArgumentException] {
+      new QualityClfBuilder(src, model, "text", "label", docs = Some(bare)).run()
+    }
+    assert(e.getMessage.contains("rebuild from scratch"))
   }
 
   test("DedupBuilder incremental SIMHASH: one-long signature index, batch-only repeat work") {
@@ -1117,6 +1234,56 @@ class RunnerStreamingSpec extends SparkSpec {
     s3.addData(rows: _*)
     q3.processAllAvailable(); q3.stop()
     assert(model.df.orderBy("bucket").collect().toSeq === before)
+  }
+
+  test("StreamingBuilder.curateStream: facts persist across triggers, cross-trigger dedup, snapshot convergence") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def page(i: Long) =
+      s"This is a well formed and carefully written page number $i of " +
+        "this tiny corpus crafted with twenty or more words in total."
+    val dup = "This exact duplicated page appears verbatim twice across " +
+      "the corpus and is intentionally long enough to pass every " +
+      "heuristic quality gate applied here today."
+    val rows = Seq(
+      (1L, page(1), "en", 1L), (2L, dup, "en", 1L), (3L, page(3), "de", 1L),
+      (4L, page(4), "en", 1L), (5L, dup, "de", 1L), (6L, page(6), "en", 1L))
+    val src = new MemoryStore(spark, "strcurSrc", key = "doc_id",
+      lastUpdatedField = "lu")
+    val tgt = new MemoryStore(spark, "strcurTgt", key = "doc_id",
+      lastUpdatedField = "pack_id")
+    val facts = new MemoryStore(spark, "strcurFacts", key = "doc_id",
+      lastUpdatedField = "lu")
+    val ms = MemoryStream[(Long, String, String, Long)]
+    val q = StreamingBuilder.curateStream(
+      ms.toDF().toDF("doc_id", "text", "lang", "lu"), "doc_id",
+      src, tgt, facts)
+    ms.addData(rows(0), rows(1), rows(2))
+    q.processAllAvailable()
+    assert(tgt.df.count() === 3) // trigger 1: all pass, no dup yet
+    ms.addData(rows(3), rows(4), rows(5))
+    q.processAllAvailable(); q.stop()
+    // cross-trigger exact dedup: doc 5 (trigger 2) duplicates doc 2
+    // (trigger 1) — only the min id survives although the two never
+    // shared a micro-batch: the facts table is the dedup plane
+    val ids = tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.contains(2L) && !ids.contains(5L), s"got ${ids.toSeq}")
+    // the streamed manifest IS the from-scratch snapshot chain's
+    val cols = Seq("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+    val scratchTgt = new MemoryStore(spark, "strcurScr", key = "doc_id",
+      lastUpdatedField = "pack_id")
+    new graft.builder.CurateBuilder(src, scratchTgt).run()
+    assert(tgt.df.select(cols.head, cols.tail: _*).orderBy("doc_id")
+      .collect().toSeq ===
+      scratchTgt.df.select(cols.head, cols.tail: _*).orderBy("doc_id")
+        .collect().toSeq)
+    // every absorbed doc left a fact row; a post-stream batch run over
+    // the accumulated source sees NOTHING pending (O(batch) contract)
+    assert(facts.df.count() === 6)
+    val r = new graft.builder.CurateBuilder(src, tgt,
+      facts = Some(facts)).run()
+    assert(r.processed === 0 && r.updated === 0)
   }
 
   test("StreamingBuilder.dedupWithinWatermark: first occurrence wins, bounded state") {
