@@ -101,14 +101,49 @@ class CurateBuilder(
   private def incremental: Boolean =
     facts.isDefined && scoped.columns.contains(source.lastUpdatedField)
 
+  /** Fingerprint of everything BAKED INTO fact rows at compute time
+    * (class-doc invalidation contract): the model/eval stores'
+    * [[graft.store.Store.contentToken]]s plus the compile-time dials.
+    * Tail-time dials (`clfThreshold`, mix rates, `seqLen`) are applied
+    * per run and excluded on purpose. Stores with no cheap token
+    * (`""`) keep the documented MANUAL contract — the fingerprint
+    * still guards the params and the other store. */
+  private def depFingerprint: String = {
+    val s = Seq(model.map(_.contentToken).getOrElse("none"),
+      eval.map(_.contentToken).getOrElse("none"),
+      clfBuckets, clfFamily, clfSeed, deconNgram, minLineWords, minWords,
+      textField, stratumField).mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** True when the facts table was computed under a DIFFERENT
+    * dependency fingerprint (model retrained, eval slice replaced, a
+    * compile-time dial changed) — or under a mix of fingerprints (a
+    * torn previous run): every stored verdict is then suspect and the
+    * whole corpus re-enters. One tiny agg over the narrow `__dep`
+    * column; facts without the column (pre-fingerprint layout) count
+    * as stale. */
+  private def factsStale(f: Store): Boolean = {
+    val df = f.df
+    if (df.columns.isEmpty || df.isEmpty) false
+    else if (!df.columns.contains("__dep")) true
+    else {
+      val r = df.agg(min(col("__dep")), max(col("__dep"))).head()
+      r.getString(0) != r.getString(1) || r.getString(0) != depFingerprint
+    }
+  }
+
   /** Snapshot mode: everything scoped is pending. Incremental mode:
-    * docs the facts table hasn't seen, or whose source lu is newer. */
+    * docs the facts table hasn't seen, or whose source lu is newer —
+    * or EVERYTHING when the dependency fingerprint changed (automatic
+    * invalidation of the derived cache). */
   def pendingItems(): DataFrame =
     if (!incremental) scoped
     else {
       val f = facts.get
       val key = source.key
-      if (!f.df.columns.contains(key)) scoped
+      if (!f.df.columns.contains(key) || factsStale(f)) scoped
       else scoped
         .join(f.df.select(col(key), col("lu").alias("__flu")),
           Seq(key), "left_outer")
@@ -310,8 +345,12 @@ class CurateBuilder(
           .drop("__dok")
       case None => withQ.withColumn("decon_ok", lit(null).cast("boolean"))
     }
+    // stamp the dependency fingerprint the verdicts were computed
+    // under (constant per run — dictionary-encodes to ~nothing in
+    // parquet); factsStale() compares it before trusting the cache
     withD.select(col(key), col("lu"), col(stratumField), col("pass"),
-      col("clean_h"), col("n_tokens"), col("q_score"), col("decon_ok"))
+      col("clean_h"), col("n_tokens"), col("q_score"), col("decon_ok"),
+      lit(depFingerprint).alias("__dep"))
   }
 
   /** The corpus-global tail over the narrow facts table — the same

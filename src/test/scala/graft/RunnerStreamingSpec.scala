@@ -1922,6 +1922,19 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(factsStore.count() === 4)
     assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
       === Array(2L, 3L))
+
+    // AUTOMATIC dependency invalidation: replacing the eval slice bumps
+    // its contentToken, so the stored decon verdicts are suspect — the
+    // WHOLE corpus re-enters (not just lu-newer docs) and the
+    // previously-contaminated doc 4 is rehabilitated under the new slice
+    evalStore.load(Seq((100L, sent("harmless"))).toDF("doc_id", "text"))
+    val r4 = mk().run()
+    assert(r4.processed === 4,
+      s"a fingerprint change must re-run stages 1-5 for ALL docs: $r4")
+    assert(tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(2L, 3L, 4L))
+    // the recomputed facts are stable under the new fingerprint
+    assert(mk().run().processed === 0)
   }
 
   test("Runner: materialization policy knob — persist + reliable converge, conf restored, reliable fails fast") {
