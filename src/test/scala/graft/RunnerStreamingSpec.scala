@@ -1284,6 +1284,18 @@ class RunnerStreamingSpec extends SparkSpec {
     val r = new graft.builder.CurateBuilder(src, tgt,
       facts = Some(facts)).run()
     assert(r.processed === 0 && r.updated === 0)
+    // "restart": a NEW query against the SAME stores — state lives in
+    // the source/facts/target, not the query; the late doc dedups
+    // against a duplicate absorbed two query lifetimes ago
+    val ms2 = MemoryStream[(Long, String, String, Long)]
+    val q2 = StreamingBuilder.curateStream(
+      ms2.toDF().toDF("doc_id", "text", "lang", "lu"), "doc_id",
+      src, tgt, facts)
+    ms2.addData((7L, dup, "en", 1L), (8L, page(8), "de", 1L))
+    q2.processAllAvailable(); q2.stop()
+    val ids2 = tgt.df.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids2.contains(8L) && !ids2.contains(7L), s"got ${ids2.toSeq}")
+    assert(facts.df.count() === 8)
   }
 
   test("StreamingBuilder.dedupWithinWatermark: first occurrence wins, bounded state") {
