@@ -376,7 +376,7 @@ object SparkEntry {
     * a spam suffix planted and label 0; the rest are label 1 (the
     * corpus has no natural quality signal, so the fixture plants one —
     * the piiCorpus pattern). */
-  private def clfCorpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def clfCorpus(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents").select(col("doc_id"),
       concat(col("text"), when(col("doc_id") % 5 === 0,
         lit(" click here free win money now")).otherwise(lit("")))
@@ -447,7 +447,7 @@ object SparkEntry {
     *  - `%19 == 2`: the whole page replaced by a constant 25-word
     *    duplicate (exact-dedup's planted group; label 1, no other
     *    plants). */
-  private def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents")
     val idStr = col("doc_id").cast("string")
     val dupPage = lit("This exact duplicated page appears verbatim many " +

@@ -156,10 +156,33 @@ class Bm25IndexBuilder(
     * postings) — and rewrite the stats row when it disagrees.
     *
     * Cost discipline: the recount is O(index), so it runs only when
-    * the pair is possibly torn — once at builder startup (the previous
-    * process may have died mid-pair) and after any run whose writes
-    * threw — never on the steady-state batch path. */
-  private var statsSuspect = true
+    * the pair is possibly torn — gated on the CLEAN-PAIR MARKER
+    * exactly like [[UnigramLmBuilder]] (VERDICT r15 #2 — see the full
+    * rationale there): a fully committed [[run]] stamps both stores'
+    * content tokens into the stats store's metadata, and the recount
+    * runs only when the current tokens no longer match (torn pair,
+    * failed run, or third-party write) — never on the steady-state
+    * batch path. */
+  private val CleanPairKey = "graft.cleanpair"
+
+  private def pairToken: String = {
+    val it = index.contentToken; val st = stats.contentToken
+    if (it.isEmpty || st.isEmpty) "" else s"$it|$st"
+  }
+
+  private def pairClean: Boolean = {
+    val t = pairToken
+    t.nonEmpty && stats.getMeta(CleanPairKey).contains(t)
+  }
+
+  private def stampCleanPair(): Unit = {
+    val t = pairToken
+    if (t.nonEmpty) stats.putMeta(CleanPairKey, t)
+  }
+
+  /** Whether the last [[run]] paid the startup recount — test
+    * observability for the clean-pair gating (no behavioral use). */
+  private[graft] var lastRunReconciled: Boolean = false
 
   private def reconcileStats(): Unit = {
     if (!checkIndexLayout()) return
@@ -222,15 +245,15 @@ class Bm25IndexBuilder(
   def run(): BuildReport = {
     index.ensureIndex("term")
     // repair a possibly-torn index/stats pair BEFORE computing pending
-    // items: the recount makes the retry path idempotent (see
-    // reconcileStats)
-    if (statsSuspect) { reconcileStats(); statsSuspect = false }
+    // items — skipped when the clean-pair marker still matches (see
+    // reconcileStats); a throw anywhere below leaves the marker
+    // un-stamped, so the NEXT run recounts
+    lastRunReconciled = !pairClean
+    if (lastRunReconciled) reconcileStats()
     // lu-newer docs drop their stale postings FIRST, so pendingItems'
     // left-anti re-surfaces them for this run's batch (the reference
-    // update contract); a tear inside the drop marks stats suspect
-    val updated =
-      try dropChanged()
-      catch { case e: Throwable => statsSuspect = true; throw e }
+    // update contract)
+    val updated = dropChanged()
     // spread-checkpointed: the tokenize+count kernel is CPU-dense per
     // doc and must not inherit a 2-split scan (Builder.spreadCheckpoint)
     val batch = Builder.spreadCheckpoint(pendingItems())
@@ -255,12 +278,10 @@ class Bm25IndexBuilder(
           .toDF("sid", "n_docs", "sum_dl"), Seq("sid"))
       }
       val orphans = if (deleteOrphans) removeOrphans(scoped) else 0L
+      // every write pair committed: stamp the marker (a failure above
+      // propagates with the marker stale, so the next run recounts)
+      stampCleanPair()
       BuildReport(examined, 0, orphans, updated = updated)
-    } catch { case e: Throwable =>
-      // any failure inside the write pair leaves the stats row suspect:
-      // the NEXT run recounts from the postings before trusting it
-      statsSuspect = true
-      throw e
     } finally batch.unpersist()
   }
 

@@ -178,16 +178,21 @@ class CurateBuilder(
     val gophered = cleaned.filter(
       TextAnalysis.gopherRules(col("__clean"), minWords).getField("passes"))
     // 3. model-based quality gate (persisted NB counts; the 4-dp
-    // rounded score is the gate input on BOTH engine and oracle)
+    // rounded score is the gate input on BOTH engine and oracle).
+    // r16: the score is a plain FILTER predicate against driver-folded
+    // model constants (QualityClassifier.qScoreCol) — the pre-r16
+    // score-frame + left_semi join evaluated the whole C4/Gopher
+    // subtree TWICE (once per join side) and paid two exchanges
+    // (guide §2.4); same kept set, since q_score per doc is
+    // bit-identical and keys are unique
     val qualified = model.filter(_.df.columns.contains("bucket")) match {
       case Some(m) =>
         val counts = m.df.select(col("bucket"),
           col("c0").cast("long").alias("c0"),
           col("c1").cast("long").alias("c1"))
-        val keep = graft.ext.QualityClassifier
-          .score(gophered, key, "__clean", counts, clfBuckets, clfFamily, clfSeed)
-          .filter(col("q_score") > clfThreshold).select(col(key))
-        gophered.join(keep, Seq(key), "left_semi")
+        val mc = graft.ext.QualityClassifier.modelConsts(counts, clfBuckets)
+        gophered.filter(graft.ext.QualityClassifier.qScoreCol(
+          source.spark, col("__clean"), mc, clfFamily, clfSeed) > clfThreshold)
       case None => gophered
     }
     // 4. exact dedup on the cleaned content: min key per hash wins.
@@ -318,15 +323,20 @@ class CurateBuilder(
     * skipped" semantics). */
   private def enrichFacts(base: DataFrame): DataFrame = {
     val key = source.key
+    // r16: the score is computed IN the base-facts projection
+    // (QualityClassifier.qScoreCol gated on `pass`) — the pre-r16 shape
+    // scored a filtered slice and re-attached it with a key join
+    // (an exchange pair per incremental run; guide §2.4). Same values:
+    // non-pass docs read null exactly like the old left_outer miss
     val withQ = model.filter(_.df.columns.contains("bucket")) match {
       case Some(m) =>
         val counts = m.df.select(col("bucket"),
           col("c0").cast("long").alias("c0"),
           col("c1").cast("long").alias("c1"))
-        base.join(graft.ext.QualityClassifier.score(
-            base.filter(col("pass")).select(col(key), col("__clean")),
-            key, "__clean", counts, clfBuckets, clfFamily, clfSeed)
-          .select(col(key), col("q_score")), Seq(key), "left_outer")
+        val mc = graft.ext.QualityClassifier.modelConsts(counts, clfBuckets)
+        base.withColumn("q_score", when(col("pass"),
+          graft.ext.QualityClassifier.qScoreCol(
+            source.spark, col("__clean"), mc, clfFamily, clfSeed)))
       case None => base.withColumn("q_score", lit(null).cast("double"))
     }
     val withD = eval.filter(e => e.df.columns.contains(e.key)) match {

@@ -164,10 +164,33 @@ class QualityClfBuilder(
   /** The model and the contributions store cannot be written
     * atomically as a pair; the CONTRIBUTIONS are the source of truth
     * and the model a per-bucket cache of their class sums — recompute
-    * and rewrite the rows that disagree. O(contributions); runs only
-    * at builder startup and after a failed run (the
-    * [[Bm25IndexBuilder]] reconcileStats discipline). */
-  private var modelSuspect = true
+    * and rewrite the rows that disagree. O(contributions); gated on
+    * the CLEAN-PAIR MARKER exactly like [[UnigramLmBuilder]] (VERDICT
+    * r15 #2 — see the full rationale there): a fully committed [[run]]
+    * stamps both stores' content tokens into the model store's
+    * metadata, and the reconcile runs only when the current tokens no
+    * longer match (torn pair, failed run, or third-party write). */
+  private val CleanPairKey = "graft.cleanpair"
+
+  private def pairToken(d: Store): String = {
+    val dt = d.contentToken; val mt = model.contentToken
+    if (dt.isEmpty || mt.isEmpty) "" else s"$dt|$mt"
+  }
+
+  private def pairClean(d: Store): Boolean = {
+    val t = pairToken(d)
+    t.nonEmpty && model.getMeta(CleanPairKey).contains(t)
+  }
+
+  private def stampCleanPair(): Unit =
+    docs.foreach { d =>
+      val t = pairToken(d)
+      if (t.nonEmpty) model.putMeta(CleanPairKey, t)
+    }
+
+  /** Whether the last [[run]] paid the startup reconcile — test
+    * observability for the clean-pair gating (no behavioral use). */
+  private[graft] var lastRunReconciled: Boolean = false
 
   private def reconcileModel(): Unit = docs.foreach { d =>
     if (docsEmpty(d)) return
@@ -201,19 +224,26 @@ class QualityClfBuilder(
 
   /** `(id, bucket, tf, lbl, lu)` contribution rows of a batch — the
     * hashed feature counts each doc feeds [[graft.ext.QualityClassifier
-    * .train]], labeled and lu-stamped for the subtract path. */
+    * .train]], labeled and lu-stamped for the subtract path.
+    *
+    * r16: label + lu ride the SAME projection as the
+    * [[graft.functions.ClfBucketTf]] explode — the pre-r16 shape
+    * computed features separately and re-attached them with an id JOIN
+    * over the batch (a whole extra exchange pair on a frame derived
+    * from the batch itself; guide §2.4). Row set unchanged. */
   private def contribOf(batch: DataFrame): DataFrame = {
     val lu =
       if (batch.columns.contains(source.lastUpdatedField))
         col(source.lastUpdatedField)
       else lit(null).cast("long")
-    graft.ext.QualityClassifier.features(batch, source.key, textField,
-        buckets, family, seed)
-      .join(batch.select(col(source.key),
-        col(labelField).cast("int").alias("lbl"), lu.alias("lu")),
-        Seq(source.key))
-      .select(col(source.key).alias("id"), col("bucket"),
-        col("tf").cast("long").alias("tf"), col("lbl"), col("lu"))
+    batch.select(col(source.key).alias("id"),
+        col(labelField).cast("int").alias("lbl"), lu.alias("lu"),
+        explode(graft.functions.GraftFunctions.clfBucketTf(batch.sparkSession,
+          graft.ext.TextAnalysis.normTokens(col(textField)),
+          buckets, family, seed)).alias("__bt"))
+      .select(col("id"), col("__bt").getField("bucket").alias("bucket"),
+        col("__bt").getField("tf").cast("long").alias("tf"),
+        col("lbl"), col("lu"))
   }
 
   def run(): BuildReport = {
@@ -227,18 +257,23 @@ class QualityClfBuilder(
           "does not exist; rebuild from scratch or run without `docs`")
     }
     // repair a possibly-torn model/contributions pair BEFORE computing
-    // pending items (see reconcileModel)
-    if (modelSuspect) { reconcileModel(); modelSuspect = false }
+    // pending items — skipped when the clean-pair marker still matches
+    // (see reconcileModel); a throw anywhere below leaves the marker
+    // un-stamped, so the NEXT run reconciles
+    lastRunReconciled = docs.exists(d => !pairClean(d))
+    if (lastRunReconciled) reconcileModel()
     // lu-newer docs drop their stale contribution FIRST, so the
     // id-based left-anti re-surfaces them for this run's batch
-    val updated =
-      try docs.map(dropChanged).getOrElse(0L)
-      catch { case e: Throwable => modelSuspect = true; throw e }
+    val updated = docs.map(dropChanged).getOrElse(0L)
     // spread-checkpointed: the tokenize+hash kernel is CPU-dense per
     // doc and must not inherit a 2-split scan
     val batch = Builder.spreadCheckpoint(pendingItems())
     val examined = batch.count()
-    if (examined == 0) { batch.unpersist(); return BuildReport(0, updated = updated) }
+    if (examined == 0) {
+      batch.unpersist()
+      stampCleanPair() // the reconcile (if any) committed; record it
+      return BuildReport(0, updated = updated)
+    }
     try {
       val batchLu = batch.agg(max(col(source.lastUpdatedField)))
         .collect().head.get(0)
@@ -260,12 +295,13 @@ class QualityClfBuilder(
               lit(batchLu).alias(model.lastUpdatedField))
         }
       // contributions land FIRST (the source of truth the reconcile
-      // recomputes from), the model cache second; any tear marks the
-      // pair suspect and the next run repairs it
+      // recomputes from), the model cache second; the clean-pair
+      // marker is stamped ONLY after both committed — a tear anywhere
+      // leaves it stale and the next run repairs
       docs.foreach(d => d.update(contribOf(batch), Seq("id", "bucket")))
       model.update(next, Seq("bucket"))
+      stampCleanPair()
       BuildReport(examined, updated = updated)
-    } catch { case e: Throwable => modelSuspect = true; throw e
     } finally batch.unpersist()
   }
 

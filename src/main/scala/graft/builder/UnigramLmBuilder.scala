@@ -167,11 +167,42 @@ class UnigramLmBuilder(
     * are the source of truth and the vocab a per-token cache of their
     * sums: recompute and rewrite the rows that disagree. Cost
     * discipline: O(contributions), so it runs only when the pair is
-    * possibly torn — once at builder startup and after any run whose
-    * writes threw (the [[Bm25IndexBuilder]] reconcileStats
-    * discipline); the bare watermark mode has one write per run and
-    * never reconciles. */
-  private var vocabSuspect = true
+    * possibly TORN — decided by the CLEAN-PAIR MARKER (VERDICT r15 #2;
+    * the pre-r16 shape reconciled unconditionally at every builder
+    * startup, an O(corpus-lifetime contributions) pass per run that
+    * made the lifecycle rows read 31–58×): a fully committed [[run]]
+    * stamps both stores' content tokens into the vocab store's
+    * metadata ([[graft.store.Store.putMeta]] — a durable sidecar on a
+    * ParquetStore, the CurateBuilder `__dep` discipline), and the next
+    * run reconciles ONLY when the current tokens no longer match the
+    * stamp (previous process died mid-pair, a run threw between the
+    * two writes, or a third party wrote either store). Stores with no
+    * cheap token (`""`) never match — conservative always-reconcile.
+    * Lineage caveat (shared with the `__dep` fingerprint): tokens are
+    * per-store-lineage, so wiping and re-creating a store's root under
+    * an existing sidecar requires clearing the sidecar too. The bare
+    * watermark mode has one write per run and never reconciles. */
+  private val CleanPairKey = "graft.cleanpair"
+
+  private def pairToken(d: Store): String = {
+    val dt = d.contentToken; val vt = vocab.contentToken
+    if (dt.isEmpty || vt.isEmpty) "" else s"$dt|$vt"
+  }
+
+  private def pairClean(d: Store): Boolean = {
+    val t = pairToken(d)
+    t.nonEmpty && vocab.getMeta(CleanPairKey).contains(t)
+  }
+
+  private def stampCleanPair(): Unit =
+    docs.foreach { d =>
+      val t = pairToken(d)
+      if (t.nonEmpty) vocab.putMeta(CleanPairKey, t)
+    }
+
+  /** Whether the last [[run]] paid the startup reconcile — test
+    * observability for the clean-pair gating (no behavioral use). */
+  private[graft] var lastRunReconciled: Boolean = false
 
   private def reconcileVocab(): Unit = docs.foreach { d =>
     if (docsEmpty(d)) return
@@ -230,19 +261,23 @@ class UnigramLmBuilder(
           "does not exist; rebuild from scratch or run without `docs`")
     }
     // repair a possibly-torn vocab/contributions pair BEFORE computing
-    // pending items (see reconcileVocab)
-    if (vocabSuspect) { reconcileVocab(); vocabSuspect = false }
+    // pending items — skipped when the clean-pair marker still matches
+    // (see reconcileVocab); a throw anywhere below leaves the marker
+    // un-stamped, so the NEXT run reconciles
+    lastRunReconciled = docs.exists(d => !pairClean(d))
+    if (lastRunReconciled) reconcileVocab()
     // lu-newer docs drop their stale contribution FIRST, so the
-    // id-based left-anti re-surfaces them for this run's batch; a tear
-    // inside the drop marks the pair suspect
-    val updated =
-      try docs.map(dropChanged).getOrElse(0L)
-      catch { case e: Throwable => vocabSuspect = true; throw e }
+    // id-based left-anti re-surfaces them for this run's batch
+    val updated = docs.map(dropChanged).getOrElse(0L)
     // spread-checkpointed: the tokenize+count kernel is CPU-dense per
     // doc and must not inherit a 2-split scan (Builder.spreadCheckpoint)
     val batch = Builder.spreadCheckpoint(pendingItems())
     val examined = batch.count()
-    if (examined == 0) { batch.unpersist(); return BuildReport(0, updated = updated) }
+    if (examined == 0) {
+      batch.unpersist()
+      stampCleanPair() // the reconcile (if any) committed; record it
+      return BuildReport(0, updated = updated)
+    }
     try {
       // the new watermark = max lu of THIS batch (strictly monotone per
       // the newer_in filter); stamped on every touched token row, so
@@ -270,12 +305,13 @@ class UnigramLmBuilder(
               lit(batchLu).alias(vocab.lastUpdatedField))
         }
       // contributions land FIRST (they are the source of truth the
-      // reconcile recomputes from), the vocab cache second; any tear
-      // marks the pair suspect and the next run repairs it
+      // reconcile recomputes from), the vocab cache second; the
+      // clean-pair marker is stamped ONLY after both committed — a
+      // tear anywhere leaves it stale and the next run repairs
       docs.foreach(d => d.update(contribOf(batch), Seq("id", "tok")))
       vocab.update(next, Seq("tok"))
+      stampCleanPair()
       BuildReport(examined, updated = updated)
-    } catch { case e: Throwable => vocabSuspect = true; throw e
     } finally batch.unpersist()
   }
 }

@@ -61,10 +61,31 @@ object QualityClassifier {
 
   /** Hashed feature counts `(idCol, bucket, tf)` — tagged unigrams and
     * adjacent bigrams of [[TextAnalysis.normTokens]], hashed into
-    * `buckets` (plus the per-doc marker at bucket −1). */
+    * `buckets` (plus the per-doc marker at bucket −1).
+    *
+    * r16: the explode → per-tag md5 chain → `groupBy(id, bucket)`
+    * SHUFFLE is replaced by the [[graft.functions.ClfBucketTf]] kernel
+    * — tf counting happens inside the per-row loop, so this is now a
+    * shuffle-free projection (guide §2.4). Row set is identical
+    * (property-pinned against [[featuresComposable]]). */
   def features(df: DataFrame, idCol: String, textCol: String,
                buckets: Int = 1024, family: String = "md5",
                seed: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    df.select(col(idCol),
+        explode(graft.functions.GraftFunctions.clfBucketTf(spark,
+          TextAnalysis.normTokens(col(textCol)), buckets, family, seed))
+          .alias("__bt"))
+      .select(col(idCol), col("__bt").getField("bucket").alias("bucket"),
+        col("__bt").getField("tf").alias("tf"))
+  }
+
+  /** The pre-r16 composable spelling of [[features]] — kept as the
+    * executable specification the kernel is property-pinned against
+    * (the TokenizeRuns/normTokensRegex discipline). */
+  private[graft] def featuresComposable(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 1024, family: String = "md5",
+      seed: Int = 0): DataFrame = {
     val spark = df.sparkSession
     df.select(col(idCol),
         explode(taggedWithMarker(spark, col(textCol))).alias("__t"))
@@ -77,61 +98,115 @@ object QualityClassifier {
   /** Train per-bucket class counts from labeled docs:
     * `(bucket, c0, c1)` with bucket −1 carrying the per-class doc
     * counts. `labelCol` is 0 (reject) / 1 (keep). ONE corpus pass,
-    * `buckets + 1` output rows. */
+    * `buckets + 1` output rows.
+    *
+    * r16: rides [[graft.functions.ClfBucketTf]] — the explode emits one
+    * row per DISTINCT (doc, bucket) with its tf instead of one row per
+    * tag occurrence, and the per-tag md5 expression chain collapses
+    * into the kernel (guide §2.3: aggregate before you shuffle — the
+    * per-doc tf pre-count is the map-side reduction). Σ tf per
+    * (bucket, class) ≡ the per-occurrence count. */
   def train(df: DataFrame, textCol: String, labelCol: String,
             buckets: Int = 1024, family: String = "md5",
             seed: Int = 0): DataFrame = {
     val spark = df.sparkSession
     df.select(col(labelCol).cast("int").alias("__l"),
-        explode(taggedWithMarker(spark, col(textCol))).alias("__t"))
-      .select(col("__l"), bucketOf(col("__t"), buckets, family, seed).alias("bucket"))
+        explode(graft.functions.GraftFunctions.clfBucketTf(spark,
+          TextAnalysis.normTokens(col(textCol)), buckets, family, seed))
+          .alias("__bt"))
+      .select(col("__l"), col("__bt").getField("bucket").alias("bucket"),
+        col("__bt").getField("tf").alias("tf"))
       .groupBy(col("bucket"))
-      .agg(sum(when(col("__l") === 0, 1L).otherwise(0L)).alias("c0"),
-        sum(when(col("__l") === 1, 1L).otherwise(0L)).alias("c1"))
+      .agg(sum(when(col("__l") === 0, col("tf")).otherwise(0L)).alias("c0"),
+        sum(when(col("__l") === 1, col("tf")).otherwise(0L)).alias("c1"))
   }
+
+  /** Scoring constants folded driver-side from a bounded count model
+    * (≤ buckets+1 rows BY CONSTRUCTION — hashing bounds the model):
+    * the class prior and a DENSE per-bucket micro-fixed weight table
+    * with absent buckets pre-filled at the smoothed zero-count weight
+    * (the left-join coalesce of the pre-r16 broadcast plan). */
+  private[graft] final case class ClfModel(priorMicro: Long, weights: Array[Long])
+
+  /** ONE bounded collect of the model (the pre-r16 plan executed the
+    * model subplan twice: totals `.head()` + weight broadcast build).
+    *
+    * Float-spelling contract (oracle-critical): the per-bucket weight
+    * replicates Spark's `floor((log((c1+1.0)/t1) − log((c0+1.0)/t0)) ·
+    * 1e6 + 0.5)` — Spark's `log` evaluates via
+    * `java.lang.StrictMath.log` (both codegen and interpreted), so
+    * StrictMath is used here; prior/miss were always driver-side
+    * `math.log` and stay so. */
+  private[graft] def modelConsts(model: DataFrame, buckets: Int): ClfModel = {
+    // bounded by contract: ≤ buckets+1 rows (documented collect site)
+    val rows = model.select(col("bucket").cast("long"),
+      col("c0").cast("long"), col("c1").cast("long")).collect()
+    var t0 = 0L; var t1 = 0L; var n0 = 0L; var n1 = 0L
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      if (b >= 0) { t0 += r.getLong(1); t1 += r.getLong(2) }
+      else if (b == -1) { n0 += r.getLong(1); n1 += r.getLong(2) }
+    }
+    val tt0 = t0.toDouble + buckets
+    val tt1 = t1.toDouble + buckets
+    // oracle-shared spellings: ln((c+1.0)/(t+B)) per side, micro-fixed
+    val priorMicro = math.floor(
+      math.log((n1 + 1.0) / (n0 + 1.0)) * 1000000.0 + 0.5).toLong
+    val missMicro = math.floor(
+      (math.log(1.0 / tt1) - math.log(1.0 / tt0)) * 1000000.0 + 0.5).toLong
+    val w = Array.fill(buckets)(missMicro)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      if (b >= 0 && b < buckets)
+        w(b.toInt) = math.floor(
+          (java.lang.StrictMath.log((r.getLong(2) + 1.0) / tt1) -
+            java.lang.StrictMath.log((r.getLong(1) + 1.0) / tt0)) *
+            1000000.0 + 0.5).toLong
+    }
+    ClfModel(priorMicro, w)
+  }
+
+  /** The raw micro-fixed log-odds column (`Σ_tag weights[bucket]` +
+    * prior) — the [[graft.functions.ClfScoreMicro]] kernel; null text
+    * scores the bare prior (the explode-drops-null behavior of the
+    * pre-r16 plan, via the coalesce). */
+  private def scoreMicroCol(spark: org.apache.spark.sql.SparkSession,
+      textCol: Column, m: ClfModel, family: String, seed: Int): Column =
+    coalesce(graft.functions.GraftFunctions.clfScoreMicro(spark,
+      TextAnalysis.normTokens(textCol), m.weights, family, seed), lit(0L)) +
+      m.priorMicro
+
+  /** The 4-dp rounded `q_score` column against pre-collected constants
+    * — for inlining the classifier gate into a scan-side FILTER
+    * (guide §2.4: the [[graft.builder.CurateBuilder]] stage-3 semi-join
+    * becomes a plain predicate, deleting the double evaluation of the
+    * C4/Gopher subtree). */
+  private[graft] def qScoreCol(spark: org.apache.spark.sql.SparkSession,
+      textCol: Column, m: ClfModel, family: String, seed: Int): Column =
+    round(scoreMicroCol(spark, textCol, m, family, seed) / 1000000.0, 4)
 
   /** Score docs against a trained `(bucket, c0, c1)` model (a
     * DataFrame or a persisted model store's frame): output
     * `(idCol, q_score, pred)` with `q_score` the fixed-point log-odds
     * at 4 dp and `pred` 1 when the score is positive.
     *
-    * The model totals collect ONCE (bounded: one row); weights fold
-    * into the `buckets`-row broadcast slice; unseen buckets score the
-    * smoothed zero-count weight (true NB, via the left-join
-    * coalesce). */
+    * r16 shape (guide §2.4 — remove shuffles outright): the model
+    * collapses to driver constants in ONE bounded collect
+    * ([[modelConsts]]) and scoring is ONE map-side projection over the
+    * doc frame ([[graft.functions.ClfScoreMicro]]) — the pre-r16
+    * explode → (id, bucket) aggregate → broadcast join → (id)
+    * aggregate → join-back plan (2 exchanges + 2 broadcast builds +
+    * double model-subplan execution) is gone. Values are bit-identical:
+    * long sums reorder freely and the float spelling is replicated
+    * exactly ([[modelConsts]]). */
   def score(df: DataFrame, idCol: String, textCol: String,
             model: DataFrame, buckets: Int = 1024, family: String = "md5",
             seed: Int = 0): DataFrame = {
-    // totals: one bounded row — Σ counts over real buckets + the doc
-    // counts off the marker row
-    val t = model.agg(
-      sum(when(col("bucket") >= 0, col("c0"))).alias("t0"),
-      sum(when(col("bucket") >= 0, col("c1"))).alias("t1"),
-      sum(when(col("bucket") === -1, col("c0"))).alias("n0"),
-      sum(when(col("bucket") === -1, col("c1"))).alias("n1")).head()
-    val t0 = t.getLong(0).toDouble + buckets
-    val t1 = t.getLong(1).toDouble + buckets
-    // oracle-shared spellings: ln((c+1.0)/(t+B)) per side, micro-fixed
-    val priorMicro = math.floor(
-      math.log((t.getLong(3) + 1.0) / (t.getLong(2) + 1.0)) * 1000000.0 + 0.5).toLong
-    val missMicro = math.floor(
-      (math.log(1.0 / t1) - math.log(1.0 / t0)) * 1000000.0 + 0.5).toLong
-    val w = broadcast(model.filter(col("bucket") >= 0)
-      .select(col("bucket"),
-        floor((log((col("c1") + 1.0) / t1) - log((col("c0") + 1.0) / t0)) *
-          1000000.0 + 0.5).cast("long").alias("__wl")))
-    val scored = features(df, idCol, textCol, buckets, family, seed)
-      .filter(col("bucket") >= 0)
-      .join(w, Seq("bucket"), "left_outer")
-      .groupBy(col(idCol))
-      .agg(sum(col("tf") * coalesce(col("__wl"), lit(missMicro))).alias("__s"))
-    // zero-token docs still get scored (prior only): left join back
-    df.select(col(idCol))
-      .join(scored, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        round((coalesce(col("__s"), lit(0L)) + priorMicro) / 1000000.0, 4)
-          .alias("q_score"),
-        ((coalesce(col("__s"), lit(0L)) + priorMicro) > 0).cast("int")
-          .alias("pred"))
+    val spark = df.sparkSession
+    val mc = modelConsts(model, buckets)
+    val s = scoreMicroCol(spark, col(textCol), mc, family, seed)
+    df.select(col(idCol),
+      round(s / 1000000.0, 4).alias("q_score"),
+      (s > 0).cast("int").alias("pred"))
   }
 }

@@ -783,7 +783,14 @@ object GraftFunctions {
     "graft_pq_lut" -> (es => PqLut(es(0), es(1))),
     "graft_pq_adc" -> (es => PqAdc(es(0), es(1), es(2))),
     "graft_bpe_count" -> (es => BpeCount(es(0), es(1).eval().toString)),
-    "graft_bpe_encode" -> (es => BpeEncode(es(0), es(1).eval().toString)))
+    "graft_bpe_encode" -> (es => BpeEncode(es(0), es(1).eval().toString)),
+    "graft_clf_bucket_tf" -> (es => ClfBucketTf(es(0),
+      es(1).eval().asInstanceOf[Number].intValue(),
+      es(2).eval().asInstanceOf[Number].intValue(),
+      es(3).eval().toString)),
+    "graft_clf_score_micro" -> (es => ClfScoreMicro(es(0), es(1),
+      es(2).eval().asInstanceOf[Number].intValue(),
+      es(3).eval().toString)))
 
   // once-per-session guard: the builder set is immutable, so re-running
   // the create-or-replace loop on every Column-helper call only churns
@@ -997,6 +1004,27 @@ object GraftFunctions {
   def uniBigramTagged(spark: SparkSession, tokens: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("graft_uni_bigram_tagged", tokens)
+  }
+  /** Per-doc hashed classifier feature counts `(bucket, tf)` + the doc
+    * marker in one compiled loop — [[ClfBucketTf]]. */
+  def clfBucketTf(spark: SparkSession, tokens: Column, buckets: Int,
+                  family: String, seed: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_clf_bucket_tf",
+      tokens, org.apache.spark.sql.functions.lit(buckets),
+      org.apache.spark.sql.functions.lit(seed),
+      org.apache.spark.sql.functions.lit(family))
+  }
+  /** Micro-fixed feature-weight sum against a dense weight-table
+    * literal — [[ClfScoreMicro]] (the whole classifier score subplan as
+    * one projection). */
+  def clfScoreMicro(spark: SparkSession, tokens: Column,
+                    weights: Array[Long], family: String, seed: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_clf_score_micro",
+      tokens, org.apache.spark.sql.functions.typedlit(weights.toSeq),
+      org.apache.spark.sql.functions.lit(seed),
+      org.apache.spark.sql.functions.lit(family))
   }
 }
 

@@ -25,11 +25,18 @@ class MemoryStore(
   // frame belongs to the caller, who may have persisted it themselves
   private var ownsCurrent: Boolean = false
   private val generation = new java.util.concurrent.atomic.AtomicLong(0)
+  // lineage nonce: a bare generation counter restarts at small integers
+  // on every fresh instance, so a DURABLE consumer of the token (the
+  // CurateBuilder facts fingerprint, a clean-pair marker sidecar) could
+  // collide a restarted store's token with the one it stamped under
+  // different content (ADVICE r15). The per-instance nonce makes tokens
+  // unique per store lineage — exactly the lifetime of the contents.
+  private val nonce = java.util.UUID.randomUUID().toString.take(8)
 
   def df: DataFrame = current.getOrElse(spark.emptyDataFrame)
 
   override private[graft] def contentToken: String =
-    generation.get().toString
+    s"$nonce:${generation.get()}"
 
   def isEmpty: Boolean = current.isEmpty
 

@@ -86,6 +86,19 @@ class ParquetStore(
   // token (one small file read, no action)
   override private[graft] def contentToken: String = currentVersion.getOrElse("")
 
+  // builder markers persist as sidecar files next to `_current`
+  // (`_indexkeys` discipline): the marker must survive the process
+  // exactly as long as the data it describes does. One small file per
+  // key, driver-side only. LINEAGE caveat (shared with contentToken):
+  // wiping and re-creating the root restarts version ids, so reusing a
+  // root across unrelated datasets requires clearing sidecars too.
+  private def metaPath(k: String): Path =
+    Paths.get(root, "_meta_" + k.replaceAll("[^a-zA-Z0-9._-]", "_"))
+  override private[graft] def putMeta(k: String, v: String): Unit =
+    Files.writeString(metaPath(k), v)
+  override private[graft] def getMeta(k: String): Option[String] =
+    if (Files.exists(metaPath(k))) Some(Files.readString(metaPath(k))) else None
+
   def df: DataFrame = (dataPath, parsed) match {
     case (Some(p), Some((base, deltas))) if deltas.nonEmpty =>
       // merge-on-read: later generations win per key. The base NEVER

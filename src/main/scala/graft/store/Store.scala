@@ -34,6 +34,22 @@ trait Store {
     * `""` (token never changes — TTL alone governs). */
   private[graft] def contentToken: String = ""
 
+  // ---------------------------------------------------------------
+  // builder metadata (markers): small key→value strings builders
+  // persist ALONGSIDE the store — e.g. the clean-pair reconcile
+  // fingerprint the count-merging builders stamp after a fully
+  // committed run (UnigramLm/QualityClf/Bm25: skip the
+  // O(contributions) startup reconcile when the pair tokens still
+  // match). Durable stores override with a sidecar so the marker
+  // survives the process like the data does; the default is
+  // instance-local (matching the lifetime of an in-memory store's
+  // contents).
+  // ---------------------------------------------------------------
+  private[this] val metaMap =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def putMeta(k: String, v: String): Unit = metaMap.put(k, v)
+  private[graft] def getMeta(k: String): Option[String] = Option(metaMap.get(k))
+
   // -------------------------------------------------------------------
   // read surface (S1-S5, S9, S10)
   // -------------------------------------------------------------------

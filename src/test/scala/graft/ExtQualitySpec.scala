@@ -883,6 +883,90 @@ class ExtQualitySpec extends SparkSpec {
     assert(viaStore === rows.map(r => (r._1, r._2)).sorted.toSeq)
   }
 
+  test("clf kernels: ClfBucketTf/ClfScoreMicro match the composable md5/xxh64 spelling bit-for-bit") {
+    val s = spark; import s.implicits._
+    import graft.ext.QualityClassifier
+    // adversarial texts: null, empty, punct-only, single token, unicode,
+    // repeated tokens (tf > 1 per bucket), long doc — plus the corpus
+    val weird = Seq(
+      (9000001L, null.asInstanceOf[String], 0),
+      (9000002L, "", 1),
+      (9000003L, "!!! ... ???", 0),
+      (9000004L, "word", 1),
+      (9000005L, "héllo wörld ünïcode — naïve café 東京", 0),
+      (9000006L, "dup dup dup dup dup other dup dup", 1),
+      (9000007L, ("lorem ipsum " * 200).trim, 0)
+    ).toDF("doc_id", "text", "label")
+    val docs = sf("documents").select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 5 === 0,
+          lit(" spam suffix")).otherwise(lit(""))).alias("text"),
+        when(col("doc_id") % 5 === 0, lit(0)).otherwise(lit(1)).alias("label"))
+      .unionByName(weird)
+    for (family <- Seq("md5", "xxh64"); buckets <- Seq(64, 1024)) {
+      // features: exact row-set equality vs the explode+md5-chain+groupBy spec
+      val got = QualityClassifier.features(docs, "doc_id", "text",
+        buckets, family, seed = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val want = QualityClassifier.featuresComposable(docs, "doc_id", "text",
+        buckets, family, seed = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got === want, s"features diverged (family=$family buckets=$buckets)")
+      // train off the kernel == per-class sums of the composable features
+      val gotTrain = QualityClassifier.train(docs, "text", "label",
+        buckets, family, seed = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val wantTrain = QualityClassifier.featuresComposable(docs, "doc_id",
+          "text", buckets, family, seed = 3)
+        .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("label") === 0, col("tf")).otherwise(0L)).alias("c0"),
+          sum(when(col("label") === 1, col("tf")).otherwise(0L)).alias("c1"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(gotTrain === wantTrain, s"train diverged (family=$family buckets=$buckets)")
+    }
+    // score: the one-projection kernel plan replays the pre-r16
+    // broadcast-join spelling exactly (incl. StrictMath.log weights,
+    // prior-only nulls/zero-token docs, 4-dp rounding and pred)
+    val model = QualityClassifier.train(
+      docs.filter(col("doc_id") % 2 === 0), "text", "label")
+    val got = QualityClassifier.score(docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", model).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sorted.toSeq
+    val want = {
+      // the pre-r16 spelling, verbatim (Spark-side log/floor arithmetic)
+      val t = model.agg(
+        sum(when(col("bucket") >= 0, col("c0"))).alias("t0"),
+        sum(when(col("bucket") >= 0, col("c1"))).alias("t1"),
+        sum(when(col("bucket") === -1, col("c0"))).alias("n0"),
+        sum(when(col("bucket") === -1, col("c1"))).alias("n1")).head()
+      val t0 = t.getLong(0).toDouble + 1024
+      val t1 = t.getLong(1).toDouble + 1024
+      val priorMicro = math.floor(
+        math.log((t.getLong(3) + 1.0) / (t.getLong(2) + 1.0)) * 1000000.0 + 0.5).toLong
+      val missMicro = math.floor(
+        (math.log(1.0 / t1) - math.log(1.0 / t0)) * 1000000.0 + 0.5).toLong
+      val w = broadcast(model.filter(col("bucket") >= 0)
+        .select(col("bucket"),
+          floor((log((col("c1") + 1.0) / t1) - log((col("c0") + 1.0) / t0)) *
+            1000000.0 + 0.5).cast("long").alias("__wl")))
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      val scored = QualityClassifier.featuresComposable(odd, "doc_id", "text")
+        .filter(col("bucket") >= 0)
+        .join(w, Seq("bucket"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * coalesce(col("__wl"), lit(missMicro))).alias("__s"))
+      odd.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          round((coalesce(col("__s"), lit(0L)) + priorMicro) / 1000000.0, 4)
+            .alias("q_score"),
+          ((coalesce(col("__s"), lit(0L)) + priorMicro) > 0).cast("int")
+            .alias("pred"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sorted.toSeq
+    }
+    assert(got === want, "score diverged from the pre-r16 broadcast-join spelling")
+  }
+
   test("graft_topk bounded heap matches sort-based top-k with ties toward smaller id") {
     val s = spark; import s.implicits._
     val rows = (1L to 500L).map(i => (1L, i, ((i * 37) % 97).toDouble / 97.0)) ++

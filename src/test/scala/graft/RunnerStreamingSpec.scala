@@ -632,6 +632,67 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild from scratch"))
   }
 
+  test("clean-pair marker gates the startup reconcile: skipped on a cleanly-committed pair, re-armed by tampering or durable restarts") {
+    val s = spark; import s.implicits._
+    import graft.builder.{Bm25IndexBuilder, QualityClfBuilder, UnigramLmBuilder}
+    import graft.store.{MemoryStore, ParquetStore}
+    // --- UnigramLm over durable stores: marker survives "restarts"
+    // (fresh builder AND fresh store instances over the same roots) ---
+    val base = java.nio.file.Files.createTempDirectory("cleanpair").toString
+    val src = new MemoryStore(spark, "cpSrc", key = "doc_id", lastUpdatedField = "lu")
+    def vocab() = new ParquetStore(spark, s"$base/vocab", "tok", "last_updated", deltaWrites = true)
+    def contrib() = new ParquetStore(spark, s"$base/docs", "id", "lu", deltaWrites = true)
+    def ulm() = new UnigramLmBuilder(src, vocab(), "text", docs = Some(contrib()))
+    src.load(Seq((1L, "alpha beta alpha", 1L), (2L, "beta gamma", 1L))
+      .toDF("doc_id", "text", "lu"))
+    val b1 = ulm()
+    b1.run()
+    assert(b1.lastRunReconciled) // first ever run: no marker yet
+    val b2 = ulm() // fresh builder + fresh store instances (a "restart")
+    assert(b2.run().processed === 0)
+    assert(!b2.lastRunReconciled, "cleanly-committed pair must skip the reconcile")
+    // lu-update run: both stores mutate, marker re-stamps, next run skips
+    src.update(Seq((1L, "beta delta", 2L)).toDF("doc_id", "text", "lu"))
+    val b3 = ulm()
+    assert(b3.run().updated === 1)
+    assert(!b3.lastRunReconciled)
+    val b4 = ulm()
+    assert(b4.run().processed === 0 && !b4.lastRunReconciled)
+    // tampering with either store (here: the vocab cache loses a row —
+    // the torn-pair window) flips its content token and re-arms the
+    // reconcile, which repairs from the contributions store
+    vocab().removeKeys(Seq(Tuple1("beta")).toDF("tok"))
+    val b5 = ulm()
+    assert(b5.run().processed === 0)
+    assert(b5.lastRunReconciled, "a tampered pair must reconcile")
+    assert(vocab().df.filter(col("tok") === "beta").count() === 1)
+    val b6 = ulm()
+    assert(b6.run().processed === 0 && !b6.lastRunReconciled) // repaired + re-stamped
+    // --- QualityClf: same discipline, memory stores ---
+    val qSrc = new MemoryStore(spark, "cpQSrc", key = "doc_id", lastUpdatedField = "lu")
+    val qModel = new MemoryStore(spark, "cpQMod", key = "bucket", lastUpdatedField = "last_updated")
+    val qDocs = new MemoryStore(spark, "cpQDoc", key = "id", lastUpdatedField = "lu")
+    def qclf() = new QualityClfBuilder(qSrc, qModel, "text", "label", docs = Some(qDocs))
+    qSrc.load(Seq((1L, "win money now", 0, 1L), (2L, "nice science text", 1, 1L))
+      .toDF("doc_id", "text", "label", "lu"))
+    val q1 = qclf(); q1.run(); assert(q1.lastRunReconciled)
+    val q2 = qclf(); assert(q2.run().processed === 0 && !q2.lastRunReconciled)
+    qModel.removeDocs("""{"bucket": {"$gte": 0}}""")
+    val q3 = qclf(); assert(q3.run().processed === 0)
+    assert(q3.lastRunReconciled && qModel.df.filter(col("bucket") >= 0).count() > 0)
+    // --- Bm25: stats recount gated the same way ---
+    val bSrc = new MemoryStore(spark, "cpBSrc", key = "doc_id", lastUpdatedField = "doc_id")
+    def bIdx() = new ParquetStore(spark, s"$base/idx", "id", "term", deltaWrites = true)
+    def bSt() = new ParquetStore(spark, s"$base/st", "sid", "sid")
+    bSrc.load(Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"))
+    def bm() = new Bm25IndexBuilder(bSrc, bIdx(), bSt(), "text")
+    val m1 = bm(); m1.run(); assert(m1.lastRunReconciled)
+    val m2 = bm(); assert(m2.run().processed === 0 && !m2.lastRunReconciled)
+    bSt().update(Seq(("bm25", 1L, 1L)).toDF("sid", "n_docs", "sum_dl"), Seq("sid"))
+    val m3 = bm(); assert(m3.run().processed === 0 && m3.lastRunReconciled)
+    val m4 = bm(); assert(m4.run().processed === 0 && !m4.lastRunReconciled)
+  }
+
   test("DedupBuilder incremental SIMHASH: one-long signature index, batch-only repeat work") {
     val s = spark; import s.implicits._
     import graft.builder.DedupBuilder
