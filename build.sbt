@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench↔driver stdout contract: the forked JVM's stdout must pass through
+// UNPREFIXED (sbt's default LoggedOutput wraps every line in "[info] ",
+// which made the bench's one-line JSON unparseable to the driver in rounds
+// 1-16 — every BENCH_r*.json has parsed:null), and nothing may follow it
+// (the "[success] Total time ..." banner otherwise becomes the last line).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task — the
+// unused-key lint is a false positive (the [success] banner does go away)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -291,7 +291,6 @@ object Bench {
           ds.map(d => f"$d%.3f").mkString("[", ",", "]") + "}"
       }.mkString("{", ",", "}")
     val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${fmt(results)},"md5_family_sec":${fmt(md5Results)}$oracleField$recallField$ngramField$skewField$failedField$redoField,"sf":"$sfDir"}"""
-    println(fullLine)
     // full artifact on disk too — the driver archives only a ~2 KB tail of
     // stdout, which truncated the round-5 line into an unparseable header.
     // FULL runs only: a SPARK_GRAFT_ONLY iteration run would clobber the
@@ -300,11 +299,11 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(
         sys.props.getOrElse("user.dir", "."), "BENCH_FULL.json"), fullLine + "\n")
     }
-    // LAST line: a self-contained compact summary sized to survive the
-    // tail capture — aggregate engine/oracle/ratio plus the per-query
-    // [engine, oracle, ratio] triples for the most expensive queries
-    // (greedy by max(engine, oracle) until the size budget); the omitted
-    // small-query remainder is aggregated, never silently dropped.
+    // Compact summary FIRST (human tail-readability): aggregate
+    // engine/oracle/ratio plus the per-query [engine, oracle, ratio]
+    // triples for the most expensive queries (greedy by max(engine,
+    // oracle) until the size budget); the omitted small-query remainder
+    // is aggregated, never silently dropped.
     // ratio covers the MATCHED set only: engine queries without an
     // oracle value (missing SQL, null timing) are excluded from BOTH
     // sides — summing them into the numerator alone would inflate the
@@ -331,6 +330,13 @@ object Bench {
     val omittedEngine = omitted.map(_._2).sum
     val omittedOracle = omitted.flatMap { case (n, _) => oracleSec.get(n) }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","engine_sec":$engineMatched%.3f,"oracle_sec":$oracleTotal%.3f,"ratio":$ratio%.3f$failedField,"per_query_eng_orc_ratio":${entries.mkString("{", ",", "}")},"omitted":{"n":${omitted.length},"engine_sec":$omittedEngine%.2f,"oracle_sec":$omittedOracle%.2f},"full":"BENCH_FULL.json"}""")
+    // The contract line — {"metric","value","unit","queries",...,"sf"} —
+    // goes LAST and byte-identical to BENCH_FULL.json: the driver parses
+    // the final stdout line (bare, per build.sbt's StdoutOutput +
+    // showSuccess:=false; "[info] "-prefixed output was unparseable in
+    // rounds 1-16).
+    println(fullLine)
+    System.out.flush()
     spark.stop()
     // exit non-zero on any query failure AFTER both JSON lines are out —
     // rc:0 with 11 failures (round 8) read as success to the driver
