@@ -274,13 +274,28 @@ object Bench {
     // 10%-hot hash ships O(map tasks) rows, so max/median stays O(1); a
     // regression to a windowed shape would explode the ratio (scale-free).
     // Untimed, outside the totals, like the ngram counters.
+    // r17 (VERDICT r16 #5): the gate now covers the three verdict-named
+    // exchanges — curate dedup-hash (the original fixture), the minhash
+    // band-bucket exchange, the BM25 df aggregation — each stamped as
+    // (tasks, max, median, ratio) with a WARN flag at the guide-§2.5
+    // max/median ≥ 5 line. The original skew_counters field (the
+    // curate_dedup_hash entry) is kept byte-compatible.
+    val skewExchanges: Seq[(String, (Int, Long, Long))] =
+      if (only.nonEmpty) Nil
+      else scala.util.Try(SparkEntry.skewGateExchanges(spark, sfDir))
+        .getOrElse(Nil)
     val skewCounters: Option[(Int, Long, Long)] =
-      if (only.nonEmpty) None
-      else scala.util.Try(SparkEntry.skewGateCounters(spark, sfDir)).toOption
+      skewExchanges.collectFirst { case ("curate_dedup_hash", v) => v }
     val skewField = skewCounters.map { case (n, mx, md) =>
       val ratio = if (md > 0) mx.toDouble / md else -1.0
       f""","skew_counters":{"reduce_tasks":$n,"max_task_rows":$mx,"median_task_rows":$md,"ratio":$ratio%.2f}"""
-    }.getOrElse("")
+    }.getOrElse("") + (
+      if (skewExchanges.isEmpty) ""
+      else ","+"\"skew_exchanges\":" + skewExchanges.map { case (nm, (n, mx, md)) =>
+        val ratio = if (md > 0) mx.toDouble / md else -1.0
+        val warn = md > 0 && ratio >= 5.0
+        f""""$nm":{"reduce_tasks":$n,"max_task_rows":$mx,"median_task_rows":$md,"ratio":$ratio%.2f,"warn":$warn}"""
+      }.mkString("{", ",", "}"))
     val failedField =
       if (failed.isEmpty) ""
       else ","+"\"failed\":" + failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

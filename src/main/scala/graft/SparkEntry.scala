@@ -225,7 +225,30 @@ object SparkEntry {
     * ONE task and the ratio explodes (scale-free: ~corpus·0.1 vs
     * corpus·0.9/parallelism at any SF). */
   private[graft] def skewGateCounters(spark: SparkSession,
-                                      dir: String): (Int, Long, Long) = {
+                                      dir: String): (Int, Long, Long) =
+    measureReduceSkew(spark, skewDedupPlan(spark, dir))
+
+  /** The counted skew gate EXTENDED to the other shuffle-heavy
+    * exchanges (VERDICT r15 #7 / r16 #5): per-exchange
+    * (tasks, max, median) of the heaviest reduce stage of each named
+    * plan, stamped in every bench artifact alongside the original
+    * curate-stage-4 gate. The three shapes the verdicts name:
+    *  - `curate_dedup_hash`: [[skewDedupPlan]] — the CurateBuilder
+    *    stage-4 `groupBy(content-hash)` under the 10 %-hot-key corpus
+    *    (identical fixture to the original gate);
+    *  - `minhash_band_join`: the declared `dedup_minhash_lsh` plan —
+    *    heaviest stage = the LSH (band, band-hash) bucket exchange;
+    *  - `bm25_df_agg`: the declared `text_bm25_topk` plan — heaviest
+    *    stage = the postings term aggregation feeding idf. */
+  private[graft] def skewGateExchanges(spark: SparkSession,
+      dir: String): Seq[(String, (Int, Long, Long))] = Seq(
+    "curate_dedup_hash" -> skewDedupPlan(spark, dir),
+    "minhash_band_join" -> queries("dedup_minhash_lsh")(spark, dir),
+    "bm25_df_agg" -> queries("text_bm25_topk")(spark, dir)
+  ).map { case (n, plan) => n -> measureReduceSkew(spark, plan) }
+
+  private def measureReduceSkew(spark: SparkSession,
+                                plan: DataFrame): (Int, Long, Long) = {
     val recs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
@@ -248,7 +271,7 @@ object SparkEntry {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     spark.sparkContext.addSparkListener(listener)
     try {
-      skewDedupPlan(spark, dir).write.mode("overwrite").format("noop").save()
+      plan.write.mode("overwrite").format("noop").save()
       // listener events post asynchronously (the bus drain API is
       // private[spark]): poll until the count is stable for 200 ms
       var last = -1

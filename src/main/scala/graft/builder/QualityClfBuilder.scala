@@ -94,9 +94,10 @@ class QualityClfBuilder(
 
   /** Docs pending this run. With a contributions store: unseen (id
     * left-anti) ∪ lu-newer — the full reference `newer_in` estimate;
-    * [[run]] realizes the same set by dropping stale contributions
-    * before the left-anti. Without one: docs newer than the model
-    * watermark (all on the first run). */
+    * [[run]] consumes the same set through [[pendingWith]] (the
+    * lu-newer side reused from the materialized changed-id frame).
+    * Without one: docs newer than the model watermark (all on the
+    * first run). */
   def pendingItems(): DataFrame = docs match {
     case Some(d) if !docsEmpty(d) =>
       val base = scoped.join(d.df.select(col("id").alias(source.key)),
@@ -122,43 +123,44 @@ class QualityClfBuilder(
       .agg(sum(when(col("lbl") === 0, col("tf").cast("long")).otherwise(0L)).alias("c0"),
         sum(when(col("lbl") === 1, col("tf").cast("long")).otherwise(0L)).alias("c1"))
 
-  /** Drop the model contribution (and stored rows) of docs whose
-    * source lu is newer than the lu they were absorbed with — the
-    * update half of the reference delta contract. The changed docs
-    * re-enter through [[pendingItems]]'s left-anti in the same run.
-    * Returns the number of docs dropped. */
-  private def dropChanged(d: Store): Long = {
-    if (docsEmpty(d) || !d.df.columns.contains("lu") ||
-        !scoped.columns.contains(source.lastUpdatedField)) return 0L
-    val changed = d.df.groupBy(col("id")).agg(max(col("lu")).alias("__ilu"))
+  /** Ids of docs whose source lu is newer than the lu their
+    * contribution was absorbed with — the update half of the reference
+    * delta contract. r17 (VERDICT r16 #3): ids ONLY; the class-sum
+    * subtraction and the contribution-row removal are DEFERRED into
+    * [[run]]'s two store writes exactly as in [[UnigramLmBuilder
+    * .changedIds]] (one version rewrite per store instead of an
+    * update+removeKeys pair each), and [[pendingWith]]'s semi-join
+    * re-surfaces these docs as this run's batch. */
+  private def changedIds(d: Store, dEmpty: Boolean): Option[DataFrame] = {
+    if (dEmpty || !d.df.columns.contains("lu") ||
+        !scoped.columns.contains(source.lastUpdatedField)) return None
+    Some(d.df.groupBy(col("id")).agg(max(col("lu")).alias("__ilu"))
       .join(scoped.select(col(source.key).alias("id"),
         col(source.lastUpdatedField).alias("__slu")), Seq("id"))
       .filter(col("__slu") > col("__ilu"))
       .select(col("id"))
-      .materializeEager() // three actions (count, subtract, removeKeys)
-    try {
-      val n = changed.count()
-      if (n > 0) {
-        val sub = classSums(d.df.join(changed, Seq("id"), "left_semi"))
-          .withColumnRenamed("c0", "__s0").withColumnRenamed("c1", "__s1")
-        val merged = model.df
-          .select(col("bucket"), col("c0").cast("long").alias("__c0"),
-            col("c1").cast("long").alias("__c1"), col(model.lastUpdatedField))
-          .join(sub, Seq("bucket"))
-          .select(col("bucket"), (col("__c0") - col("__s0")).alias("c0"),
-            (col("__c1") - col("__s1")).alias("c1"), col(model.lastUpdatedField))
-          .materializeEager() // two consumers on one decremented slice
-        try {
-          model.update(merged.filter(col("c0") > 0 || col("c1") > 0),
-            Seq("bucket"))
-          val gone = merged.filter(col("c0") <= 0 && col("c1") <= 0)
-            .select(col("bucket"))
-          if (!gone.isEmpty) model.removeKeys(gone)
-        } finally merged.unpersist()
-        d.removeKeys(changed)
+      .materializeEager())
+  }
+
+  /** [[pendingItems]] with the lu-newer subplan replaced by a semi-join
+    * against the already-materialized changed-id frame (row set
+    * identical by construction — same join, same filter; the
+    * [[UnigramLmBuilder.pendingWith]] shape). */
+  private def pendingWith(dEmpty: Option[Boolean],
+                          changed: Option[DataFrame]): DataFrame = docs match {
+    case Some(d) if !dEmpty.getOrElse(true) =>
+      val base = scoped.join(d.df.select(col("id").alias(source.key)),
+        Seq(source.key), "left_anti")
+      changed match {
+        case Some(ch) => base.unionByName(scoped.join(
+          ch.select(col("id").alias(source.key)), Seq(source.key), "left_semi"))
+        case None => base
       }
-      n
-    } finally changed.unpersist()
+    case Some(_) => scoped
+    case None => watermark match {
+      case Some(wm) => scoped.filter(col(source.lastUpdatedField) > lit(wm))
+      case None     => scoped
+    }
   }
 
   /** The model and the contributions store cannot be written
@@ -247,63 +249,131 @@ class QualityClfBuilder(
   }
 
   def run(): BuildReport = {
+    // store-emptiness probes are limit-1 jobs on a durable store — run
+    // each ONCE per build (lifecycle-row driver-job floor, VERDICT r16 #3)
+    val dEmpty: Option[Boolean] = docs.map(docsEmpty)
+    val mEmpty0 = modelEmpty
     // a contributions store attached to an already-populated model has
     // no per-doc history to subtract from — refuse instead of silently
     // double-counting every doc
-    docs.foreach { d =>
-      if (docsEmpty(d) && !modelEmpty) throw new IllegalArgumentException(
-        "QualityClfBuilder: `docs` contributions store is empty but the " +
-          "model is populated — the per-doc history needed for updates " +
-          "does not exist; rebuild from scratch or run without `docs`")
-    }
+    if (dEmpty.contains(true) && !mEmpty0) throw new IllegalArgumentException(
+      "QualityClfBuilder: `docs` contributions store is empty but the " +
+        "model is populated — the per-doc history needed for updates " +
+        "does not exist; rebuild from scratch or run without `docs`")
     // repair a possibly-torn model/contributions pair BEFORE computing
     // pending items — skipped when the clean-pair marker still matches
     // (see reconcileModel); a throw anywhere below leaves the marker
     // un-stamped, so the NEXT run reconciles
     lastRunReconciled = docs.exists(d => !pairClean(d))
     if (lastRunReconciled) reconcileModel()
-    // lu-newer docs drop their stale contribution FIRST, so the
-    // id-based left-anti re-surfaces them for this run's batch
-    val updated = docs.map(dropChanged).getOrElse(0L)
-    // spread-checkpointed: the tokenize+hash kernel is CPU-dense per
-    // doc and must not inherit a 2-split scan
-    val batch = Builder.spreadCheckpoint(pendingItems())
-    val examined = batch.count()
-    if (examined == 0) {
-      batch.unpersist()
-      stampCleanPair() // the reconcile (if any) committed; record it
-      return BuildReport(0, updated = updated)
-    }
+    // the reconcile can populate an empty model from the contributions —
+    // re-probe only on that (rare) path
+    val mEmpty = if (lastRunReconciled) modelEmpty else mEmpty0
+    // lu-newer docs: ids resolved up front, the class-sum subtraction
+    // and the stale-row drop DEFERRED into this run's two store writes
+    // (see changedIds) — pendingWith's semi-join re-surfaces them
+    val changed: Option[DataFrame] =
+      docs.flatMap(d => changedIds(d, dEmpty.contains(true)))
+    val updated = changed.map(_.count()).getOrElse(0L)
+    val subSlice = changed.filter(_ => updated > 0)
     try {
-      val batchLu = batch.agg(max(col(source.lastUpdatedField)))
-        .collect().head.get(0)
-      val counts = graft.ext.QualityClassifier.train(batch, textField,
-        labelField, buckets, family, seed)
-        .withColumnRenamed("c0", "__b0").withColumnRenamed("c1", "__b1")
-      val next =
-        if (modelEmpty)
-          counts.select(col("bucket"), col("__b0").alias("c0"),
-            col("__b1").alias("c1"), lit(batchLu).alias(model.lastUpdatedField))
-        else {
-          val existing = model.df.select(col("bucket"),
-            col("c0").cast("long").alias("__o0"),
-            col("c1").cast("long").alias("__o1"))
-          counts.join(existing, Seq("bucket"), "left_outer")
-            .select(col("bucket"),
-              (col("__b0") + coalesce(col("__o0"), lit(0L))).alias("c0"),
-              (col("__b1") + coalesce(col("__o1"), lit(0L))).alias("c1"),
-              lit(batchLu).alias(model.lastUpdatedField))
+      // spread-checkpointed: the tokenize+hash kernel is CPU-dense per
+      // doc and must not inherit a 2-split scan
+      val batch = Builder.spreadCheckpoint(pendingWith(dEmpty, subSlice))
+      try {
+        // ONE header agg: batch size + new watermark
+        val luExpr =
+          if (batch.columns.contains(source.lastUpdatedField))
+            max(col(source.lastUpdatedField))
+          else max(lit(null).cast("long"))
+        val hdr = batch.agg(count(lit(1)).alias("__n"),
+          luExpr.alias("__lu")).head()
+        val examined = hdr.getLong(0)
+        if (examined == 0) {
+          stampCleanPair() // the reconcile (if any) committed; record it
+          return BuildReport(0, updated = updated)
         }
-      // contributions land FIRST (the source of truth the reconcile
-      // recomputes from), the model cache second; the clean-pair
-      // marker is stamped ONLY after both committed — a tear anywhere
-      // leaves it stale and the next run repairs
-      docs.foreach(d => d.update(contribOf(batch), Seq("id", "bucket")))
-      model.update(next, Seq("bucket"))
-      stampCleanPair()
-      BuildReport(examined, updated = updated)
-    } finally batch.unpersist()
+        val batchLu = hdr.get(1)
+        // typed null when the batch carries no lu (matches contribOf's
+        // long-typed null; a bare lit(null) is NullType and unwritable)
+        val luCol = if (batchLu == null) lit(null).cast("long") else lit(batchLu)
+        val counts = graft.ext.QualityClassifier.train(batch, textField,
+          labelField, buckets, family, seed)
+          .withColumnRenamed("c0", "__b0").withColumnRenamed("c1", "__b1")
+        val next =
+          if (mEmpty)
+            counts.select(col("bucket"), col("__b0").alias("c0"),
+              col("__b1").alias("c1"), luCol.alias(model.lastUpdatedField))
+          else subSlice match {
+            case None =>
+              val existing = model.df.select(col("bucket"),
+                col("c0").cast("long").alias("__o0"),
+                col("c1").cast("long").alias("__o1"))
+              counts.join(existing, Seq("bucket"), "left_outer")
+                .select(col("bucket"),
+                  (col("__b0") + coalesce(col("__o0"), lit(0L))).alias("c0"),
+                  (col("__b1") + coalesce(col("__o1"), lit(0L))).alias("c1"),
+                  luCol.alias(model.lastUpdatedField))
+            case Some(ch) =>
+              // the changed docs' OLD class sums ride the SAME
+              // bucket-keyed merge as the batch adds (deferred negative
+              // side: c = batch + persisted − dropped, equal to the r16
+              // subtract-then-add by associativity and sub ≤ persisted
+              // under the pair invariant); decrement-only buckets keep
+              // their stored lu, exactly as the r16 decrement wrote them
+              val sub = classSums(d_dfOf(ch))
+                .withColumnRenamed("c0", "__s0").withColumnRenamed("c1", "__s1")
+              val existing = model.df.select(col("bucket"),
+                col("c0").cast("long").alias("__o0"),
+                col("c1").cast("long").alias("__o1"),
+                col(model.lastUpdatedField).alias("__mlu"))
+              counts.join(sub, Seq("bucket"), "full_outer")
+                .join(existing, Seq("bucket"), "left_outer")
+                .select(col("bucket"),
+                  (coalesce(col("__b0"), lit(0L)) +
+                    coalesce(col("__o0"), lit(0L)) -
+                    coalesce(col("__s0"), lit(0L))).alias("c0"),
+                  (coalesce(col("__b1"), lit(0L)) +
+                    coalesce(col("__o1"), lit(0L)) -
+                    coalesce(col("__s1"), lit(0L))).alias("c1"),
+                  when(col("__b0").isNotNull, luCol)
+                    .otherwise(col("__mlu")).alias(model.lastUpdatedField))
+          }
+        // contributions land FIRST (the source of truth the reconcile
+        // recomputes from), the model cache second; the clean-pair
+        // marker is stamped ONLY after both committed — a tear anywhere
+        // leaves it stale and the next run repairs
+        subSlice match {
+          case None =>
+            docs.foreach(d => d.update(contribOf(batch), Seq("id", "bucket")))
+            model.update(next, Seq("bucket"))
+          case Some(ch) =>
+            val merged = next.materializeEager() // ups/gone/isEmpty, one slice
+            try {
+              val ups = merged.filter(col("c0") > 0 || col("c1") > 0)
+              val gone = merged.filter(col("c0") <= 0 && col("c1") <= 0)
+                .select(col("bucket"))
+              // stale contribution rows leave in the SAME committed write
+              // that absorbs the batch — ONE version rewrite where the
+              // r16 shape paid removeKeys + a full compound-key upsert
+              docs.foreach(d =>
+                d.updateRemoveKeys(contribOf(batch), ch, Seq("id", "bucket")))
+              // buckets zeroed on BOTH classes leave the model in the
+              // same write (from-scratch convergence)
+              if (gone.isEmpty) model.update(ups, Seq("bucket"))
+              else model.updateRemoveKeys(ups, gone, Seq("bucket"))
+            } finally merged.unpersist()
+        }
+        stampCleanPair()
+        BuildReport(examined, updated = updated)
+      } finally batch.unpersist()
+    } finally changed.foreach(_.unpersist())
   }
+
+  /** The changed docs' contribution slice — the negative side of the
+    * deferred merge (see [[changedIds]]). */
+  private def d_dfOf(ch: DataFrame): DataFrame =
+    docs.get.df.join(ch, Seq("id"), "left_semi")
 
   /** Score docs against the PERSISTED counts. */
   def score(df: DataFrame, idCol: String, textCol: String): DataFrame =

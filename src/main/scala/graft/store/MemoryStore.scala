@@ -68,6 +68,20 @@ class MemoryStore(
       Seq(key), "left_anti").localCheckpoint(true))
   }
 
+  /** Fused remove+upsert as ONE checkpointed plan (see
+    * [[Store.updateRemoveKeys]]) — one materialization pass instead of
+    * two over the whole store. */
+  override def updateRemoveKeys(docs: DataFrame, removals: DataFrame,
+                                keyFields: Seq[String] = Seq(key)): Unit =
+    current match {
+      case None => update(docs, keyFields)
+      case Some(t) =>
+        val cleaned = t.join(
+          removals.select(col(removals.columns.head).alias(key)),
+          Seq(key), "left_anti")
+        replace(Store.upsertPlan(cleaned, docs, keyFields).localCheckpoint(true))
+    }
+
   /** Swap in the freshly-checkpointed contents and free the replaced
     * snapshot's blocks — a long foreachBatch loop of update() calls must
     * hold ONE generation of blocks, not every generation until GC. Like

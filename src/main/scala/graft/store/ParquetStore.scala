@@ -366,4 +366,22 @@ class ParquetStore(
     if (!isEmpty)
       writeVersion(df.join(keys.select(col(keys.columns.head).alias(key)), Seq(key), "left_anti"))
   }
+
+  /** Fused remove+upsert in ONE version write (see [[Store
+    * .updateRemoveKeys]]): the anti-join that drops `removals` and the
+    * key upsert of `docs` compose into a single plan feeding one
+    * [[writeVersion]] — the lu-update builder rows previously paid a
+    * full removeKeys rewrite AND a full compound-key upsert rewrite per
+    * run (VERDICT r16 #3). */
+  override def updateRemoveKeys(docs: DataFrame, removals: DataFrame,
+                                keyFields: Seq[String] = Seq(key)): Unit =
+    writeLock.synchronized {
+      if (isEmpty) update(docs, keyFields)
+      else {
+        val cleaned = df.join(
+          removals.select(col(removals.columns.head).alias(key)),
+          Seq(key), "left_anti")
+        writeVersion(Store.upsertPlan(cleaned, docs, keyFields))
+      }
+    }
 }

@@ -71,6 +71,25 @@ object PlanDump {
     dump("text_unigram_logprob",
       graft.SparkEntry.queries("text_unigram_logprob")(spark, dir))
 
+    // BM25 serve leg (r17 target): the topK plan over a 2-run lifecycle
+    // index — the stream_bm25_topk / text_bm25_incr serving shape
+    locally {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val b2 = Files.createTempDirectory("graft_plandump_bm").toString
+      val src = new graft.store.MemoryStore(spark, "plandump_bmsrc", "doc_id", "doc_id")
+      val idx = new graft.store.ParquetStore(spark, s"$b2/idx", "id", "term",
+        deltaWrites = true)
+      val st = new graft.store.ParquetStore(spark, s"$b2/st", "sid", "sid")
+      def mk() = new graft.builder.Bm25IndexBuilder(src, idx, st, "text")
+      src.load(docs.filter(col("doc_id") % 2 === 0))
+      mk().run()
+      src.load(docs)
+      mk().run()
+      dump("bm25_serve", mk().topK(
+        docs.filter(col("doc_id") % 89 === 0 && col("doc_id") < 1000000L), k = 8))
+    }
+
     spark.stop()
   }
 }

@@ -536,6 +536,54 @@ class RunnerStreamingSpec extends SparkSpec {
     assert(oov.getLong(1) === 2L && oov.getLong(2) === 2L && oov.isNullAt(3))
   }
 
+  test("incremental vocab delta layout compacts: version dirs bounded across N runs (VERDICT r15 #8)") {
+    val s = spark; import s.implicits._
+    import graft.builder.UnigramLmBuilder
+    import graft.store.{MemoryStore, ParquetStore}
+    val base = java.nio.file.Files.createTempDirectory("graft-compactpin").toString
+    val src = new MemoryStore(spark, "cpaSrc", key = "doc_id", lastUpdatedField = "lu")
+    val vocab = new ParquetStore(spark, s"$base/vocab", "tok", "last_updated",
+      deltaWrites = true, compactAfter = 3)
+    val contrib = new ParquetStore(spark, s"$base/docs", "id", "lu",
+      deltaWrites = true)
+    def builder() = new UnigramLmBuilder(src, vocab, "text", docs = Some(contrib))
+    def vdirs() = new java.io.File(s"$base/vocab").listFiles
+      .map(_.getName).count(_.startsWith("v_"))
+    // 8 insert-only incremental runs: each vocab write is an O(batch)
+    // DELTA append, so without compaction the version-dir count (and
+    // the merge-on-read width) would grow linearly with run count —
+    // compactAfter=3 must fold the manifest along the way
+    var maxDirs = 0
+    var manifestDeltas = 0
+    for (i <- 1 to 8) {
+      src.update(Seq((100L + i, s"tok$i alpha common", i.toLong))
+        .toDF("doc_id", "text", "lu"))
+      assert(builder().run().processed === 1)
+      maxDirs = math.max(maxDirs, vdirs())
+      manifestDeltas = math.max(manifestDeltas,
+        vocab.contentToken.split(";", 2) match {
+          case Array(_, d) => d.split(",").length
+          case _           => 0
+        })
+    }
+    // live version dirs stay bounded by compactAfter (+ the kept
+    // previous generation and its deltas) — never O(runs)
+    assert(maxDirs <= 8, s"vocab version dirs grew with run count: $maxDirs")
+    assert(manifestDeltas <= 3,
+      s"manifest accumulated $manifestDeltas deltas past compactAfter=3")
+    assert(vocab.contentToken.split(";", 2)(0).drop(2).toLong >= 2,
+      "compaction never fired (base version never advanced)")
+    // and the compacted store still answers the from-scratch counts
+    val expected = src.df.select(explode(
+        graft.functions.GraftFunctions.termCounts(spark,
+          graft.ext.TextAnalysis.normTokens(col("text")))).alias("tc"))
+      .groupBy(col("tc.term")).agg(sum(col("tc.cnt")).alias("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = vocab.df.select(col("tok"), col("c").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("UnigramLmBuilder lu-update: contributions store un-counts re-written docs, reconcile repairs a torn pair") {
     val s = spark; import s.implicits._
     import graft.builder.UnigramLmBuilder

@@ -148,6 +148,47 @@ class StoreSpec extends SparkSpec {
     assert(st2.count() === 1)
   }
 
+  test("updateRemoveKeys: fused remove+upsert == the two-call sequence, ONE version flip") {
+    val s = spark; import s.implicits._
+    // ParquetStore, compound-key upsert (the lu-update builder shape):
+    // remove doc 1's rows and upsert a batch re-stating doc 1 + adding
+    // doc 3 — compare against the sequential reference contents
+    def seed(st: ParquetStore): Unit =
+      st.update(Seq((1L, "a", 2L), (1L, "b", 1L), (2L, "a", 5L))
+        .toDF("id", "tok", "cnt"), Seq("id", "tok"))
+    val batch = Seq((1L, "c", 7L), (3L, "a", 9L)).toDF("id", "tok", "cnt")
+    val removals = Seq(1L).toDF("id")
+    val d1 = java.nio.file.Files.createTempDirectory("graft-urk1").toString
+    val fused = new ParquetStore(spark, d1, key = "id", lastUpdatedField = "cnt")
+    seed(fused)
+    val vBefore = fused.contentToken
+    fused.updateRemoveKeys(batch, removals, Seq("id", "tok"))
+    // exactly one committed version flip (v_n -> v_{n+1})
+    assert(fused.contentToken === "v_" + (vBefore.drop(2).toLong + 1))
+    val d2 = java.nio.file.Files.createTempDirectory("graft-urk2").toString
+    val seq2 = new ParquetStore(spark, d2, key = "id", lastUpdatedField = "cnt")
+    seed(seq2)
+    seq2.removeKeys(removals)
+    seq2.update(batch, Seq("id", "tok"))
+    def contents(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "tok", "cnt").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(contents(fused.df) === contents(seq2.df))
+    assert(contents(fused.df) ===
+      Set((1L, "c", 7L), (2L, "a", 5L), (3L, "a", 9L)))
+    // MemoryStore: same fused contract, one checkpointed plan
+    val m = new MemoryStore(spark, key = "id")
+    m.update(Seq((1L, "a", 2L), (1L, "b", 1L), (2L, "a", 5L))
+      .toDF("id", "tok", "cnt"), Seq("id", "tok"))
+    m.updateRemoveKeys(batch, removals, Seq("id", "tok"))
+    assert(contents(m.df) === contents(fused.df))
+    // empty-store degenerate: behaves as a plain update
+    val d3 = java.nio.file.Files.createTempDirectory("graft-urk3").toString
+    val e = new ParquetStore(spark, d3, key = "id", lastUpdatedField = "cnt")
+    e.updateRemoveKeys(batch, removals, Seq("id", "tok"))
+    assert(contents(e.df) === Set((1L, "c", 7L), (3L, "a", 9L)))
+  }
+
   test("ParquetStore deltaWrites: O(batch) upserts, merge-on-read last-wins, compaction") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mor").toString

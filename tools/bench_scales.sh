@@ -26,13 +26,17 @@ cp BENCH_FULL.json /tmp/prev_sf01.json 2>/dev/null || true
 cp BENCH_SF03.json /tmp/prev_sf03.json 2>/dev/null || true
 cp BENCH_SF1.json /tmp/prev_sf1.json 2>/dev/null || true
 
-# run_sf <sfdir> <log> <candidate-json>: one full Bench run, first
-# metric line (the per-query artifact) extracted to the candidate file
+# run_sf <sfdir> <log> <candidate-json>: one full Bench run; the
+# per-query artifact is the metric line carrying "queries" (r17: bench
+# stdout is UNPREFIXED and the full line is LAST — the driver JSON
+# contract; the [info]-prefixed alternates keep old logs parseable)
 run_sf() {
   SPARK_GRAFT_SF_DIR="$1" sbt -batch "runMain graft.Bench" \
     > "$2" 2>&1 || echo "$1 bench rc=$? (see $2)"
-  grep -E '^\[info\] \{"metric"' "$2" | head -1 | sed 's/^\[info\] //' > "$3"
-  grep -E '^\[info\] \{"metric"' "$2" | tail -1 | sed 's/^\[info\] //'
+  grep -E '^(\[info\] )?\{"metric"' "$2" | sed 's/^\[info\] //' \
+    | grep '"queries"' | tail -1 > "$3"
+  grep -E '^(\[info\] )?\{"metric"' "$2" | sed 's/^\[info\] //' \
+    | grep -v '"queries"' | tail -1
 }
 
 # guard <prev> <cand> <sfdir> <log>: re-run once on >25% oracle drift,
